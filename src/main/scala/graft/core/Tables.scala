@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access to the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Every operator in the engine reads these through this single entry so
+  * that (a) schema expectations live in one place and (b) a future move
+  * from plain parquet files to a partitioned/bucketed warehouse layout is
+  * a one-file change. At 100 TB these would be bucketed tables (see
+  * `graft.index.IndexBuild` for the vector layout); the query code is
+  * agnostic to that.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory. Column pruning + predicate
+    * pushdown reach the parquet scan because this is a plain
+    * declarative `spark.read.parquet` — no RDD wrapping.
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
