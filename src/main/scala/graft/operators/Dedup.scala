@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.core.Tables._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deduplication operators for a large-scale training-data pipeline —
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup (the five families the 100 TB data-pipeline story needs).
+  *
+  * Scale design:
+  *  - Exact dedup is a per-row fingerprint + one hash partition by
+  *    fingerprint (window min) — the canonical-assignment output form
+  *    keeps it a single shuffle, no pairwise work.
+  *  - MinHash LSH is the sub-quadratic path: shingle → 16 minhashes →
+  *    4 bands of 4 → band-bucket self-join. Only docs that collide in a
+  *    band are ever paired, so the candidate set (not n²) drives cost.
+  *    Signatures are md5-derived integers, so the DuckDB oracle matches
+  *    bit-for-bit; the verify step re-checks true Jaccard (a ratio of
+  *    set sizes — also exact).
+  *  - SimHash packs each doc into one 32-bit signature (per-row HOF
+  *    pipeline, no shuffle); hamming-close signatures are near-dups.
+  *  - n-gram Jaccard is the quadratic baseline, deliberately restricted
+  *    to a blocked subset (same `source`, bounded doc_id) — at scale you
+  *    never run it unblocked; it exists as the oracle for LSH recall.
+  *  - Embedding near-dup blocks by `label` (at scale: by IVF cluster,
+  *    see [[Knn.ivfKnn]]) and scores pairs with the codegen'd cosine
+  *    kernel.
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.5
+  val CosineThreshold = 0.4
+
+  /** Distinct 3-word shingles of the text (empty for docs under 3 tokens). */
+  def shingles(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Seeded 48-bit hash of a string: first 12 hex chars of
+    * md5("<seed>:" + s) — cheap, deterministic, and reproducible in any
+    * engine that has md5 (the property the oracle needs).
+    */
+  def seededHash(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** MinHash signature: for each seed, the minimum seeded hash over the
+    * shingle set.
+    */
+  def minhashSig(sh: Column): Seq[Column] =
+    (0 until NumHashes).map(s => array_min(transform(sh, g => seededHash(g, s))))
+
+  /** 32-bit SimHash over whitespace tokens (expr-built so the bit loop
+    * uses SQL shiftright/shiftleft with a column shift amount).
+    */
+  val simhashExpr: Column = expr(
+    """aggregate(
+      |  sequence(0, 31), 0L,
+      |  (acc, b) -> acc + CASE
+      |    WHEN aggregate(hs, 0L,
+      |           (a2, h) -> a2 + CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+      |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""".stripMargin)
+
+  // ------------------------------------------------------------ queries
+
+  /** D1: exact dedup — canonical-assignment form: every doc mapped to
+    * the smallest doc_id sharing its normalized-text fingerprint.
+    */
+  val d1Exact: Relational.Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .withColumn("canonical", min("doc_id").over(Window.partitionBy("fp")))
+      .select("doc_id", "canonical")
+      .orderBy("doc_id")
+  }
+
+  /** D2: MinHash + LSH near-dup pairs, verified by true Jaccard. */
+  val d2MinhashLsh: Relational.Q = (s, d) => {
+    val sh = documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val sigs = sh.select(
+      (col("doc_id") +: minhashSig(col("gs")).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }): _*)
+    val bandStructs = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*).cast("binary")).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with true Jaccard; candidate side is small →
+    // broadcast it into the shingle table, twice, instead of shuffling
+    // shingle arrays around.
+    val verified = cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gs_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gs_b"), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double") /
+          size(array_union(col("gs_a"), col("gs_b"))))
+      .filter(col("jac") >= JaccardThreshold)
+    verified.select(col("doc_a"), col("doc_b"), round(col("jac"), 3).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D3: SimHash signature per document. */
+  val d3Simhash: Relational.Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        transform(TextAnalysis.tokens(col("text")),
+          t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"), simhashExpr.as("simhash"))
+      .orderBy("doc_id")
+
+  /** D4: exact n-gram (char-3-gram) Jaccard pairs, blocked by `source`
+    * and bounded to doc_id < 1000 (the quadratic oracle baseline — at
+    * scale d2 replaces it).
+    */
+  val d4NgramJaccard: Relational.Q = (s, d) => {
+    val g = documents(s, d)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("source"),
+        array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("gs"))
+    g.as("a").join(g.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac",
+        size(array_intersect(col("a.gs"), col("b.gs"))).cast("double") /
+          size(array_union(col("a.gs"), col("b.gs"))))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("jac"), 3).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D5: embedding-cosine near-dup pairs, blocked by label. */
+  val d5EmbedNearDup: Relational.Q = (s, d) => {
+    val e = embeddings(s, d).select("vec_id", "label", "embedding")
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= CosineThreshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("sim"), 3).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_d1_dedup_exact" -> d1Exact,
+    "q_d2_dedup_minhash_lsh" -> d2MinhashLsh,
+    "q_d3_dedup_simhash" -> d3Simhash,
+    "q_d4_dedup_ngram_jaccard" -> d4NgramJaccard,
+    "q_d5_dedup_embedding" -> d5EmbedNearDup,
+  )
+
+  // Shared oracle CTEs: tokenization + shingling identical to the Scala
+  // side (DuckDB list indexing is 1-based like Spark element_at).
+  private val shingleCte =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i::INT] || ' ' || w[(i+1)::INT] || ' ' || w[(i+2)::INT])) AS gs
+      |  FROM tok WHERE len(w) >= 3
+      |)""".stripMargin
+
+  private def sqlSeededMin(seed: Int): String =
+    s"list_aggregate(list_transform(gs, g -> ('0x' || substr(md5('$seed:' || g), 1, 12))::BIGINT), 'min')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_d1_dedup_exact" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_d2_dedup_minhash_lsh" -> {
+      val sigCols = (0 until NumHashes).map(i => s"${sqlSeededMin(i)} AS sig$i").mkString(",\n         ")
+      val bandRows = (0 until Bands).map { b =>
+        val parts = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}::VARCHAR").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""$shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |         $sigCols
+         |  FROM sh
+         |),
+         |buckets AS (
+         |  $bandRows
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |),
+         |verified AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         len(list_intersect(x.gs, y.gs))::DOUBLE / len(list_distinct(x.gs || y.gs)) AS jac
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b
+         |)
+         |SELECT doc_a, doc_b, round(jac, 3) AS jac FROM verified
+         |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_d3_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       list_aggregate(list_transform(range(0, 32), b -> CASE
+        |         WHEN list_aggregate(list_transform(hs,
+        |                h -> CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+        |         THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS simhash
+        |FROM tok ORDER BY doc_id""".stripMargin,
+    "q_d4_dedup_ngram_jaccard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(list_transform(range(1, length(text) - 1),
+         |           i -> substr(text, i::INT, 3))) AS gs
+         |  FROM documents WHERE doc_id < 1000
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(len(list_intersect(a.gs, b.gs))::DOUBLE / len(list_distinct(a.gs || b.gs)), 3) AS jac
+         |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE / len(list_distinct(a.gs || b.gs)) >= $JaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_d5_dedup_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $CosineThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.core.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language ID (stopword-hit heuristic), quality
+  * scoring, token counting (whitespace + regex tokenizer), and document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (`split`, `filter`,
+  * `aggregate`, `regexp_extract_all`, `md5`) — no UDFs — so the whole
+  * stage stays inside WholeStageCodegen and scales linearly with one
+  * parquet scan, no shuffle at all (pure per-row map).
+  *
+  * Determinism: all scores are ratios of integers or md5 digests, so the
+  * DuckDB oracle matches bit-for-bit (no cross-engine float-summation
+  * drift anywhere in this module).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the (trimmed, lowercased) text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es", "un"))
+
+  /** Count of tokens that are in `words`. */
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Stopword-hit language scores + argmax prediction ('und' when no
+    * evidence; ties broken in fixed language order).
+    */
+  def langId(text: Column): (Seq[Column], Column) = {
+    val toks = tokens(text)
+    val scores = langStopwords.map { case (l, ws) => hitCount(toks, ws).as(s"s_$l") }
+    val g = greatest(langStopwords.map { case (_, ws) => hitCount(toks, ws) }: _*)
+    val pred = langStopwords.foldRight(lit("und")) { case ((l, ws), acc) =>
+      when(g > 0 && hitCount(toks, ws) === g, lit(l)).otherwise(acc)
+    }
+    // foldRight keeps declaration order precedence: en > de > fr > es
+    (scores, pred)
+  }
+
+  /** Normalized-text md5 fingerprint (lower + collapse whitespace) —
+    * the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  // ------------------------------------------------------------ queries
+
+  /** T1: language identification. */
+  val t1LangId: Relational.Q = (s, d) => {
+    val (scores, pred) = langId(col("text"))
+    documents(s, d)
+      .select((col("doc_id") +: scores :+ pred.as("pred_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** T2: quality scoring — length/stopword/distinct-token ratios. */
+  val t2Quality: Relational.Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val allStops = langStopwords.flatMap(_._2)
+    val stopRatio = hitCount(toks, allStops).cast("double") / n
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val avgWlen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n
+    documents(s, d).select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      round(avgWlen, 3).as("avg_wlen"),
+      round(stopRatio, 3).as("stop_ratio"),
+      round(distinctRatio, 3).as("distinct_ratio"),
+      round(least(n.cast("double") / 100, lit(1.0)) * 0.5 + distinctRatio * 0.5, 3).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** T3: token counting — whitespace tokenizer vs BPE-ish regex
+    * tokenizer (`[a-z]+|[0-9]+|punct`).
+    */
+  val t3TokenCount: Relational.Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(trim(col("text"))),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_re_tokens"))
+      .orderBy("doc_id")
+
+  /** T4: document fingerprint (rolling-hash analogue: md5 over the
+    * normalized byte stream).
+    */
+  val t4Fingerprint: Relational.Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_t1_lang_id" -> t1LangId,
+    "q_t2_quality" -> t2Quality,
+    "q_t3_token_count" -> t3TokenCount,
+    "q_t4_fingerprint" -> t4Fingerprint,
+  )
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val oracleSql: Map[String, String] = {
+    val tokCte =
+      "WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)"
+    val scoreExprs = langStopwords.map { case (l, ws) => s"${sqlHits(ws)} AS s_$l" }
+    val gExpr = langStopwords.map { case (_, ws) => sqlHits(ws) }.mkString("greatest(", ", ", ")")
+    val predCase = {
+      val whens = langStopwords.map { case (l, ws) =>
+        s"WHEN g > 0 AND ${sqlHits(ws)} = g THEN '$l'"
+      }.mkString(" ")
+      s"CASE $whens ELSE 'und' END"
+    }
+    Map(
+      "q_t1_lang_id" ->
+        s"""$tokCte,
+           |sc AS (SELECT doc_id, toks, ${scoreExprs.mkString(", ")}, $gExpr AS g FROM tok)
+           |SELECT doc_id, s_en, s_de, s_fr, s_es, $predCase AS pred_lang
+           |FROM sc ORDER BY doc_id""".stripMargin,
+      "q_t2_quality" ->
+        s"""$tokCte
+           |SELECT doc_id,
+           |  len(toks)::BIGINT AS n_tokens,
+           |  round(list_aggregate(list_transform(toks, t -> len(t)), 'sum')::DOUBLE / len(toks), 3) AS avg_wlen,
+           |  round(${sqlHits(langStopwords.flatMap(_._2))}::DOUBLE / len(toks), 3) AS stop_ratio,
+           |  round(len(list_distinct(toks))::DOUBLE / len(toks), 3) AS distinct_ratio,
+           |  round(least(len(toks)::DOUBLE / 100, 1.0) * 0.5
+           |        + (len(list_distinct(toks))::DOUBLE / len(toks)) * 0.5, 3) AS quality
+           |FROM tok ORDER BY doc_id""".stripMargin,
+      "q_t3_token_count" ->
+        s"""$tokCte
+           |SELECT t.doc_id, len(t.toks)::BIGINT AS n_ws_tokens,
+           |  len(regexp_extract_all(lower(trim(d.text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_re_tokens
+           |FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+           |ORDER BY t.doc_id""".stripMargin,
+      "q_t4_fingerprint" ->
+        """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin,
+    )
+  }
+}
