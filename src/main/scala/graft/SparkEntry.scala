@@ -19,11 +19,13 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Knn.queries ++
-      operators.TextAnalysis.queries ++ operators.Dedup.queries
+      operators.TextAnalysis.queries ++ operators.Dedup.queries ++
+      operators.Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.Knn.oracleSql ++
-      operators.TextAnalysis.oracleSql ++ operators.Dedup.oracleSql
+      operators.TextAnalysis.oracleSql ++ operators.Dedup.oracleSql ++
+      operators.Temporal.oracleSql
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.core.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Temporal / event-stream operators: as-of join, sessionization, range
+  * join, and JSON-property extraction over the `events` table.
+  *
+  * `events.ts` is read as Long nanoseconds (see Verify/Bench session
+  * config: `spark.sql.legacy.parquet.nanosAsLong`) — orderings and gap
+  * arithmetic below operate on those nanos directly.
+  */
+object Temporal {
+
+  /** Generic as-of join: for every left row, the latest right row with
+    * `rightTime <= leftTime` and equal keys.
+    *
+    * Implementation is the scalable union+window technique: tag sides,
+    * union, one window over (keys, time, side) carrying the last
+    * non-null right payload forward. One shuffle on the key columns, no
+    * per-key driver loop, no range-explosion — this is the shape that
+    * survives a 100 TB event table (a per-left-row correlated lookup
+    * would not). DuckDB's native ASOF JOIN is the oracle, so the two
+    * independent implementations check each other.
+    *
+    * @param rightPayload (name in right, alias in output); aliases must
+    *   not collide with left columns.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightPayload: Seq[(String, String)]): DataFrame = {
+    val payloadAliases = rightPayload.map(_._2)
+    val lTagged = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val rTagged0 = right
+      .withColumn("__t", col(rightTime)).withColumn("__side", lit(0))
+    val rTagged = rightPayload.foldLeft(rTagged0) { case (df, (from, to)) =>
+      df.withColumn(to, col(from))
+    }
+    // align schemas: union by name; non-key left columns are null on the
+    // right side, payload columns are null on the left side
+    val unioned = lTagged.select(
+      (left.columns.map(col) ++ payloadAliases.map(a => lit(null).cast(rTagged.schema(a).dataType).as(a))
+        :+ col("__t") :+ col("__side")): _*)
+      .unionByName(rTagged.select(
+        (left.columns.map(c =>
+          if (keys.contains(c)) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c))
+          ++ payloadAliases.map(col) :+ col("__t") :+ col("__side")): _*))
+    // right rows sort before left rows at equal time → inclusive (<=)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadAliases.foldLeft(unioned) { (df, a) =>
+      df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** As-of join: each purchase event matched to the user's most recent
+    * signup event at-or-before it.
+    */
+  val asofQ: Relational.Q = (s, d) => {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("user_id"), col("ts"))
+    asofJoin(purchases, signups, Seq("user_id"), "ts", "ts",
+      Seq("sid" -> "signup_event_id"))
+      .select("event_id", "user_id", "signup_event_id")
+      .orderBy("event_id")
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user, one output row per
+    * session. Two windows + one aggregation, all on the same user_id
+    * partitioning — Catalyst reuses the exchange.
+    */
+  val sessionizeQ: Relational.Q = (s, d) => {
+    val gapNanos = 1800L * 1000 * 1000 * 1000
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        max("event_id").as("last_event"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Numeric range join: events bucketed into [size*10, size*10+10)
+    * value windows derived from `part.p_size`. The bucket side is tiny →
+    * broadcast nested-loop; the events side streams through untouched.
+    */
+  val rangeJoinQ: Relational.Q = (s, d) => {
+    val buckets = part(s, d).select(col("p_size").as("bucket")).distinct()
+    events(s, d)
+      .join(broadcast(buckets),
+        col("value") >= col("bucket") * 10 && col("value") < col("bucket") * 10 + 10)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("bucket")
+  }
+
+  /** Multimodal-metadata extraction: typed access into the JSON `props`
+    * column (the pattern for image/audio sidecar metadata on binary
+    * columns — see graft.multimodal).
+    */
+  val jsonExtractQ: Relational.Q = (s, d) =>
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** JSON extraction feeding an aggregation. */
+  val jsonAggQ: Relational.Q = (s, d) =>
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_asof_join" -> asofQ,
+    "q_sessionize" -> sessionizeQ,
+    "q_range_join" -> rangeJoinQ,
+    "q_json_extract" -> jsonExtractQ,
+    "q_json_agg" -> jsonAggQ,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM x
+        |), z AS (
+        |  SELECT user_id, event_id, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM y
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(event_id) AS first_event, max(event_id) AS last_event,
+        |       round(sum(value), 2) AS session_value
+        |FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT b.bucket::BIGINT AS bucket, count(*) AS n, round(sum(e.value), 2) AS total
+        |FROM events e
+        |JOIN (SELECT DISTINCT p_size AS bucket FROM part) b
+        |  ON e.value >= b.bucket * 10 AND e.value < b.bucket * 10 + 10
+        |GROUP BY b.bucket ORDER BY bucket""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -22,7 +22,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    if v is None:
+        return "NULL"
     if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
         return round(v, 9)
     return v
 
