@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Multimodal columns: images/audio/video as opaque `binary` columns
+  * with typed sidecar metadata, plus the decode / feature-extract /
+  * resize / frame-sample stages as per-partition batch transforms.
+  *
+  * The Spark-side plumbing here — schemas, batch shape, partitioning,
+  * null/corrupt handling — is real and tested. The actual codec work is
+  * STUBBED (`StubCodec`): this container ships no image/audio libraries,
+  * so the stub produces deterministic pseudo-features derived from the
+  * bytes. A real implementation replaces `MediaCodec` only; every
+  * pipeline around it is unchanged.
+  *
+  * Scale design: media bytes never pass through a shuffle — all stages
+  * are per-row/per-partition maps over the scan, and feature outputs
+  * (small fixed-size vectors + scalars) are what downstream joins/aggs
+  * consume. Decoding is batched per partition so a real codec can
+  * amortize native init, mirroring graft.embed.Embedder.
+  */
+object Multimodal {
+
+  /** Asset table schema: opaque bytes + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("media", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** Decoded-frame feature schema appended by [[extractFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  /** Codec boundary — the ONLY stubbed piece. */
+  trait MediaCodec extends Serializable {
+    /** Decode + featurize one asset's bytes; None = corrupt/undecodable. */
+    def featurize(kind: String, bytes: Array[Byte], dims: Int): Option[Array[Float]]
+  }
+
+  /** STUB codec: deterministic pseudo-features from the byte stream
+    * (a real codec — JPEG decode, mel-spectrogram, frame sampling —
+    * replaces exactly this class).
+    */
+  object StubCodec extends MediaCodec {
+    def featurize(kind: String, bytes: Array[Byte], dims: Int): Option[Array[Float]] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val v = new Array[Float](dims)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) {
+        h = 31 * h + bytes(i)
+        v(java.lang.Math.floorMod(h, dims.toLong).toInt) += 1f
+        i += 1
+      }
+      var norm = 0.0; i = 0
+      while (i < dims) { norm += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(norm)
+      if (n > 0) { i = 0; while (i < dims) { v(i) = (v(i) / n).toFloat; i += 1 } }
+      Some(v)
+    }
+  }
+
+  /** Decode + feature-extract stage: per-partition batch map appending
+    * `(ok, n_bytes, feature)`; corrupt assets yield ok=false rows
+    * instead of failing the task (at 100 TB some assets are always
+    * corrupt — the pipeline must degrade per-row, not per-job).
+    */
+  def extractFeatures(assets: DataFrame, codec: MediaCodec = StubCodec,
+      dims: Int = 32): DataFrame = {
+    val outSchema = StructType(assets.schema.fields ++ featureSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val kindIdx = assets.schema.fieldIndex("kind")
+    val mediaIdx = assets.schema.fieldIndex("media")
+    assets.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = if (row.isNullAt(mediaIdx)) null else row.getAs[Array[Byte]](mediaIdx)
+        val feat = codec.featurize(row.getString(kindIdx), bytes, dims)
+        Row.fromSeq(row.toSeq ++ Seq(
+          feat.isDefined,
+          if (bytes == null) 0L else bytes.length.toLong,
+          feat.map(_.toSeq).orNull))
+      }
+    }(enc)
+  }
+
+  /** Metadata-level operators need no codec at all — pure columnar. */
+  def metadataStats(assets: DataFrame): DataFrame =
+    assets.groupBy("kind").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("media").isNull, 1L).otherwise(0L)).as("n_missing"),
+      round(avg(length(col("media"))), 2).as("avg_bytes"),
+      round(avg(col("meta.width")), 2).as("avg_width"))
+      .orderBy("kind")
+}
