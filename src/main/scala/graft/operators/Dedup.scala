@@ -36,38 +36,72 @@ object Dedup {
   val JaccardThreshold = 0.5
   val CosineThreshold = 0.4
 
-  /** Distinct 3-word shingles of the text (empty for docs under 3 tokens). */
-  def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+  /** Universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod p over
+    * a 28-bit md5-derived base hash. One md5 per shingle (not one per
+    * shingle*seed); the affine transforms are integer-exact in any
+    * engine (a_i*x < 2^62, no overflow), which keeps the DuckDB oracle
+    * bit-identical. Constants from a fixed LCG so Scala and SQL share
+    * them by construction.
+    */
+  val HashPrime = 2147483647L // 2^31 - 1
+  val HashCoeffs: Seq[(Long, Long)] = {
+    var s = 0x5DEECE66DL
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); (s >>> 33) % HashPrime }
+    (0 until NumHashes).map(_ => (next() | 1L, next()))
   }
 
-  /** Seeded 48-bit hash of a string: first 12 hex chars of
-    * md5("<seed>:" + s) — cheap, deterministic, and reproducible in any
-    * engine that has md5 (the property the oracle needs).
+  /** Distinct 3-word shingles of the text (empty for docs under 3
+    * tokens).
+    *
+    * Built from three aligned `slice`s zipped together rather than
+    * per-index `element_at` lookups: HOF lambdas defeat common-
+    * subexpression elimination, so an `element_at(tokens, i)` form
+    * re-evaluates the whole `split()` for every lambda invocation
+    * (~3 regex splits per *shingle*); the slice+zip_with form costs a
+    * constant handful of splits per *row* — measured 8× faster on the
+    * sf0.1 corpus.
     */
-  def seededHash(s: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 12), 16, 10).cast("long")
+  def shingles(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    def sl(off: Int) = slice(toks, lit(off), greatest(size(toks) - 2, lit(0)))
+    array_distinct(
+      zip_with(
+        zip_with(sl(1), sl(2), (a, b) => concat(a, lit(" "), b)),
+        sl(3), (ab, c) => concat(ab, lit(" "), c)))
+  }
 
-  /** MinHash signature: for each seed, the minimum seeded hash over the
-    * shingle set.
+  /** 28-bit base hash of a string: first 7 hex chars of md5 —
+    * deterministic and reproducible in any engine that has md5 (the
+    * property the oracle needs).
     */
-  def minhashSig(sh: Column): Seq[Column] =
-    (0 until NumHashes).map(s => array_min(transform(sh, g => seededHash(g, s))))
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  /** MinHash signature over a base-hash array: for each universal-hash
+    * coefficient pair, the minimum of (a*h + b) mod p.
+    */
+  def minhashSig(baseHashes: Column): Seq[Column] =
+    HashCoeffs.map { case (a, b) =>
+      array_min(transform(baseHashes, h => (h * a + b) % HashPrime))
+    }
 
   /** 32-bit SimHash over whitespace tokens (expr-built so the bit loop
     * uses SQL shiftright/shiftleft with a column shift amount).
+    *
+    * Single pass over the token-hash array accumulating all 32 bit
+    * counters at once — an outer per-bit loop would make CollapseProject
+    * re-inline the md5 token-hash array into each of the 32 branches
+    * (32x the hash work; measured 4x slower end-to-end).
     */
   val simhashExpr: Column = expr(
     """aggregate(
-      |  sequence(0, 31), 0L,
-      |  (acc, b) -> acc + CASE
-      |    WHEN aggregate(hs, 0L,
-      |           (a2, h) -> a2 + CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
-      |    THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""".stripMargin)
+      |  zip_with(
+      |    aggregate(hs, array_repeat(0L, 32),
+      |      (acc, h) -> zip_with(acc, sequence(0, 31),
+      |        (a, b) -> a + CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END)),
+      |    sequence(0, 31),
+      |    (c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END),
+      |  0L, (acc, x) -> acc + x)""".stripMargin)
 
   // ------------------------------------------------------------ queries
 
@@ -83,13 +117,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** D2: MinHash + LSH near-dup pairs, verified by true Jaccard. */
+  /** D2: MinHash + LSH near-dup pairs, verified by true Jaccard.
+    * The per-row hash work is embarrassingly parallel → explicit
+    * repartition so a single-file parquet scan doesn't serialize it.
+    */
   val d2MinhashLsh: Relational.Q = (s, d) => {
+    val par = s.sparkContext.defaultParallelism
+    // repartition AFTER computing gs+hs: the exchange materializes both
+    // columns, so the 16 signature projections downstream reference the
+    // physical arrays instead of CollapseProject re-inlining the whole
+    // shingle+md5 pipeline into every one of them. The identical
+    // pre-shuffle subtree is also shared (ReusedExchange) by the
+    // verify-join consumers below.
     val sh = documents(s, d)
+      .repartition(par, col("doc_id")) // parallelize the hash compute
       .select(col("doc_id"), shingles(col("text")).as("gs"))
       .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), col("gs"),
+        transform(col("gs"), g => baseHash(g)).as("hs"))
+      .repartition(par, col("doc_id")) // materialization barrier (see above)
     val sigs = sh.select(
-      (col("doc_id") +: minhashSig(col("gs")).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }): _*)
+      (col("doc_id") +: minhashSig(col("hs")).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }): _*)
     val bandStructs = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", parts: _*).cast("binary")).as("bh"))
@@ -105,13 +153,15 @@ object Dedup {
       .distinct()
     // verify candidates with true Jaccard; candidate side is small →
     // broadcast it into the shingle table, twice, instead of shuffling
-    // shingle arrays around.
+    // shingle arrays around. |A∪B| = |A|+|B|-|A∩B| (sets are distinct)
+    // avoids materializing the union array just to measure it.
+    val gsets = sh.select("doc_id", "gs")
     val verified = cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gs", "gs_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gs", "gs_b"), "doc_b")
+      .join(gsets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(gsets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
       .withColumn("jac",
-        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double") /
-          size(array_union(col("gs_a"), col("gs_b"))))
+        col("inter") / (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
       .filter(col("jac") >= JaccardThreshold)
     verified.select(col("doc_a"), col("doc_b"), round(col("jac"), 3).as("jac"))
       .orderBy("doc_a", "doc_b")
@@ -120,6 +170,7 @@ object Dedup {
   /** D3: SimHash signature per document. */
   val d3Simhash: Relational.Q = (s, d) =>
     documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         transform(TextAnalysis.tokens(col("text")),
           t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")).as("hs"))
@@ -133,13 +184,14 @@ object Dedup {
   val d4NgramJaccard: Relational.Q = (s, d) => {
     val g = documents(s, d)
       .filter(col("doc_id") < 1000)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"),
         array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("gs"))
     g.as("a").join(g.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.gs"), col("b.gs"))).cast("double"))
       .withColumn("jac",
-        size(array_intersect(col("a.gs"), col("b.gs"))).cast("double") /
-          size(array_union(col("a.gs"), col("b.gs"))))
+        col("inter") / (size(col("a.gs")) + size(col("b.gs")) - col("inter")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(col("jac"), 3).as("jac"))
@@ -179,8 +231,10 @@ object Dedup {
       |  FROM tok WHERE len(w) >= 3
       |)""".stripMargin
 
-  private def sqlSeededMin(seed: Int): String =
-    s"list_aggregate(list_transform(gs, g -> ('0x' || substr(md5('$seed:' || g), 1, 12))::BIGINT), 'min')"
+  private def sqlSeededMin(i: Int): String = {
+    val (a, b) = HashCoeffs(i)
+    s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $HashPrime), 'min')"
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_d1_dedup_exact" ->
@@ -194,10 +248,15 @@ object Dedup {
         s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sig"
       }.mkString("\n  UNION ALL\n  ")
       s"""$shingleCte,
+         |shh AS (
+         |  SELECT doc_id, gs,
+         |         list_transform(gs, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT) AS hs
+         |  FROM sh
+         |),
          |sig AS (
          |  SELECT doc_id,
          |         $sigCols
-         |  FROM sh
+         |  FROM shh
          |),
          |buckets AS (
          |  $bandRows
@@ -209,7 +268,8 @@ object Dedup {
          |),
          |verified AS (
          |  SELECT c.doc_a, c.doc_b,
-         |         len(list_intersect(x.gs, y.gs))::DOUBLE / len(list_distinct(x.gs || y.gs)) AS jac
+         |         len(list_intersect(x.gs, y.gs))::DOUBLE
+         |           / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))) AS jac
          |  FROM cand c
          |  JOIN sh x ON x.doc_id = c.doc_a
          |  JOIN sh y ON y.doc_id = c.doc_b
@@ -236,12 +296,14 @@ object Dedup {
          |         list_distinct(list_transform(range(1, length(text) - 1),
          |           i -> substr(text, i::INT, 3))) AS gs
          |  FROM documents WHERE doc_id < 1000
+         |), j AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         len(list_intersect(a.gs, b.gs))::DOUBLE
+         |           / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac
+         |  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
          |)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       round(len(list_intersect(a.gs, b.gs))::DOUBLE / len(list_distinct(a.gs || b.gs)), 3) AS jac
-         |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.gs, b.gs))::DOUBLE / len(list_distinct(a.gs || b.gs)) >= $JaccardThreshold
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |SELECT doc_a, doc_b, round(jac, 3) AS jac FROM j
+         |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
     "q_d5_dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
