@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.types.StructType
+
+/** S7: whole-table JSON dump / restore with schema check (reference
+  * json-dump plugin, SURVEY §2.1 S7) and A4: the `docReads` cost metric
+  * (rows actually scanned by an executed plan, SURVEY §2.4 A4).
+  */
+object Util {
+
+  /** Export a DataFrame as JSON lines. */
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Import a JSON dump, enforcing the expected schema (the analogue of
+    * RxDB's schema-hash check on importJSON: a dump taken under a
+    * different schema is rejected, not silently coerced).
+    */
+  def importJson(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val inferred = spark.read.json(path)
+    val missing = schema.fieldNames.toSet -- inferred.schema.fieldNames.toSet
+    require(missing.isEmpty, s"dump at $path missing fields: $missing")
+    spark.read.schema(schema).json(path)
+  }
+
+  /** docReads analogue: total rows produced by the leaf scans of an
+    * executed plan. Call AFTER an action so SQL metrics are populated;
+    * runs one if none has been.
+    */
+  def rowsScanned(df: DataFrame): Long = {
+    // execute the df's OWN QueryExecution (a write/count would build a
+    // fresh one and leave these plan nodes' metrics untouched)
+    df.queryExecution.toRdd.count()
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(s.plan)
+      case l if l.children.isEmpty => Seq(l)
+      case other => other.children.flatMap(leaves)
+    }
+    leaves(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+  }
+}

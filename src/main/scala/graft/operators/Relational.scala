@@ -244,6 +244,31 @@ object Relational {
         countDistinct(col("l_suppkey")).as("nd_supps"))
       .orderBy("l_returnflag")
 
+  /** Per-group top-k via the custom bounded-heap Aggregator
+    * ([[graft.functions.TopKByScore]]): map-side partial aggregation
+    * means only k rows per group per partition reach the shuffle — the
+    * scale-correct form of the window-function top-k that `q_w1_rank`
+    * demonstrates (its DuckDB oracle IS the window formulation, so the
+    * two implementations verify each other).
+    */
+  val a2TopkAgg: Q = (s, d) => {
+    import s.implicits._
+    val topk = graft.functions.TopKByScore(5)
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .as[(String, Long, Int, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._4, t._2, t._3))
+      .agg(topk.toColumn)
+      .flatMap { case (flag, tops) =>
+        tops.zipWithIndex.map { case ((score, ok, ln), i) =>
+          (flag, ok, ln, score, (i + 1).toLong)
+        }
+      }
+      .toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+      .orderBy("l_returnflag", "rn")
+  }
+
   // ------------------------------------------------------------ windows
 
   /** W1 ranking window — top-3 orders per customer. */
@@ -297,6 +322,7 @@ object Relational {
     "q_join_multi_star" -> joinMultiStar,
     "q_agg_rollup" -> aggRollup,
     "q_agg_distinct" -> aggDistinct,
+    "q_a2_topk_agg" -> a2TopkAgg,
     "q_w1_rank" -> w1Rank,
     "q_w2_running" -> w2Running,
   )
@@ -413,6 +439,13 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
         |       count(DISTINCT l_suppkey) AS nd_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_a2_topk_agg" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
     "q_w1_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,76 @@
+package graft
+
+import graft.embed.HashingEmbedder
+import graft.index.IndexBuild
+import graft.operators.{Knn, Relational}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that make these operators hold
+  * at 100 TB are asserted here so a regression (a filter that stops
+  * pushing, a dim join that stops broadcasting, a scan that reads all
+  * columns) fails CI rather than shipping.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("range predicates reach the parquet scan as pushed filters") {
+    val p = plan(Relational.p3Range(spark, sf0001))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThan(l_quantity"), "quantity range must push down")
+    assert(p.contains("l_shipdate"), "date range must push down")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val p = plan(Relational.p1Eq(spark, sf0001))
+    // scan must not read l_extendedprice etc. for a 3-column projection
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side for star dims") {
+    val p = plan(Relational.joinMultiStar(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    val p2 = plan(Relational.joinInnerAgg(spark, sf0001))
+    assert(p2.contains("BroadcastHashJoin"), p2)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val q = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") === Knn.QueryId).select("embedding").head().getSeq[Float](0)
+    val p = plan(Knn.fullScanKnn(spark, sf0001, typedlit(q), 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregation uses partial (map-side) aggregation and codegen") {
+    val q = Relational.q1Agg(spark, sf0001)
+    assert(plan(q).contains("HashAggregate"), plan(q))
+    val codegen = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(codegen.contains("WholeStageCodegen"), "agg pipeline must stay in codegen")
+  }
+
+  test("anti-join plans as a real anti join") {
+    val p = plan(Relational.j2Anti(spark, sf0001))
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
+    val out = tmpDir("plan-audit-ivf") + "/vectors"
+    val e = HashingEmbedder(dims = 16)
+    val pivots = Seq(e.embedOne("p one").toSeq, e.embedOne("p two").toSeq)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text")).limit(100)
+    IndexBuild.buildFromDocuments(docs, "id", "text", e, pivots, out)
+    val t = spark.read.parquet(out)
+    // partition pruning on cluster
+    val pp = plan(t.filter(col("cluster") === 0))
+    assert(pp.contains("PartitionFilters: [isnotnull(cluster"), pp)
+    // row-group stats pruning on dist0 (sorted within partitions)
+    val rp = plan(t.filter(col("dist0") > 1.0 && col("dist0") < 1.2))
+    assert(rp.contains("PushedFilters: [IsNotNull(dist0), GreaterThan(dist0"), rp)
+  }
+}
