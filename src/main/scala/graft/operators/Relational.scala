@@ -269,6 +269,18 @@ object Relational {
       .orderBy("l_returnflag", "rn")
   }
 
+  /** Approximate distinct counting (HLL sketch) — the cardinality
+    * estimator a 100 TB pipeline uses where exact distinct would
+    * shuffle everything. Sketch results are engine-specific, so this is
+    * a rows-only check (no DuckDB oracle), with the exact counts
+    * alongside for scale-accuracy eyeballing.
+    */
+  val aggApproxDistinct: Q = (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ windows
 
   /** W1 ranking window — top-3 orders per customer. */
@@ -323,6 +335,7 @@ object Relational {
     "q_agg_rollup" -> aggRollup,
     "q_agg_distinct" -> aggDistinct,
     "q_a2_topk_agg" -> a2TopkAgg,
+    "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_w1_rank" -> w1Rank,
     "q_w2_running" -> w2Running,
   )

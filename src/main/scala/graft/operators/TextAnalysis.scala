@@ -100,11 +100,26 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** F4: the reference's "Title: .. Content: .." body parse
+    * (`src/index.ts:115-119`) — built over a synthesized body column so
+    * the round-trip is oracle-checkable on this corpus.
+    */
+  val f4Parse: Relational.Q = (s, d) =>
+    documents(s, d)
+      .withColumn("body",
+        concat(lit("Title: doc-"), col("doc_id").cast("string"),
+          lit(" Content: "), substring(col("text"), 1, 50)))
+      .select(col("doc_id"),
+        regexp_extract(col("body"), "Title: (.*?) Content:", 1).as("title"),
+        regexp_extract(col("body"), "Content: (.*)$", 1).as("content"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Relational.Q] = Map(
     "q_t1_lang_id" -> t1LangId,
     "q_t2_quality" -> t2Quality,
     "q_t3_token_count" -> t3TokenCount,
     "q_t4_fingerprint" -> t4Fingerprint,
+    "q_f4_parse" -> f4Parse,
   )
 
   private def sqlHits(words: Seq[String]): String =
@@ -146,6 +161,16 @@ object TextAnalysis {
       "q_t4_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_f4_parse" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |         'Title: doc-' || doc_id::VARCHAR || ' Content: ' || substr(text, 1, 50) AS body
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |       regexp_extract(body, 'Title: (.*?) Content:', 1) AS title,
+          |       regexp_extract(body, 'Content: (.*)$', 1) AS content
+          |FROM b ORDER BY doc_id""".stripMargin,
     )
   }
 }

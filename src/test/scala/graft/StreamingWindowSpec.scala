@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Event-time streaming: tumbling-window aggregation with watermark and
+  * late-data drop (SURVEY §2.9 notes the reference has no event-time
+  * semantics — these are the north-star streaming extensions Spark
+  * supplies; this spec pins their behavior in our session config).
+  */
+class StreamingWindowSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tumbling window agg with watermark drops too-late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "kind", "value")
+
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"kind")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("win_out").start()
+
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    input.addData((t(0), "a", 1.0), (t(1), "a", 2.0), (t(6), "b", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window
+    input.addData((t(40), "a", 1.0))
+    q.processAllAvailable()
+    // this event is 40 min late — behind the watermark — must be dropped
+    input.addData((t(0), "a", 100.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("win_out")
+      .select(col("window.start").cast("string").as("ws"), col("kind"), col("n"), col("total"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    // the 10:00 window for kind=a saw exactly the two on-time events
+    val firstWindowA = out.filter(x => x._1.startsWith("2024-01-01 10:00") && x._2 == "a")
+    assert(firstWindowA.nonEmpty)
+    assert(firstWindowA.map(_._3).max === 2L, s"late event must not inflate count: ${out.toSeq}")
+    assert(firstWindowA.map(_._4).max === 3.0)
+  }
+
+  test("session_window groups by activity gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def t(min: Int, sec: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    val q = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "2 minutes"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_out").start()
+    // two bursts separated by > 2 minutes → two sessions
+    input.addData((t(0), "u"), (t(1), "u"), (t(10), "u"), (t(11), "u"))
+    q.processAllAvailable()
+    q.stop()
+    val n = spark.table("sess_out").count()
+    assert(n === 2, "gap > session timeout must split sessions")
+  }
+}
