@@ -210,6 +210,35 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding near-dup via MLlib BucketedRandomProjectionLSH — the
+    * generalization of the reference's hand-rolled 5-pivot projection
+    * scheme (SURVEY §7.1.9): random-projection buckets replace the
+    * fixed pivots, `approxSimilarityJoin` replaces the blocked
+    * self-join, and only same-bucket pairs are ever scored. This is the
+    * no-blocking-key path at 100 TB. Seeded → reproducible within
+    * Spark; not DuckDB-oracle-checkable (MLlib hash internals), so it
+    * is validated in DedupLshSpec against the exact pairwise result.
+    *
+    * @param threshold maximum euclidean distance for a pair to emerge
+    */
+  def embedNearDupLsh(e: org.apache.spark.sql.DataFrame, idCol: String,
+      embeddingCol: String, threshold: Double,
+      bucketLength: Double = 2.0, numHashTables: Int = 3): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = e.select(col(idCol).as("id"),
+      array_to_vector(col(embeddingCol)).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, threshold, "dist")
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+        col("dist"))
+      .filter(col("id_a") < col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "q_d1_dedup_exact" -> d1Exact,
     "q_d2_dedup_minhash_lsh" -> d2MinhashLsh,

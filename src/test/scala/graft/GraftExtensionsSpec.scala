@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration: the custom kernels must be callable from
+  * plain SQL in a session built with GraftExtensions.
+  */
+class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  lazy val sparkExt: SparkSession = {
+    // other suites may have installed an active session without our
+    // extensions — getOrCreate would silently return it
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+  }
+
+  test("custom kernels callable from spark.sql") {
+    sparkExt.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val r = sparkExt.sql(
+      """SELECT euclidean_distance(a.embedding, b.embedding) AS d,
+        |       cosine_similarity(a.embedding, b.embedding) AS c,
+        |       dot_product(a.embedding, a.embedding) AS s
+        |FROM emb a JOIN emb b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin).head()
+    assert(r.getDouble(0) > 0)
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-5) // unit-normalized embeddings
+    // type misuse yields an analysis error, not a runtime crash
+    val err = intercept[Exception] {
+      sparkExt.sql("SELECT euclidean_distance(1, 2)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+}
