@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[EuclideanDistance].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[EuclideanDistance].getName, null, name)
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((

@@ -34,7 +34,7 @@ object IndexBuild {
     val distCols = pivots.zipWithIndex.map { case (p, i) =>
       euclidean(col(embeddingCol), typedlit(p)).as(s"dist$i")
     }
-    val out = df.select((df.columns.map(col) ++ distCols): _*)
+    val out = df.select((df.columns.toIndexedSeq.map(col) ++ distCols): _*)
     val distArr = array(pivots.indices.map(i => col(s"dist$i")): _*)
     out.withColumn("cluster",
       (array_position(distArr, array_min(distArr)) - 1).cast("int"))

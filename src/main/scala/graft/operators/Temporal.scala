@@ -42,11 +42,12 @@ object Temporal {
     }
     // align schemas: union by name; non-key left columns are null on the
     // right side, payload columns are null on the left side
+    val leftCols = left.columns.toIndexedSeq
     val unioned = lTagged.select(
-      (left.columns.map(col) ++ payloadAliases.map(a => lit(null).cast(rTagged.schema(a).dataType).as(a))
+      (leftCols.map(col) ++ payloadAliases.map(a => lit(null).cast(rTagged.schema(a).dataType).as(a))
         :+ col("__t") :+ col("__side")): _*)
       .unionByName(rTagged.select(
-        (left.columns.map(c =>
+        (leftCols.map(c =>
           if (keys.contains(c)) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c))
           ++ payloadAliases.map(col) :+ col("__t") :+ col("__side")): _*))

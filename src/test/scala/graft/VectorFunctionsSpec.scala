@@ -62,7 +62,7 @@ class VectorFunctionsSpec extends SparkSuite {
 
   test("l2Normalize produces unit vectors") {
     val df = Seq(Tuple1(Seq(3f, 4f))).toDF("a")
-    val r = df.select(dot(l2Normalize($"a"), l2Normalize($"a"))).head.getDouble(0)
+    val r = df.select(dot(l2Normalize($"a"), l2Normalize($"a"))).head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-6)
   }
 
