@@ -129,13 +129,19 @@ object Dedup {
     // shingle+md5 pipeline into every one of them. The identical
     // pre-shuffle subtree is also shared (ReusedExchange) by the
     // verify-join consumers below.
+    // The shingle table feeds four consumers (two sides of the bucket
+    // self-join, two sides of the verify join); without an explicit
+    // materialization Spark recomputes the scan+shingle+hash pipeline
+    // for each (measured: 4 full scans, 0 reused exchanges). Persist is
+    // the production shape too: a real dedup job writes the signature
+    // table once and joins against it.
     val sh = documents(s, d)
       .repartition(par, col("doc_id")) // parallelize the hash compute
       .select(col("doc_id"), shingles(col("text")).as("gs"))
       .filter(size(col("gs")) > 0)
       .select(col("doc_id"), col("gs"),
         transform(col("gs"), g => baseHash(g)).as("hs"))
-      .repartition(par, col("doc_id")) // materialization barrier (see above)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sh.select(
       (col("doc_id") +: minhashSig(col("hs")).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }): _*)
     val bandStructs = (0 until Bands).map { b =>
