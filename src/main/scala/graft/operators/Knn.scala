@@ -103,6 +103,37 @@ object Knn {
       .select("vec_id", "dist")
   }
 
+  /** The reference's third strategy (`src/search.ts:56-108`,
+    * `docsPerIndexSide = 100`): for each pivot, take the `perSide`
+    * rows on each side of the query's own position in that pivot's
+    * distance order (the "neighborhood of the insertion point"), union
+    * all 2·P bands, dedup, exact re-rank. Each side compiles to
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def indexSimilarityKnn(s: SparkSession, d: String, q: Column, k: Int,
+      perSide: Int): DataFrame = {
+    val piv = pivotLits(s, d)
+    val v = embeddings(s, d)
+    val qDists: Seq[Double] = {
+      val one = v.limit(1).select(piv.map(p => euclidean(p, q)): _*).head()
+      piv.indices.map(one.getDouble)
+    }
+    val branches = piv.indices.flatMap { i =>
+      val di = euclidean(col("embedding"), piv(i))
+      val below = v.withColumn("di", di).filter(col("di") <= qDists(i))
+        .orderBy(col("di").desc, col("vec_id").asc).limit(perSide)
+      val above = v.withColumn("di", di).filter(col("di") > qDists(i))
+        .orderBy(col("di").asc, col("vec_id").asc).limit(perSide)
+      Seq(below, above).map(_.select("vec_id", "embedding"))
+    }
+    branches.reduce(_ union _)
+      .dropDuplicates("vec_id")
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+      .select("vec_id", "dist")
+  }
+
   /** IVF ANN: assign every vector to its nearest pivot (coarse
     * quantization), probe the query's `nprobe` nearest buckets, exact
     * re-rank inside them.
@@ -187,11 +218,17 @@ object Knn {
        |  GROUP BY vec_id
        |)""".stripMargin
 
+  /** V5: per-side pivot-neighborhood strategy (docsPerIndexSide=100). */
+  val v5IndexSimilarity: Relational.Q = (s, d) =>
+    indexSimilarityKnn(s, d, embeddingLit(s, d, QueryId), 10, 100)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+
   val queries: Map[String, Relational.Q] = Map(
     "q_v1_knn_fullscan" -> v1FullScan,
     "q_v2_knn_range" -> v2IndexRange,
     "q_v3_cosine_topk" -> v3CosineTopk,
     "q_v4_ivf" -> v4Ivf,
+    "q_v5_index_similarity" -> v5IndexSimilarity,
     "q_j1_hydrate" -> j1Hydrate,
   )
 
@@ -232,6 +269,50 @@ object Knn {
          |)
          |SELECT vec_id, round(dist,3) AS dist FROM rerank
          |ORDER BY rerank.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_v5_index_similarity" -> {
+      val bands = PivotIds.indices.flatMap { i =>
+        Seq(
+          s"""SELECT vec_id FROM (
+             |  SELECT vp.vec_id FROM vp JOIN qp ON vp.pid = qp.pid
+             |  WHERE vp.pid = ${PivotIds(i)} AND vp.vd <= qp.qd
+             |  ORDER BY vp.vd DESC, vp.vec_id ASC LIMIT 100) b${i}lo""".stripMargin,
+          s"""SELECT vec_id FROM (
+             |  SELECT vp.vec_id FROM vp JOIN qp ON vp.pid = qp.pid
+             |  WHERE vp.pid = ${PivotIds(i)} AND vp.vd > qp.qd
+             |  ORDER BY vp.vd ASC, vp.vec_id ASC LIMIT 100) b${i}hi""".stripMargin)
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryId),
+         |piv AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |        WHERE vec_id IN (${PivotIds.mkString(",")})),
+         |qp AS (
+         |  SELECT pid, sqrt(sum((a-b)*(a-b))) AS qd
+         |  FROM (SELECT pid, unnest(pe)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
+         |        FROM piv CROSS JOIN q) z
+         |  GROUP BY pid
+         |),
+         |vp AS (
+         |  SELECT vec_id, pid, sqrt(sum((a-b)*(a-b))) AS vd
+         |  FROM (SELECT e.vec_id, p.pid, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(p.pe)::DOUBLE AS b
+         |        FROM embeddings e CROSS JOIN piv p) z
+         |  GROUP BY vec_id, pid
+         |),
+         |cand AS (
+         |  SELECT DISTINCT vec_id FROM (
+         |  $bands
+         |  ) allb
+         |),
+         |rerank AS (
+         |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |        CROSS JOIN q) z
+         |  GROUP BY vec_id
+         |)
+         |SELECT vec_id, round(dist,3) AS dist FROM rerank
+         |ORDER BY rerank.dist ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
     "q_v4_ivf" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryId),
          |piv AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings

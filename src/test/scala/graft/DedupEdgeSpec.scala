@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the text/dedup primitives: degenerate documents
+  * (empty, whitespace-only, under-3-token), unicode, duplicate rows —
+  * the rows a 100 TB corpus always contains a few million of.
+  */
+class DedupEdgeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, ""),
+    (3L, "   "),
+    (4L, "one two"), // under 3 tokens → no shingles
+    (5L, "alpha beta gamma delta"), // exact dup of 1
+    (6L, "naïve café über żółć 中文 分词"), // unicode
+    (7L, "x y z")
+  ).toDF("doc_id", "text")
+
+  test("shingles: degenerate docs yield empty sets, no crashes") {
+    val out = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("alpha beta gamma", "beta gamma delta"))
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+    assert(out(6L).size === 4)
+    assert(out(7L) === Seq("x y z"))
+  }
+
+  test("fingerprint: whitespace normalization collapses, unicode stable") {
+    val fps = Seq((1L, "a  b\tc"), (2L, " a b c "), (3L, "a b d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L), "whitespace runs must normalize identically")
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("minhash signatures: identical docs identical sigs; sig similarity tracks jaccard") {
+    val sh = docs.filter(size(Dedup.shingles(col("text"))) > 0)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("gs"))
+      .select(col("doc_id"), transform(col("gs"), g => Dedup.baseHash(g)).as("hs"))
+    val sigs = sh.select(
+      (col("doc_id") +: Dedup.minhashSig(col("hs")).zipWithIndex.map { case (c, i) => c.as(s"s$i") }): _*)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(sigs(1L) === sigs(5L), "identical text ⇒ identical minhash signature")
+    assert(sigs(1L) !== sigs(7L))
+  }
+
+  test("quality/token queries never divide by zero on empty docs") {
+    val q = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // split of "" yields [""] — size >= 1 always, so ratios are safe
+    assert(q.values.forall(_ >= 1))
+  }
+}

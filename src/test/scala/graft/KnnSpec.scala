@@ -51,6 +51,15 @@ class KnnSpec extends SparkSuite {
     assert(recall >= 0.3)
   }
 
+  test("index-similarity (per-side bands) recall vs exact oracle") {
+    val got = Knn.indexSimilarityKnn(spark, sf0001, queryVec, 10, 100)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"indexSimilarity recall@10 = $recall")
+    // approximate by design: 2·P·perSide candidate bands, not full cover
+    assert(recall >= 0.5)
+  }
+
   test("top-k == sort-prefix property") {
     val k5 = Knn.fullScanKnn(spark, sf0001, queryVec, 5)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
