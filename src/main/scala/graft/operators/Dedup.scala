@@ -121,7 +121,11 @@ object Dedup {
     * The per-row hash work is embarrassingly parallel → explicit
     * repartition so a single-file parquet scan doesn't serialize it.
     */
-  val d2MinhashLsh: Relational.Q = (s, d) => {
+  val d2MinhashLsh: Relational.Q = (s, d) => d2MinhashLshOn(documents(s, d))
+
+  /** Same pipeline over an arbitrary (doc_id, text) DataFrame. */
+  def d2MinhashLshOn(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
     val par = s.sparkContext.defaultParallelism
     // repartition AFTER computing gs+hs: the exchange materializes both
     // columns, so the 16 signature projections downstream reference the
@@ -135,7 +139,7 @@ object Dedup {
     // for each (measured: 4 full scans, 0 reused exchanges). Persist is
     // the production shape too: a real dedup job writes the signature
     // table once and joins against it.
-    val sh = documents(s, d)
+    val sh = docsDf
       .repartition(par, col("doc_id")) // parallelize the hash compute
       .select(col("doc_id"), shingles(col("text")).as("gs"))
       .filter(size(col("gs")) > 0)
@@ -174,9 +178,12 @@ object Dedup {
   }
 
   /** D3: SimHash signature per document. */
-  val d3Simhash: Relational.Q = (s, d) =>
-    documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+  val d3Simhash: Relational.Q = (s, d) => d3SimhashOn(documents(s, d))
+
+  /** Same pipeline over an arbitrary (doc_id, text) DataFrame. */
+  def d3SimhashOn(docsDf: DataFrame): DataFrame =
+    docsDf
+      .repartition(docsDf.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         transform(TextAnalysis.tokens(col("text")),
           t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")).as("hs"))

@@ -1,0 +1,83 @@
+package graft.tools
+
+import graft.core.Tables
+import graft.embed.HashingEmbedder
+import graft.functions.VectorFunctions._
+import graft.index.{IndexBuild, Pivots}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Scale-behavior probe (dev tool): replicate the sf0.1 corpus N× with
+  * remapped ids, run the heavy operators, report rows/s at each scale.
+  * Linear (or better) rows/s across scales = the operator's cost is
+  * per-row/per-candidate, not quadratic — the property the 100 TB
+  * design claims. Results recorded in ARCHITECTURE.md.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = Seq(1, 4, 10, 20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    def replicate(df: DataFrame, idCol: String, n: Int): DataFrame =
+      df.crossJoin(spark.range(n).select(col("id").as("__rep")))
+        .withColumn(idCol, col(idCol) * n + col("__rep")).drop("__rep")
+
+    val work = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+    val docs0 = Tables.documents(spark, d)
+    val emb0 = Tables.embeddings(spark, d)
+
+    for (n <- scales) {
+      val docsPath = s"$work/docs_x$n"
+      val embPath = s"$work/emb_x$n"
+      replicate(docs0, "doc_id", n).write.mode(SaveMode.Overwrite).parquet(docsPath)
+      replicate(emb0, "vec_id", n).write.mode(SaveMode.Overwrite).parquet(embPath)
+      val docs = spark.read.parquet(docsPath)
+      val emb = spark.read.parquet(embPath)
+      val nDocs = docs.count(); val nVec = emb.count()
+
+      // 1. minhash LSH dedup (candidate-driven, must stay near-linear)
+      val tMinhash = time {
+        graft.operators.Dedup.d2MinhashLshOn(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // 2. simhash signatures (pure map)
+      val tSimhash = time {
+        graft.operators.Dedup.d3SimhashOn(docs)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // 3. brute-force kNN (linear scan, TakeOrderedAndProject)
+      val q = emb0.limit(1).select("embedding").head().getSeq[Float](0)
+      val tKnn = time {
+        emb.withColumn("dist", euclidean(col("embedding"), typedlit(q)))
+          .orderBy(col("dist").asc).limit(10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // 4. index build (embed + pivot distances + partitioned write)
+      val embedder = HashingEmbedder(dims = 64)
+      val pivots = Pivots.fromSample(emb0, "vec_id", "embedding", 5)
+      val tIndex = time {
+        IndexBuild.buildFromDocuments(
+          docs.select(col("doc_id").cast("string").as("id"), col("text")),
+          "id", "text", embedder, pivots, s"$work/idx_x$n")
+      }
+      println(f"[scale] x$n%-3d docs=$nDocs%-8d vecs=$nVec%-8d " +
+        f"minhash=$tMinhash%6.1fs (${nDocs / tMinhash}%8.0f docs/s)  " +
+        f"simhash=$tSimhash%5.1fs (${nDocs / tSimhash}%8.0f docs/s)  " +
+        f"knn=$tKnn%5.1fs (${nVec / tKnn}%9.0f vec/s)  " +
+        f"index=$tIndex%5.1fs (${nDocs / tIndex}%8.0f docs/s)")
+    }
+    spark.stop()
+  }
+}
