@@ -159,6 +159,38 @@ object Knn {
       .select("vec_id", "cluster", "dist")
   }
 
+  /** Serve kNN from a materialized index table
+    * ([[graft.index.IndexBuild]] layout: partitioned by `cluster`,
+    * sorted by `dist0` within partitions). The `cluster isin probes`
+    * predicate prunes whole partition directories at planning time and
+    * the `dist0` band prunes row groups via parquet stats — this is the
+    * build-once / serve-many path, the columnar analogue of the
+    * reference's persistent B-tree index.
+    *
+    * @param pivots the pivots the index was built with
+    */
+  def searchIndexed(s: SparkSession, indexPath: String, pivots: Seq[Seq[Float]],
+      q: Array[Float], k: Int, nprobe: Int, eps: Double = 0.5): DataFrame = {
+    def dist(a: Seq[Float]): Double = {
+      var i = 0; var sum = 0.0
+      while (i < a.length && i < q.length) {
+        val dd = a(i).toDouble - q(i).toDouble; sum += dd * dd; i += 1
+      }
+      math.sqrt(sum)
+    }
+    val qDists = pivots.map(dist)
+    val probes = qDists.zipWithIndex.sortBy { case (dd, pid) => (dd, pid) }
+      .take(nprobe).map(_._2)
+    val lo = qDists.head * (1 - eps); val hi = qDists.head * (1 + eps)
+    s.read.parquet(indexPath)
+      .filter(col("cluster").isin(probes: _*))       // partition pruning
+      .filter(col("dist0") > lo && col("dist0") < hi) // row-group stats pruning
+      .withColumn("dist", euclidean(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+      .select("id", "cluster", "dist")
+  }
+
   // ------------------------------------------------------------ queries
 
   /** V1: exact full-scan kNN (J3 θ-join + A3 top-k + O6). */

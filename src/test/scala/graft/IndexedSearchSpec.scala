@@ -1,0 +1,50 @@
+package graft
+
+import graft.embed.HashingEmbedder
+import graft.functions.VectorFunctions.euclidean
+import graft.index.{IndexBuild, Pivots}
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+
+/** Build-once / serve-many: kNN served from the materialized IVF table
+  * must agree with a fresh computation over the raw data, while its
+  * plan prunes partitions + row groups.
+  */
+class IndexedSearchSpec extends SparkSuite {
+
+  test("searchIndexed == fresh computation over the probed clusters") {
+    val out = tmpDir("serve-ivf") + "/vectors"
+    val e = HashingEmbedder(dims = 64)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+    // build the index once
+    val sample = graft.embed.Embedder.embedText(docs.limit(100), "text", e)
+      .select("id", "embedding")
+    val pivots = Pivots.fromSample(sample, "id", "embedding", 5)
+    IndexBuild.buildFromDocuments(docs, "id", "text", e, pivots, out)
+
+    val q = e.embedOne("spark table scan merge")
+    val served = Knn.searchIndexed(spark, out, pivots, q, 10, nprobe = 2, eps = 1.0)
+
+    // plan must show partition pruning on cluster
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"), plan.take(2000))
+
+    // equivalence: recompute from the index table without the serving path
+    val t = spark.read.parquet(out)
+    val qDists = pivots.map { p =>
+      math.sqrt(p.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum)
+    }
+    val probes = qDists.zipWithIndex.sortBy { case (d, i) => (d, i) }.take(2).map(_._2)
+    val lo = qDists.head * 0.0; val hi = qDists.head * 2.0
+    val expected = t.filter(col("cluster").isin(probes: _*))
+      .filter(col("dist0") > lo && col("dist0") < hi)
+      .withColumn("dist", euclidean(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("dist").asc, col("id").asc).limit(10)
+      .select("id").collect().map(_.getString(0)).toSeq
+
+    val got = served.select("id").collect().map(_.getString(0)).toSeq
+    assert(got === expected)
+    assert(got.size === 10)
+  }
+}
