@@ -18,21 +18,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[EuclideanDistance].getName, null, name)
-
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("euclidean_distance"),
-      info("euclidean_distance", "euclidean_distance(a, b) - sqrt(sum((a_i-b_i)^2)) over two float arrays"),
+      new ExpressionInfo(classOf[EuclideanDistance].getName, null, "euclidean_distance"),
       (args: Seq[Expression]) => EuclideanDistance(args(0), args(1))))
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
-      info("cosine_similarity", "cosine_similarity(a, b) - dot(a,b)/(|a||b|) over two float arrays"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_similarity"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
     e.injectFunction((
       FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - sum(a_i*b_i) over two float arrays"),
+      new ExpressionInfo(classOf[DotProduct].getName, null, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
   }
 }

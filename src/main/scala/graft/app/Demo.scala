@@ -68,12 +68,12 @@ object Demo {
       s"clusters: ${vectors.select("cluster").distinct().count()}")
 
     // ---- entry point A: kNN search (src/search.ts)
-    val qVec = time("A0: embed query")(typedlit(embedder.embedOne(queryText).toSeq))
+    val qArr = time("A0: embed query")(embedder.embedOne(queryText))
+    val qVec = typedlit(qArr.toSeq)
     val top = time("A1: index-range kNN + hydrate") {
       val qd = pivots.map { p =>
-        val arr = p.toArray
-        math.sqrt(arr.indices.map { i =>
-          val d = arr(i).toDouble - embedder.embedOne(queryText)(i); d * d
+        math.sqrt(p.indices.map { i =>
+          val d = p(i).toDouble - qArr(i); d * d
         }.sum)
       }
       val branches = pivots.indices.map { i =>

@@ -87,18 +87,24 @@ object Embedder {
     * reference's per-worker pipeline cache).
     */
   def embedText(df: DataFrame, textCol: String, embedder: Embedder,
-      outCol: String = "embedding"): DataFrame = {
+      outCol: String = "embedding", batchSize: Int = 256): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val idx = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
-      // one embedder instance per partition; batch interface lets a real
-      // model amortize init + run vectorized inference
-      val (r1, r2) = rows.duplicate
-      val vecs = embedder.embed(r1.map(_.getString(idx)))
-      r2.zip(vecs).map { case (row, v) =>
-        Row.fromSeq(row.toSeq :+ v.toSeq)
+      // bounded chunks: an eager batch-inference embedder (the intended
+      // real implementation) may drain its whole input iterator — with
+      // an unbounded duplicate that would buffer the entire partition.
+      // Per chunk we also insist on exactly one vector per row: a model
+      // silently dropping rows must fail here, not truncate a zip.
+      rows.grouped(batchSize).flatMap { chunk =>
+        val vecs = embedder.embed(chunk.iterator.map(_.getString(idx))).toSeq
+        require(vecs.size == chunk.size,
+          s"embedder returned ${vecs.size} vectors for ${chunk.size} texts")
+        chunk.iterator.zip(vecs.iterator).map { case (row, v) =>
+          Row.fromSeq(row.toSeq :+ v.toSeq)
+        }
       }
     }(enc)
   }

@@ -67,13 +67,20 @@ object IndexBuild {
       case None => fresh0
     }
     val embedded = Embedder.embedText(fresh, "text", embedder).drop("text")
+    // persist: the count and the write must not run the embed pipeline twice
     val indexed = withPivotColumns(embedded, pivots)
-    val n = indexed.count()
-    if (n > 0) {
-      indexed.sortWithinPartitions("dist0")
-        .write.mode(SaveMode.Append).parquet(outPath)
-    }
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = indexed.count()
+      if (n > 0) {
+        // same partitioned layout as the batch build — mixing a flat
+        // append into a cluster-partitioned table corrupts partition
+        // discovery and defeats searchIndexed's pruning
+        indexed.sortWithinPartitions("dist0")
+          .write.mode(SaveMode.Append).partitionBy("cluster").parquet(outPath)
+      }
+      n
+    } finally indexed.unpersist()
   }
 
   /** Write with the pruning-friendly layout. */

@@ -124,9 +124,19 @@ object Dedup {
   val d2MinhashLsh: Relational.Q = (s, d) => d2MinhashLshOn(documents(s, d))
 
   /** Same pipeline over an arbitrary (doc_id, text) DataFrame. */
+  /** Last persisted shingle table: one cached copy per session at a
+    * time — repeated invocations (Bench/Verify/ScaleProbe loops) would
+    * otherwise pile up leaked cache entries and skew measurements.
+    */
+  @transient private var lastShingleCache: Option[DataFrame] = None
+
   def d2MinhashLshOn(docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     val par = s.sparkContext.defaultParallelism
+    synchronized {
+      lastShingleCache.foreach(_.unpersist())
+      lastShingleCache = None
+    }
     // repartition AFTER computing gs+hs: the exchange materializes both
     // columns, so the 16 signature projections downstream reference the
     // physical arrays instead of CollapseProject re-inlining the whole
@@ -146,6 +156,7 @@ object Dedup {
       .select(col("doc_id"), col("gs"),
         transform(col("gs"), g => baseHash(g)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { lastShingleCache = Some(sh) }
     val sigs = sh.select(
       (col("doc_id") +: minhashSig(col("hs")).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }): _*)
     val bandStructs = (0 until Bands).map { b =>
@@ -195,11 +206,15 @@ object Dedup {
     * scale d2 replaces it).
     */
   val d4NgramJaccard: Relational.Q = (s, d) => {
+    // guard: Spark's sequence(1, n) DESCENDS for n < 1, so a short text
+    // would fabricate grams; the oracle's range(1, len-1) is empty there
     val g = documents(s, d)
       .filter(col("doc_id") < 1000)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("source"),
-        array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("gs"))
+        when(length(col("text")) >= 3,
+          array_distinct(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+          .otherwise(array().cast("array<string>")).as("gs"))
     g.as("a").join(g.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("inter", size(array_intersect(col("a.gs"), col("b.gs"))).cast("double"))

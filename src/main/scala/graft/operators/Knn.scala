@@ -232,9 +232,9 @@ object Knn {
       .select(col("vec_id"), col("dist"))
     documents(s, d)
       .join(broadcast(topk), col("doc_id") === col("vec_id"))
+      .orderBy(col("dist").asc, col("doc_id").asc) // order by UNrounded dist
       .select(col("doc_id"), round(col("dist"), 3).as("dist"),
         col("lang"), col("source"), col("n_chars"))
-      .orderBy(col("dist").asc, col("doc_id").asc)
   }
 
   // The oracle SQL mirrors each strategy with explicit unnest-zip

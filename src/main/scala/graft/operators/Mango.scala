@@ -34,13 +34,17 @@ object Mango {
       .reduceOption(_ && _).getOrElse(lit(true))
 
   private def clause(key: String, value: Any): Column = key match {
-    case "$and" => seqOfSelectors(value).map(selectorToColumn).reduce(_ && _)
-    case "$or" => seqOfSelectors(value).map(selectorToColumn).reduce(_ || _)
-    case "$nor" => !seqOfSelectors(value).map(selectorToColumn).reduce(_ || _)
+    // empty operand lists are match-all (Mango semantics), not a crash
+    case "$and" => seqOfSelectors(value).map(selectorToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    case "$or" => seqOfSelectors(value).map(selectorToColumn)
+      .reduceOption(_ || _).getOrElse(lit(true))
+    case "$nor" => !seqOfSelectors(value).map(selectorToColumn)
+      .reduceOption(_ || _).getOrElse(lit(false))
     case "$not" => !selectorToColumn(asMap(value))
     case field => value match {
       case ops: Map[_, _] if ops.keys.forall(_.toString.startsWith("$")) =>
-        fieldOps(col(field), asMap(ops)).reduce(_ && _)
+        fieldOps(col(field), asMap(ops)).reduceOption(_ && _).getOrElse(lit(true))
       case literal => col(field) === lit(literal) // bare eq normalization
     }
   }
@@ -62,7 +66,7 @@ object Mango {
       case ("$regex", v) => c.rlike(v.toString)
       case ("$size", v) => size(c) === lit(v.asInstanceOf[Number].intValue)
       case ("$elemMatch", v) =>
-        exists(c, x => fieldOps(x, asMap(v)).reduce(_ && _))
+        exists(c, x => fieldOps(x, asMap(v)).reduceOption(_ && _).getOrElse(lit(true)))
       case ("$exists", v) =>
         if (v.asInstanceOf[Boolean]) c.isNotNull else c.isNull
       case ("$type", v) => typeCheck(c, v.toString)

@@ -51,9 +51,12 @@ object Temporal {
           if (keys.contains(c)) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c))
           ++ payloadAliases.map(col) :+ col("__t") :+ col("__side")): _*))
-    // right rows sort before left rows at equal time → inclusive (<=)
+    // right rows sort before left rows at equal time → inclusive (<=);
+    // payload columns as final keys make the carried value deterministic
+    // when two right rows share (key, time) — "last" = max payload
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy((Seq(col("__t").asc, col("__side").asc)
+        ++ payloadAliases.map(col(_).asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payloadAliases.foldLeft(unioned) { (df, a) =>
       df.withColumn(a, last(col(a), ignoreNulls = true).over(w))
