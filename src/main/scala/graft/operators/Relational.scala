@@ -281,6 +281,20 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Pivot table (crosstab): per-user event-type counts as columns —
+    * Spark's `pivot` with an explicit value list compiles to one
+    * hash aggregation, no per-column scans.
+    */
+  val aggPivot: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+      .orderBy("user_id")
+  }
+
   // ------------------------------------------------------------ windows
 
   /** W1 ranking window — top-3 orders per customer. */
@@ -336,6 +350,7 @@ object Relational {
     "q_agg_distinct" -> aggDistinct,
     "q_a2_topk_agg" -> a2TopkAgg,
     "q_agg_approx_distinct" -> aggApproxDistinct,
+    "q_agg_pivot" -> aggPivot,
     "q_w1_rank" -> w1Rank,
     "q_w2_running" -> w2Running,
   )
@@ -452,6 +467,14 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
         |       count(DISTINCT l_suppkey) AS nd_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT user_id,
+        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_a2_topk_agg" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
         |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,

@@ -114,7 +114,36 @@ object TextAnalysis {
         regexp_extract(col("body"), "Content: (.*)$", 1).as("content"))
       .orderBy("doc_id")
 
+  /** T5: corpus token-frequency table — the canonical distributed
+    * wordcount (explode → partial-agg groupBy): vocabulary building /
+    * BPE preparation over a training corpus.
+    */
+  val t5TokenFreq: Relational.Q = (s, d) =>
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(100)
+
+  /** T6: deterministic hash-based train/val/test split — stratified
+    * sampling by stable id hash, the reproducible way to split a
+    * 100 TB corpus (no RNG state, no shuffle: a pure per-row map).
+    */
+  val t6SampleSplit: Relational.Q = (s, d) => {
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10)
+      .cast("long") % 10
+    documents(s, d)
+      .withColumn("split",
+        when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_t5_token_freq" -> t5TokenFreq,
+    "q_t6_sample_split" -> t6SampleSplit,
     "q_t1_lang_id" -> t1LangId,
     "q_t2_quality" -> t2Quality,
     "q_t3_token_count" -> t3TokenCount,
@@ -161,6 +190,21 @@ object TextAnalysis {
       "q_t4_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_t5_token_freq" ->
+        """SELECT tok, count(*) AS n
+          |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          |      FROM documents) z
+          |GROUP BY tok HAVING count(*) >= 5
+          |ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin,
+      "q_t6_sample_split" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 10 AS b
+          |  FROM documents
+          |)
+          |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+          |       count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
       "q_f4_parse" ->
         """WITH b AS (
           |  SELECT doc_id,
