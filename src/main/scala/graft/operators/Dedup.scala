@@ -201,6 +201,24 @@ object Dedup {
       .select(col("doc_id"), simhashExpr.as("simhash"))
       .orderBy("doc_id")
 
+  /** D6: simhash near-dup pairs — signatures from d3, pairs within the
+    * same `source` block at Hamming distance <= threshold. Pure integer
+    * arithmetic end-to-end (md5-derived hashes, xor + bit_count), so
+    * the oracle is exact. At scale the block key becomes a band of
+    * simhash bits (prefix buckets), same shape as d2's LSH bands.
+    */
+  val d6SimhashPairs: Relational.Q = (s, d) => {
+    val hamMax = 10
+    val sigs = d3SimhashOn(documents(s, d))
+      .join(documents(s, d).select("doc_id", "source"), "doc_id")
+    sigs.as("a").join(sigs.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ham", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .filter(col("ham") <= hamMax)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("ham"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** D4: exact n-gram (char-3-gram) Jaccard pairs, blocked by `source`
     * and bounded to doc_id < 1000 (the quadratic oracle baseline — at
     * scale d2 replaces it).
@@ -273,6 +291,7 @@ object Dedup {
     "q_d3_dedup_simhash" -> d3Simhash,
     "q_d4_dedup_ngram_jaccard" -> d4NgramJaccard,
     "q_d5_dedup_embedding" -> d5EmbedNearDup,
+    "q_d6_simhash_pairs" -> d6SimhashPairs,
   )
 
   // Shared oracle CTEs: tokenization + shingling identical to the Scala
@@ -347,6 +366,26 @@ object Dedup {
         |                h -> CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0
         |         THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS simhash
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q_d6_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+        |  FROM documents
+        |),
+        |sig AS (
+        |  SELECT t.doc_id, d.source,
+        |       list_aggregate(list_transform(range(0, 32), b -> CASE
+        |         WHEN list_aggregate(list_transform(hs,
+        |                h -> CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+        |         THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS simhash
+        |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS ham
+        |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_d4_dedup_ngram_jaccard" ->
       s"""WITH g AS (
          |  SELECT doc_id, source,

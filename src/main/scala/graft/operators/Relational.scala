@@ -281,6 +281,24 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Exact per-group median via explicit rank arithmetic (avg of the
+    * middle one/two elements). Deliberately NOT percentile()/
+    * quantile_cont(): their interpolation conventions differ across
+    * engines, while this formulation is the same integer selection +
+    * one avg everywhere.
+    */
+  val aggMedian: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === floor((col("n") + 1) / 2.0).cast("long") ||
+        col("rn") === floor((col("n") + 2) / 2.0).cast("long"))
+      .groupBy("event_type")
+      .agg(round(avg("value"), 4).as("median_value"), max("n").as("n"))
+      .orderBy("event_type")
+  }
+
   /** Pivot table (crosstab): per-user event-type counts as columns —
     * Spark's `pivot` with an explicit value list compiles to one
     * hash aggregation, no per-column scans.
@@ -351,6 +369,7 @@ object Relational {
     "q_a2_topk_agg" -> a2TopkAgg,
     "q_agg_approx_distinct" -> aggApproxDistinct,
     "q_agg_pivot" -> aggPivot,
+    "q_agg_median" -> aggMedian,
     "q_w1_rank" -> w1Rank,
     "q_w2_running" -> w2Running,
   )
@@ -467,6 +486,19 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
         |       count(DISTINCT l_suppkey) AS nd_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_median" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value ASC, event_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type, round(avg(value), 4) AS median_value, max(n) AS n
+        |FROM r
+        |WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+        |   OR rn = CAST(floor((n + 2) / 2.0) AS BIGINT)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_pivot" ->
       """SELECT user_id,
         |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,

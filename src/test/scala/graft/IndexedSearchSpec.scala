@@ -47,4 +47,33 @@ class IndexedSearchSpec extends SparkSuite {
     assert(got === expected)
     assert(got.size === 10)
   }
+
+  test("KMeans-learned pivots: balanced clusters, served kNN recall vs exact") {
+    val out = tmpDir("kmeans-ivf") + "/vectors"
+    val e = HashingEmbedder(dims = 64)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+    val embedded = graft.embed.Embedder.embedText(docs, "text", e)
+      .select("id", "embedding")
+    val pivots = Pivots.learnKMeans(embedded, "embedding", k = 8)
+    assert(pivots.size === 8)
+    IndexBuild.write(IndexBuild.withPivotColumns(embedded, pivots), out)
+
+    val t = spark.read.parquet(out)
+    val sizes = t.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(sizes.length === 8, "every learned centroid should own vectors")
+    assert(sizes.max < t.count(), "clusters must actually partition the data")
+
+    // serve with nprobe=3 and compare against exact over everything
+    val q = e.embedOne("spark join filter table")
+    val exact = t
+      .withColumn("dist", euclidean(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("dist").asc, col("id").asc).limit(10)
+      .select("id").collect().map(_.getString(0)).toSet
+    val served = Knn.searchIndexed(spark, out, pivots, q, 10, nprobe = 3, eps = 10)
+      .select("id").collect().map(_.getString(0)).toSet
+    val recall = exact.count(served.contains).toDouble / exact.size
+    info(s"kmeans-ivf nprobe=3/8 recall@10 = $recall")
+    assert(recall >= 0.5)
+  }
 }
