@@ -337,6 +337,21 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** W3: lead/lag analytics — neighboring events per user. Payloads are
+    * integer ids only: Spark sees ts at nanosecond and DuckDB at
+    * microsecond precision, so emitting time DIFFERENCES would be
+    * truncation-boundary-dependent; the ordering itself is unaffected.
+    */
+  val w3LagLead: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("prev_event", lag("event_id", 1).over(w))
+      .withColumn("next_event", lead("event_id", 1).over(w))
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .select("user_id", "event_id", "prev_event", "next_event", "prev_value")
+      .orderBy("user_id", "event_id")
+  }
+
   // --------------------------------------------------------- registration
 
   val queries: Map[String, Q] = Map(
@@ -372,6 +387,7 @@ object Relational {
     "q_agg_median" -> aggMedian,
     "q_w1_rank" -> w1Rank,
     "q_w2_running" -> w2Running,
+    "q_w3_lag_lead" -> w3LagLead,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -521,6 +537,14 @@ object Relational {
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_w3_lag_lead" ->
+      """SELECT user_id, event_id,
+        |       lag(event_id) OVER w AS prev_event,
+        |       lead(event_id) OVER w AS next_event,
+        |       lag(value) OVER w AS prev_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_w2_running" ->
       """SELECT user_id, event_id,
         |       round(sum(value) OVER (PARTITION BY user_id

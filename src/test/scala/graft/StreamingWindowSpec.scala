@@ -48,6 +48,40 @@ class StreamingWindowSpec extends SparkSuite {
     assert(firstWindowA.map(_._4).max === 3.0)
   }
 
+  test("mapGroupsWithState: custom per-key running state across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+
+    def update(key: String, rows: Iterator[(String, Double)],
+        state: GroupState[(Long, Double)]): (String, Long, Double) = {
+      val (n0, sum0) = state.getOption.getOrElse((0L, 0.0))
+      val batch = rows.toSeq
+      val next = (n0 + batch.size, sum0 + batch.map(_._2).sum)
+      state.update(next)
+      (key, next._1, next._2)
+    }
+
+    val q = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+      .toDF("user", "n", "total")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out").start()
+
+    input.addData(("u1", 1.0), ("u1", 2.0), ("u2", 5.0))
+    q.processAllAvailable()
+    input.addData(("u1", 3.0)) // state must carry across batches
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("state_out")
+      .groupBy("user").agg(max("n").as("n"), max("total").as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last("u1") === ((3L, 6.0)), "state accumulates across micro-batches")
+    assert(last("u2") === ((1L, 5.0)))
+  }
+
   test("session_window groups by activity gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
