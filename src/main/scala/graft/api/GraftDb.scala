@@ -1,0 +1,85 @@
+package graft.api
+
+import graft.operators.Mango
+import graft.core.Util
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** User-facing facade shaped like the reference's API surface
+  * (`RxDatabase` → `RxCollection`, `/root/reference/src/database.ts`),
+  * so a reference user maps their calls one-to-one:
+  *
+  * | reference                        | here                          |
+  * |----------------------------------|-------------------------------|
+  * | `createRxDatabase({name})`       | `GraftDb(spark, warehouseDir)`|
+  * | `db.addCollections(...)`         | `db.collection("items")`      |
+  * | `collection.bulkInsert(docs)`    | `c.bulkInsert(df)`            |
+  * | `collection.upsert(doc)`         | `c.upsert(df, "id")`          |
+  * | `collection.find({selector})`    | `c.find(selector, ...)`       |
+  * | `collection.count().exec()`      | `c.count(selector)`           |
+  * | `collection.findByIds(ids)`      | `c.findByIds(ids)`            |
+  * | `exportJSON()` / `importJSON()`  | `c.exportJson` / `importJson` |
+  *
+  * Collections are parquet-backed directories under the warehouse; all
+  * query evaluation is the engine's Catalyst surface (Mango translator,
+  * pushdown, pruning) — the facade adds no execution machinery of its
+  * own.
+  */
+final case class GraftDb(spark: SparkSession, warehouseDir: String) {
+  def collection(name: String): GraftCollection =
+    GraftCollection(spark, s"$warehouseDir/$name")
+}
+
+final case class GraftCollection(spark: SparkSession, path: String) {
+
+  def toDf: DataFrame = spark.read.parquet(path)
+
+  private def exists: Boolean =
+    try { spark.read.parquet(path).schema; true }
+    catch { case _: Throwable => false }
+
+  /** S3 bulkInsert — append a batch. */
+  def bulkInsert(docs: DataFrame): Unit =
+    docs.write.mode(SaveMode.Append).parquet(path)
+
+  /** S4 upsert — insert-or-replace by primary key, last-writer-wins for
+    * keys present in `docs` (anti-join + append of the union — the
+    * idempotent pattern from SURVEY §2.1 S4; no table format required).
+    */
+  def upsert(docs: DataFrame, key: String): Unit = {
+    val incoming = docs.dropDuplicates(key)
+    if (!exists) { incoming.write.mode(SaveMode.Overwrite).parquet(path); return }
+    val merged = toDf.join(incoming.select(key), Seq(key), "left_anti")
+      .unionByName(incoming)
+    // two-phase: can't overwrite the path the plan is reading; stage to a
+    // sibling dir, then rewrite (distributed — nothing reaches the driver)
+    val tmp = path + "__staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    val hPath = new org.apache.hadoop.fs.Path(tmp)
+    hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hPath, true)
+  }
+
+  /** Mango query surface (P1-P12 + sort/skip/limit, pk tie-break). */
+  def find(selector: Map[String, Any], sort: Seq[(String, String)] = Nil,
+      primaryKey: String = "", skip: Int = 0, limit: Option[Int] = None,
+      fields: Seq[String] = Nil): DataFrame =
+    Mango.query(toDf, selector, sort, primaryKey, skip, limit, fields)
+
+  /** S9 count over a selector (no row materialization beyond the scan). */
+  def count(selector: Map[String, Any] = Map.empty): Long =
+    toDf.filter(Mango.selectorToColumn(selector)).count()
+
+  /** S5/S6 findByIds. */
+  def findByIds(key: String, ids: Seq[Any]): DataFrame =
+    toDf.filter(col(key).isin(ids: _*))
+
+  /** S7 dump / restore with schema enforcement. */
+  def exportJson(outPath: String): Unit = Util.exportJson(toDf, outPath)
+  def importJson(inPath: String): Unit = {
+    val schema = if (exists) toDf.schema
+    else spark.read.json(inPath).schema
+    Util.importJson(spark, inPath, schema)
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+}
