@@ -34,9 +34,13 @@ final case class GraftCollection(spark: SparkSession, path: String) {
 
   def toDf: DataFrame = spark.read.parquet(path)
 
-  private def exists: Boolean =
-    try { spark.read.parquet(path).schema; true }
-    catch { case _: Throwable => false }
+  private def fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // a filesystem existence check, NOT a try/catch around the read: a
+  // transient read failure misread as "empty collection" would make
+  // upsert overwrite the table with just the incoming batch
+  private def exists: Boolean = fs.exists(new org.apache.hadoop.fs.Path(path))
 
   /** S3 bulkInsert — append a batch. */
   def bulkInsert(docs: DataFrame): Unit =
@@ -47,17 +51,24 @@ final case class GraftCollection(spark: SparkSession, path: String) {
     * idempotent pattern from SURVEY §2.1 S4; no table format required).
     */
   def upsert(docs: DataFrame, key: String): Unit = {
-    val incoming = docs.dropDuplicates(key)
+    import org.apache.spark.sql.expressions.Window
+    // last-writer-wins WITHIN the batch needs an explicit order —
+    // dropDuplicates keeps an arbitrary occurrence
+    val wk = Window.partitionBy(key).orderBy(col("__pos").desc)
+    val incoming = docs.withColumn("__pos", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(wk))
+      .filter(col("__rn") === 1).drop("__pos", "__rn")
     if (!exists) { incoming.write.mode(SaveMode.Overwrite).parquet(path); return }
     val merged = toDf.join(incoming.select(key), Seq(key), "left_anti")
       .unionByName(incoming)
-    // two-phase: can't overwrite the path the plan is reading; stage to a
-    // sibling dir, then rewrite (distributed — nothing reaches the driver)
-    val tmp = path + "__staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
-    val hPath = new org.apache.hadoop.fs.Path(tmp)
-    hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hPath, true)
+    // stage the merged table once, then atomically swap directories —
+    // a write-then-copy would both double the IO and leave a window
+    // where the table directory is already cleared
+    val tmpP = new org.apache.hadoop.fs.Path(path + "__staging")
+    val pathP = new org.apache.hadoop.fs.Path(path)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
+    fs.delete(pathP, true)
+    fs.rename(tmpP, pathP)
   }
 
   /** Mango query surface (P1-P12 + sort/skip/limit, pk tie-break). */
@@ -74,12 +85,19 @@ final case class GraftCollection(spark: SparkSession, path: String) {
   def findByIds(key: String, ids: Seq[Any]): DataFrame =
     toDf.filter(col(key).isin(ids: _*))
 
-  /** S7 dump / restore with schema enforcement. */
+  /** S7 dump / restore with schema enforcement. For a NEW collection
+    * pass `schema` explicitly — otherwise the restored types are
+    * whatever JSON inference picks (e.g. every integer becomes long),
+    * which a later insert of original-width rows would then conflict
+    * with inside the same parquet directory.
+    */
   def exportJson(outPath: String): Unit = Util.exportJson(toDf, outPath)
-  def importJson(inPath: String): Unit = {
-    val schema = if (exists) toDf.schema
-    else spark.read.json(inPath).schema
-    Util.importJson(spark, inPath, schema)
+  def importJson(inPath: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val target = schema.getOrElse {
+      if (exists) toDf.schema else spark.read.json(inPath).schema
+    }
+    Util.importJson(spark, inPath, target)
       .write.mode(SaveMode.Append).parquet(path)
   }
 }

@@ -307,6 +307,23 @@ object Dedup {
       |  FROM tok WHERE len(w) >= 3
       |)""".stripMargin
 
+  // shared simhash oracle CTE — d3 and d6 must stay formulation-identical
+  private val simhashCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_transform(string_split_regex(lower(trim(text)), '\s+'),
+      |           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+      |  FROM documents
+      |),
+      |simsig AS (
+      |  SELECT doc_id,
+      |       list_aggregate(list_transform(range(0, 32), b -> CASE
+      |         WHEN list_aggregate(list_transform(hs,
+      |                h -> CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+      |         THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS simhash
+      |  FROM tok
+      |)""".stripMargin
+
   private def sqlSeededMin(i: Int): String = {
     val (a, b) = HashCoeffs(i)
     s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $HashPrime), 'min')"
@@ -354,38 +371,19 @@ object Dedup {
          |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_d3_dedup_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |         list_transform(string_split_regex(lower(trim(text)), '\s+'),
-        |           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |       list_aggregate(list_transform(range(0, 32), b -> CASE
-        |         WHEN list_aggregate(list_transform(hs,
-        |                h -> CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0
-        |         THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS simhash
-        |FROM tok ORDER BY doc_id""".stripMargin,
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM simsig ORDER BY doc_id""".stripMargin,
     "q_d6_simhash_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |         list_transform(string_split_regex(lower(trim(text)), '\s+'),
-        |           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
-        |  FROM documents
-        |),
-        |sig AS (
-        |  SELECT t.doc_id, d.source,
-        |       list_aggregate(list_transform(range(0, 32), b -> CASE
-        |         WHEN list_aggregate(list_transform(hs,
-        |                h -> CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0
-        |         THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS simhash
-        |  FROM tok t JOIN documents d ON t.doc_id = d.doc_id
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS ham
-        |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""$simhashCte,
+         |sig AS (
+         |  SELECT s.doc_id, d.source, s.simhash
+         |  FROM simsig s JOIN documents d ON s.doc_id = d.doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS ham
+         |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_d4_dedup_ngram_jaccard" ->
       s"""WITH g AS (
          |  SELECT doc_id, source,

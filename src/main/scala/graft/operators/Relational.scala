@@ -326,10 +326,11 @@ object Relational {
       .orderBy("o_custkey", "rn")
   }
 
-  /** W2 running aggregate over event time per key. */
+  /** W2 running aggregate over event time per key (µs-truncated
+    * ordering key — see w3LagLead's precision note). */
   val w2Running: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(expr("ts div 1000").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
       .withColumn("running", round(sum(col("value")).over(w), 2))
@@ -338,12 +339,18 @@ object Relational {
   }
 
   /** W3: lead/lag analytics — neighboring events per user. Payloads are
-    * integer ids only: Spark sees ts at nanosecond and DuckDB at
-    * microsecond precision, so emitting time DIFFERENCES would be
-    * truncation-boundary-dependent; the ordering itself is unaffected.
+    * integer ids only, and the window orders on the MICROSECOND-
+    * truncated ts: Spark (nanosAsLong) sees full nanoseconds while
+    * DuckDB timestamps are microsecond-precision, so ordering on raw ns
+    * would break ties differently than the oracle whenever two events
+    * collide within the same microsecond. Truncating the ordering key
+    * makes both engines resolve every tie via event_id, data
+    * notwithstanding. (Time DIFFERENCES stay out of the payload for the
+    * same truncation-boundary reason.)
     */
   val w3LagLead: Q = (s, d) => {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000").asc, col("event_id").asc)
     events(s, d)
       .withColumn("prev_event", lag("event_id", 1).over(w))
       .withColumn("next_event", lead("event_id", 1).over(w))

@@ -9,8 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * join, and JSON-property extraction over the `events` table.
   *
   * `events.ts` is read as Long nanoseconds (see Verify/Bench session
-  * config: `spark.sql.legacy.parquet.nanosAsLong`) — orderings and gap
-  * arithmetic below operate on those nanos directly.
+  * config: `spark.sql.legacy.parquet.nanosAsLong`). The oracle-checked
+  * queries truncate to MICROSECONDS (`ts div 1000`, exact integer
+  * division) for every ordering and comparison: DuckDB timestamps are
+  * µs-precision, so computing on raw nanos would resolve sub-µs ties
+  * differently than the oracle.
   */
 object Temporal {
 
@@ -71,11 +74,15 @@ object Temporal {
     */
   val asofQ: Relational.Q = (s, d) => {
     val ev = events(s, d)
+    // compare at MICROSECOND precision: Spark (nanosAsLong) holds ns,
+    // DuckDB timestamps are µs — a sub-µs ordering difference would
+    // flip the >= match on events that collide within one µs
+    val tsu = expr("ts div 1000").as("tsu")
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select("event_id", "user_id", "ts")
+      .select(col("event_id"), col("user_id"), tsu)
     val signups = ev.filter(col("event_type") === "signup")
-      .select(col("event_id").as("sid"), col("user_id"), col("ts"))
-    asofJoin(purchases, signups, Seq("user_id"), "ts", "ts",
+      .select(col("event_id").as("sid"), col("user_id"), tsu)
+    asofJoin(purchases, signups, Seq("user_id"), "tsu", "tsu",
       Seq("sid" -> "signup_event_id"))
       .select("event_id", "user_id", "signup_event_id")
       .orderBy("event_id")
@@ -86,13 +93,17 @@ object Temporal {
     * partitioning — Catalyst reuses the exchange.
     */
   val sessionizeQ: Relational.Q = (s, d) => {
-    val gapNanos = 1800L * 1000 * 1000 * 1000
-    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    // µs precision throughout (ordering AND gap arithmetic) so the
+    // µs-native DuckDB oracle computes the identical comparisons
+    val gapMicros = 1800L * 1000 * 1000
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu").asc, col("event_id").asc)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
-      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("tsu", expr("ts div 1000"))
+      .withColumn("prev_ts", lag("tsu", 1).over(w))
       .withColumn("new_s",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
+        when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > gapMicros, 1L).otherwise(0L))
       .withColumn("session_id", sum("new_s").over(wRun))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),

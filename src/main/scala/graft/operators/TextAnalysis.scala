@@ -131,8 +131,7 @@ object TextAnalysis {
     * 100 TB corpus (no RNG state, no shuffle: a pure per-row map).
     */
   val t6SampleSplit: Relational.Q = (s, d) => {
-    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10)
-      .cast("long") % 10
+    val h = Dedup.baseHash(col("doc_id").cast("string")) % 10
     documents(s, d)
       .withColumn("split",
         when(h < 8, "train").when(h === 8, "val").otherwise("test"))

@@ -74,6 +74,8 @@ class IndexedSearchSpec extends SparkSuite {
       .select("id").collect().map(_.getString(0)).toSet
     val recall = exact.count(served.contains).toDouble / exact.size
     info(s"kmeans-ivf nprobe=3/8 recall@10 = $recall")
-    assert(recall >= 0.5)
+    // deterministic (seeded KMeans + deterministic embedder): measured
+    // 0.9 on this fixture; assert the bound COVERAGE.md documents
+    assert(recall >= 0.8)
   }
 }
