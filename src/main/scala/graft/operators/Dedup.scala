@@ -124,19 +124,23 @@ object Dedup {
   val d2MinhashLsh: Relational.Q = (s, d) => d2MinhashLshOn(documents(s, d))
 
   /** Same pipeline over an arbitrary (doc_id, text) DataFrame. */
-  /** Last persisted shingle table: one cached copy per session at a
-    * time — repeated invocations (Bench/Verify/ScaleProbe loops) would
-    * otherwise pile up leaked cache entries and skew measurements.
+  /** One persisted copy per named slot per session: the signature tables
+    * feed multiple join consumers (Spark does not reuse their exchanges
+    * across join sides), and repeated invocations (Bench/Verify/
+    * ScaleProbe loops) must not pile up leaked cache entries.
     */
-  @transient private var lastShingleCache: Option[DataFrame] = None
+  @transient private val cacheSlots =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+  private def cacheSlot(slot: String, df: DataFrame): DataFrame = synchronized {
+    cacheSlots.remove(slot).foreach(_.unpersist())
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheSlots(slot) = cached
+    cached
+  }
 
   def d2MinhashLshOn(docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     val par = s.sparkContext.defaultParallelism
-    synchronized {
-      lastShingleCache.foreach(_.unpersist())
-      lastShingleCache = None
-    }
     // repartition AFTER computing gs+hs: the exchange materializes both
     // columns, so the 16 signature projections downstream reference the
     // physical arrays instead of CollapseProject re-inlining the whole
@@ -149,14 +153,12 @@ object Dedup {
     // for each (measured: 4 full scans, 0 reused exchanges). Persist is
     // the production shape too: a real dedup job writes the signature
     // table once and joins against it.
-    val sh = docsDf
+    val sh = cacheSlot("minhash-shingles", docsDf
       .repartition(par, col("doc_id")) // parallelize the hash compute
       .select(col("doc_id"), shingles(col("text")).as("gs"))
       .filter(size(col("gs")) > 0)
       .select(col("doc_id"), col("gs"),
-        transform(col("gs"), g => baseHash(g)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized { lastShingleCache = Some(sh) }
+        transform(col("gs"), g => baseHash(g)).as("hs")))
     val sigs = sh.select(
       (col("doc_id") +: minhashSig(col("hs")).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }): _*)
     val bandStructs = (0 until Bands).map { b =>
@@ -209,8 +211,11 @@ object Dedup {
     */
   val d6SimhashPairs: Relational.Q = (s, d) => {
     val hamMax = 10
-    val sigs = d3SimhashOn(documents(s, d))
-      .join(documents(s, d).select("doc_id", "source"), "doc_id")
+    // persist: the self-join would otherwise run the whole md5 simhash
+    // pipeline once per side (measured: 4 scans, 0 reused exchanges)
+    val sigs = cacheSlot("simhash-sigs",
+      d3SimhashOn(documents(s, d))
+        .join(documents(s, d).select("doc_id", "source"), "doc_id"))
     sigs.as("a").join(sigs.as("b"),
         col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("ham", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
