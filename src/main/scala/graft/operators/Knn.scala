@@ -255,7 +255,23 @@ object Knn {
     indexSimilarityKnn(s, d, embeddingLit(s, d, QueryId), 10, 100)
       .select(col("vec_id"), round(col("dist"), 3).as("dist"))
 
+  /** V7: per-dimension embedding statistics — the embedding-QA /
+    * drift-monitoring sweep a production vector pipeline runs over every
+    * new corpus batch. posexplode keeps it one scan + one shuffle on the
+    * 64 dimension keys (map-side partial aggs carry almost nothing).
+    */
+  val v7EmbedStats: Relational.Q = (s, d) =>
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("v").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(round(avg("v"), 4).as("avg_v"),
+        round(min("v"), 4).as("min_v"),
+        round(max("v"), 4).as("max_v"))
+      .orderBy("dim")
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_v7_embed_stats" -> v7EmbedStats,
     "q_v1_knn_fullscan" -> v1FullScan,
     "q_v2_knn_range" -> v2IndexRange,
     "q_v3_cosine_topk" -> v3CosineTopk,
@@ -265,6 +281,13 @@ object Knn {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_v7_embed_stats" ->
+      """SELECT i::BIGINT AS dim,
+        |       round(avg(embedding[i]::DOUBLE), 4) AS avg_v,
+        |       round(min(embedding[i]::DOUBLE), 4) AS min_v,
+        |       round(max(embedding[i]::DOUBLE), 4) AS max_v
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+        |GROUP BY i ORDER BY dim""".stripMargin,
     "q_v1_knn_fullscan" ->
       s"""$qDistCte
          |SELECT vec_id, round(dist,3) AS dist FROM d
