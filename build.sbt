@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench's single JSON stdout line. Pass the
+// forked program's stdout through unprefixed (sbt's default logger
+// prepends "[info] ", which breaks line-oriented JSON parsers) and
+// drop the trailing "[success]" banner so the JSON line is last.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

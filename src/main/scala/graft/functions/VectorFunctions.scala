@@ -97,15 +97,22 @@ abstract class ArrayFloatKernel extends BinaryExpression {
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
-  /** Java source for the loop body; `a`/`b` are ArrayData variables. */
-  protected def genLoop(a: String, b: String, result: String): String
+  /** Java source for the loop body; `a`/`b` are ArrayData variables.
+    * Every local MUST come from `ctx.freshName` — two kernel instances
+    * often land in the same codegen function scope (e.g. a filter and a
+    * projection both computing the same distance), and a fixed name like
+    * `i` makes janino fail with "Redefinition of local variable", which
+    * silently drops the whole stage to interpreted mode (burned in r1:
+    * the guava LoadingCache stack in BENCH_r01's tail was this).
+    */
+  protected def genLoop(ctx: CodegenContext, a: String, b: String, result: String): String
   protected def evalKernel(x: ArrayData, y: ArrayData): Double
 
   override def nullSafeEval(l: Any, r: Any): Any =
     evalKernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => genLoop(a, b, ev.value))
+    nullSafeCodeGen(ctx, ev, (a, b) => genLoop(ctx, a, b, ev.value))
 }
 
 /** sqrt(sum_i (a_i - b_i)^2) — reference `src/database.ts:218-220`. */
@@ -117,16 +124,19 @@ case class EuclideanDistance(left: Expression, right: Expression) extends ArrayF
     while (i < n) { val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble; s += d * d; i += 1 }
     math.sqrt(s)
   }
-  override protected def genLoop(a: String, b: String, result: String): String =
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val n = ctx.freshName("n"); val s = ctx.freshName("s")
+    val i = ctx.freshName("i"); val d = ctx.freshName("d")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double d = (double) $a.getFloat(i) - (double) $b.getFloat(i);
-       |  s += d * d;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  $s += $d * $d;
        |}
-       |$result = java.lang.Math.sqrt(s);
+       |$result = java.lang.Math.sqrt($s);
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -143,17 +153,22 @@ case class CosineSimilarity(left: Expression, right: Expression) extends ArrayFl
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
-  override protected def genLoop(a: String, b: String, result: String): String =
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+    val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i")
+    val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double xa = (double) $a.getFloat(i);
-       |  double xb = (double) $b.getFloat(i);
-       |  dot += xa * xb; na += xa * xa; nb += xb * xb;
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $xa = (double) $a.getFloat($i);
+       |  double $xb = (double) $b.getFloat($i);
+       |  $dot += $xa * $xb; $na += $xa * $xa; $nb += $xb * $xb;
        |}
-       |$result = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       |$result = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -167,15 +182,17 @@ case class DotProduct(left: Expression, right: Expression) extends ArrayFloatKer
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     s
   }
-  override protected def genLoop(a: String, b: String, result: String): String =
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
     s"""
-       |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-       |double s = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+       |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       |double $s = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
        |}
-       |$result = s;
+       |$result = $s;
      """.stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -322,10 +322,10 @@ object Dedup {
       |),
       |simsig AS (
       |  SELECT doc_id,
-      |       list_aggregate(list_transform(range(0, 32), b -> CASE
+      |       CAST(list_aggregate(list_transform(range(0, 32), b -> CASE
       |         WHEN list_aggregate(list_transform(hs,
       |                h -> CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0
-      |         THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS simhash
+      |         THEN (1::BIGINT << b) ELSE 0 END), 'sum') AS BIGINT) AS simhash
       |  FROM tok
       |)""".stripMargin
 

@@ -524,11 +524,11 @@ object Relational {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_pivot" ->
       """SELECT user_id,
-        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_a2_topk_agg" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (

@@ -173,8 +173,8 @@ object Temporal {
         |  FROM x
         |), z AS (
         |  SELECT user_id, event_id, value,
-        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM y
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
@@ -192,7 +192,7 @@ object Temporal {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_json_agg" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )

@@ -52,6 +52,15 @@ def main(sf_dir: str, out_dir: str) -> int:
         if list(got.columns) != list(exp.columns):
             print(f"✗ {name}: columns {list(got.columns)} != {list(exp.columns)}")
             ok = False
+        # dtype parity: DuckDB sum() over integers yields HUGEINT which
+        # pandas renders as float64/object — the driver's hash is
+        # dtype-sensitive, so an int64-vs-float64 drift is a FAIL even
+        # though python would compare 3 == 3.0 equal (burned in r1 on
+        # pivot/json_agg/sessionize/simhash).
+        elif [str(t) for t in got.dtypes] != [str(t) for t in exp.dtypes]:
+            print(f"✗ {name}: dtypes {[str(t) for t in got.dtypes]} != "
+                  f"{[str(t) for t in exp.dtypes]}")
+            ok = False
         elif len(got) != len(exp):
             print(f"✗ {name}: rows {len(got)} != {len(exp)}")
             ok = False
