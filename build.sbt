@@ -16,7 +16,7 @@ run / fork := true
 // prepends "[info] ", which breaks line-oriented JSON parsers) and
 // drop the trailing "[success]" banner so the JSON line is last.
 run / outputStrategy := Some(StdoutOutput)
-showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -156,18 +156,15 @@ object Dedup {
     val sh = cacheSlot("minhash-shingles", docsDf
       .repartition(par, col("doc_id")) // parallelize the hash compute
       .select(col("doc_id"), shingles(col("text")).as("gs"))
-      .filter(size(col("gs")) > 0)
-      .select(col("doc_id"), col("gs"),
-        transform(col("gs"), g => baseHash(g)).as("hs")))
-    val sigs = sh.select(
-      (col("doc_id") +: minhashSig(col("hs")).zipWithIndex.map { case (c, i) => c.as(s"sig$i") }): _*)
-    val bandStructs = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"sig${b * RowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*).cast("binary")).as("bh"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
-      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      .filter(size(col("gs")) > 0))
+    // signature + band hashes in ONE single-pass kernel per row (md5 +
+    // 16 affine minima + 4 band digests) instead of 16 interpreted
+    // transform passes over a hash array — same integer/hex results
+    // (TextHashKernelsSpec proves equivalence with the HOF form)
+    val buckets = sh
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextHashKernels.minhashBands(
+          col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -193,14 +190,16 @@ object Dedup {
   /** D3: SimHash signature per document. */
   val d3Simhash: Relational.Q = (s, d) => d3SimhashOn(documents(s, d))
 
-  /** Same pipeline over an arbitrary (doc_id, text) DataFrame. */
+  /** Same pipeline over an arbitrary (doc_id, text) DataFrame.
+    * One single-pass kernel call per row (md5 + 32 bit-counters)
+    * replaces the per-token md5 transform + 32x zip_with HOF pipeline —
+    * identical integer result (TextHashKernelsSpec).
+    */
   def d3SimhashOn(docsDf: DataFrame): DataFrame =
     docsDf
       .repartition(docsDf.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        transform(TextAnalysis.tokens(col("text")),
-          t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")).as("hs"))
-      .select(col("doc_id"), simhashExpr.as("simhash"))
+        graft.functions.TextHashKernels.simhash32(TextAnalysis.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
   /** D6: simhash near-dup pairs — signatures from d3, pairs within the
