@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.core.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Round-2 operator additions: exact grouped percentiles, cube grouping
+  * sets, the extended window-function family (ntile / percent_rank /
+  * cume_dist, RANGE frames, first/last/nth), salted skew joins,
+  * Bloom-filter join pruning, bigram vocabulary, and binary-payload
+  * metadata (the multimodal column pattern).
+  *
+  * Oracle-determinism posture is the same as everywhere else
+  * (see [[Relational]] scaladoc): total ORDER BY, identical aliases,
+  * integer-exact values wherever a comparison decides membership, and
+  * for the float outputs an IEEE-identical expression tree on both
+  * sides before the final round().
+  */
+object Advanced {
+
+  // ---------------------------------------------------------- percentiles
+
+  /** Exact interpolated percentiles per group WITHOUT percentile() /
+    * quantile_cont(): engines disagree on interpolation conventions,
+    * but both compute IEEE doubles identically for an identical
+    * expression tree. So: row_number + count windows, select the two
+    * bracketing ranks lo = floor((n-1)q)+1 and lo+1, and interpolate
+    * v_lo + (v_hi - v_lo) * frac with the same formula in both engines.
+    * Scale shape: one window over the group ordering + one group-agg —
+    * both on the same partitioning key, one shuffle total.
+    */
+  val aggPercentiles: Relational.Q = (s, d) => {
+    val w = Window.partitionBy("flag")
+      .orderBy(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val wn = Window.partitionBy("flag")
+    val r = lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+
+    def brackets(q: Double, tag: String): Seq[Column] = {
+      val lo = floor((col("n") - 1) * lit(q)) + 1
+      Seq(
+        max(when(col("rn") === lo, col("v"))).as(s"vlo_$tag"),
+        max(when(col("rn") === lo + 1, col("v"))).as(s"vhi_$tag"))
+    }
+    val aggs = brackets(0.25, "p25") ++ brackets(0.5, "p50") ++
+      brackets(0.95, "p95") :+ max(col("n")).as("n")
+    def interp(tag: String, q: Double): Column = {
+      val idx = (col("n") - 1) * lit(q)
+      val f = idx - floor(idx)
+      round(col(s"vlo_$tag") +
+        (coalesce(col(s"vhi_$tag"), col(s"vlo_$tag")) - col(s"vlo_$tag")) * f, 4)
+    }
+    r.groupBy("flag").agg(aggs.head, aggs.tail: _*)
+      .select(col("flag"),
+        interp("p25", 0.25).as("p25"),
+        interp("p50", 0.5).as("p50"),
+        interp("p95", 0.95).as("p95"))
+      .orderBy("flag")
+  }
+
+  // ------------------------------------------------------------- cube
+
+  /** Full cube over two grouping keys (rollup's sibling — all four
+    * grouping sets in one pass; Spark expands to a single expand+agg).
+    */
+  val aggCube: Relational.Q = (s, d) =>
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("qty"), col("n"))
+      .orderBy("flag", "status")
+
+  // ---------------------------------------------------------- windows
+
+  /** W4: distribution windows — ntile quartiles, percent_rank,
+    * cume_dist. Ordering is total (µs-truncated ts + unique event_id),
+    * so the rank ratios are exact integer divisions in double.
+    */
+  val w4Distribution: Relational.Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000").asc, col("event_id").asc)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).cast("long").as("nt"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W5: value-RANGE frame — how many of the user's events fall within
+    * 10 units below this event's value. Frame membership is a double
+    * comparison on raw (unrounded) parquet values — identical in any
+    * engine; the count is integer-exact.
+    */
+  val w5RangeFrame: Relational.Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("value").asc)
+      .rangeBetween(-10, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        count(lit(1)).over(w).as("cnt_in_range"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W6: positional windows — first/last/nth event per user over the
+    * full-partition frame.
+    */
+  val w6FirstLast: Relational.Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        first(col("event_id")).over(w).as("first_event"),
+        last(col("event_id")).over(w).as("last_event"),
+        nth_value(col("event_id"), 2).over(w).as("second_event"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ------------------------------------------------------------ joins
+
+  /** Salted skew join: `events` joined to a 5-row dimension keyed by
+    * `event_type` — the classic skew shape where every fact row of one
+    * key lands on one task. The dimension is replicated across 16 salt
+    * values and the fact side picks a deterministic salt, spreading
+    * each hot key over 16 tasks. Result is identical to the unsalted
+    * join (the oracle), by construction. (Here the dim would be
+    * broadcast anyway; at 100 TB with a dim too big to broadcast and a
+    * zipfian fact key, this — or AQE skew-join splitting, which Bench
+    * enables — is the shape that keeps the shuffle balanced.)
+    */
+  val skewSaltedJoin: Relational.Q = (s, d) => {
+    val salts = 16
+    val ev = events(s, d)
+    val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    ev.withColumn("salt", (col("event_id") % salts).cast("int"))
+      .join(dimSalted, Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("type_total").as("type_total"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Bloom-pruned join: sketch the selective orders subset's keys
+    * driver-side, prefilter the 4x-larger lineitem scan with it, then
+    * exact-join (removing false positives). Result == plain join; at
+    * scale the prefilter cuts the probe-side shuffle by the join
+    * selectivity. See [[graft.functions.BloomFunctions]].
+    */
+  val bloomJoin: Relational.Q = (s, d) => {
+    val sel = orders(s, d).filter(col("o_totalprice") > 400000)
+      .select("o_orderkey")
+    val bf = sel.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    lineitem(s, d)
+      .filter(graft.functions.BloomFunctions.mightContain(bf, col("l_orderkey")))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("l_returnflag")
+  }
+
+  // ----------------------------------------------------- text/multimodal
+
+  /** T7: bigram vocabulary — the 2-gram sibling of t5's wordcount
+    * (vocabulary/BPE-merge preparation). Integer counts only.
+    */
+  val t7Bigrams: Relational.Q = (s, d) => {
+    val toks = TextAnalysis.tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bg = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    documents(s, d)
+      .select(explode(bg).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(100)
+  }
+
+  /** M1: binary-payload metadata — the multimodal-column pattern: treat
+    * the payload as an opaque `binary`, extract size / digest / typed
+    * header fields. (For real image/audio payloads the decode step is
+    * the stubbed codec in [[graft.multimodal.Multimodal]]; the
+    * metadata/validation pass here is what a 100 TB ingest runs first.)
+    */
+  val m1BinaryMeta: Relational.Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("payload_md5"),
+        substring(col("text"), 1, 16).as("head"))
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------- registration
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_agg_percentiles" -> aggPercentiles,
+    "q_agg_cube" -> aggCube,
+    "q_w4_distribution" -> w4Distribution,
+    "q_w5_range_frame" -> w5RangeFrame,
+    "q_w6_first_last" -> w6FirstLast,
+    "q_skew_salted_join" -> skewSaltedJoin,
+    "q_bloom_join" -> bloomJoin,
+    "q_t7_bigrams" -> t7Bigrams,
+    "q_m1_binary_meta" -> m1BinaryMeta,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_percentiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT flag, max(n) AS n,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN v END) AS vlo_p25,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+2 THEN v END) AS vhi_p25,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5)  AS BIGINT)+1 THEN v END) AS vlo_p50,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5)  AS BIGINT)+2 THEN v END) AS vhi_p50,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95) AS BIGINT)+1 THEN v END) AS vlo_p95,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95) AS BIGINT)+2 THEN v END) AS vhi_p95
+        |  FROM r GROUP BY flag
+        |)
+        |SELECT flag,
+        |  round(vlo_p25 + (coalesce(vhi_p25, vlo_p25) - vlo_p25) * ((n-1)*0.25 - floor((n-1)*0.25)), 4) AS p25,
+        |  round(vlo_p50 + (coalesce(vhi_p50, vlo_p50) - vlo_p50) * ((n-1)*0.5  - floor((n-1)*0.5)),  4) AS p50,
+        |  round(vlo_p95 + (coalesce(vhi_p95, vlo_p95) - vlo_p95) * ((n-1)*0.95 - floor((n-1)*0.95)), 4) AS p95
+        |FROM b ORDER BY flag""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS flag,
+        |       coalesce(l_linestatus,'ALL') AS status,
+        |       round(sum(l_quantity),2) AS qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_w4_distribution" ->
+      """SELECT user_id, event_id,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS nt,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_w5_range_frame" ->
+      """SELECT user_id, event_id, value,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY value ASC
+        |                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS cnt_in_range
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_w6_first_last" ->
+      """SELECT user_id, event_id,
+        |       first_value(event_id) OVER w AS first_event,
+        |       last_value(event_id)  OVER w AS last_event,
+        |       nth_value(event_id, 2) OVER w AS second_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT e.event_type, count(*) AS n, max(d.type_total) AS type_total,
+        |       round(sum(e.value), 2) AS total_value
+        |FROM events e
+        |JOIN (SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type) d
+        |  ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_t7_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |           i -> w[i::INT] || ' ' || w[(i+1)::INT])) AS bigram
+        |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w FROM documents) t
+        |) z
+        |GROUP BY bigram HAVING count(*) >= 10
+        |ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
+    "q_m1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |       md5(text) AS payload_md5, substr(text, 1, 16) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

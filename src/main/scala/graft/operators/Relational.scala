@@ -272,13 +272,15 @@ object Relational {
   /** Approximate distinct counting (HLL sketch) — the cardinality
     * estimator a 100 TB pipeline uses where exact distinct would
     * shuffle everything. Sketch results are engine-specific, so this is
-    * a rows-only check (no DuckDB oracle), with the exact counts
-    * alongside for scale-accuracy eyeballing.
+    * a rows-only check (no DuckDB oracle); AdvancedSpec asserts the
+    * estimate lands within the configured error bound of the exact
+    * count. Deliberately approx-ONLY: bundling an exact countDistinct
+    * in the same agg (as r1 did) re-introduces the full-width shuffle
+    * the sketch exists to avoid.
     */
   val aggApproxDistinct: Q = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
   /** Exact per-group median via explicit rank arithmetic (avg of the

@@ -99,4 +99,37 @@ class StreamingWindowSpec extends SparkSuite {
     val n = spark.table("sess_out").count()
     assert(n === 2, "gap > session timeout must split sessions")
   }
+
+  test("stream-stream interval join with watermarks joins in-window, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, String)]
+    val buys = MemoryStream[(java.sql.Timestamp, String)]
+
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    // event-time interval join: a purchase joins the user's click at
+    // most 10 minutes earlier; both sides watermarked so join state is
+    // evicted (the 100 TB stream posture — unbounded state is the
+    // failure mode, the watermark+interval condition is what bounds it)
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "20 minutes")
+    val b = buys.toDF().toDF("bts", "buser").withWatermark("bts", "20 minutes")
+    val joined = c.join(b,
+      expr("cuser = buser AND bts >= cts AND bts <= cts + interval 10 minutes"))
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out").start()
+
+    clicks.addData((t(0), "u1"), (t(2), "u2"))
+    buys.addData((t(5), "u1"))   // 5 min after u1's click -> joins
+    q.processAllAvailable()
+    buys.addData((t(30), "u2"))  // 28 min after u2's click -> outside window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj_out")
+      .select(col("cuser"), col("bts").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("u1", "2024-01-01 10:05:00")),
+      s"only the in-window pair joins: ${rows.toSeq}")
+  }
 }
