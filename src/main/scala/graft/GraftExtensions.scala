@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, null, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[graft.functions.SimHash32].getName, null, "simhash32"),
+      (args: Seq[Expression]) => graft.functions.SimHash32(args(0))))
   }
 }

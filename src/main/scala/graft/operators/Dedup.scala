@@ -36,6 +36,16 @@ object Dedup {
   val JaccardThreshold = 0.5
   val CosineThreshold = 0.4
 
+  /** LSH band-bucket size cap: a bucket with more members than this is
+    * dropped before the self-join. On an adversarial duplicate-heavy
+    * corpus one degenerate bucket otherwise costs |bucket|^2 pairs (the
+    * classic LSH blowup); docs sharing a band with >cap near-identical
+    * twins still collide in their other bands with overwhelming
+    * probability, so recall loss is negligible. Integer-exact (a count
+    * compare), mirrored in the oracle SQL.
+    */
+  val MaxBucket = 1000
+
   /** Universal-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod p over
     * a 28-bit md5-derived base hash. One md5 per shingle (not one per
     * shingle*seed); the affine transforms are integer-exact in any
@@ -161,10 +171,15 @@ object Dedup {
     // 16 affine minima + 4 band digests) instead of 16 interpreted
     // transform passes over a hash array — same integer/hex results
     // (TextHashKernelsSpec proves equivalence with the HOF form)
-    val buckets = sh
+    val bucketsAll = sh
       .select(col("doc_id"),
         posexplode(graft.functions.TextHashKernels.minhashBands(
           col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
+    val buckets = bucketsAll
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -355,8 +370,14 @@ object Dedup {
          |         $sigCols
          |  FROM shh
          |),
-         |buckets AS (
+         |buckets_all AS (
          |  $bandRows
+         |),
+         |buckets AS (
+         |  SELECT doc_id, band, bh FROM (
+         |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bsz
+         |    FROM buckets_all
+         |  ) WHERE bsz <= $MaxBucket
          |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
