@@ -58,6 +58,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("percentiles: both windows and the group-agg share one hash exchange") {
+    val df = graft.operators.Advanced.aggPercentiles(spark, sf0001)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    val p = plan(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"rn window, count window and groupBy all partition on flag — expected 1 hash exchange, got $exchanges:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, "single scan")
+  }
+
+  test("bloom-pruned join: sketch prefilter sits at the scan, join stays exact") {
+    val df = graft.operators.Advanced.bloomJoin(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("bloom_might_contain"), "prefilter must be in the plan")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+    // the prefilter must execute BEFORE the join (below it in the tree)
+    val filterIdx = p.indexOf("bloom_might_contain")
+    val joinIdx = p.indexOf("HashJoin")
+    assert(filterIdx > joinIdx, "filter below (after in text) the join node")
+  }
+
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
     val out = tmpDir("plan-audit-ivf") + "/vectors"
     val e = HashingEmbedder(dims = 16)
