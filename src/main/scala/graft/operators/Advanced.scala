@@ -77,6 +77,34 @@ object Advanced {
         col("qty"), col("n"))
       .orderBy("flag", "status")
 
+  /** Explicit grouping sets — per-flag and per-status marginals in one
+    * pass (the asymmetric sibling of rollup/cube; Spark plans one
+    * Expand + single aggregation, same as the others).
+    */
+  val aggGroupingSets: Relational.Q = (s, d) =>
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("qty"), col("n"))
+      .orderBy("flag", "status")
+
+  /** Per-day event-time bucketing: the ts column is Long *nanoseconds*
+    * (nanosAsLong read of the parquet TIMESTAMP(NANOS)); truncate to µs
+    * exactly, then format in the UTC session zone — identical day
+    * boundaries in both engines.
+    */
+  val timeBucket: Relational.Q = (s, d) =>
+    events(s, d)
+      .withColumn("day", date_format(expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("day")
+
   // ---------------------------------------------------------- windows
 
   /** W4: distribution windows — ntile quartiles, percent_rank,
@@ -167,6 +195,28 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  /** Full outer join over partially-overlapping key ranges — both
+    * unmatched sides surface (null-extended), coalesced to one key.
+    */
+  val j4FullOuter: Relational.Q = (s, d) => {
+    val c = customer(s, d).filter(col("c_custkey") <= 1000).select("c_custkey")
+    val o = orders(s, d).filter(col("o_custkey") >= 500)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("has_cust"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  /** Cross join of the two smallest dimensions (5 regions x 25
+    * nations) — broadcast nested loop, no shuffle.
+    */
+  val j5Cross: Relational.Q = (s, d) =>
+    region(s, d).select("r_name").crossJoin(nation(s, d).select("n_name"))
+      .orderBy("r_name", "n_name")
+
   // ----------------------------------------------------- text/multimodal
 
   /** T7: bigram vocabulary — the 2-gram sibling of t5's wordcount
@@ -204,6 +254,10 @@ object Advanced {
   val queries: Map[String, Relational.Q] = Map(
     "q_agg_percentiles" -> aggPercentiles,
     "q_agg_cube" -> aggCube,
+    "q_agg_grouping_sets" -> aggGroupingSets,
+    "q_time_bucket" -> timeBucket,
+    "q_j4_full_outer" -> j4FullOuter,
+    "q_j5_cross" -> j5Cross,
     "q_w4_distribution" -> w4Distribution,
     "q_w5_range_frame" -> w5RangeFrame,
     "q_w6_first_last" -> w6FirstLast,
@@ -236,6 +290,28 @@ object Advanced {
         |  round(vlo_p50 + (coalesce(vhi_p50, vlo_p50) - vlo_p50) * ((n-1)*0.5  - floor((n-1)*0.5)),  4) AS p50,
         |  round(vlo_p95 + (coalesce(vhi_p95, vlo_p95) - vlo_p95) * ((n-1)*0.95 - floor((n-1)*0.95)), 4) AS p95
         |FROM b ORDER BY flag""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS flag,
+        |       coalesce(l_linestatus,'ALL') AS status,
+        |       round(sum(l_quantity),2) AS qty, count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |       round(sum(value), 2) AS total
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+    "q_j4_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |       c.c_custkey IS NOT NULL AS has_cust,
+        |       coalesce(o.n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 1000) c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |           WHERE o_custkey >= 500 GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_j5_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(l_returnflag,'ALL') AS flag,
         |       coalesce(l_linestatus,'ALL') AS status,
