@@ -217,6 +217,53 @@ object Advanced {
     region(s, d).select("r_name").crossJoin(nation(s, d).select("n_name"))
       .orderBy("r_name", "n_name")
 
+  /** Correlated scalar subquery, written as SQL so Catalyst's
+    * decorrelation actually runs (it rewrites to the aggregate+join the
+    * DataFrame formulation would hand-build): each customer's
+    * maximum-price orders. max() compares stored doubles without
+    * arithmetic, so the threshold is exact in both engines.
+    */
+  val subScalar: Relational.Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_sub")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders_sub o
+        |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+        |                        FROM orders_sub o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  /** LATERAL correlated subplan: top-2 nations (by name) per region —
+    * a per-row dependent limit the planner turns into a ranked join.
+    */
+  val lateralTopN: Relational.Q = (s, d) => {
+    region(s, d).createOrReplaceTempView("region_lat")
+    nation(s, d).createOrReplaceTempView("nation_lat")
+    s.sql(
+      """SELECT r.r_name, t.n_name
+        |FROM region_lat r
+        |JOIN LATERAL (SELECT n_name FROM nation_lat n
+        |              WHERE n.n_regionkey = r.r_regionkey
+        |              ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin)
+  }
+
+  /** Approximate percentiles (t-digest-family sketch) — the quantile
+    * estimator for when the exact row_number formulation's per-group
+    * sort is too hot (its window sorts each whole group on few keys).
+    * Sketch values are engine-specific → rows-only driver check;
+    * AdvancedSpec bounds the error against q_agg_percentiles' exact
+    * values.
+    */
+  val aggApproxPercentile: Relational.Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"))
+      .orderBy("flag")
+
   // ----------------------------------------------------- text/multimodal
 
   /** T7: bigram vocabulary — the 2-gram sibling of t5's wordcount
@@ -258,6 +305,9 @@ object Advanced {
     "q_time_bucket" -> timeBucket,
     "q_j4_full_outer" -> j4FullOuter,
     "q_j5_cross" -> j5Cross,
+    "q_sub_scalar" -> subScalar,
+    "q_lateral_topn" -> lateralTopN,
+    "q_agg_approx_percentile" -> aggApproxPercentile,
     "q_w4_distribution" -> w4Distribution,
     "q_w5_range_frame" -> w5RangeFrame,
     "q_w6_first_last" -> w6FirstLast,
@@ -312,6 +362,21 @@ object Advanced {
     "q_j5_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q_sub_scalar" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                        WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT r.r_name, t.n_name
+        |FROM region r
+        |JOIN LATERAL (SELECT n_name FROM nation n
+        |              WHERE n.n_regionkey = r.r_regionkey
+        |              ORDER BY n_name LIMIT 2) t ON true
+        |ORDER BY r_name, n_name""".stripMargin,
+    // q_agg_approx_percentile: deliberately no oracle (sketch values
+    // are engine-specific); driver records rows-only.
     "q_agg_cube" ->
       """SELECT coalesce(l_returnflag,'ALL') AS flag,
         |       coalesce(l_linestatus,'ALL') AS status,

@@ -51,6 +51,19 @@ class AdvancedSpec extends SparkSuite {
     assert(Advanced.skewSaltedJoin(spark, d).collect().toSeq === plain.collect().toSeq)
   }
 
+  test("approx_percentile brackets the exact percentiles") {
+    val exact = Advanced.aggPercentiles(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap // p50, p95
+    val approx = Advanced.aggApproxPercentile(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.05, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   test("exact percentile formulation matches Spark percentile()") {
     val ours = Advanced.aggPercentiles(spark, d).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
