@@ -244,30 +244,30 @@ object Relational {
         countDistinct(col("l_suppkey")).as("nd_supps"))
       .orderBy("l_returnflag")
 
-  /** Per-group top-k via the custom bounded-heap Aggregator
-    * ([[graft.functions.TopKByScore]]): map-side partial aggregation
-    * means only k rows per group per partition reach the shuffle — the
-    * scale-correct form of the window-function top-k that `q_w1_rank`
-    * demonstrates (its DuckDB oracle IS the window formulation, so the
-    * two implementations verify each other).
+  /** Per-group top-k via the custom bounded-heap aggregate
+    * ([[graft.functions.TopKRows]], a `TypedImperativeAggregate` over
+    * raw rows): map-side partial aggregation means only k rows per
+    * group per partition reach the shuffle — the scale-correct form of
+    * the window-function top-k that `q_w1_rank` demonstrates (its
+    * DuckDB oracle IS the window formulation, so the two
+    * implementations verify each other). The typed-Aggregator sibling
+    * [[graft.functions.TopKByScore]] computes the same thing through
+    * encoders; TopKAggSpec proves them equal — this query uses the
+    * imperative one because the encoder round-trip per input row
+    * dominated the typed version (~3x slower at sf0.1).
     */
-  val a2TopkAgg: Q = (s, d) => {
-    import s.implicits._
-    val topk = graft.functions.TopKByScore(5)
+  val a2TopkAgg: Q = (s, d) =>
     lineitem(s, d)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-      .as[(String, Long, Int, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._4, t._2, t._3))
-      .agg(topk.toColumn)
-      .flatMap { case (flag, tops) =>
-        tops.zipWithIndex.map { case ((score, ok, ln), i) =>
-          (flag, ok, ln, score, (i + 1).toLong)
-        }
-      }
-      .toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+      .groupBy("l_returnflag")
+      .agg(graft.functions.TopKRows.topK(
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"), 5).as("tops"))
+      .select(col("l_returnflag"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("l_returnflag"),
+        col("t.id1").as("l_orderkey"),
+        col("t.id2").as("l_linenumber"),
+        col("t.score").as("l_extendedprice"),
+        (col("pos") + 1).cast("long").as("rn"))
       .orderBy("l_returnflag", "rn")
-  }
 
   /** Approximate distinct counting (HLL sketch) — the cardinality
     * estimator a 100 TB pipeline uses where exact distinct would
