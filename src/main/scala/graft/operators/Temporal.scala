@@ -137,6 +137,22 @@ object Temporal {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** Schema-on-read into a MAP column: `from_json` to map<string,long>
+    * then map functions (map_keys / element_at / size) — the dynamic
+    * sibling of jsonExtractQ's fixed-path access. Array outputs are
+    * joined to scalars for the dtype-stable oracle compare.
+    */
+  val jsonMapQ: Relational.Q = (s, d) => {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    events(s, d)
+      .select(col("event_id"),
+        array_join(map_keys(m), ",").as("keys_csv"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        element_at(m, "k").as("k"))
+      .orderBy("event_id")
+  }
+
   /** JSON extraction feeding an aggregation. */
   val jsonAggQ: Relational.Q = (s, d) =>
     events(s, d)
@@ -152,6 +168,7 @@ object Temporal {
     "q_range_join" -> rangeJoinQ,
     "q_json_extract" -> jsonExtractQ,
     "q_json_agg" -> jsonAggQ,
+    "q_json_map" -> jsonMapQ,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -189,6 +206,12 @@ object Temporal {
         |GROUP BY b.bucket ORDER BY bucket""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json_map" ->
+      """SELECT event_id,
+        |       array_to_string(json_keys(props), ',') AS keys_csv,
+        |       len(json_keys(props))::BIGINT AS n_keys,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "q_json_agg" ->
       """SELECT event_type, count(*) AS n,
