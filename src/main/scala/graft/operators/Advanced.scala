@@ -105,6 +105,18 @@ object Advanced {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .orderBy("day")
 
+  /** Set-valued aggregation: the distinct statuses seen per flag,
+    * deterministically sorted and joined to a scalar (collect_set's
+    * native output order is partition-dependent; sort_array makes it
+    * canonical — the only safe way to oracle-check a collected column).
+    */
+  val aggCollectSet: Relational.Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy("flag")
+
   // ---------------------------------------------------------- windows
 
   /** W4: distribution windows — ntile quartiles, percent_rank,
@@ -305,6 +317,7 @@ object Advanced {
     "q_time_bucket" -> timeBucket,
     "q_j4_full_outer" -> j4FullOuter,
     "q_j5_cross" -> j5Cross,
+    "q_agg_collect_set" -> aggCollectSet,
     "q_sub_scalar" -> subScalar,
     "q_lateral_topn" -> lateralTopN,
     "q_agg_approx_percentile" -> aggApproxPercentile,
@@ -362,6 +375,11 @@ object Advanced {
     "q_j5_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "q_agg_collect_set" ->
+      """SELECT l_returnflag AS flag,
+        |       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+        |       count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
     "q_sub_scalar" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
         |FROM orders o
