@@ -140,7 +140,52 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** T8: per-source language mix — the corpus-QA rollup a training
+    * pipeline runs after language ID (is src7 suddenly 40% French?).
+    */
+  val t8LangMix: Relational.Q = (s, d) => {
+    val (_, pred) = langId(col("text"))
+    documents(s, d)
+      .select(col("source"), pred.as("lang"))
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("source", "lang")
+  }
+
+  /** T9: PII-style pattern scrubbing — count and redact digit runs
+    * (the phone/SSN/id shape), the safety pass before training text
+    * leaves the pipeline. Counting uses the same regex as the redact
+    * so the two can't drift.
+    */
+  val t9Redact: Relational.Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]{3,}"), lit(0))).cast("long").as("n_digit_runs"),
+        substring(regexp_replace(col("text"), "[0-9]{3,}", "<NUM>"), 1, 40).as("redacted_head"))
+      .orderBy("doc_id")
+
+  /** T10: quality-gate filter — the t2 metrics folded into keep/drop
+    * buckets with integer-exact boundaries (token counts, not float
+    * scores, decide membership), then counted per verdict: the
+    * admission-control report for a corpus build.
+    */
+  val t10QualityFilter: Relational.Q = (s, d) => {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    documents(s, d)
+      .select(col("doc_id"),
+        when(n < 20, "too_short")
+          .when(nd * 2 <= n, "too_repetitive") // distinct ratio <= 0.5, integer-exact
+          .otherwise("keep").as("verdict"))
+      .groupBy("verdict").agg(count(lit(1)).as("n"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("verdict")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_t8_lang_mix" -> t8LangMix,
+    "q_t9_redact" -> t9Redact,
+    "q_t10_quality_filter" -> t10QualityFilter,
     "q_t5_token_freq" -> t5TokenFreq,
     "q_t6_sample_split" -> t6SampleSplit,
     "q_t1_lang_id" -> t1LangId,
@@ -165,6 +210,30 @@ object TextAnalysis {
       s"CASE $whens ELSE 'und' END"
     }
     Map(
+      "q_t8_lang_mix" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           |  FROM documents
+           |),
+           |sc AS (SELECT source, toks, $gExpr AS g FROM tok)
+           |SELECT source, $predCase AS lang, count(*) AS n
+           |FROM sc GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+      "q_t9_redact" ->
+        """SELECT doc_id,
+          |       len(regexp_extract_all(text, '[0-9]{3,}'))::BIGINT AS n_digit_runs,
+          |       substr(regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g'), 1, 40) AS redacted_head
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_t10_quality_filter" ->
+        s"""$tokCte,
+           |v AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(toks) < 20 THEN 'too_short'
+           |              WHEN len(list_distinct(toks)) * 2 <= len(toks) THEN 'too_repetitive'
+           |              ELSE 'keep' END AS verdict
+           |  FROM tok
+           |)
+           |SELECT verdict, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
       "q_t1_lang_id" ->
         s"""$tokCte,
            |sc AS (SELECT doc_id, toks, ${scoreExprs.mkString(", ")}, $gExpr AS g FROM tok)
