@@ -47,7 +47,8 @@ object Bench {
 
     // dev-only filter: SPARK_GRAFT_ONLY=q_a,q_b benches a subset (the
     // driver never sets it, so its runs always cover every query)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> force(n))

@@ -39,6 +39,9 @@ object TextHashKernels {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** The task thread's digest instance (digest() leaves it reset). */
+  private[functions] def md5Digest(): MessageDigest = md5Local.get()
+
   /** First 4 digest bytes as an unsigned 32-bit value — identical to
     * `conv(substring(md5(s), 1, 8), 16, 10)` (8 hex chars = 4 bytes).
     */
@@ -135,6 +138,11 @@ case class SimHash32(child: Expression) extends StringArrayKernel {
           if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
           b += 1
         }
+      } else {
+        // HOF/oracle parity: a null element's CASE test is NULL, which
+        // falls to the ELSE -1 branch on EVERY bit — not a skip
+        var b = 0
+        while (b < 32) { counters(b) -= 1; b += 1 }
       }
       i += 1
     }
@@ -184,6 +192,10 @@ case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)], prime: Long)
   */
 case class MinHashBands(child: Expression, coeffs: Seq[(Long, Long)], prime: Long,
     rowsPerBand: Int) extends StringArrayKernel {
+  require(rowsPerBand > 0 && coeffs.size % rowsPerBand == 0,
+    s"coeffs.size=${coeffs.size} must be a positive multiple of rowsPerBand=$rowsPerBand " +
+      "or trailing signature values would be silently dropped")
+
   override def prettyName: String = "minhash_bands"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -196,7 +208,7 @@ case class MinHashBands(child: Expression, coeffs: Seq[(Long, Long)], prime: Lon
     val mins = TextHashKernels.minSig(arr, as, bs, prime)
     val nBands = mins.length / rowsPerBand
     val out = new Array[AnyRef](nBands)
-    val md = MessageDigest.getInstance("MD5")
+    val md = TextHashKernels.md5Digest() // thread-local; digest() resets
     var b = 0
     while (b < nBands) {
       val sb = new java.lang.StringBuilder(64)
@@ -206,7 +218,6 @@ case class MinHashBands(child: Expression, coeffs: Seq[(Long, Long)], prime: Lon
         sb.append(mins(b * rowsPerBand + r))
         r += 1
       }
-      md.reset()
       out(b) = TextHashKernels.toHex(md.digest(sb.toString.getBytes("UTF-8")))
       b += 1
     }

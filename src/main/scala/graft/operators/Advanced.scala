@@ -64,34 +64,33 @@ object Advanced {
 
   // ------------------------------------------------------------- cube
 
-  /** Full cube over two grouping keys (rollup's sibling — all four
-    * grouping sets in one pass; Spark expands to a single expand+agg).
+  /** Shared agg/ALL-sentinel tail of the cube and grouping-sets
+    * queries (one definition so the pair and their oracles can't
+    * drift).
     */
-  val aggCube: Relational.Q = (s, d) =>
-    lineitem(s, d)
-      .cube("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
+  private def allRollupTail(
+      g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    g.agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("qty"), col("n"))
       .orderBy("flag", "status")
 
+  /** Full cube over two grouping keys (rollup's sibling — all four
+    * grouping sets in one pass; Spark expands to a single expand+agg).
+    */
+  val aggCube: Relational.Q = (s, d) =>
+    allRollupTail(lineitem(s, d).cube("l_returnflag", "l_linestatus"))
+
   /** Explicit grouping sets — per-flag and per-status marginals in one
     * pass (the asymmetric sibling of rollup/cube; Spark plans one
     * Expand + single aggregation, same as the others).
     */
   val aggGroupingSets: Relational.Q = (s, d) =>
-    lineitem(s, d)
-      .groupingSets(
-        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
-        col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum("l_quantity"), 2).as("qty"), count(lit(1)).as("n"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("qty"), col("n"))
-      .orderBy("flag", "status")
+    allRollupTail(lineitem(s, d).groupingSets(
+      Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+      col("l_returnflag"), col("l_linestatus")))
 
   /** Per-day event-time bucketing: the ts column is Long *nanoseconds*
     * (nanosAsLong read of the parquet TIMESTAMP(NANOS)); truncate to µs

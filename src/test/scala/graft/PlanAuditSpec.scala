@@ -60,8 +60,14 @@ class PlanAuditSpec extends SparkSuite {
 
   test("percentiles: both windows and the group-agg share one hash exchange") {
     val df = graft.operators.Advanced.aggPercentiles(spark, sf0001)
-    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
-    val p = plan(df)
+    // collect() executes df's OWN QueryExecution (a write would build a
+    // new one — the Util.rowsScanned trap), finalizing the AQE plan
+    df.collect()
+    val full = plan(df)
+    assert(full.contains("isFinalPlan=true"), "audit must inspect the finalized AQE plan")
+    // the AQE printout appends the initial plan after the final one —
+    // only the final section is the executed shape
+    val p = full.split("== Initial Plan ==").head
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges === 1,
       s"rn window, count window and groupBy all partition on flag — expected 1 hash exchange, got $exchanges:\n$p")
@@ -76,6 +82,7 @@ class PlanAuditSpec extends SparkSuite {
     // the prefilter must execute BEFORE the join (below it in the tree)
     val filterIdx = p.indexOf("bloom_might_contain")
     val joinIdx = p.indexOf("HashJoin")
+    assert(joinIdx >= 0, s"expected a hash join in the plan:\n$p")
     assert(filterIdx > joinIdx, "filter below (after in text) the join node")
   }
 

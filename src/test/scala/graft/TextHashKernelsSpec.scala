@@ -66,6 +66,23 @@ class TextHashKernelsSpec extends SparkSuite {
     assert(bad.forall(_ === 0L), s"band mismatches: $bad")
   }
 
+  test("SimHash32 matches HOF on arrays CONTAINING null elements") {
+    import spark.implicits._
+    // a null token hashes to a null h; the HOF CASE then yields -1 on
+    // every bit (not a skip) — the kernel must do the same
+    val df = Seq(
+      (1, Seq[String]("alpha", null, "beta")),
+      (2, Seq[String](null)),
+      (3, Seq[String]("alpha", "beta", "gamma"))).toDF("id", "toks")
+    val both = df.select(col("id"),
+      TextHashKernels.simhash32(col("toks")).as("kernel"),
+      transform(col("toks"), t =>
+        conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")).as("hs"))
+      .select(col("id"), col("kernel"), Dedup.simhashExpr.as("hof"))
+      .orderBy("id").collect()
+    both.foreach(r => assert(r.getLong(1) === r.getLong(2), s"id=${r.getInt(0)}"))
+  }
+
   test("kernels handle empty and null-element arrays") {
     import spark.implicits._
     val df = Seq(
