@@ -86,6 +86,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(filterIdx > joinIdx, "filter below (after in text) the join node")
   }
 
+  test("top-k aggregate runs map-side partials (k rows/group/partition to shuffle)") {
+    val p = plan(Relational.a2TopkAgg(spark, sf0001))
+    // TypedImperativeAggregate plans as ObjectHashAggregate/SortAggregate
+    // with a partial mode below the exchange — the property that keeps
+    // the shuffle at k rows per group per partition
+    assert(p.contains("partial_topk_rows"), s"expected partial topk_rows:\n$p")
+  }
+
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
     val out = tmpDir("plan-audit-ivf") + "/vectors"
     val e = HashingEmbedder(dims = 16)
