@@ -270,7 +270,53 @@ object Knn {
         round(max("v"), 4).as("max_v"))
       .orderBy("dim")
 
+  /** V6: filtered ("hybrid") kNN — metadata predicate + vector ranking
+    * in one plan, the vector-DB feature the reference lacks. The filter
+    * sits below the distance projection, so pruned rows are never
+    * scored, and with a label-partitioned layout it prunes partitions.
+    */
+  val v6KnnFiltered: Relational.Q = (s, d) => {
+    val q = embeddingLit(s, d, QueryId)
+    embeddings(s, d)
+      .filter(col("label").isin(1, 2, 3) && col("vec_id") =!= QueryId)
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(col("dist"), 3).as("dist"))
+  }
+
+  /** V8: batch kNN serving — N query vectors answered in ONE corpus
+    * pass: broadcast the query set, score every (query, vector) pair,
+    * then per-query top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKRows]], score = -dist so the heap keeps
+    * nearest; only k rows per query per partition reach the shuffle).
+    * This is the amortized shape online serving compiles to when
+    * queries arrive in micro-batches — per-query TakeOrdered would
+    * rescan the corpus N times.
+    */
+  val v8BatchKnn: Relational.Q = (s, d) => {
+    val qids = Seq(1, 2, 3, 4, 5)
+    val qs = embeddings(s, d).filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    embeddings(s, d)
+      .join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (-euclidean(col("embedding"), col("qe"))).as("nscore"),
+        col("vec_id"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKRows.topK(
+        col("nscore"), col("vec_id"), lit(0), 5).as("tops"))
+      .select(col("qid"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id1").as("vec_id"),
+        round(-col("t.score"), 3).as("dist"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_v6_knn_filtered" -> v6KnnFiltered,
+    "q_v8_batch_knn" -> v8BatchKnn,
     "q_v7_embed_stats" -> v7EmbedStats,
     "q_v1_knn_fullscan" -> v1FullScan,
     "q_v2_knn_range" -> v2IndexRange,
@@ -281,6 +327,34 @@ object Knn {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_v6_knn_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryId),
+         |z AS (
+         |  SELECT e.vec_id, e.label, unnest(e.embedding)::DOUBLE AS a,
+         |         unnest(q.qe)::DOUBLE AS b
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.label IN (1,2,3) AND e.vec_id <> $QueryId
+         |),
+         |d AS (SELECT vec_id, label, sqrt(sum((a-b)*(a-b))) AS dist
+         |      FROM z GROUP BY vec_id, label)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label, round(dist,3) AS dist
+         |FROM d ORDER BY d.dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q_v8_batch_knn" ->
+      """WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |            WHERE vec_id IN (1,2,3,4,5)),
+        |z AS (
+        |  SELECT q.qid, e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+        |         unnest(q.qe)::DOUBLE AS b
+        |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.qid
+        |),
+        |d AS (SELECT qid, vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+        |      FROM z GROUP BY qid, vec_id),
+        |r AS (SELECT qid, vec_id, dist,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY dist ASC, vec_id ASC) AS rn
+        |      FROM d)
+        |SELECT qid, vec_id, round(dist,3) AS dist, rn FROM r
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
     "q_v7_embed_stats" ->
       """SELECT i::BIGINT AS dim,
         |       round(avg(embedding[i]::DOUBLE), 4) AS avg_v,
