@@ -49,13 +49,23 @@ object Bench {
     // driver never sets it, so its runs always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { req =>
+      val unknown = req -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    def r3(v: Double): String = "%.3f".format(v)
     val results = names.map(n => n -> force(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full line above is ~4 KB; a tail-buffered log reader can lose
+    // its head. Print a short, complete JSON object LAST so a parseable
+    // record always sits inside any tail window.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size}}""")
     spark.stop()
   }
 }

@@ -27,15 +27,32 @@ object BloomFunctions {
   def mightContain(bf: BloomFilter, keyCol: Column): Column = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    Bridge.column(BloomMightContainLong(Bridge.expression(keyCol), bos.toByteArray))
+    Bridge.column(BloomMightContainLong(Bridge.expression(keyCol), BloomSketchBytes(bos.toByteArray)))
   }
+}
+
+/** Serialized sketch holder with CONTENT-based equality. A bare
+  * `Array[Byte]` field in a case class compares by identity, so two
+  * semantically identical expressions never canonicalize equal —
+  * breaking semanticEquals/subexpression reuse — and the raw bytes
+  * bloat every plan string. The digest-based toString keeps explain
+  * output readable while equals/hashCode stay exact (full-content).
+  */
+case class BloomSketchBytes(bytes: Array[Byte]) {
+  override def equals(other: Any): Boolean = other match {
+    case BloomSketchBytes(o) => java.util.Arrays.equals(bytes, o)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(bytes)
+  override def toString: String =
+    s"bloom_sketch(${bytes.length}B, murmur=${scala.util.hashing.MurmurHash3.bytesHash(bytes)})"
 }
 
 /** `bf.mightContainLong(child)` over a serialized sketch; the bytes are
   * part of the expression tree, so the sketch ships with the task
   * closure exactly once and deserializes lazily per executor.
   */
-case class BloomMightContainLong(child: Expression, bfBytes: Array[Byte])
+case class BloomMightContainLong(child: Expression, sketch: BloomSketchBytes)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType
@@ -47,7 +64,7 @@ case class BloomMightContainLong(child: Expression, bfBytes: Array[Byte])
   }
 
   @transient private lazy val bf: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bfBytes))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(sketch.bytes))
 
   override def nullSafeEval(key: Any): Any = key match {
     case l: java.lang.Long => bf.mightContainLong(l)

@@ -165,6 +165,10 @@ case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)], prime: Long)
     extends StringArrayKernel {
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Empty input evals to null regardless of child nullability — without
+  // this override a non-nullable child would make the expression claim
+  // non-null while producing null (wrong-result/NPE hazard downstream).
+  override def nullable: Boolean = true
 
   @transient private lazy val as = coeffs.map(_._1).toArray
   @transient private lazy val bs = coeffs.map(_._2).toArray
@@ -198,6 +202,8 @@ case class MinHashBands(child: Expression, coeffs: Seq[(Long, Long)], prime: Lon
 
   override def prettyName: String = "minhash_bands"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // See MinHashSig: empty input → null even for a non-nullable child.
+  override def nullable: Boolean = true
 
   @transient private lazy val as = coeffs.map(_._1).toArray
   @transient private lazy val bs = coeffs.map(_._2).toArray

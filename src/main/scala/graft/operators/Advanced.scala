@@ -180,7 +180,9 @@ object Advanced {
     val dim = ev.groupBy("event_type").agg(count(lit(1)).as("type_total"))
     val dimSalted = dim.withColumn("salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    ev.withColumn("salt", (col("event_id") % salts).cast("int"))
+    // pmod, not %: Spark's % is negative for negative ids, which would
+    // never match the dimension's 0..15 salts and silently drop rows.
+    ev.withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
       .join(dimSalted, Seq("event_type", "salt"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), max("type_total").as("type_total"),
@@ -338,19 +340,22 @@ object Advanced {
         |         count(*) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem
         |), b AS (
+        |  -- quantile literals cast to DOUBLE: DuckDB would otherwise do
+        |  -- (n-1)*0.25 in DECIMAL while Spark computes double, and an
+        |  -- unlucky group size could flip the lo rank / 4th decimal
         |  SELECT flag, max(n) AS n,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN v END) AS vlo_p25,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+2 THEN v END) AS vhi_p25,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5)  AS BIGINT)+1 THEN v END) AS vlo_p50,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5)  AS BIGINT)+2 THEN v END) AS vhi_p50,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95) AS BIGINT)+1 THEN v END) AS vlo_p95,
-        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95) AS BIGINT)+2 THEN v END) AS vhi_p95
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.25::DOUBLE) AS BIGINT)+1 THEN v END) AS vlo_p25,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.25::DOUBLE) AS BIGINT)+2 THEN v END) AS vhi_p25,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5::DOUBLE)  AS BIGINT)+1 THEN v END) AS vlo_p50,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.5::DOUBLE)  AS BIGINT)+2 THEN v END) AS vhi_p50,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95::DOUBLE) AS BIGINT)+1 THEN v END) AS vlo_p95,
+        |    max(CASE WHEN rn = CAST(floor((n-1)*0.95::DOUBLE) AS BIGINT)+2 THEN v END) AS vhi_p95
         |  FROM r GROUP BY flag
         |)
         |SELECT flag,
-        |  round(vlo_p25 + (coalesce(vhi_p25, vlo_p25) - vlo_p25) * ((n-1)*0.25 - floor((n-1)*0.25)), 4) AS p25,
-        |  round(vlo_p50 + (coalesce(vhi_p50, vlo_p50) - vlo_p50) * ((n-1)*0.5  - floor((n-1)*0.5)),  4) AS p50,
-        |  round(vlo_p95 + (coalesce(vhi_p95, vlo_p95) - vlo_p95) * ((n-1)*0.95 - floor((n-1)*0.95)), 4) AS p95
+        |  round(vlo_p25 + (coalesce(vhi_p25, vlo_p25) - vlo_p25) * ((n-1)*0.25::DOUBLE - floor((n-1)*0.25::DOUBLE)), 4) AS p25,
+        |  round(vlo_p50 + (coalesce(vhi_p50, vlo_p50) - vlo_p50) * ((n-1)*0.5::DOUBLE  - floor((n-1)*0.5::DOUBLE)),  4) AS p50,
+        |  round(vlo_p95 + (coalesce(vhi_p95, vlo_p95) - vlo_p95) * ((n-1)*0.95::DOUBLE - floor((n-1)*0.95::DOUBLE)), 4) AS p95
         |FROM b ORDER BY flag""".stripMargin,
     "q_agg_grouping_sets" ->
       """SELECT coalesce(l_returnflag,'ALL') AS flag,

@@ -73,11 +73,27 @@ object Mango {
       case (op, _) => throw new IllegalArgumentException(s"unsupported Mango operator $op")
     }
 
-  private def typeCheck(c: Column, t: String): Column = t match {
-    // static schemas make $type mostly a no-op; emulate the dynamic
-    // semantics on the value domain
-    case "null" => c.isNull
-    case _ => c.isNotNull // non-null value of a typed column is its schema type
+  /** `$type` against the column's actual Spark type via `typeof`
+    * (a foldable expression — Catalyst constant-folds the comparison to
+    * true/false, leaving only the null check). On a fixed schema this
+    * IS the dynamic semantics: a non-null value's type is the column
+    * type; a type mismatch matches nothing. Unknown type names throw
+    * rather than silently matching isNotNull.
+    */
+  private def typeCheck(c: Column, t: String): Column = {
+    val tof = call_function("typeof", c)
+    t match {
+      case "null" => c.isNull
+      case "string" => c.isNotNull && tof === "string"
+      case "boolean" => c.isNotNull && tof === "boolean"
+      case "number" => c.isNotNull && (tof.isin(
+        "tinyint", "smallint", "int", "bigint", "float", "double") ||
+        tof.startsWith("decimal"))
+      case "array" => c.isNotNull && tof.startsWith("array")
+      case "object" => c.isNotNull && (tof.startsWith("struct") || tof.startsWith("map"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported $$type name '$other' (supported: null, string, boolean, number, array, object)")
+    }
   }
 
   /** Full query: selector + sort (+ pk tie-break, the engine invariant

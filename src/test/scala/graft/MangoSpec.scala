@@ -88,4 +88,20 @@ class MangoSpec extends SparkSuite {
       Mango.selectorToColumn(Map("x" -> Map("$bogus" -> 1)))
     }
   }
+
+  test("$type checks the actual column type, not just non-nullness") {
+    // matching type → all non-null rows; mismatched type → nothing
+    assert(li.filter(Mango.selectorToColumn(
+      Map("l_returnflag" -> Map("$type" -> "string")))).count() === li.count())
+    assert(li.filter(Mango.selectorToColumn(
+      Map("l_returnflag" -> Map("$type" -> "number")))).count() === 0L)
+    assert(li.filter(Mango.selectorToColumn(
+      Map("l_quantity" -> Map("$type" -> "number")))).count() === li.count())
+    assert(emb.filter(Mango.selectorToColumn(
+      Map("embedding" -> Map("$type" -> "array")))).count() === emb.count())
+    // unsupported dynamic type names raise instead of silently matching
+    intercept[IllegalArgumentException] {
+      Mango.selectorToColumn(Map("x" -> Map("$type" -> "objectId")))
+    }
+  }
 }
