@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Knn.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
-      operators.Temporal.queries ++ operators.Advanced.queries
+      operators.Temporal.queries ++ operators.Advanced.queries ++
+      operators.Indexed.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.Knn.oracleSql ++
       operators.TextAnalysis.oracleSql ++ operators.Dedup.oracleSql ++
-      operators.Temporal.oracleSql ++ operators.Advanced.oracleSql
+      operators.Temporal.oracleSql ++ operators.Advanced.oracleSql ++
+      operators.Indexed.oracleSql
 }

@@ -1,0 +1,270 @@
+package graft.operators
+
+import graft.core.Tables._
+import graft.functions.VectorFunctions._
+import graft.index.{IndexBuild, Pivots}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-checked serving from MATERIALIZED index tables — the
+  * build-once / serve-many path that previously lived only in specs
+  * ([[graft.operators.Knn.searchIndexed]], `IndexedSearchSpec`).
+  *
+  * Two queries:
+  *
+  *  - `q_v9_indexed_range` — the reference's pivot-range strategy
+  *    (`/root/reference/src/search.ts:19-54`) served from the PERSISTED
+  *    index ([[graft.index.IndexBuild]] layout: partitioned by
+  *    `cluster`, sorted by `dist0` — the analogue of the reference's
+  *    persisted `idx0..idx4` fields, `src/database.ts:195-198`). Unlike
+  *    `q_v2`/`q_v5`, which recompute all five pivot distances per row
+  *    per query to demonstrate strategy parity, this is the plan you
+  *    run at 100 TB: `cluster` probes prune whole partition directories
+  *    at planning time and the `dist0` band prunes row groups via
+  *    parquet min/max stats (asserted in `PlanAuditSpec`). No distance
+  *    is evaluated for a pruned row.
+  *
+  *  - `q_v10_ivf_kmeans` — IVF with LEARNED coarse centroids: MLlib
+  *    KMeans (batch training, seeded) produces the centroids, which are
+  *    materialized to parquet; BOTH engines then compute assignment +
+  *    probe + exact re-rank from the same stored float vectors, so the
+  *    SQL-unreproducible training is outside the compared computation.
+  *
+  * Determinism contract (see graft-oracle-determinism): distances
+  * accumulate float→double in index order on both sides (the Catalyst
+  * kernels vs DuckDB's unnest-zip sum — bit-identical, proven by the
+  * green q_v1..q_v5 family); band bounds use exactly-representable
+  * factors (0.5/1.5); every argmin/probe tie breaks on the lowest id.
+  */
+object Indexed {
+
+  /** Band half-width factors: 1±0.5 are exactly representable doubles,
+    * so `qd*0.5 < dist0 < qd*1.5` evaluates bit-identically in Scala,
+    * Catalyst and DuckDB — no float-boundary membership flips.
+    */
+  val BandLo = 0.5
+  val BandHi = 1.5
+
+  val NProbe = 2
+  val K = 10
+
+  /** Learned-IVF centroid count (small on purpose: the sf tables have
+    * 1e3-1e5 vectors; at 100 TB you'd use ~sqrt(N) centroids and the
+    * same plan shape).
+    */
+  val CentroidK = 8
+
+  /** Fixed path the oracle SQL reads the learned centroids from — the
+    * one piece of shared state between the engines (the whole point:
+    * same stored centroids on both sides). Overwritten per JVM run, so
+    * it always reflects the current sf directory.
+    */
+  val CentroidPath = "/tmp/graft_v10_centroids.parquet"
+
+  // ------------------------------------------------------ index build
+
+  private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val learnedCentroids =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Float]]]
+
+  private def indexPath(d: String): String =
+    "/tmp/graft_index/" + new java.io.File(d).getName
+
+  /** Build the pivot-distance index for an sf dir once per JVM (the
+    * testdata is immutable; rebuilding per JVM keeps the on-disk table
+    * in sync with the build code without a cross-process cache
+    * protocol). Serving reads ONLY this table.
+    */
+  def ensureIndex(s: SparkSession, d: String): String = {
+    val path = indexPath(d)
+    builtIndexes.getOrElseUpdate(path, {
+      val pivots = IndexBuild.pivotsFromIds(embeddings(s, d), "vec_id", Knn.PivotIds)
+      val base = embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding"), col("label"))
+      IndexBuild.write(IndexBuild.withPivotColumns(base, pivots), path)
+      true
+    })
+    path
+  }
+
+  /** Learn centroids once per JVM per sf dir and materialize them to
+    * [[CentroidPath]] (cid + array<float> centroid). Returned in cid
+    * order for literal-based serving.
+    */
+  def ensureCentroids(s: SparkSession, d: String): Seq[Seq[Float]] =
+    learnedCentroids.getOrElseUpdate(d, {
+      val centers = Pivots.learnKMeans(embeddings(s, d), "embedding", CentroidK)
+      import s.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("cid", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(CentroidPath)
+      centers
+    })
+
+  // ---------------------------------------------------------- serving
+
+  /** Query-to-pivot distances through the same Catalyst kernel the
+    * index build used (a 1-row projection — the proven bit-identical
+    * path vs the DuckDB qp CTE).
+    */
+  private def queryDists(s: SparkSession, d: String,
+      pivots: Seq[org.apache.spark.sql.Column]): Seq[Double] = {
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    val one = embeddings(s, d).limit(1).select(pivots.map(p => euclidean(p, q)): _*).head()
+    pivots.indices.map(one.getDouble)
+  }
+
+  /** V9: pivot-range kNN served from the materialized index. The scan
+    * touches only the `nprobe` probed cluster directories (partition
+    * pruning) and, inside them, only row groups whose dist0 min/max
+    * stats intersect the band — then exact re-rank, top k.
+    */
+  val v9IndexedRange: Relational.Q = (s, d) => {
+    val path = ensureIndex(s, d)
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    val qd = queryDists(s, d, Knn.pivotLits(s, d))
+    val probes = qd.zipWithIndex.sortBy { case (dd, pid) => (dd, pid) }
+      .take(NProbe).map(_._2)
+    val lo = qd.head * BandLo
+    val hi = qd.head * BandHi
+    s.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*))          // partition pruning
+      .filter(col("dist0") > lo && col("dist0") < hi)   // row-group stats pruning
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(K)
+      .select(col("id"), col("cluster").cast("long").as("cluster"),
+        round(col("dist"), 3).as("dist"))
+  }
+
+  /** V10: learned-centroid IVF — assignment, probe selection and exact
+    * re-rank all against the STORED centroids (broadcast as literals;
+    * the oracle reads the same parquet). Assignment argmin ties break
+    * to the lowest cid on both sides.
+    */
+  val v10IvfKmeans: Relational.Q = (s, d) => {
+    val cents = ensureCentroids(s, d)
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    val centLits = cents.map(c => typedlit(c))
+    val distCols = centLits.map(c => euclidean(col("embedding"), c))
+    val distArr = array(distCols: _*)
+    val cluster = (array_position(distArr, array_min(distArr)) - 1).cast("int")
+    val qd = queryDists(s, d, centLits)
+    val probes = qd.zipWithIndex.sortBy { case (dd, cid) => (dd, cid) }
+      .take(NProbe).map(_._2)
+    embeddings(s, d)
+      .withColumn("cluster", cluster)
+      .filter(col("cluster").isin(probes: _*))
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("dist"), 3).as("dist"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_v9_indexed_range" -> v9IndexedRange,
+    "q_v10_ivf_kmeans" -> v10IvfKmeans,
+  )
+
+  // The oracles recompute every pivot/centroid distance from the raw
+  // tables (v9) / the materialized centroid parquet (v10) with the
+  // unnest-zip double arithmetic that matches the Catalyst kernels
+  // bit-for-bit, then apply the identical probe + band + re-rank logic.
+  val oracleSql: Map[String, String] = Map(
+    "q_v9_indexed_range" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+         |piv AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |        WHERE vec_id IN (${Knn.PivotIds.mkString(",")})),
+         |qp AS (
+         |  SELECT pid, sqrt(sum((a-b)*(a-b))) AS qd
+         |  FROM (SELECT pid, unnest(pe)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
+         |        FROM piv CROSS JOIN q) z
+         |  GROUP BY pid
+         |),
+         |vp AS (
+         |  SELECT vec_id, pid, sqrt(sum((a-b)*(a-b))) AS vd
+         |  FROM (SELECT e.vec_id, p.pid, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(p.pe)::DOUBLE AS b
+         |        FROM embeddings e CROSS JOIN piv p) z
+         |  GROUP BY vec_id, pid
+         |),
+         |assign AS (
+         |  SELECT vec_id, pid AS cluster FROM (
+         |    SELECT vec_id, pid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY vd ASC, pid ASC) AS rn
+         |    FROM vp) t
+         |  WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT pid FROM (
+         |    SELECT pid, row_number() OVER (ORDER BY qd ASC, pid ASC) AS rn FROM qp) t
+         |  WHERE rn <= $NProbe
+         |),
+         |band AS (
+         |  SELECT vp.vec_id FROM vp JOIN qp ON vp.pid = qp.pid
+         |  WHERE vp.pid = ${Knn.PivotIds.head}
+         |    AND vp.vd > qp.qd * $BandLo AND vp.vd < qp.qd * $BandHi
+         |),
+         |cand AS (
+         |  SELECT a.vec_id, a.cluster FROM assign a
+         |  JOIN probes p ON a.cluster = p.pid
+         |  JOIN band b ON a.vec_id = b.vec_id
+         |),
+         |rerank AS (
+         |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |        CROSS JOIN q) z
+         |  GROUP BY vec_id
+         |)
+         |SELECT r.vec_id AS id, CAST(c.cluster AS BIGINT) AS cluster,
+         |       round(r.dist,3) AS dist
+         |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
+         |ORDER BY r.dist ASC, id ASC LIMIT $K""".stripMargin,
+    "q_v10_ivf_kmeans" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+         |cent AS (SELECT cid, centroid FROM read_parquet('$CentroidPath/*.parquet')),
+         |qp AS (
+         |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
+         |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
+         |        FROM cent CROSS JOIN q) z
+         |  GROUP BY cid
+         |),
+         |vp AS (
+         |  SELECT vec_id, cid, sqrt(sum((a-b)*(a-b))) AS vd
+         |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(c.centroid)::DOUBLE AS b
+         |        FROM embeddings e CROSS JOIN cent c) z
+         |  GROUP BY vec_id, cid
+         |),
+         |assign AS (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY vd ASC, cid ASC) AS rn
+         |    FROM vp) t
+         |  WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY qd ASC, cid ASC) AS rn FROM qp) t
+         |  WHERE rn <= $NProbe
+         |),
+         |cand AS (
+         |  SELECT a.vec_id, a.cluster FROM assign a JOIN probes p ON a.cluster = p.cid
+         |),
+         |rerank AS (
+         |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |        CROSS JOIN q) z
+         |  GROUP BY vec_id
+         |)
+         |SELECT r.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+         |       round(r.dist,3) AS dist
+         |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
+         |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin,
+  )
+}

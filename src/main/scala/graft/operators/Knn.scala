@@ -56,13 +56,13 @@ object Knn {
   /** Fetch one embedding as a literal column (driver-side O(1) lookup —
     * the reference also embeds/holds the query vector driver-side).
     */
-  private def embeddingLit(s: SparkSession, d: String, id: Int): Column = {
+  private[operators] def embeddingLit(s: SparkSession, d: String, id: Int): Column = {
     val arr = embeddings(s, d).filter(col("vec_id") === id)
       .select("embedding").head().getSeq[Float](0)
     typedlit(arr)
   }
 
-  private def pivotLits(s: SparkSession, d: String): Seq[Column] = {
+  private[operators] def pivotLits(s: SparkSession, d: String): Seq[Column] = {
     val rows = embeddings(s, d)
       .filter(col("vec_id").isin(PivotIds: _*))
       .select("vec_id", "embedding").collect()

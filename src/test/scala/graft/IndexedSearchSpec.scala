@@ -48,6 +48,71 @@ class IndexedSearchSpec extends SparkSuite {
     assert(got.size === 10)
   }
 
+  test("q_v9_indexed_range: served-from-index result == raw-table recomputation") {
+    import graft.operators.Indexed
+    val got = Indexed.v9IndexedRange(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size === Indexed.K)
+
+    // independent formulation: recompute cluster/dist0 from the raw
+    // embeddings table (no materialized index involved)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pivots = IndexBuild.pivotsFromIds(emb, "vec_id", Knn.PivotIds)
+    val qv = emb.filter(col("vec_id") === Knn.QueryId)
+      .select("embedding").head().getSeq[Float](0)
+    val qDists = pivots.map { p =>
+      math.sqrt(p.zip(qv).map { case (a, b) =>
+        val dd = a.toDouble - b.toDouble; dd * dd }.sum)
+    }
+    val probes = qDists.zipWithIndex.sortBy { case (dd, i) => (dd, i) }
+      .take(Indexed.NProbe).map(_._2)
+    val lo = qDists.head * Indexed.BandLo; val hi = qDists.head * Indexed.BandHi
+    val expected = IndexBuild.withPivotColumns(
+        emb.select(col("vec_id").as("id"), col("embedding")), pivots)
+      .filter(col("cluster").isin(probes: _*))
+      .filter(col("dist0") > lo && col("dist0") < hi)
+      .withColumn("dist", euclidean(col("embedding"), typedlit(qv)))
+      .orderBy(col("dist").asc, col("id").asc).limit(Indexed.K)
+      .select(col("id"), col("cluster").cast("long"), round(col("dist"), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("q_v10_ivf_kmeans: serving literals == the materialized centroid parquet") {
+    import graft.operators.Indexed
+    val got = Indexed.v10IvfKmeans(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size === Indexed.K)
+
+    // independent formulation reading the WRITTEN centroid parquet (also
+    // proves the stored file is what serving actually used)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cent = spark.read.parquet(Indexed.CentroidPath)
+    assert(cent.count() === Indexed.CentroidK)
+    val qv = emb.filter(col("vec_id") === Knn.QueryId)
+      .select("embedding").head().getSeq[Float](0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("vd").asc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(cent))
+      .withColumn("vd", euclidean(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("embedding"))
+    val qDists = cent.orderBy("cid").collect().map { r =>
+      val c = r.getSeq[Float](1)
+      math.sqrt(c.zip(qv).map { case (a, b) =>
+        val dd = a.toDouble - b.toDouble; dd * dd }.sum)
+    }.toSeq
+    val probes = qDists.zipWithIndex.sortBy { case (dd, i) => (dd, i) }
+      .take(Indexed.NProbe).map(_._2)
+    val expected = assign.filter(col("cluster").isin(probes: _*))
+      .withColumn("dist", euclidean(col("embedding"), typedlit(qv)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(Indexed.K)
+      .select(col("vec_id"), col("cluster").cast("long"), round(col("dist"), 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+  }
+
   test("KMeans-learned pivots: balanced clusters, served kNN recall vs exact") {
     val out = tmpDir("kmeans-ivf") + "/vectors"
     val e = HashingEmbedder(dims = 64)

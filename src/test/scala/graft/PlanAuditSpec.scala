@@ -94,6 +94,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_topk_rows"), s"expected partial topk_rows:\n$p")
   }
 
+  test("q_v9 oracle query itself: partition pruning + dist0 stats pushdown") {
+    // the ORACLE-CHECKED serving query (not just the searchIndexed
+    // helper) must carry the pruned plan — this is the plan that runs
+    // at 100x (VERDICT r2 item 1)
+    val p = plan(graft.operators.Indexed.v9IndexedRange(spark, sf0001))
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(p).isDefined,
+      s"expected cluster partition filter:\n${p.take(3000)}")
+    assert(p.contains("GreaterThan(dist0"), s"expected dist0 pushdown:\n${p.take(3000)}")
+    assert(p.contains("LessThan(dist0"), s"expected dist0 upper bound pushdown:\n${p.take(3000)}")
+  }
+
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
     val out = tmpDir("plan-audit-ivf") + "/vectors"
     val e = HashingEmbedder(dims = 16)
