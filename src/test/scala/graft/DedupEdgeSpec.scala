@@ -51,6 +51,38 @@ class DedupEdgeSpec extends SparkSuite {
     assert(sigs(1L) !== sigs(7L))
   }
 
+  test("d6 prefix bands are EXACT for ham <= Bands-1 (pigeonhole)") {
+    // banded formulation vs brute-force all-pairs over the real corpus
+    val banded = Dedup.d6SimhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Dedup.d3SimhashOn(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ham",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+      .filter(col("ham") <= Dedup.SimHamMax)
+      .select(col("a.doc_id"), col("b.doc_id"), col("ham"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute,
+      s"banded=${banded.size} brute=${brute.size}: band bucketing must lose nothing at ham<=${Dedup.SimHamMax}")
+    assert(banded.nonEmpty)
+  }
+
+  test("d5 SRP-LSH: every reported pair passes the exact cosine verify; subset of all-pairs truth") {
+    val got = Dedup.d5EmbedNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "tuned SRP params must surface pairs on this corpus")
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", graft.functions.VectorFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= Dedup.CosineThreshold)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "LSH candidates that pass verify must be true pairs")
+    info(s"SRP recall on sf0.001: ${got.size}/${truth.size}")
+  }
+
   test("quality/token queries never divide by zero on empty docs") {
     val q = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).as("n"))
