@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Durable key-value state — the reference's RxState
+  * (`/root/reference/src/database.ts:120-133`: a reactive
+  * `{importDone: boolean}` record gating reads on import completion).
+  *
+  * Spark-native form: an append-only parquet log of
+  * `(key, value, seq)` rows; the current value of a key is its
+  * highest-seq row (last-write-wins). Appends are tiny single-row
+  * files — state here is control-plane metadata (flags, watermarks,
+  * import gates), not data-plane rows, so the log stays in the dozens
+  * of rows and a read is one small scan + max-per-key.
+  */
+class RxState(spark: SparkSession, path: String) {
+
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+
+  /** Last-write-wins set. */
+  def set(key: String, value: String): Unit = {
+    import spark.implicits._
+    Seq((key, value, seqGen.incrementAndGet()))
+      .toDF("key", "value", "seq")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(path)
+  }
+
+  def setBoolean(key: String, value: Boolean): Unit = set(key, value.toString)
+
+  /** Current value of every key (latest seq wins). */
+  def all(): Map[String, String] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df =
+      try spark.read.parquet(path)
+      catch { case _: Throwable => return Map.empty }
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+      .select("key", "value")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  def get(key: String): Option[String] = all().get(key)
+
+  def getBoolean(key: String, default: Boolean = false): Boolean =
+    get(key).map(_.toBoolean).getOrElse(default)
+}

@@ -39,6 +39,18 @@ class VectorPipeline(
     StructField("id", StringType, nullable = false),
     StructField("body", StringType, nullable = false)))
 
+  /** Pipeline control-plane state — the reference's RxState record
+    * (`src/database.ts:120-133`): `importDone` flips true after the
+    * first successful drain, and consumers can gate reads on it
+    * explicitly instead of relying on call ordering alone.
+    */
+  val state = new RxState(spark, destPath + "_state")
+
+  /** True once at least one drain has completed (persisted; a new
+    * pipeline instance over the same destination sees it).
+    */
+  def importDone: Boolean = state.getBoolean("importDone")
+
   /** Drain all currently-available source files through the incremental
     * index build, then return (awaitIdle semantics). Returns rows
     * appended across batches.
@@ -60,6 +72,7 @@ class VectorPipeline(
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    state.setBoolean("importDone", true)
     appended.get()
   }
 
@@ -67,4 +80,12 @@ class VectorPipeline(
     * by calling this only after runAvailableNow returns).
     */
   def destination(): DataFrame = spark.read.parquet(destPath)
+
+  /** Destination gated on the persisted importDone flag — the
+    * reference's read-barrier usage of RxState.
+    */
+  def destinationWhenReady(): DataFrame = {
+    require(importDone, s"importDone is false for $destPath — run the pipeline first")
+    destination()
+  }
 }

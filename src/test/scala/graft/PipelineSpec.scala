@@ -30,11 +30,23 @@ class PipelineSpec extends SparkSuite {
     val pipe = new VectorPipeline(spark, src, dest, ckpt, embedder, pivots,
       maxFilesPerTrigger = 1)
 
+    // importDone gate (RxState): false before any drain, reads blocked
+    assert(!pipe.importDone)
+    intercept[IllegalArgumentException] { pipe.destinationWhenReady() }
+
     // wave 1: 6 docs
     writeWave(src, "wave1.json", (1 to 6).map(i => (s"doc$i", s"body text number $i")))
     val n1 = pipe.runAvailableNow()
     assert(n1 === 6)
     assert(pipe.destination().count() === 6)
+
+    // gate open after the drain, persisted: a NEW pipeline instance over
+    // the same destination sees it (the reference's reactive RxState
+    // record survives the owning db handle)
+    assert(pipe.importDone)
+    assert(pipe.destinationWhenReady().count() === 6)
+    val pipe2 = new VectorPipeline(spark, src, dest, ckpt, embedder, pivots)
+    assert(pipe2.importDone, "importDone must be durable, not instance-local")
 
     // wave 2: 4 new docs + 2 re-delivered (unchanged) from wave 1
     writeWave(src, "wave2.json",
