@@ -323,15 +323,18 @@ object Dedup {
     */
   val d5EmbedNearDup: Relational.Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val e = cacheSlot("srp-embeddings", embeddings(s, d)
+    val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select("vec_id", "embedding"))
-    val buckets = e.select(col("vec_id"),
+      .select("vec_id", "embedding")
+    // persist the BUCKET table, not the raw embeddings: the 96 projection
+    // literals make this subtree expensive to plan and execute, and it
+    // feeds both sides of the candidate self-join
+    val buckets = cacheSlot("srp-buckets", e.select(col("vec_id"),
         posexplode(array((0 until SrpTables).map(t =>
           srpBucket(col("embedding"), t)): _*)).as(Seq("tbl", "bkt")))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "bkt")))
       .filter(col("bsz") <= MaxBucket)
-      .drop("bsz")
+      .drop("bsz"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
