@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.core.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-preparation operators a production LLM training-data pipeline
+  * runs after dedup/quality scoring — each one oracle-checked:
+  *
+  *  - `q_d7_dedup_clusters`: near-dup CLUSTER assignment — connected
+  *    components over the d2 MinHash-LSH pair graph (pairs alone don't
+  *    dedup a corpus; the keep/drop decision needs the component and
+  *    its canonical representative).
+  *  - `q_d8_decontaminate`: benchmark decontamination — training docs
+  *    sharing >= N distinct shingles with a held-out/benchmark set,
+  *    found by an inverted-index join on shingles (never doc x doc).
+  *  - `q_t11_tfidf`: top-k characteristic terms per document by
+  *    tf x 1/df — the corpus-analysis/topic-drift primitive.
+  *  - `q_t12_pack`: token-budget shard packing — contiguous doc runs
+  *    per source whose cumulative token count fills a fixed budget
+  *    (sequence-packing preparation for training).
+  */
+object Corpus {
+
+  // ---------------------------------------------------- d7: components
+
+  /** Iteration cap for the label-propagation loop: near-dup components
+    * have tiny diameter (duplicate families, not social graphs), so
+    * convergence is typically 2-3 rounds; the cap only bounds a
+    * pathological chain a1-a2-...-aN of pairwise-similar docs.
+    */
+  val MaxCcIters = 20
+
+  /** Connected components by iterative min-label propagation (the
+    * Pregel/GraphX shape expressed on DataFrames): every doc in at
+    * least one verified near-dup pair is assigned the smallest doc_id
+    * reachable through the pair graph. Each round is one join + one
+    * groupBy on the (small) edge list — the driver only sees the
+    * per-round convergence count, never the data.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < MaxCcIters) {
+        val nbMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
+          .groupBy("src").agg(min("nlbl").as("nb"))
+        val updated = labels
+          .join(nbMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = updated.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+          .filter(col("lbl") =!= col("old")).count()
+        labels.unpersist()
+        labels = updated
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster"))
+    } finally edges.unpersist()
+  }
+
+  /** D7: cluster assignment over the d2 MinHash-LSH verified pairs. */
+  val d7DedupClusters: Relational.Q = (s, d) => {
+    val pairs = Dedup.d2MinhashLshOn(documents(s, d)).select("doc_a", "doc_b")
+    connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ d8: decontamination
+
+  /** Benchmark set = doc_id < BenchIdMax; everything else is "train". */
+  val BenchIdMax = 100
+
+  /** A (train, bench) pair is contaminated at >= this many shared
+    * distinct 3-word shingles.
+    */
+  val ContamMinShared = 5
+
+  /** Shingles appearing in more than this many documents are dropped
+    * from the inverted index before the join — the boilerplate/stopword
+    * shingles that would otherwise make their posting lists the classic
+    * hot-key blowup (same role as d2's MaxBucket; integer-exact).
+    */
+  val MaxShingleDf = 100
+
+  /** D8: overlap join through the shingle inverted index — cost is
+    * sum over shingles of |bench postings| x |train postings|, bounded
+    * by the df cap; the doc x doc product never appears.
+    */
+  val d8Decontaminate: Relational.Q = (s, d) => {
+    val ex = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("g")
+    val exk = ex.join(keep, "g")
+    val bench = exk.filter(col("doc_id") < BenchIdMax)
+      .select(col("g"), col("doc_id").as("bench_id"))
+    val train = exk.filter(col("doc_id") >= BenchIdMax)
+      .select(col("g"), col("doc_id").as("train_id"))
+    // per-doc shingle sets are distinct (array_distinct in shingles), so
+    // count(*) of joined rows == count of DISTINCT shared shingles
+    train.join(bench, "g")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContamMinShared)
+      .orderBy("train_id", "bench_id")
+  }
+
+  // ------------------------------------------------------- t11: tf-idf
+
+  val TfidfTopK = 3
+
+  /** T11: top-k characteristic terms per doc, scored tf/df (both exact
+    * integers; the score division is the same double op in both
+    * engines, and ties break on the term string).
+    */
+  val t11Tfidf: Relational.Q = (s, d) => {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TfidfTopK)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") / col("df"), 6).as("score"))
+      .orderBy("doc_id", "rn")
+  }
+
+  // ------------------------------------------------------- t12: packing
+
+  val PackBudget = 4096
+
+  /** T12: token-budget shard packing per source stream: docs in
+    * doc_id order; a doc's shard is its cumulative-start token count
+    * div the budget. Window partitioned by `source` so the cumulative
+    * sums parallelize (an unpartitioned global pack would serialize to
+    * one task — at scale you pack per input stream/shard anyway).
+    */
+  val t12Pack: Relational.Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div $PackBudget"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- registration
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_d7_dedup_clusters" -> d7DedupClusters,
+    "q_d8_decontaminate" -> d8Decontaminate,
+    "q_t11_tfidf" -> t11Tfidf,
+    "q_t12_pack" -> t12Pack,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // transitive closure to the minimum reachable id via recursive CTE —
+    // semantically identical to the Spark label-propagation fixpoint
+    "q_d7_dedup_clusters" -> {
+      val base = Dedup.d2VerifiedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$base,
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM verified WHERE jac >= ${Dedup.JaccardThreshold}
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+    },
+    "q_d8_decontaminate" ->
+      s"""${Dedup.shingleCte},
+         |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+         |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $MaxShingleDf),
+         |exk AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep USING (g))
+         |SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS shared
+         |FROM exk t JOIN exk b ON t.g = b.g
+         |WHERE t.doc_id >= $BenchIdMax AND b.doc_id < $BenchIdMax
+         |GROUP BY 1, 2 HAVING count(*) >= $ContamMinShared
+         |ORDER BY train_id, bench_id""".stripMargin,
+    "q_t11_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+         |),
+         |tf AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS t FROM tok) z
+         |  WHERE t <> '' GROUP BY 1, 2
+         |),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |r AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY tf.tf::DOUBLE / df.df DESC, tf.term ASC) AS rn
+         |  FROM tf JOIN df USING (term)
+         |)
+         |SELECT doc_id, rn::BIGINT AS rn, term, tf, df,
+         |       round(tf::DOUBLE / df, 6) AS score
+         |FROM r WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin,
+    "q_t12_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_tokens
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         coalesce(CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+         |  FROM t
+         |)
+         |SELECT doc_id, source, n_tokens, cum_before, cum_before // $PackBudget AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -389,7 +389,7 @@ object Dedup {
 
   // Shared oracle CTEs: tokenization + shingling identical to the Scala
   // side (DuckDB list indexing is 1-based like Spark element_at).
-  private val shingleCte =
+  private[operators] val shingleCte =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
       |),
@@ -422,53 +422,61 @@ object Dedup {
     s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $HashPrime), 'min')"
   }
 
+  /** The full d2 pipeline as a WITH chain ending in `verified(doc_a,
+    * doc_b, jac)` — shared by the d2 oracle and downstream consumers
+    * (q_d7's connected components build on these pairs) so the two can
+    * never drift.
+    */
+  private[operators] lazy val d2VerifiedCte: String = {
+    val sigCols = (0 until NumHashes).map(i => s"${sqlSeededMin(i)} AS sig$i").mkString(",\n         ")
+    val bandRows = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$shingleCte,
+       |shh AS (
+       |  SELECT doc_id, gs,
+       |         list_transform(gs, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT) AS hs
+       |  FROM sh
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigCols
+       |  FROM shh
+       |),
+       |buckets_all AS (
+       |  $bandRows
+       |),
+       |buckets AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bsz
+       |    FROM buckets_all
+       |  ) WHERE bsz <= $MaxBucket
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         len(list_intersect(x.gs, y.gs))::DOUBLE
+       |           / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))) AS jac
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b
+       |)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_d1_dedup_exact" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_d2_dedup_minhash_lsh" -> {
-      val sigCols = (0 until NumHashes).map(i => s"${sqlSeededMin(i)} AS sig$i").mkString(",\n         ")
-      val bandRows = (0 until Bands).map { b =>
-        val parts = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}::VARCHAR").mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""$shingleCte,
-         |shh AS (
-         |  SELECT doc_id, gs,
-         |         list_transform(gs, g -> ('0x' || substr(md5(g), 1, 7))::BIGINT) AS hs
-         |  FROM sh
-         |),
-         |sig AS (
-         |  SELECT doc_id,
-         |         $sigCols
-         |  FROM shh
-         |),
-         |buckets_all AS (
-         |  $bandRows
-         |),
-         |buckets AS (
-         |  SELECT doc_id, band, bh FROM (
-         |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bsz
-         |    FROM buckets_all
-         |  ) WHERE bsz <= $MaxBucket
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |),
-         |verified AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |         len(list_intersect(x.gs, y.gs))::DOUBLE
-         |           / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))) AS jac
-         |  FROM cand c
-         |  JOIN sh x ON x.doc_id = c.doc_a
-         |  JOIN sh y ON y.doc_id = c.doc_b
-         |)
+    "q_d2_dedup_minhash_lsh" ->
+      s"""$d2VerifiedCte
          |SELECT doc_a, doc_b, round(jac, 3) AS jac FROM verified
-         |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
     "q_d3_dedup_simhash" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM simsig ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators: connected-components semantics on a
+  * known graph, decontamination/pack/tfidf sanity on the real corpus.
+  */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connectedComponents: known graph gets min-id labels; iterates past one hop") {
+    // components: {1,2,3,9} (chain 9-3-2-1 forces >1 propagation round),
+    // {5,6}, and {7,8}
+    val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
+      .toDF("a", "b")
+    val got = Corpus.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("d7 clusters: every doc labeled with the min id of its d2 pair component") {
+    val pairs = graft.operators.Dedup.d2MinhashLshOn(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Corpus.d7DedupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // every pair's two docs share a label, and labels are component members
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    assert(clusters.forall { case (doc, c) => c <= doc })
+  }
+
+  test("t12 pack: shards respect the budget boundary within each source") {
+    val out = Corpus.t12Pack(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, cumBefore, shard) =>
+      assert(shard === cumBefore / Corpus.PackBudget)
+    }
+    // within a source, cum_before is the running sum in doc_id order
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, cumBefore, _) =>
+        assert(cumBefore === cum); cum += n
+      }
+    }
+  }
+
+  test("d8 decontamination: reported overlaps are real shared-shingle counts") {
+    val got = Corpus.d8Decontaminate(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every reported pair straddles the bench boundary and meets the floor
+    got.foreach { case (train, bench, shared) =>
+      assert(train >= Corpus.BenchIdMax && bench < Corpus.BenchIdMax)
+      assert(shared >= Corpus.ContamMinShared)
+    }
+    info(s"contaminated pairs on sf0.001: ${got.length}")
+  }
+}
