@@ -40,14 +40,23 @@ object Corpus {
     * per-round convergence count, never the data.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the pair graph is far smaller than the corpus that produced it;
+    // a handful of partitions keeps each fixpoint round's shuffles from
+    // paying 32-task scheduling overhead on near-empty partitions
+    val loopParts = 8
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(loopParts, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("lbl", col("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // labels only ever decrease, so sum(lbl) is a strictly decreasing
+      // convergence measure: equal sums across a round ⟺ fixpoint. One
+      // cheap aggregate per round instead of a compare-join.
+      var prevSum = labels.agg(sum("lbl")).head().getLong(0)
       var iter = 0
       var converged = false
       while (!converged && iter < MaxCcIters) {
@@ -59,11 +68,11 @@ object Corpus {
           .select(col("doc_id"),
             least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = updated.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-          .filter(col("lbl") =!= col("old")).count()
+        val curSum = updated.agg(sum("lbl")).head().getLong(0)
         labels.unpersist()
         labels = updated
-        converged = changed == 0
+        converged = curSum == prevSum
+        prevSum = curSum
         iter += 1
       }
       labels.select(col("doc_id"), col("lbl").as("cluster"))
