@@ -85,6 +85,35 @@ final case class GraftCollection(spark: SparkSession, path: String) {
   def findByIds(key: String, ids: Seq[Any]): DataFrame =
     toDf.filter(col(key).isin(ids: _*))
 
+  // ------------------------------------------------------ vector search
+  // The reference's three exported search functions
+  // (`/root/reference/src/search.ts:5,19,56`), one-to-one. `pivots` play
+  // the role of the reference's fixed pivot vectors
+  // (`src/vector.ts:43`); for the materialized build-once/serve-many
+  // path use `graft.operators.Knn.searchIndexed` over an
+  // `index.IndexBuild` table instead.
+
+  /** Exact full-scan kNN (`vectorSearchFullScan`). */
+  def vectorSearchFullScan(q: Seq[Float], k: Int = 10, idCol: String = "id",
+      embeddingCol: String = "embedding"): DataFrame =
+    graft.operators.Knn.fullScanKnnOn(toDf, idCol, embeddingCol, typedlit(q), k)
+
+  /** Pivot-range kNN (`vectorSearchIndexRange`). */
+  def vectorSearchIndexRange(q: Seq[Float], pivots: Seq[Seq[Float]],
+      eps: Double = 0.05, k: Int = 10, idCol: String = "id",
+      embeddingCol: String = "embedding"): DataFrame =
+    graft.operators.Knn.indexRangeKnnOn(toDf, idCol, embeddingCol,
+      typedlit(q), pivots.map(typedlit(_)), k, eps)
+
+  /** Per-side pivot-neighborhood kNN (`vectorSearchIndexSimilarity`,
+    * docsPerIndexSide default per the reference).
+    */
+  def vectorSearchIndexSimilarity(q: Seq[Float], pivots: Seq[Seq[Float]],
+      perSide: Int = 100, k: Int = 10, idCol: String = "id",
+      embeddingCol: String = "embedding"): DataFrame =
+    graft.operators.Knn.indexSimilarityKnnOn(toDf, idCol, embeddingCol,
+      typedlit(q), pivots.map(typedlit(_)), k, perSide)
+
   /** S7 dump / restore with schema enforcement. For a NEW collection
     * pass `schema` explicitly — otherwise the restored types are
     * whatever JSON inference picks (e.g. every integer becomes long),

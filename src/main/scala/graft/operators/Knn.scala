@@ -70,38 +70,53 @@ object Knn {
     PivotIds.map(id => typedlit(rows(id)))
   }
 
+  /** Exact kNN over any (id, embedding) DataFrame — the reusable core
+    * behind both the oracle query and the `GraftDb` facade
+    * (`vectorSearchFullScan`, `src/search.ts:5-17`).
+    */
+  def fullScanKnnOn(v: DataFrame, idCol: String, embCol: String, q: Column,
+      k: Int): DataFrame =
+    v.withColumn("dist", euclidean(col(embCol), q))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+
   /** Exact kNN: scan all, score, take k (reference full-scan strategy). */
   def fullScanKnn(s: SparkSession, d: String, q: Column, k: Int): DataFrame =
-    embeddings(s, d)
-      .withColumn("dist", euclidean(col("embedding"), q))
-      .orderBy(col("dist").asc, col("vec_id").asc)
+    fullScanKnnOn(embeddings(s, d), "vec_id", "embedding", q, k)
+
+  /** Query-to-pivot distances evaluated once, through the same Catalyst
+    * kernel every other distance uses (a 1-row projection).
+    */
+  private def qPivotDists(v: DataFrame, piv: Seq[Column], q: Column): Seq[Double] = {
+    val one = v.limit(1).select(piv.map(p => euclidean(p, q)): _*).head()
+    piv.indices.map(one.getDouble)
+  }
+
+  /** Pivot-range kNN over any (id, embedding) DataFrame
+    * (`vectorSearchIndexRange`, `src/search.ts:19-54`).
+    */
+  def indexRangeKnnOn(v: DataFrame, idCol: String, embCol: String, q: Column,
+      pivots: Seq[Column], k: Int, eps: Double): DataFrame = {
+    val qDists = qPivotDists(v, pivots, q)
+    val branches = pivots.indices.map { i =>
+      val lo = qDists(i) * (1 - eps)
+      val hi = qDists(i) * (1 + eps)
+      val di = euclidean(col(embCol), pivots(i))
+      v.filter(di > lo && di < hi).select(idCol, embCol)
+    }
+    branches.reduce(_ union _)
+      .dropDuplicates(idCol)
+      .withColumn("dist", euclidean(col(embCol), q))
+      .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
+      .select(idCol, "dist")
+  }
 
   /** Pivot-range kNN: five parallel range scans around the query's own
     * pivot distances → union → dedup → exact re-rank → top k.
     */
-  def indexRangeKnn(s: SparkSession, d: String, q: Column, k: Int, eps: Double): DataFrame = {
-    val piv = pivotLits(s, d)
-    val v = embeddings(s, d)
-    // query's distance to each pivot, evaluated once driver-side
-    val qDists: Seq[Double] = {
-      val one = v.limit(1).select(
-        piv.map(p => euclidean(p, q)): _*).head()
-      piv.indices.map(one.getDouble)
-    }
-    val branches = piv.indices.map { i =>
-      val lo = qDists(i) * (1 - eps)
-      val hi = qDists(i) * (1 + eps)
-      val di = euclidean(col("embedding"), piv(i))
-      v.filter(di > lo && di < hi).select("vec_id", "embedding")
-    }
-    branches.reduce(_ union _)
-      .dropDuplicates("vec_id")
-      .withColumn("dist", euclidean(col("embedding"), q))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-      .limit(k)
-      .select("vec_id", "dist")
-  }
+  def indexRangeKnn(s: SparkSession, d: String, q: Column, k: Int, eps: Double): DataFrame =
+    indexRangeKnnOn(embeddings(s, d), "vec_id", "embedding", q, pivotLits(s, d), k, eps)
 
   /** The reference's third strategy (`src/search.ts:56-108`,
     * `docsPerIndexSide = 100`): for each pivot, take the `perSide`
@@ -111,27 +126,30 @@ object Knn {
     * TakeOrderedAndProject — per-partition heaps, no global sort.
     */
   def indexSimilarityKnn(s: SparkSession, d: String, q: Column, k: Int,
-      perSide: Int): DataFrame = {
-    val piv = pivotLits(s, d)
-    val v = embeddings(s, d)
-    val qDists: Seq[Double] = {
-      val one = v.limit(1).select(piv.map(p => euclidean(p, q)): _*).head()
-      piv.indices.map(one.getDouble)
-    }
-    val branches = piv.indices.flatMap { i =>
-      val di = euclidean(col("embedding"), piv(i))
+      perSide: Int): DataFrame =
+    indexSimilarityKnnOn(embeddings(s, d), "vec_id", "embedding", q,
+      pivotLits(s, d), k, perSide)
+
+  /** Per-side pivot-neighborhood kNN over any (id, embedding) DataFrame
+    * (`vectorSearchIndexSimilarity`, `src/search.ts:56-108`).
+    */
+  def indexSimilarityKnnOn(v: DataFrame, idCol: String, embCol: String,
+      q: Column, pivots: Seq[Column], k: Int, perSide: Int): DataFrame = {
+    val qDists = qPivotDists(v, pivots, q)
+    val branches = pivots.indices.flatMap { i =>
+      val di = euclidean(col(embCol), pivots(i))
       val below = v.withColumn("di", di).filter(col("di") <= qDists(i))
-        .orderBy(col("di").desc, col("vec_id").asc).limit(perSide)
+        .orderBy(col("di").desc, col(idCol).asc).limit(perSide)
       val above = v.withColumn("di", di).filter(col("di") > qDists(i))
-        .orderBy(col("di").asc, col("vec_id").asc).limit(perSide)
-      Seq(below, above).map(_.select("vec_id", "embedding"))
+        .orderBy(col("di").asc, col(idCol).asc).limit(perSide)
+      Seq(below, above).map(_.select(idCol, embCol))
     }
     branches.reduce(_ union _)
-      .dropDuplicates("vec_id")
-      .withColumn("dist", euclidean(col("embedding"), q))
-      .orderBy(col("dist").asc, col("vec_id").asc)
+      .dropDuplicates(idCol)
+      .withColumn("dist", euclidean(col(embCol), q))
+      .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
-      .select("vec_id", "dist")
+      .select(idCol, "dist")
   }
 
   /** IVF ANN: assign every vector to its nearest pivot (coarse

@@ -49,4 +49,31 @@ class GraftDbSpec extends SparkSuite {
     assert(restored.count() === 4)
     assert(restored.toDf.select("id").except(items.toDf.select("id")).count() === 0)
   }
+
+  test("vector search facade: the reference's three strategies, one-to-one") {
+    import org.apache.spark.sql.functions._
+    val db = GraftDb(spark, tmpDir("graftdb-vec"))
+    val vectors = db.collection("vectors")
+    vectors.bulkInsert(spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding")))
+
+    val q = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val pivots = graft.index.IndexBuild.pivotsFromIds(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), "vec_id", Seq(0, 1, 2, 3, 4))
+
+    val full = vectors.vectorSearchFullScan(q, k = 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(full.size === 10 && full.head === 7L, "query's own vector is its nearest")
+
+    val range = vectors.vectorSearchIndexRange(q, pivots, eps = 0.5, k = 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(range.size === 10)
+
+    val simil = vectors.vectorSearchIndexSimilarity(q, pivots, perSide = 100, k = 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(simil.size === 10)
+    // the neighborhood strategy with generous perSide recovers the exact top-k head
+    assert(simil.head === 7L)
+  }
 }
