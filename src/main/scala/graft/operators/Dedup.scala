@@ -249,6 +249,15 @@ object Dedup {
       posexplode(array((0 until SimBands).map(b =>
         shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(255L))): _*))
         .as(Seq("band", "bh")))
+      // d2-style degenerate-bucket cap: on a duplicate-heavy corpus a
+      // single signature family makes one bucket (and the true pair set)
+      // O(copies²) — ScaleProbe x20 measured 192s uncapped. Capped
+      // buckets bound the join; the pigeonhole exactness then holds for
+      // every pair whose shared band bucket is within the cap (all of
+      // them at the tested sf corpora — max bucket ~140 at sf0.01).
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= MaxBucket)
+      .drop("bsz")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -487,10 +496,17 @@ object Dedup {
          |         ((s.simhash >> ($SimBandBits * t.band)) & 255) AS bh
          |  FROM simsig s CROSS JOIN (SELECT unnest(range(0, $SimBands)) AS band) t
          |),
+         |bands AS (
+         |  SELECT doc_id, simhash, band, bh FROM (
+         |    SELECT doc_id, simhash, band, bh,
+         |           count(*) OVER (PARTITION BY band, bh) AS bsz
+         |    FROM bands_all
+         |  ) WHERE bsz <= $MaxBucket
+         |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
          |                  b.doc_id AS doc_b, b.simhash AS sim_b
-         |  FROM bands_all a JOIN bands_all b
+         |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |)
          |SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS ham

@@ -72,11 +72,32 @@ object ScaleProbe {
           docs.select(col("doc_id").cast("string").as("id"), col("text")),
           "id", "text", embedder, pivots, s"$work/idx_x$n")
       }
+      // 5. simhash prefix-band pairs (r3 shape: band join, no payload block)
+      val tSimPairs = time {
+        import org.apache.spark.sql.expressions.Window
+        val sigs = graft.operators.Dedup.d3SimhashOn(docs)
+        val bands = sigs.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until graft.operators.Dedup.SimBands).map(b =>
+            shiftright(col("simhash"), b * graft.operators.Dedup.SimBandBits)
+              .bitwiseAND(lit(255L))): _*)).as(Seq("band", "bh")))
+          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
+          .filter(col("bsz") <= graft.operators.Dedup.MaxBucket)
+          .drop("bsz")
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+            col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
+          .distinct()
+          .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= graft.operators.Dedup.SimHamMax)
+          .write.format("noop").mode("overwrite").save()
+      }
       println(f"[scale] x$n%-3d docs=$nDocs%-8d vecs=$nVec%-8d " +
         f"minhash=$tMinhash%6.1fs (${nDocs / tMinhash}%8.0f docs/s)  " +
         f"simhash=$tSimhash%5.1fs (${nDocs / tSimhash}%8.0f docs/s)  " +
         f"knn=$tKnn%5.1fs (${nVec / tKnn}%9.0f vec/s)  " +
-        f"index=$tIndex%5.1fs (${nDocs / tIndex}%8.0f docs/s)")
+        f"index=$tIndex%5.1fs (${nDocs / tIndex}%8.0f docs/s)  " +
+        f"simpairs=$tSimPairs%5.1fs (${nDocs / tSimPairs}%8.0f docs/s)")
     }
     spark.stop()
   }
