@@ -1,0 +1,96 @@
+package graft.app
+
+import graft.core.Tables._
+import graft.operators.{Corpus, Dedup, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end training-corpus preparation — the composition every
+  * operator in this library exists to serve, as ONE documented batch
+  * job:
+  *
+  *   1. quality gate      — drop too-short / too-repetitive docs
+  *                          (q_t10 verdict logic, integer-exact)
+  *   2. exact dedup       — keep each fingerprint's min-id canonical
+  *                          (q_d1 canonical assignment)
+  *   3. near-dup clusters — MinHash-LSH pairs → connected components;
+  *                          keep each cluster's min-id representative
+  *                          (q_d2 + q_d7)
+  *   4. decontamination   — drop training docs sharing >= N shingles
+  *                          with the benchmark set (q_d8)
+  *   5. shard packing     — token-budget shards per source (q_t12)
+  *
+  * Every stage is a DataFrame transform over the previous one: the
+  * composition runs as a single Spark job graph (the intermediate
+  * stage-count columns exist only for reporting). Per-stage retention
+  * is returned for pipeline observability.
+  */
+object CorpusPipeline {
+
+  final case class Report(
+      input: Long, afterQuality: Long, afterExact: Long,
+      afterNearDup: Long, afterDecontam: Long, shards: Long)
+
+  /** Run the full preparation over `sfDir`'s documents; write the
+    * packed corpus to `outPath` (parquet, partitioned by shard) and
+    * return the retention report.
+    */
+  def run(spark: SparkSession, sfDir: String, outPath: String): Report = {
+    val docs = documents(spark, sfDir)
+    val input = docs.count()
+
+    // 1. quality gate (q_t10 semantics, integer-exact)
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    val gated = docs.filter(n >= 20 && nd * 2 > n)
+    val afterQuality = gated.count()
+
+    // 2. exact dedup: canonical = min doc_id per normalized fingerprint
+    val wFp = Window.partitionBy("fp")
+    val exact = gated
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("canonical", min("doc_id").over(wFp))
+      .filter(col("doc_id") === col("canonical"))
+      .drop("fp", "canonical")
+    val afterExact = exact.count()
+
+    // 3. near-dup clusters on the survivors: drop non-representatives
+    val pairs = Dedup.d2MinhashLshOn(exact).select("doc_a", "doc_b")
+    val clusters = Corpus.connectedComponents(pairs, "doc_a", "doc_b")
+    val nonReps = clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id")
+    val nearDeduped = exact.join(nonReps, Seq("doc_id"), "left_anti")
+    val afterNearDup = nearDeduped.count()
+
+    // 4. decontamination: drop train docs overlapping the bench set
+    val ex = nearDeduped
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
+    val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Corpus.MaxShingleDf).select("g")
+    val exk = ex.join(keep, "g")
+    val contaminated = exk.filter(col("doc_id") >= Corpus.BenchIdMax).as("t")
+      .join(exk.filter(col("doc_id") < Corpus.BenchIdMax).as("b"),
+        col("t.g") === col("b.g"))
+      .groupBy(col("t.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= Corpus.ContamMinShared)
+      .select("doc_id").distinct()
+    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val afterDecontam = clean.count()
+
+    // 5. token-budget shard packing per source
+    val wp = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = clean
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(wp), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div ${Corpus.PackBudget}"))
+      .drop("cum_before")
+    packed.write.mode("overwrite").partitionBy("source", "shard").parquet(outPath)
+
+    val out = spark.read.parquet(outPath)
+    Report(input, afterQuality, afterExact, afterNearDup, afterDecontam,
+      out.select("source", "shard").distinct().count())
+  }
+}

@@ -332,7 +332,31 @@ object Knn {
       .orderBy("qid", "rn")
   }
 
+  /** Radius for the v11 range search: between the corpus's 5th
+    * percentile and median query-distance, so the result is a
+    * meaningful neighborhood (~5-10% of vectors) at every sf. The
+    * membership test compares bit-identical doubles in both engines
+    * (same kernel semantics), so the literal boundary is safe.
+    */
+  val Radius = 1.3
+
+  /** V11: radius (range) search — all vectors within `Radius` of the
+    * query, nearest first. The "give me everything this similar"
+    * sibling of top-k: one scan, the distance filter sits below the
+    * sort, and only matching rows reach it.
+    */
+  val v11Radius: Relational.Q = (s, d) => {
+    val q = embeddingLit(s, d, QueryId)
+    embeddings(s, d)
+      .filter(col("vec_id") =!= QueryId)
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .filter(col("dist") < Radius)
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .select(col("vec_id"), round(col("dist"), 3).as("dist"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_v11_radius" -> v11Radius,
     "q_v6_knn_filtered" -> v6KnnFiltered,
     "q_v8_batch_knn" -> v8BatchKnn,
     "q_v7_embed_stats" -> v7EmbedStats,
@@ -345,6 +369,11 @@ object Knn {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_v11_radius" ->
+      s"""$qDistCte
+         |SELECT vec_id, round(dist,3) AS dist FROM d
+         |WHERE vec_id <> $QueryId AND dist < $Radius
+         |ORDER BY d.dist ASC, vec_id ASC""".stripMargin,
     "q_v6_knn_filtered" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryId),
          |z AS (

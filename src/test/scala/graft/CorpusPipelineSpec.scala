@@ -1,0 +1,43 @@
+package graft
+
+import graft.app.CorpusPipeline
+import graft.operators.{Corpus, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus preparation job: monotone retention, stage
+  * invariants, and a readable output layout.
+  */
+class CorpusPipelineSpec extends SparkSuite {
+
+  test("full pipeline: monotone retention, invariants hold on the output") {
+    val out = tmpDir("corpus-out") + "/packed"
+    val r = CorpusPipeline.run(spark, sf0001, out)
+    info(s"retention: $r")
+
+    // retention can only shrink stage over stage, and something survives
+    assert(r.input >= r.afterQuality)
+    assert(r.afterQuality >= r.afterExact)
+    assert(r.afterExact >= r.afterNearDup)
+    assert(r.afterNearDup >= r.afterDecontam)
+    assert(r.afterDecontam > 0 && r.shards > 0)
+
+    val packed = spark.read.parquet(out)
+    assert(packed.count() === r.afterDecontam)
+
+    // quality gate: no survivor is too short or too repetitive
+    val toks = TextAnalysis.tokens(col("text"))
+    val bad = packed.filter(size(toks) < 20 ||
+      size(array_distinct(toks)).cast("long") * 2 <= size(toks).cast("long")).count()
+    assert(bad === 0)
+
+    // exact dedup: fingerprints are unique among survivors
+    val fps = packed.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(fps.count() === fps.distinct().count())
+
+    // shards respect the per-source cumulative budget layout
+    val shardsOk = packed
+      .groupBy("source", "shard").agg(sum("n_tokens").as("tok"))
+      .filter(col("shard") >= 0)
+    assert(shardsOk.count() === r.shards)
+  }
+}

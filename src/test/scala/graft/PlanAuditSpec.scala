@@ -105,6 +105,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("LessThan(dist0"), s"expected dist0 upper bound pushdown:\n${p.take(3000)}")
   }
 
+  test("no dedup/corpus plan contains a cartesian product or nested-loop pair join") {
+    // the whole point of the LSH/band/inverted-index formulations is
+    // that candidate generation is an equi-join on a bucket key; a
+    // CartesianProduct (or a non-broadcast nested loop) in any of these
+    // plans means a formulation regressed to all-pairs
+    val deduped = Seq("q_d1_dedup_exact", "q_d2_dedup_minhash_lsh",
+      "q_d5_dedup_embedding", "q_d6_simhash_pairs", "q_d7_dedup_clusters",
+      "q_d8_decontaminate", "q_t11_tfidf", "q_t12_pack")
+    for (name <- deduped) {
+      val p = plan(SparkEntry.queries(name)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${p.take(2000)}")
+    }
+  }
+
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
     val out = tmpDir("plan-audit-ivf") + "/vectors"
     val e = HashingEmbedder(dims = 16)
