@@ -55,8 +55,12 @@ object Corpus {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // labels only ever decrease, so sum(lbl) is a strictly decreasing
       // convergence measure: equal sums across a round ⟺ fixpoint. One
-      // cheap aggregate per round instead of a compare-join.
-      var prevSum = labels.agg(sum("lbl")).head().getLong(0)
+      // cheap aggregate per round instead of a compare-join. (coalesce:
+      // sum over an empty label set is null — an empty pair graph must
+      // converge immediately, not NPE)
+      def lblSum(df: DataFrame): Long =
+        df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
+      var prevSum = lblSum(labels)
       var iter = 0
       var converged = false
       while (!converged && iter < MaxCcIters) {
@@ -68,7 +72,7 @@ object Corpus {
           .select(col("doc_id"),
             least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val curSum = updated.agg(sum("lbl")).head().getLong(0)
+        val curSum = lblSum(updated)
         labels.unpersist()
         labels = updated
         converged = curSum == prevSum

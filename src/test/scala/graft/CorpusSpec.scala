@@ -20,6 +20,11 @@ class CorpusSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents: empty pair graph converges to an empty result, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Corpus.connectedComponents(empty, "a", "b").count() === 0)
+  }
+
   test("d7 clusters: every doc labeled with the min id of its d2 pair component") {
     val pairs = graft.operators.Dedup.d2MinhashLshOn(
       spark.read.parquet(s"$sf0001/documents.parquet"))
