@@ -45,14 +45,6 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    // Build-once queries (materialized index / learned centroids): run
-    // once untimed so their timed run measures the serve-many path, not
-    // the one-time batch build that amortizes across every later query.
-    for (n <- Seq("q_v9_indexed_range", "q_v10_ivf_kmeans");
-         fn <- SparkEntry.queries.get(n))
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-
     // dev-only filter: SPARK_GRAFT_ONLY=q_a,q_b benches a subset (the
     // driver never sets it, so its runs always cover every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
@@ -64,7 +56,18 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    def r3(v: Double): String = "%.3f".format(v)
+
+    // Build-once queries (materialized index / learned centroids), if
+    // selected: run once untimed so their timed run measures the
+    // serve-many path, not the one-time batch build that amortizes
+    // across every later query.
+    for (n <- Seq("q_v9_indexed_range", "q_v10_ivf_kmeans") if names.contains(n);
+         fn <- SparkEntry.queries.get(n))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    // Locale.ROOT: a de_DE/fr_FR default locale would render "1,234"
+    // and corrupt the JSON line the driver parses
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = names.map(n => n -> force(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

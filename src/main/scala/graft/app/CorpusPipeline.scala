@@ -10,6 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operator in this library exists to serve, as ONE documented batch
   * job:
   *
+  *   0. bench exclusion   — the held-out benchmark set (doc_id <
+  *                          BenchIdMax) never enters the training
+  *                          stream; it is only used as the
+  *                          decontamination reference
   *   1. quality gate      — drop too-short / too-repetitive docs
   *                          (q_t10 verdict logic, integer-exact)
   *   2. exact dedup       — keep each fingerprint's min-id canonical
@@ -37,14 +41,23 @@ object CorpusPipeline {
     * return the retention report.
     */
   def run(spark: SparkSession, sfDir: String, outPath: String): Report = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = documents(spark, sfDir)
     val input = docs.count()
 
-    // 1. quality gate (q_t10 semantics, integer-exact)
+    // A training corpus must not contain the held-out benchmark set at
+    // all: bench docs are excluded from the candidate stream up front
+    // (decontamination below additionally removes train docs that
+    // OVERLAP the bench set's content).
+    val train = docs.filter(col("doc_id") >= Corpus.BenchIdMax)
+
+    // 1. quality gate (q_t10 semantics, integer-exact). Persisted: the
+    // count and every downstream stage read it; without the persist
+    // each stage re-runs the scan+gate lineage.
     val toks = TextAnalysis.tokens(col("text"))
     val n = size(toks).cast("long")
     val nd = size(array_distinct(toks)).cast("long")
-    val gated = docs.filter(n >= 20 && nd * 2 > n)
+    val gated = train.filter(n >= 20 && nd * 2 > n).persist(MEMORY_AND_DISK)
     val afterQuality = gated.count()
 
     // 2. exact dedup: canonical = min doc_id per normalized fingerprint
@@ -54,6 +67,7 @@ object CorpusPipeline {
       .withColumn("canonical", min("doc_id").over(wFp))
       .filter(col("doc_id") === col("canonical"))
       .drop("fp", "canonical")
+      .persist(MEMORY_AND_DISK)
     val afterExact = exact.count()
 
     // 3. near-dup clusters on the survivors: drop non-representatives
@@ -61,22 +75,29 @@ object CorpusPipeline {
     val clusters = Corpus.connectedComponents(pairs, "doc_a", "doc_b")
     val nonReps = clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id")
     val nearDeduped = exact.join(nonReps, Seq("doc_id"), "left_anti")
+      .persist(MEMORY_AND_DISK)
     val afterNearDup = nearDeduped.count()
 
-    // 4. decontamination: drop train docs overlapping the bench set
-    val ex = nearDeduped
+    // 4. decontamination: drop train docs overlapping the bench set.
+    // The bench side comes from the FULL documents table — a bench doc
+    // that failed the quality gate still contaminates a train doc that
+    // copies its content.
+    val trainSh = nearDeduped
       .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
-    val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val benchSh = docs.filter(col("doc_id") < Corpus.BenchIdMax)
+      .select(col("doc_id").as("bench_id"), explode(Dedup.shingles(col("text"))).as("g"))
+    // df cap over the union of both sides' postings (same hot-shingle
+    // guard as q_d8)
+    val keep = trainSh.select("g").union(benchSh.select("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= Corpus.MaxShingleDf).select("g")
-    val exk = ex.join(keep, "g")
-    val contaminated = exk.filter(col("doc_id") >= Corpus.BenchIdMax).as("t")
-      .join(exk.filter(col("doc_id") < Corpus.BenchIdMax).as("b"),
-        col("t.g") === col("b.g"))
-      .groupBy(col("t.doc_id").as("doc_id"), col("b.doc_id").as("bench_id"))
+    val contaminated = trainSh.join(keep, "g").join(benchSh.join(keep, "g"), "g")
+      .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= Corpus.ContamMinShared)
       .select("doc_id").distinct()
     val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(MEMORY_AND_DISK)
     val afterDecontam = clean.count()
 
     // 5. token-budget shard packing per source
@@ -88,6 +109,7 @@ object CorpusPipeline {
       .withColumn("shard", expr(s"cum_before div ${Corpus.PackBudget}"))
       .drop("cum_before")
     packed.write.mode("overwrite").partitionBy("source", "shard").parquet(outPath)
+    Seq(gated, exact, nearDeduped, clean).foreach(_.unpersist())
 
     val out = spark.read.parquet(outPath)
     Report(input, afterQuality, afterExact, afterNearDup, afterDecontam,

@@ -79,7 +79,20 @@ object Corpus {
         prevSum = curSum
         iter += 1
       }
-      labels.select(col("doc_id"), col("lbl").as("cluster"))
+      // a silent partial result here would diverge from the q_d7
+      // oracle's full transitive closure (and under-dedup the corpus);
+      // a component chain deeper than MaxCcIters must fail loudly
+      require(converged,
+        s"connected components did not converge within $MaxCcIters rounds " +
+          "— pair-graph diameter exceeds the cap; raise MaxCcIters")
+      // hand ownership of the result to the shared slot (repeated
+      // invocations must not leak caches), materialize it, then drop
+      // the loop's own persist — the slot copy is now self-contained
+      val out = Dedup.cacheSlot("cc-labels",
+        labels.select(col("doc_id"), col("lbl").as("cluster")))
+      out.count()
+      labels.unpersist()
+      out
     } finally edges.unpersist()
   }
 
@@ -111,10 +124,9 @@ object Corpus {
     * by the df cap; the doc x doc product never appears.
     */
   val d8Decontaminate: Relational.Q = (s, d) => {
-    val ex = documents(s, d)
+    val ex = Dedup.cacheSlot("decontam-shingles", documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g")))
     val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
       .select("g")

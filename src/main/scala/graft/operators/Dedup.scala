@@ -141,7 +141,7 @@ object Dedup {
     */
   @transient private val cacheSlots =
     scala.collection.mutable.Map.empty[String, DataFrame]
-  private def cacheSlot(slot: String, df: DataFrame): DataFrame = synchronized {
+  private[graft] def cacheSlot(slot: String, df: DataFrame): DataFrame = synchronized {
     cacheSlots.remove(slot).foreach(_.unpersist())
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cacheSlots(slot) = cached

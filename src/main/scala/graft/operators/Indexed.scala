@@ -66,9 +66,19 @@ object Indexed {
   private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val learnedCentroids =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Float]]]
+  // which sf dir's centroids currently sit at CentroidPath — a second
+  // sf dir in the same JVM must rewrite the file or the oracle would
+  // read another run's centroids
+  @volatile private var centroidPathSf: String = ""
 
-  private def indexPath(d: String): String =
-    "/tmp/graft_index/" + new java.io.File(d).getName
+  private def indexPath(d: String): String = {
+    // absolute-path hash, not basename: two distinct dirs named alike
+    // (e.g. ../a/sf0.01 and ../b/sf0.01) must not share an index
+    val abs = new java.io.File(d).getAbsolutePath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"/tmp/graft_index/${new java.io.File(d).getName}_$h"
+  }
 
   /** Build the pivot-distance index for an sf dir once per JVM (the
     * testdata is immutable; rebuilding per JVM keeps the on-disk table
@@ -91,15 +101,21 @@ object Indexed {
     * [[CentroidPath]] (cid + array<float> centroid). Returned in cid
     * order for literal-based serving.
     */
-  def ensureCentroids(s: SparkSession, d: String): Seq[Seq[Float]] =
-    learnedCentroids.getOrElseUpdate(d, {
-      val centers = Pivots.learnKMeans(embeddings(s, d), "embedding", CentroidK)
+  def ensureCentroids(s: SparkSession, d: String): Seq[Seq[Float]] = synchronized {
+    val centers = learnedCentroids.getOrElseUpdate(d,
+      Pivots.learnKMeans(embeddings(s, d), "embedding", CentroidK))
+    // (re)write the shared oracle file whenever another sf dir's
+    // centroids are currently on disk — serving literals and the file
+    // the oracle reads must always agree
+    if (centroidPathSf != d) {
       import s.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cid", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(CentroidPath)
-      centers
-    })
+      centroidPathSf = d
+    }
+    centers
+  }
 
   // ---------------------------------------------------------- serving
 
@@ -120,6 +136,12 @@ object Indexed {
     * stats intersect the band — then exact re-rank, top k.
     */
   val v9IndexedRange: Relational.Q = (s, d) => {
+    // the index stores cluster as pivot POSITION while the oracle joins
+    // probes on pivot vec_id — the two encodings coincide only while
+    // PivotIds == 0..P-1; fail loudly if anyone reorders them
+    require(Knn.PivotIds == Knn.PivotIds.indices,
+      s"q_v9 oracle assumes PivotIds are exactly 0..${Knn.PivotIds.size - 1} " +
+        s"(position == vec_id); got ${Knn.PivotIds}")
     val path = ensureIndex(s, d)
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
     val qd = queryDists(s, d, Knn.pivotLits(s, d))

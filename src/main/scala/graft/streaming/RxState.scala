@@ -15,12 +15,21 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 class RxState(spark: SparkSession, path: String) {
 
-  private val seqGen = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
-
-  /** Last-write-wins set. */
-  def set(key: String, value: String): Unit = {
+  /** Last-write-wins set. The seq is max(stored)+1, read from the log
+    * itself — robust across JVM restarts and host reboots (a clock- or
+    * nanoTime-derived seq can go backwards and make a newer write lose).
+    * State is single-writer control-plane metadata (the pipeline owns
+    * its own state table), so the read-increment-append needs no
+    * cross-process lock.
+    */
+  def set(key: String, value: String): Unit = synchronized {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    Seq((key, value, seqGen.incrementAndGet()))
+    val nextSeq =
+      (try spark.read.parquet(path).agg(coalesce(max("seq"), lit(0L)))
+        .head().getLong(0)
+      catch { case _: Throwable => 0L }) + 1L
+    Seq((key, value, nextSeq))
       .toDF("key", "value", "seq")
       .coalesce(1).write.mode(SaveMode.Append).parquet(path)
   }

@@ -24,6 +24,9 @@ class CorpusPipelineSpec extends SparkSuite {
     val packed = spark.read.parquet(out)
     assert(packed.count() === r.afterDecontam)
 
+    // the held-out benchmark set must not appear in the training output
+    assert(packed.filter(col("doc_id") < Corpus.BenchIdMax).count() === 0)
+
     // quality gate: no survivor is too short or too repetitive
     val toks = TextAnalysis.tokens(col("text"))
     val bad = packed.filter(size(toks) < 20 ||
