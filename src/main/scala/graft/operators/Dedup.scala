@@ -319,8 +319,12 @@ object Dedup {
     Seq.fill(SrpTables)(Seq.fill(SrpBits)(Seq.fill(64)(next())))
   }
 
-  /** The SrpBits-bit sign bucket of `e` under table `t`'s projections. */
-  private def srpBucket(e: Column, t: Int): Column =
+  /** The SrpBits-bit sign bucket of `e` under table `t`'s projections —
+    * HOF/composed reference form; the serving path uses the fused
+    * [[graft.functions.SrpKernel]] (one expression for all tables),
+    * equality proven in SrpKernelSpec.
+    */
+  private[graft] def srpBucket(e: Column, t: Int): Column =
     (0 until SrpBits).map { j =>
       when(dot(e, typedlit(SrpProj(t)(j))) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -335,12 +339,13 @@ object Dedup {
     val e = embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select("vec_id", "embedding")
-    // persist the BUCKET table, not the raw embeddings: the 96 projection
-    // literals make this subtree expensive to plan and execute, and it
-    // feeds both sides of the candidate self-join
+    // persist the BUCKET table, not the raw embeddings: the projection
+    // work feeds both sides of the candidate self-join. All buckets come
+    // from ONE fused kernel eval per row (SrpKernel) — the composed
+    // 96-expression form is the tested reference semantics
     val buckets = cacheSlot("srp-buckets", e.select(col("vec_id"),
-        posexplode(array((0 until SrpTables).map(t =>
-          srpBucket(col("embedding"), t)): _*)).as(Seq("tbl", "bkt")))
+        posexplode(graft.functions.SrpKernel.srpBuckets(
+          col("embedding"), SrpProj)).as(Seq("tbl", "bkt")))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "bkt")))
       .filter(col("bsz") <= MaxBucket)
       .drop("bsz"))
