@@ -162,7 +162,34 @@ object Temporal {
         round(avg("k"), 4).as("avg_k"))
       .orderBy("event_type")
 
+  /** E1: ordered conversion funnel view → click → purchase, counted per
+    * stage. Each stage's entry time is the user's first qualifying
+    * event STRICTLY AFTER the previous stage's entry (µs-truncated ts,
+    * per the module's oracle-comparison rule). Three aggregations + two
+    * joins, all keyed on user_id — co-partitioned, one shuffle family,
+    * no per-user collect; the shape holds when the event table is the
+    * 100 TB side.
+    */
+  val funnelQ: Relational.Q = (s, d) => {
+    val e = events(s, d).select(col("user_id"),
+      expr("ts div 1000").as("tsu"), col("event_type"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsu").as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("tsu") > col("t1"))
+      .groupBy("user_id").agg(min("tsu").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("tsu") > col("t2"))
+      .groupBy("user_id").agg(min("tsu").as("t3"))
+    t1.select(lit("1_view").as("stage"), col("user_id"))
+      .union(t2.select(lit("2_view_click").as("stage"), col("user_id")))
+      .union(t3.select(lit("3_view_click_purchase").as("stage"), col("user_id")))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_e1_funnel" -> funnelQ,
     "q_asof_join" -> asofQ,
     "q_sessionize" -> sessionizeQ,
     "q_range_join" -> rangeJoinQ,
@@ -172,6 +199,22 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // epoch_us(ts) == Spark's `ts div 1000` of the nanos column
+    "q_e1_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+        |t1 AS (SELECT user_id, min(tsu) AS t1 FROM e WHERE event_type = 'view'
+        |       GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.tsu) AS t2 FROM e JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.tsu > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.tsu) AS t3 FROM e JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.tsu > t2.t2 GROUP BY e.user_id),
+        |stages AS (
+        |  SELECT '1_view' AS stage, user_id FROM t1
+        |  UNION ALL SELECT '2_view_click', user_id FROM t2
+        |  UNION ALL SELECT '3_view_click_purchase', user_id FROM t3
+        |)
+        |SELECT stage, count(*) AS n_users FROM stages
+        |GROUP BY stage ORDER BY stage""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, s.event_id AS signup_event_id
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
