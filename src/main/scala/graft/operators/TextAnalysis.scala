@@ -182,7 +182,38 @@ object TextAnalysis {
       .orderBy("verdict")
   }
 
+  /** Domain-mixing weights in basis points of 10000 — the per-source
+    * keep rate of the corpus reweighting pass (a Pile/Dolma-style
+    * source mixture). Tiers keyed on source name so both engines share
+    * them as literals.
+    */
+  val MixFull: Seq[String] = (0 to 5).map(i => s"src$i")
+  val MixHalf: Seq[String] = (6 to 12).map(i => s"src$i")
+  val MixFullBps = 10000
+  val MixHalfBps = 5000
+  val MixRestBps = 2500
+
+  /** T13: deterministic domain mixing — per-source downsampling by an
+    * md5 keep-hash of (source, doc_id): same doc always gets the same
+    * verdict (reproducible across runs, engines and cluster sizes —
+    * the property a rerun of a 100 TB mixture job needs). Pure per-row
+    * map + the hash compare; no shuffle before the final sort.
+    */
+  val t13DomainMix: Relational.Q = (s, d) => {
+    val bps = when(col("source").isin(MixFull: _*), MixFullBps)
+      .when(col("source").isin(MixHalf: _*), MixHalfBps)
+      .otherwise(MixRestBps)
+    val keyHash = conv(substring(md5(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")).cast("binary")),
+      1, 7), 16, 10).cast("long") % 10000
+    documents(s, d)
+      .filter(keyHash < bps)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_t13_domain_mix" -> t13DomainMix,
     "q_t8_lang_mix" -> t8LangMix,
     "q_t9_redact" -> t9Redact,
     "q_t10_quality_filter" -> t10QualityFilter,
@@ -210,6 +241,15 @@ object TextAnalysis {
       s"CASE $whens ELSE 'und' END"
     }
     Map(
+      "q_t13_domain_mix" -> {
+        def inList(ss: Seq[String]) = ss.map(s => s"'$s'").mkString(", ")
+        s"""SELECT doc_id, source FROM documents
+           |WHERE ('0x' || substr(md5(source || ':' || doc_id), 1, 7))::BIGINT % 10000
+           |  < (CASE WHEN source IN (${inList(MixFull)}) THEN $MixFullBps
+           |          WHEN source IN (${inList(MixHalf)}) THEN $MixHalfBps
+           |          ELSE $MixRestBps END)
+           |ORDER BY doc_id""".stripMargin
+      },
       "q_t8_lang_mix" ->
         s"""WITH tok AS (
            |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS toks
