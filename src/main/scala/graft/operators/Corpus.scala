@@ -85,14 +85,12 @@ object Corpus {
       require(converged,
         s"connected components did not converge within $MaxCcIters rounds " +
           "— pair-graph diameter exceeds the cap; raise MaxCcIters")
-      // hand ownership of the result to the shared slot (repeated
-      // invocations must not leak caches), materialize it, then drop
-      // the loop's own persist — the slot copy is now self-contained
-      val out = Dedup.cacheSlot("cc-labels",
-        labels.select(col("doc_id"), col("lbl").as("cluster")))
-      out.count()
-      labels.unpersist()
-      out
+      // the loop materialized `labels`'s cache itself; hand it to the
+      // shared slot un-re-persisted so repeated invocations don't leak
+      // (a fresh persist+count over the deep fixpoint lineage measured
+      // ~12s of pure planning at sf0.1)
+      Dedup.adoptSlot("cc-labels", labels)
+      labels.select(col("doc_id"), col("lbl").as("cluster"))
     } finally edges.unpersist()
   }
 
