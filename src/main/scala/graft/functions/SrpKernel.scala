@@ -47,6 +47,19 @@ case class SrpBuckets(child: Expression, proj: Seq[Seq[Seq[Float]]])
   @transient private lazy val flat: Array[Array[Float]] =
     proj.flatMap(_.map(_.toArray)).toArray
 
+  // NULL-embedding parity with the composed form and the DuckDB oracle:
+  // `dot(NULL, w) > 0` is NULL, whose CASE/when falls to the ELSE 0
+  // branch on every bit — bucket 0 in every table, NOT a null result.
+  // (UnaryExpression's default nullSafeEval would return null and
+  // posexplode would then silently drop the row, desynchronizing the
+  // bucket-size windows across engines.)
+  override def nullable: Boolean = false
+  @transient private lazy val zeroBuckets = new GenericArrayData(new Array[Long](tables))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) zeroBuckets else nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val out = new Array[Long](tables)

@@ -203,9 +203,9 @@ object TextAnalysis {
     val bps = when(col("source").isin(MixFull: _*), MixFullBps)
       .when(col("source").isin(MixHalf: _*), MixHalfBps)
       .otherwise(MixRestBps)
-    val keyHash = conv(substring(md5(
-      concat(col("source"), lit(":"), col("doc_id").cast("string")).cast("binary")),
-      1, 7), 16, 10).cast("long") % 10000
+    // the shared 28-bit md5 keep-hash (same definition t6's split uses)
+    val keyHash = Dedup.baseHash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string"))) % 10000
     documents(s, d)
       .filter(keyHash < bps)
       .select(col("doc_id"), col("source"))
