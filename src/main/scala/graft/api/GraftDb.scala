@@ -16,6 +16,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * | `collection.bulkInsert(docs)`    | `c.bulkInsert(df)`            |
   * | `collection.upsert(doc)`         | `c.upsert(df, "id")`          |
   * | `collection.find({selector})`    | `c.find(selector, ...)`       |
+  * | `collection.find(sel).remove()`  | `c.remove(selector)`          |
   * | `collection.count().exec()`      | `c.count(selector)`           |
   * | `collection.findByIds(ids)`      | `c.findByIds(ids)`            |
   * | `exportJSON()` / `importJSON()`  | `c.exportJson` / `importJson` |
@@ -84,6 +85,31 @@ final case class GraftCollection(spark: SparkSession, path: String) {
   /** S5/S6 findByIds. */
   def findByIds(key: String, ids: Seq[Any]): DataFrame =
     toDf.filter(col(key).isin(ids: _*))
+
+  /** RxDB `find(selector).remove()`: delete every document matching the
+    * Mango selector; returns how many were removed. Same staged
+    * write-then-atomic-swap discipline as upsert (rewriting in place
+    * would leave a window with no table).
+    */
+  def remove(selector: Map[String, Any]): Long = {
+    if (!exists) return 0L
+    val current = toDf
+    val total = current.count()
+    // null-selector semantics: a doc whose predicate evaluates NULL
+    // (e.g. a comparison against a null field) does NOT match, so it
+    // must be KEPT — a bare !cond would silently drop it
+    val remaining = current.filter(
+      !coalesce(Mango.selectorToColumn(selector), lit(false)))
+    val kept = remaining.count()
+    if (kept < total) {
+      val tmpP = new org.apache.hadoop.fs.Path(path + "__staging")
+      val pathP = new org.apache.hadoop.fs.Path(path)
+      remaining.write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
+      fs.delete(pathP, true)
+      fs.rename(tmpP, pathP)
+    }
+    total - kept
+  }
 
   // ------------------------------------------------------ vector search
   // The reference's three exported search functions

@@ -50,6 +50,26 @@ class GraftDbSpec extends SparkSuite {
     assert(restored.toDf.select("id").except(items.toDf.select("id")).count() === 0)
   }
 
+  test("remove(selector): matching docs go, null-predicate docs stay, idempotent") {
+    import spark.implicits._
+    val db = GraftDb(spark, tmpDir("graftdb-rm"))
+    val c = db.collection("items")
+    c.bulkInsert(Seq(
+      ("1", Some(10), "keep"), ("2", Some(99), "drop"),
+      ("3", None: Option[Int], "null-score"), ("4", Some(99), "drop")
+    ).toDF("id", "score", "tag"))
+
+    val removed = c.remove(Map("score" -> Map("$gte" -> 50)))
+    assert(removed === 2L)
+    val left = c.toDf.select("id").collect().map(_.getString(0)).toSet
+    // doc 3's score is null -> predicate NULL -> not a match -> kept
+    assert(left === Set("1", "3"))
+
+    // removing again matches nothing and rewrites nothing
+    assert(c.remove(Map("score" -> Map("$gte" -> 50))) === 0L)
+    assert(c.count() === 2L)
+  }
+
   test("vector search facade: the reference's three strategies, one-to-one") {
     import org.apache.spark.sql.functions._
     val db = GraftDb(spark, tmpDir("graftdb-vec"))
