@@ -64,7 +64,11 @@ object Bench {
     for (n <- Seq("q_v9_indexed_range", "q_v10_ivf_kmeans") if names.contains(n);
          fn <- SparkEntry.queries.get(n))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a broken build here silently shifts its one-time cost into the
+        // timed run — surface it even though the bench itself continues
+        System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+      }
     // Locale.ROOT: a de_DE/fr_FR default locale would render "1,234"
     // and corrupt the JSON line the driver parses
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

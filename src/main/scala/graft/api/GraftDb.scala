@@ -47,6 +47,23 @@ final case class GraftCollection(spark: SparkSession, path: String) {
   def bulkInsert(docs: DataFrame): Unit =
     docs.write.mode(SaveMode.Append).parquet(path)
 
+  /** Swap the staged rewrite into place. rename→rename→delete, not
+    * delete→rename: a delete of a large table is O(files), so deleting
+    * first leaves a long no-table window. Renames are single metadata
+    * ops; the remaining gap is the instant between the two renames.
+    * Single-writer is assumed (as in the reference's Dexie storage); a
+    * crash between the renames leaves the data intact at `path__old`
+    * for manual recovery rather than destroyed.
+    */
+  private def swapIn(stagingP: org.apache.hadoop.fs.Path): Unit = {
+    val pathP = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(oldP, true) // leftover from a prior crashed swap
+    fs.rename(pathP, oldP)
+    fs.rename(stagingP, pathP)
+    fs.delete(oldP, true)
+  }
+
   /** S4 upsert — insert-or-replace by primary key, last-writer-wins for
     * keys present in `docs` (anti-join + append of the union — the
     * idempotent pattern from SURVEY §2.1 S4; no table format required).
@@ -62,14 +79,12 @@ final case class GraftCollection(spark: SparkSession, path: String) {
     if (!exists) { incoming.write.mode(SaveMode.Overwrite).parquet(path); return }
     val merged = toDf.join(incoming.select(key), Seq(key), "left_anti")
       .unionByName(incoming)
-    // stage the merged table once, then atomically swap directories —
-    // a write-then-copy would both double the IO and leave a window
+    // stage the merged table once, then swap directories — a
+    // write-then-copy would both double the IO and leave a window
     // where the table directory is already cleared
     val tmpP = new org.apache.hadoop.fs.Path(path + "__staging")
-    val pathP = new org.apache.hadoop.fs.Path(path)
     merged.write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
-    fs.delete(pathP, true)
-    fs.rename(tmpP, pathP)
+    swapIn(tmpP)
   }
 
   /** Mango query surface (P1-P12 + sort/skip/limit, pk tie-break). */
@@ -103,10 +118,8 @@ final case class GraftCollection(spark: SparkSession, path: String) {
     val kept = remaining.count()
     if (kept < total) {
       val tmpP = new org.apache.hadoop.fs.Path(path + "__staging")
-      val pathP = new org.apache.hadoop.fs.Path(path)
       remaining.write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
-      fs.delete(pathP, true)
-      fs.rename(tmpP, pathP)
+      swapIn(tmpP)
     }
     total - kept
   }

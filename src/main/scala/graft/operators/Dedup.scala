@@ -252,16 +252,26 @@ object Dedup {
     * oracle is exact — and by the pigeonhole bound above the banded
     * result IS the full ham<=3 pair set.
     */
+  /** Band explosion for d6: one (band, bh) row per signature band.
+    * Shared with DedupEdgeSpec, which asserts the OBSERVED max
+    * band-bucket size against [[MaxBucket]] — the pigeonhole exactness
+    * contract below silently degrades for pairs whose every shared
+    * band bucket is capped, so the precondition is verified on the
+    * tested corpora, not assumed.
+    */
+  private[graft] def d6Bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "bh")))
+
   val d6SimhashPairs: Relational.Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     // persist: bands self-join would otherwise run the whole md5
     // simhash pipeline once per side (measured: 4 scans, 0 reused
     // exchanges)
     val sigs = cacheSlot("simhash-sigs", d3SimhashOn(documents(s, d)))
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimBands).map(b =>
-        shiftright(col("simhash"), b * SimBandBits).bitwiseAND(lit(255L))): _*))
-        .as(Seq("band", "bh")))
+    val bands = d6Bands(sigs)
       // d2-style degenerate-bucket cap: on a duplicate-heavy corpus a
       // single signature family makes one bucket (and the true pair set)
       // O(copies²) — ScaleProbe x20 measured 192s uncapped. Capped

@@ -54,31 +54,41 @@ object Indexed {
     */
   val CentroidK = 8
 
-  /** Fixed path the oracle SQL reads the learned centroids from — the
-    * one piece of shared state between the engines (the whole point:
-    * same stored centroids on both sides). Overwritten per JVM run, so
-    * it always reflects the current sf directory.
-    */
-  val CentroidPath = "/tmp/graft_v10_centroids.parquet"
-
   // ------------------------------------------------------ index build
 
   private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val writtenCentroids = scala.collection.concurrent.TrieMap.empty[String, Boolean]
   private val learnedCentroids =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Float]]]
-  // which sf dir's centroids currently sit at CentroidPath — a second
-  // sf dir in the same JVM must rewrite the file or the oracle would
-  // read another run's centroids
-  @volatile private var centroidPathSf: String = ""
 
-  private def indexPath(d: String): String = {
+  private def absHash(d: String): String = {
     // absolute-path hash, not basename: two distinct dirs named alike
     // (e.g. ../a/sf0.01 and ../b/sf0.01) must not share an index
     val abs = new java.io.File(d).getAbsolutePath
-    val h = java.security.MessageDigest.getInstance("MD5")
+    java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    s"/tmp/graft_index/${new java.io.File(d).getName}_$h"
   }
+
+  private def indexPath(d: String): String =
+    s"/tmp/graft_index/${new java.io.File(d).getName}_${absHash(d)}"
+
+  /** Path the oracle SQL reads the learned centroids from — the one
+    * piece of shared state between the engines (the whole point: same
+    * stored centroids on both sides). Derived PER DATASET (abs-path
+    * hash, like [[indexPath]]) so two concurrent JVMs on different sf
+    * dirs never race on one file; rewritten once per JVM so it always
+    * reflects the current build code.
+    */
+  def centroidPath(d: String): String =
+    s"/tmp/graft_v10_centroids_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+
+  /** The dataset the v10 query most recently served — the oracle SQL
+    * (dumped by Verify AFTER the queries run) reads this dataset's
+    * centroid file. Initialized to the driver's verify sf so the dump
+    * is sane even if q_v10 itself failed.
+    */
+  @volatile private var oracleCentroidPath: String =
+    centroidPath("/root/testdata/sf0.01")
 
   /** Build the pivot-distance index for an sf dir once per JVM (the
     * testdata is immutable; rebuilding per JVM keeps the on-disk table
@@ -98,22 +108,23 @@ object Indexed {
   }
 
   /** Learn centroids once per JVM per sf dir and materialize them to
-    * [[CentroidPath]] (cid + array<float> centroid). Returned in cid
+    * [[centroidPath]] (cid + array<float> centroid). Returned in cid
     * order for literal-based serving.
     */
   def ensureCentroids(s: SparkSession, d: String): Seq[Seq[Float]] = synchronized {
     val centers = learnedCentroids.getOrElseUpdate(d,
       Pivots.learnKMeans(embeddings(s, d), "embedding", CentroidK))
-    // (re)write the shared oracle file whenever another sf dir's
-    // centroids are currently on disk — serving literals and the file
-    // the oracle reads must always agree
-    if (centroidPathSf != d) {
+    val path = centroidPath(d)
+    // rewrite once per JVM (even if a file exists from an older run —
+    // serving literals and the file the oracle reads must always agree)
+    writtenCentroids.getOrElseUpdate(path, {
       import s.implicits._
       centers.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("cid", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(CentroidPath)
-      centroidPathSf = d
-    }
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      true
+    })
+    oracleCentroidPath = path
     centers
   }
 
@@ -193,7 +204,9 @@ object Indexed {
   // tables (v9) / the materialized centroid parquet (v10) with the
   // unnest-zip double arithmetic that matches the Catalyst kernels
   // bit-for-bit, then apply the identical probe + band + re-rank logic.
-  val oracleSql: Map[String, String] = Map(
+  // `def`, not `val`: the v10 SQL splices the dataset-derived centroid
+  // path recorded by the query run (Verify dumps oracleSql last).
+  def oracleSql: Map[String, String] = Map(
     "q_v9_indexed_range" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
          |piv AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
@@ -247,7 +260,7 @@ object Indexed {
          |ORDER BY r.dist ASC, id ASC LIMIT $K""".stripMargin,
     "q_v10_ivf_kmeans" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
-         |cent AS (SELECT cid, centroid FROM read_parquet('$CentroidPath/*.parquet')),
+         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
          |qp AS (
          |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
          |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b

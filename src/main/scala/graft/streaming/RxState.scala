@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 
 /** Durable key-value state — the reference's RxState
   * (`/root/reference/src/database.ts:120-133`: a reactive
@@ -25,10 +25,13 @@ class RxState(spark: SparkSession, path: String) {
   def set(key: String, value: String): Unit = synchronized {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val nextSeq =
-      (try spark.read.parquet(path).agg(coalesce(max("seq"), lit(0L)))
-        .head().getLong(0)
-      catch { case _: Throwable => 0L }) + 1L
+    // only a MISSING log means "start at seq 0" — a genuine read failure
+    // must propagate, or the fresh write would silently lose
+    // last-write-wins to existing higher-seq rows
+    val nextSeq = readLog() match {
+      case Some(df) => df.agg(coalesce(max("seq"), lit(0L))).head().getLong(0) + 1L
+      case None => 1L
+    }
     Seq((key, value, nextSeq))
       .toDF("key", "value", "seq")
       .coalesce(1).write.mode(SaveMode.Append).parquet(path)
@@ -36,13 +39,21 @@ class RxState(spark: SparkSession, path: String) {
 
   def setBoolean(key: String, value: Boolean): Unit = set(key, value.toString)
 
+  /** The state log, or None when no state has ever been written
+    * (PATH_NOT_FOUND). Any other read failure propagates.
+    */
+  private def readLog(): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: AnalysisException
+          if Option(e.getCondition).contains("PATH_NOT_FOUND") => None
+    }
+
   /** Current value of every key (latest seq wins). */
   def all(): Map[String, String] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val df =
-      try spark.read.parquet(path)
-      catch { case _: Throwable => return Map.empty }
+    val df = readLog().getOrElse(return Map.empty)
     df.withColumn("rn", row_number().over(
         Window.partitionBy("key").orderBy(col("seq").desc)))
       .filter(col("rn") === 1)

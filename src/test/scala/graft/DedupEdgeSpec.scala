@@ -66,6 +66,15 @@ class DedupEdgeSpec extends SparkSuite {
     assert(banded === brute,
       s"banded=${banded.size} brute=${brute.size}: band bucketing must lose nothing at ham<=${Dedup.SimHamMax}")
     assert(banded.nonEmpty)
+    // the pigeonhole exactness only holds while no band bucket is
+    // capped — verify the precondition instead of assuming it
+    val maxBucket = Dedup.d6Bands(sigs)
+      .groupBy("band", "bh").count()
+      .agg(max("count")).head().getLong(0)
+    info(s"d6 max band-bucket size on sf0.001: $maxBucket (cap ${Dedup.MaxBucket})")
+    assert(maxBucket <= Dedup.MaxBucket,
+      s"max band bucket $maxBucket exceeds MaxBucket=${Dedup.MaxBucket}: " +
+        "the 'EXACT at ham<=3' contract no longer holds on this corpus")
   }
 
   test("d5 SRP-LSH: every reported pair passes the exact cosine verify; subset of all-pairs truth") {

@@ -87,7 +87,7 @@ class IndexedSearchSpec extends SparkSuite {
     // independent formulation reading the WRITTEN centroid parquet (also
     // proves the stored file is what serving actually used)
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val cent = spark.read.parquet(Indexed.CentroidPath)
+    val cent = spark.read.parquet(Indexed.centroidPath(sf0001))
     assert(cent.count() === Indexed.CentroidK)
     val qv = emb.filter(col("vec_id") === Knn.QueryId)
       .select("embedding").head().getSeq[Float](0)
