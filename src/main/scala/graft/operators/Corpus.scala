@@ -100,6 +100,100 @@ object Corpus {
     connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
+  // ------------------------------------- d9: components, star algorithm
+
+  /** Round cap for the star loop. Large-star/small-star converges in
+    * O(log² n) rounds on ANY graph shape (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — unlike plain label
+    * propagation whose round count is the graph DIAMETER. 30 rounds
+    * covers graphs astronomically larger than any real corpus.
+    */
+  val MaxStarIters = 30
+
+  /** Connected components by alternating large-star/small-star — the
+    * 100 TB-scale path promised in [[connectedComponents]]'s round-cap
+    * note. Label propagation pays one round per unit of graph diameter;
+    * a pathological near-dup chain a1~a2~...~aN (common in crawl data:
+    * boilerplate families, template drift) makes that O(N) rounds. The
+    * star operations restructure the graph itself toward stars:
+    *
+    *  - large-star: every node hangs its LARGER neighbors onto its
+    *    local minimum — per node, one emission per larger neighbor;
+    *  - small-star: every node hangs its smaller-or-equal neighbors
+    *    (and itself) onto its smallest neighbor.
+    *
+    * Both are one shuffle on the node id (groupBy min + re-emit), both
+    * preserve connectivity, and their fixpoint is a forest of stars
+    * whose centers are the component minima. Edges stay canonical
+    * (u > v) and distinct, so the fixpoint test is exact set equality
+    * (count + anti-join), not a heuristic. (At true 100 TB you would
+    * swap the equality probe for the paper's potential-function check
+    * to save one join per round; the loop body is unchanged.)
+    *
+    * Each round LOCAL-CHECKPOINTS the new edge set rather than merely
+    * persisting it: one star round references the previous edge set
+    * four times (two union legs × join sides), so without truncating
+    * the lineage the logical plan grows ~4× per round and the
+    * optimizer itself OOMs after a handful of rounds. On a cluster
+    * you'd point this at a reliable checkpoint dir instead.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val loopParts = 8
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(loopParts, col("u"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < MaxStarIters) {
+      // large-star: for each node x (both orientations), m = min of its
+      // neighborhood incl. itself; re-hang every LARGER neighbor on m
+      val sym = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(min("y").as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val ls = sym.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(greatest(col("y"), col("m")).as("u"), least(col("y"), col("m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: group by the larger endpoint u; every smaller
+      // neighbor (and u itself) hangs on the smallest neighbor
+      val mins2 = ls.groupBy("u").agg(min("v").as("mn"))
+      val next = ls.join(mins2, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v")) // v > mn by construction
+        .union(mins2.select(col("u"), col("mn").as("v")))
+        .distinct()
+        .repartition(loopParts, col("u"))
+        .localCheckpoint(true)
+      // exact fixpoint: canonical distinct sets are equal iff counts
+      // match and the difference is empty
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged,
+      s"star connected components did not converge within $MaxStarIters rounds")
+    // at the fixpoint the edge set IS the component assignment: every
+    // non-root points straight at its component minimum (checkpointed
+    // RDDs of dropped rounds are reclaimed by the ContextCleaner)
+    edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .union(edges.select(col("v"), col("v")).distinct())
+  }
+
+  /** D9: the same cluster assignment as d7, computed by the star
+    * algorithm — oracle-checked against the identical recursive-CTE
+    * transitive closure, and spec-checked equal to d7's fixpoint
+    * (CorpusSpec), so the scale path is held to the exact answer.
+    */
+  val d9CcBigstar: Relational.Q = (s, d) => {
+    val pairs = Dedup.d2MinhashLshOn(documents(s, d)).select("doc_a", "doc_b")
+    connectedComponentsStar(pairs, "doc_a", "doc_b").orderBy("doc_id")
+  }
+
   // ------------------------------------------------ d8: decontamination
 
   /** Benchmark set = doc_id < BenchIdMax; everything else is "train". */
@@ -191,32 +285,39 @@ object Corpus {
 
   val queries: Map[String, Relational.Q] = Map(
     "q_d7_dedup_clusters" -> d7DedupClusters,
+    "q_d9_cc_bigstar" -> d9CcBigstar,
     "q_d8_decontaminate" -> d8Decontaminate,
     "q_t11_tfidf" -> t11Tfidf,
     "q_t12_pack" -> t12Pack,
   )
 
+  /** Transitive closure to the minimum reachable id via recursive CTE —
+    * semantically identical to BOTH Spark component formulations (the
+    * d7 label-propagation fixpoint and the d9 star fixpoint), so one
+    * oracle holds both implementations to the same exact answer.
+    */
+  private val ccOracle: String = {
+    val base = Dedup.d2VerifiedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$base,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM verified WHERE jac >= ${Dedup.JaccardThreshold}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    // transitive closure to the minimum reachable id via recursive CTE —
-    // semantically identical to the Spark label-propagation fixpoint
-    "q_d7_dedup_clusters" -> {
-      val base = Dedup.d2VerifiedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
-      s"""$base,
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM verified WHERE jac >= ${Dedup.JaccardThreshold}
-         |),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs
-         |),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |)
-         |SELECT src AS doc_id, least(src, min(dst)) AS cluster
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-    },
+    "q_d7_dedup_clusters" -> ccOracle,
+    "q_d9_cc_bigstar" -> ccOracle,
     "q_d8_decontaminate" ->
       s"""${Dedup.shingleCte},
          |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),

@@ -25,6 +25,33 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.connectedComponents(empty, "a", "b").count() === 0)
   }
 
+  test("connectedComponentsStar: known graph, long chain, empty graph") {
+    // same graph as the label-propagation test
+    val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
+      .toDF("a", "b")
+    val got = Corpus.connectedComponentsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    // a 40-node chain: label propagation would need ~40 rounds; the
+    // star algorithm's O(log² n) bound collapses it well inside the cap
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainGot = Corpus.connectedComponentsStar(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot.size === 40)
+    assert(chainGot.values.forall(_ == 1L), "whole chain is one component rooted at 1")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Corpus.connectedComponentsStar(empty, "a", "b").count() === 0)
+  }
+
+  test("d9 star components == d7 label-propagation components on the real corpus") {
+    val d7 = Corpus.d7DedupClusters(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d9 = Corpus.d9CcBigstar(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d9 === d7, "the scale-path algorithm must give the exact same clustering")
+  }
+
   test("d7 clusters: every doc labeled with the min id of its d2 pair component") {
     val pairs = graft.operators.Dedup.d2MinhashLshOn(
       spark.read.parquet(s"$sf0001/documents.parquet"))
