@@ -281,6 +281,74 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------- t14: token rarity
+
+  /** A token is "rare" if its whole-corpus occurrence count is at most
+    * this — the tail that drives perplexity up and signals
+    * OCR damage, code, or boilerplate IDs in crawl data.
+    */
+  val RareMaxCount = 2
+
+  /** T14: corpus-frequency rarity scoring — the integer-exact stand-in
+    * for an n-gram LM perplexity filter (a true LM score needs ln(),
+    * whose last-ulp behavior is libm-specific and would violate the
+    * oracle determinism contract; sums and ratios of exact corpus
+    * counts carry the same signal). Two passes over the token stream:
+    * corpus term frequencies, then a per-doc fold of the counts each
+    * token instance carries. All shuffles key on `term`/`doc_id`.
+    */
+  val t14Rarity: Relational.Q = (s, d) => {
+    val tok = Dedup.cacheSlot("rarity-tokens", documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= ""))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+    tok.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("freq").as("sum_freq"),
+        sum(when(col("freq") <= RareMaxCount, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("n_rare"),
+        round(col("sum_freq") / col("n_tokens"), 6).as("avg_freq"),
+        round(col("n_rare") / col("n_tokens"), 6).as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------- d10: passage dedup
+
+  /** Non-overlapping passage width, in tokens. */
+  val PassageTokens = 10
+
+  /** D10: repeated-passage detection — the intra/inter-document
+    * boilerplate signal (the fixed-width analogue of CCNet's line dedup
+    * / RefinedWeb's exact-substring pass; this corpus has no newline or
+    * sentence structure, so passages are fixed 10-token windows). One
+    * explode to the chunk stream, one count shuffle on the chunk text,
+    * one fold back to docs: per doc, how many of its passages occur
+    * anywhere else in the corpus. Downstream gates drop docs whose
+    * dup_frac exceeds policy.
+    */
+  val d10PassageDedup: Relational.Q = (s, d) => {
+    val chunks = Dedup.cacheSlot("passage-chunks", documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(
+        // sequence(a, b) DESCENDS for b < a (the d4 lesson) — guard the
+        // under-width docs to an empty chunk list explicitly
+        when(size(col("w")) >= PassageTokens,
+          expr(s"""transform(sequence(0, (size(w) div $PassageTokens) - 1),
+                   i -> array_join(slice(w, i*$PassageTokens + 1, $PassageTokens), ' '))"""))
+          .otherwise(array().cast("array<string>"))).as("chunk")))
+    val cnt = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
+    chunks.join(cnt, "chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        round(col("n_dup") / col("n_chunks"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- registration
 
   val queries: Map[String, Relational.Q] = Map(

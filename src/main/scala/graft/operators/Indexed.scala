@@ -128,6 +128,68 @@ object Indexed {
     centers
   }
 
+  // ------------------------------------------------- v12: PQ codebooks
+
+  /** Product-quantization geometry: the embedding is split into
+    * [[PqM]] contiguous subspaces; each subspace gets its own KMeans
+    * codebook of [[PqK]] centroids (seeded, materialized to parquet
+    * like the v10 centroids). A vector's code is its per-subspace
+    * argmin centroid — [[PqM]] small integers instead of the full
+    * float vector. Serving is asymmetric-distance computation (ADC,
+    * Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI'11): the query precomputes its squared distance
+    * to every centroid of every subspace (a [[PqM]]x[[PqK]] literal
+    * table), a row's approximate distance is the sum of table lookups
+    * selected by its code, and only the [[PqTopN]] best approximate
+    * rows pay the exact re-rank. At 100 TB the codes table is ~64x
+    * smaller than the raw embeddings and the scan does no per-row
+    * float-vector arithmetic at all — table lookups only.
+    */
+  val PqM = 4
+  val PqK = 16
+  val PqTopN = 100
+
+  private val learnedCodebooks =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
+  private val writtenCodebooks = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def pqPath(d: String): String =
+    s"/tmp/graft_v12_codebook_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+
+  @volatile private var oraclePqPath: String = pqPath("/root/testdata/sf0.01")
+  @volatile private var oraclePqSubDim: Int = 16
+
+  /** Learn the PqM sub-codebooks once per JVM per sf dir and
+    * materialize them as (m, code, centroid) rows — the oracle reads
+    * the same stored floats, so KMeans training stays outside the
+    * compared computation (the v10 discipline).
+    */
+  def ensureCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] = synchronized {
+    val cb = learnedCodebooks.getOrElseUpdate(d, {
+      val e = embeddings(s, d)
+      val dims = e.select(size(col("embedding"))).head().getInt(0)
+      require(dims % PqM == 0, s"embedding dim $dims not divisible into $PqM subspaces")
+      val sub = dims / PqM
+      (0 until PqM).map { m =>
+        Pivots.learnKMeans(
+          e.select(slice(col("embedding"), m * sub + 1, sub).as("sub")),
+          "sub", PqK, seed = 42L + m)
+      }
+    })
+    val path = pqPath(d)
+    writtenCodebooks.getOrElseUpdate(path, {
+      import s.implicits._
+      cb.zipWithIndex.flatMap { case (cents, m) =>
+        cents.zipWithIndex.map { case (c, code) => (m, code, c) }
+      }.toDF("m", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      true
+    })
+    oraclePqPath = path
+    oraclePqSubDim = cb.head.head.size
+    cb
+  }
+
   // ---------------------------------------------------------- serving
 
   /** Query-to-pivot distances through the same Catalyst kernel the
@@ -195,9 +257,58 @@ object Indexed {
         round(col("dist"), 3).as("dist"))
   }
 
+  /** V12: PQ encode + ADC serve. Encoding (the per-row argmin over
+    * each subspace codebook) and the ADC lookup table both derive from
+    * the STORED codebook; every distance is double arithmetic in index
+    * order on both engines, argmin ties break to the lowest code, and
+    * the approximate distance sums its PqM lookup terms in fixed
+    * left-to-right subspace order — so the TopN prune boundary cannot
+    * flip across engines. Exact re-rank on the pruned set, top K.
+    */
+  val v12PqAdc: Relational.Q = (s, d) => {
+    val cb = ensureCodebook(s, d)
+    val subDim = cb.head.head.size
+    val qv = embeddings(s, d).filter(col("vec_id") === Knn.QueryId)
+      .select("embedding").head().getSeq[Float](0)
+    // query-to-centroid SQUARED distances: double accumulation in index
+    // order — the same bits DuckDB's unnest-zip sum produces
+    val qd2: Seq[Seq[Double]] = (0 until PqM).map { m =>
+      cb(m).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val dd = qv(m * subDim + i).toDouble - c(i).toDouble
+          acc += dd * dd
+          i += 1
+        }
+        acc
+      }
+    }
+    val codeCols = (0 until PqM).map { m =>
+      val sub = slice(col("embedding"), m * subDim + 1, subDim)
+      val dists = array(cb(m).map(c => euclidean(sub, typedlit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$m")
+    }
+    val approx = sqrt((0 until PqM).map { m =>
+      element_at(typedlit(qd2(m)), col(s"code$m") + 1)
+    }.reduceLeft(_ + _))
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    embeddings(s, d)
+      .select(col("vec_id") +: col("embedding") +: codeCols: _*)
+      .withColumn("approx", approx)
+      .orderBy(col("approx").asc, col("vec_id").asc)
+      .limit(PqTopN)
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), round(col("approx"), 3).as("approx_dist"),
+        round(col("dist"), 3).as("dist"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "q_v9_indexed_range" -> v9IndexedRange,
     "q_v10_ivf_kmeans" -> v10IvfKmeans,
+    "q_v12_pq_adc" -> v12PqAdc,
   )
 
   // The oracles recompute every pivot/centroid distance from the raw
@@ -301,5 +412,60 @@ object Indexed {
          |       round(r.dist,3) AS dist
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin,
+    "q_v12_pq_adc" -> {
+      val sub = oraclePqSubDim
+      // Σ_m of the looked-up qd2 terms, in fixed left-to-right subspace
+      // order (same associativity as the Scala reduceLeft)
+      val adcSum = (0 until PqM)
+        .map(m => s"max(CASE WHEN m=$m THEN qd2 END)").mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
+         |vp AS (
+         |  SELECT vec_id, m, code, sqrt(sum((a-b)*(a-b))) AS dd
+         |  FROM (SELECT e.vec_id, c.m, c.code,
+         |               unnest(e.embedding[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(c.centroid)::DOUBLE AS b
+         |        FROM embeddings e CROSS JOIN cb c) z
+         |  GROUP BY vec_id, m, code
+         |),
+         |assign AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, code ASC) AS rn
+         |    FROM vp) t
+         |  WHERE rn = 1
+         |),
+         |qp AS (
+         |  SELECT m, code, sum((a-b)*(a-b)) AS qd2
+         |  FROM (SELECT c.m, c.code,
+         |               unnest(q.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(c.centroid)::DOUBLE AS b
+         |        FROM cb c CROSS JOIN q) z
+         |  GROUP BY m, code
+         |),
+         |approx AS (
+         |  SELECT vec_id, sqrt($adcSum) AS approx
+         |  FROM assign JOIN qp USING (m, code)
+         |  GROUP BY vec_id
+         |),
+         |cand AS (
+         |  SELECT vec_id, approx FROM (
+         |    SELECT vec_id, approx,
+         |           row_number() OVER (ORDER BY approx ASC, vec_id ASC) AS rn
+         |    FROM approx) t
+         |  WHERE rn <= $PqTopN
+         |),
+         |rerank AS (
+         |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |        CROSS JOIN q) z
+         |  GROUP BY vec_id
+         |)
+         |SELECT r.vec_id, round(c.approx,3) AS approx_dist, round(r.dist,3) AS dist
+         |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
+         |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
+    },
   )
 }

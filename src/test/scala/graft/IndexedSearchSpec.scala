@@ -143,4 +143,31 @@ class IndexedSearchSpec extends SparkSuite {
     // 0.9 on this fixture; assert the bound COVERAGE.md documents
     assert(recall >= 0.8)
   }
+
+  test("q_v12_pq_adc: codes come from the stored codebook; PQ prune keeps real neighbors") {
+    import graft.operators.Indexed
+    val got = Indexed.v12PqAdc(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got.size === Indexed.K)
+    // the stored codebook is what serving used
+    val cb = spark.read.parquet(Indexed.pqPath(sf0001))
+    assert(cb.count() === Indexed.PqM * Indexed.PqK)
+    // the query vector itself survives the ADC prune and re-ranks first
+    assert(got.head._1 === Knn.QueryId && got.head._3 === 0.0)
+    // recall of the PQ-pruned result vs exact full-scan top-K
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === Knn.QueryId)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = emb
+      .withColumn("dist", euclidean(col("embedding"), typedlit(qv)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(Indexed.K)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got.map(_._1).toSet.contains).toDouble / exact.size
+    info(s"PQ ADC (M=${Indexed.PqM}, K*=${Indexed.PqK}, topN=${Indexed.PqTopN}) recall@10 = $recall")
+    assert(recall >= 0.5, s"ADC prune recall degraded: $recall")
+    // approx distances are monotone-consistent: exact re-rank distances
+    // in the output are sorted and the approx column is non-negative
+    assert(got.map(_._3) === got.map(_._3).sorted)
+    assert(got.forall(_._2 >= 0.0))
+  }
 }
