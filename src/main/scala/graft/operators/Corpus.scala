@@ -355,8 +355,10 @@ object Corpus {
     "q_d7_dedup_clusters" -> d7DedupClusters,
     "q_d9_cc_bigstar" -> d9CcBigstar,
     "q_d8_decontaminate" -> d8Decontaminate,
+    "q_d10_passage_dedup" -> d10PassageDedup,
     "q_t11_tfidf" -> t11Tfidf,
     "q_t12_pack" -> t12Pack,
+    "q_t14_rarity" -> t14Rarity,
   )
 
   /** Transitive closure to the minimum reachable id via recursive CTE —
@@ -415,6 +417,40 @@ object Corpus {
          |SELECT doc_id, rn::BIGINT AS rn, term, tf, df,
          |       round(tf::DOUBLE / df, 6) AS score
          |FROM r WHERE rn <= $TfidfTopK ORDER BY doc_id, rn""".stripMargin,
+    "q_t14_rarity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, t AS term
+         |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+         |        FROM documents) z
+         |  WHERE t <> ''
+         |),
+         |freq AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1)
+         |SELECT t.doc_id,
+         |       count(*)::BIGINT AS n_tokens,
+         |       CAST(sum(f.freq) AS BIGINT) AS sum_freq,
+         |       CAST(sum(CASE WHEN f.freq <= $RareMaxCount THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |       round(CAST(sum(f.freq) AS BIGINT) / count(*), 6) AS avg_freq,
+         |       round(CAST(sum(CASE WHEN f.freq <= $RareMaxCount THEN 1 ELSE 0 END) AS BIGINT)
+         |             / count(*), 6) AS rare_frac
+         |FROM tok t JOIN freq f USING (term)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_d10_passage_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+         |),
+         |ch AS (
+         |  SELECT doc_id,
+         |         array_to_string(w[i*$PassageTokens+1 : i*$PassageTokens+$PassageTokens], ' ') AS chunk
+         |  FROM (SELECT doc_id, w, unnest(range(0, len(w)//$PassageTokens)) AS i FROM tok) z
+         |),
+         |cnt AS (SELECT chunk, count(*) AS cnt FROM ch GROUP BY 1)
+         |SELECT c.doc_id,
+         |       count(*)::BIGINT AS n_chunks,
+         |       CAST(sum(CASE WHEN t.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       round(CAST(sum(CASE WHEN t.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |             / count(*), 6) AS dup_frac
+         |FROM ch c JOIN cnt t USING (chunk)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_t12_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

@@ -188,8 +188,27 @@ object Temporal {
       .orderBy("stage")
   }
 
+  /** E2: cohort retention — users grouped by the epoch-day of their
+    * first event; for every (cohort, day-offset) cell, how many of the
+    * cohort's users were active. Two aggregations + one join, all
+    * keyed on user_id then (cohort, offset) — the classic retention
+    * triangle without any per-user driver loop. Day boundaries are
+    * integer nanos-div-86400e9 here and epoch_us-div-86400e6 in the
+    * oracle: the same integer for every timestamp after 1970.
+    */
+  val retentionQ: Relational.Q = (s, d) => {
+    val e = events(s, d)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy("cohort", "day_offset")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "q_e1_funnel" -> funnelQ,
+    "q_e2_retention" -> retentionQ,
     "q_asof_join" -> asofQ,
     "q_sessionize" -> sessionizeQ,
     "q_range_join" -> rangeJoinQ,
@@ -199,6 +218,13 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_e2_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)//86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+        |SELECT c.cohort, e.day - c.cohort AS day_offset,
+        |       count(DISTINCT e.user_id) AS users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
     // epoch_us(ts) == Spark's `ts div 1000` of the nanos column
     "q_e1_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),

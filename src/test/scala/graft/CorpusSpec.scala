@@ -84,6 +84,48 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("d10 passage dedup: exact-duplicate docs have dup_frac 1; unique docs 0") {
+    val out = Corpus.d10PassageDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nChunks, nDup, frac) =>
+      assert(nDup <= nChunks, s"doc $id: dup chunks exceed total")
+      assert(frac === (nDup.toDouble / nChunks * 1e6).round / 1e6)
+    }
+    // the corpus has exact duplicate docs (d1 finds them): every passage
+    // of a duplicated doc occurs at least twice corpus-wide
+    val canon = graft.operators.Dedup.d1Exact(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dupDocs = canon.groupBy(_._2).filter(_._2.size > 1)
+      .values.flatten.map(_._1).toSet
+    if (dupDocs.nonEmpty) {
+      val byId = out.map(o => o._1 -> o._4).toMap
+      dupDocs.flatMap(byId.get).foreach(frac => assert(frac === 1.0))
+    }
+  }
+
+  test("t14 rarity: hapax-heavy docs score high rare_frac; ratios consistent") {
+    val out = Corpus.t14Rarity(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nTok, sumFreq, nRare) =>
+      assert(nTok >= 1)
+      assert(sumFreq >= nTok, s"doc $id: every token occurs at least once corpus-wide")
+      assert(nRare <= nTok)
+    }
+  }
+
+  test("e2 retention: offsets are non-negative and cohort day-0 counts cover the cohort") {
+    val out = graft.operators.Temporal.retentionQ(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0), "offset is measured from the user's first event")
+    // day-0 row exists for every cohort (a user is active on their first day)
+    val cohorts = out.map(_._1).toSet
+    val day0 = out.filter(_._2 == 0L).map(_._1).toSet
+    assert(day0 === cohorts)
+  }
+
   test("d8 decontamination: reported overlaps are real shared-shingle counts") {
     val got = Corpus.d8Decontaminate(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
