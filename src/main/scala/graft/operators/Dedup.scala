@@ -161,6 +161,18 @@ object Dedup {
     cached
   }
 
+  /** Drop every slot's cached blocks. Slots are per-query working sets
+    * (each query repopulates its own on invocation), so a harness that
+    * runs many queries back-to-back (Bench/Verify) can release them
+    * between queries — otherwise tens of retired signature/label tables
+    * accumulate as live heap and the resulting full-GC pause lands
+    * inside whichever timed query triggers it.
+    */
+  private[graft] def releaseSlots(): Unit = synchronized {
+    cacheSlots.valuesIterator.foreach(_.unpersist())
+    cacheSlots.clear()
+  }
+
   def d2MinhashLshOn(docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     val par = s.sparkContext.defaultParallelism
