@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Knn.queries ++
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Temporal.queries ++ operators.Advanced.queries ++
-      operators.Indexed.queries ++ operators.Corpus.queries
+      operators.Indexed.queries ++ operators.Corpus.queries ++
+      operators.Bucketed.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     operators.Relational.oracleSql ++ operators.Knn.oracleSql ++
       operators.TextAnalysis.oracleSql ++ operators.Dedup.oracleSql ++
       operators.Temporal.oracleSql ++ operators.Advanced.oracleSql ++
-      operators.Indexed.oracleSql ++ operators.Corpus.oracleSql
+      operators.Indexed.oracleSql ++ operators.Corpus.oracleSql ++
+      operators.Bucketed.oracleSql
 }

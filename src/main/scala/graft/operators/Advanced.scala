@@ -309,9 +309,50 @@ object Advanced {
         substring(col("text"), 1, 16).as("head"))
       .orderBy("doc_id")
 
+  /** CDC MERGE: apply a change batch (updates / deletes / inserts) to a
+    * base table in ONE full-outer join — the incremental-maintenance
+    * primitive behind upsert sinks and slowly-changing tables. The
+    * change feed here derives deterministically from the base keys
+    * (`key % 10`: 0→update, 7→delete, 3→insert under a fresh key) so
+    * both engines construct the identical batch; a real pipeline reads
+    * it from a changelog. Scale shape: one hash shuffle of each side on
+    * the merge key (or zero with [[Bucketed]]-style co-location of base
+    * and changelog); matched-update / matched-delete / unmatched-insert
+    * all resolve row-locally in the joined stream — no per-row driver
+    * logic, no second pass.
+    */
+  val cdcMerge: Relational.Q = (s, d) => {
+    val base = orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val k = col("o_orderkey") % 10
+    val changes = base
+      .filter(k.isin(0, 3, 7))
+      .select(
+        when(k === 3, col("o_orderkey") + 10000000L)
+          .otherwise(col("o_orderkey")).as("c_key"),
+        when(k === 0, "U").when(k === 7, "D").otherwise("I").as("op"),
+        // additions only: halving a 2-decimal price would mint exact
+        // half-cents and park the group sum ON the round(…,2) boundary,
+        // where cross-engine summation order decides the last digit
+        when(k === 0, col("o_totalprice") + 100.0)
+          .when(k === 3, col("o_totalprice") + 50.25).as("n_price"))
+    base.join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("c_key"), col("o_orderkey")).as("key"),
+        when(col("op") === "U", "U").when(col("op") === "I", "I")
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("op").isin("U", "I"), col("n_price"))
+          .otherwise(col("o_totalprice")).as("price"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("key").as("min_key"),
+        max("key").as("max_key"), round(sum("price"), 2).as("total"))
+      .orderBy("status")
+  }
+
   // --------------------------------------------------------- registration
 
   val queries: Map[String, Relational.Q] = Map(
+    "q_cdc_merge" -> cdcMerge,
     "q_agg_percentiles" -> aggPercentiles,
     "q_agg_cube" -> aggCube,
     "q_agg_grouping_sets" -> aggGroupingSets,
@@ -332,6 +373,29 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cdc_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 3 THEN o_orderkey + 10000000
+        |              ELSE o_orderkey END AS c_key,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+        |              WHEN o_orderkey % 10 = 7 THEN 'D' ELSE 'I' END AS op,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+        |              WHEN o_orderkey % 10 = 3 THEN o_totalprice + 50.25 END AS n_price
+        |  FROM base WHERE o_orderkey % 10 IN (0, 3, 7)
+        |),
+        |m AS (
+        |  SELECT coalesce(c.c_key, b.o_orderkey) AS key,
+        |         CASE WHEN c.op = 'U' THEN 'U' WHEN c.op = 'I' THEN 'I'
+        |              ELSE b.o_orderstatus END AS status,
+        |         CASE WHEN c.op IN ('U', 'I') THEN c.n_price
+        |              ELSE b.o_totalprice END AS price
+        |  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.c_key
+        |  WHERE c.op IS NULL OR c.op <> 'D'
+        |)
+        |SELECT status, count(*) AS n, min(key) AS min_key, max(key) AS max_key,
+        |       round(sum(price), 2) AS total
+        |FROM m GROUP BY 1 ORDER BY status""".stripMargin,
     "q_agg_percentiles" ->
       """WITH r AS (
         |  SELECT l_returnflag AS flag, l_extendedprice AS v,

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shuffle-free co-located joins over BUCKETED tables — the layout move
+  * that makes repeated fact-to-fact joins viable at 100 TB.
+  *
+  * `q_join_*`/`q_j1..j5` demonstrate the join operators themselves; all
+  * of them either broadcast a small side or shuffle both sides on the
+  * join key at query time. That per-query shuffle is the dominant cost
+  * of a large join pipeline: at 100 TB a single orders⋈lineitem exchange
+  * moves the whole fact table across the network, every time any query
+  * joins them. The warehouse fix is to pay the shuffle ONCE at ingest:
+  * write both tables hash-bucketed (and sorted) on the join key, then
+  * every subsequent join co-locates matching keys by construction —
+  * Catalyst plans a SortMergeJoin with NO Exchange on either side
+  * (asserted in `BucketedSpec`; only per-partition sorts remain, which
+  * stream from disk).
+  *
+  * Build-once / serve-many discipline mirrors [[Indexed.ensureIndex]]:
+  * the bucketed copies are materialized under /tmp once per JVM per
+  * dataset and registered in the session catalog; the query reads only
+  * the bucketed tables. The oracle recomputes the same aggregate from
+  * the raw parquet — bucketing is a physical-layout property, so the
+  * logical result must be identical (that equality IS the check).
+  */
+object Bucketed {
+
+  /** 8 buckets at test scale; at 100 TB you'd size buckets so one
+    * bucket's rows fit an executor's shuffle-free merge (e.g. 4096),
+    * and the plan shape below is unchanged.
+    */
+  val NBuckets = 8
+
+  private def absHash(d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Write `df` as a bucketed+sorted external table once per catalog.
+    * `repartition(NBuckets, key)` first so each write task holds exactly
+    * one bucket's rows (same murmur3 hash both places) — one file per
+    * bucket, the layout that keeps bucket scans single-file.
+    */
+  private def writeIfAbsent(s: SparkSession, table: String, path: String,
+      df: DataFrame, key: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      // fresh JVM: a stale on-disk dir from an older build must not
+      // shadow the current build code
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      df.repartition(NBuckets, col(key))
+        .write.bucketBy(NBuckets, key).sortBy(key)
+        .option("path", path).saveAsTable(table)
+    }
+
+  /** Ensure the bucketed orders/lineitem copies for `d` exist and are
+    * registered; returns (ordersTable, lineitemTable) catalog names.
+    * Only the join/agg columns are kept — the bucketed copy is a
+    * purpose-built projection, not a second full copy of the fact table.
+    */
+  def ensureBucketed(s: SparkSession, d: String): (String, String) = synchronized {
+    val h = absHash(d)
+    val oT = s"graft_orders_bkt_$h"
+    val lT = s"graft_lineitem_bkt_$h"
+    writeIfAbsent(s, oT, s"/tmp/graft_bucketed/orders_$h",
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      "o_orderkey")
+    writeIfAbsent(s, lT, s"/tmp/graft_bucketed/lineitem_$h",
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+      "l_orderkey")
+    (oT, lT)
+  }
+
+  /** The row-level co-located join (no aggregate) — the fragment whose
+    * physical plan `BucketedSpec` audits for zero exchanges.
+    */
+  def bucketedJoinRows(s: SparkSession, d: String): DataFrame = {
+    val (oT, lT) = ensureBucketed(s, d)
+    s.table(oT).join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+  }
+
+  /** J6: per-priority order-fulfillment rollup over the co-located join.
+    * The join moves zero rows over the network; the only exchange in the
+    * query carries the 5-row partial aggregate.
+    */
+  val j6BucketedJoin: Relational.Q = (s, d) =>
+    bucketedJoinRows(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct("o_orderkey").as("n_orders"),
+        round(sum("l_quantity"), 2).as("qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_j6_bucketed_join" -> j6BucketedJoin,
+  )
+
+  // The oracle reads the RAW parquet: bucketing must be invisible to the
+  // logical result, so raw == bucketed is exactly the property to check.
+  val oracleSql: Map[String, String] = Map(
+    "q_j6_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |       count(*) AS n_items,
+        |       count(DISTINCT o.o_orderkey) AS n_orders,
+        |       round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS qty,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -349,6 +349,53 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- t15: repetition signals
+
+  /** T15: repetition quality signals (the Gopher/MassiveText repetition
+    * filters, Rae et al. 2021 §A1.1): per document, the duplicate-token
+    * fraction (1 − type/token ratio), the mass of the single most
+    * frequent bigram, and the longest same-token run. Highly repetitive
+    * machine-generated text scores high on all three and is gated out
+    * before training. Everything derives from integer counts (exact on
+    * both engines); the two ratios divide those exact integers as
+    * doubles and round. All shuffles key on `doc_id` — per-doc work
+    * only, no cross-doc joins, so the op is embarrassingly parallel at
+    * corpus scale.
+    */
+  val t15Repetition: Relational.Q = (s, d) => {
+    val docs = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    // longest run: window flags a run break when the token changes, the
+    // running sum of breaks is the run id, run length = rows per id
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag("tok", 1).over(w)
+    val runs = toks
+      .withColumn("brk", when(prev.isNull || prev =!= col("tok"), 1).otherwise(0))
+      .withColumn("run_id", sum("brk").over(w))
+    val maxRun = runs.groupBy("doc_id", "run_id").agg(count(lit(1)).as("rl"))
+      .groupBy("doc_id").agg(max("rl").as("max_run"))
+    val tokStats = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_distinct"))
+    val t = TextAnalysis.tokens(col("text"))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bg = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val bgStats = docs.select(col("doc_id"), explode(bg).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bg"), sum("c").as("n_bg"))
+    tokStats.join(maxRun, "doc_id").join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_token_frac"),
+        round(when(col("n_bg") > 0,
+          col("top_bg").cast("double") / col("n_bg")).otherwise(0.0), 4)
+          .as("top_bigram_frac"),
+        col("max_run"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- registration
 
   val queries: Map[String, Relational.Q] = Map(
@@ -359,6 +406,7 @@ object Corpus {
     "q_t11_tfidf" -> t11Tfidf,
     "q_t12_pack" -> t12Pack,
     "q_t14_rarity" -> t14Rarity,
+    "q_t15_repetition" -> t15Repetition,
   )
 
   /** Transitive closure to the minimum reachable id via recursive CTE —
@@ -465,5 +513,50 @@ object Corpus {
          |)
          |SELECT doc_id, source, n_tokens, cum_before, cum_before // $PackBudget AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+    // two parallel unnests zip positionally (the vp-CTE idiom), giving
+    // each token its 1-based pos; the run/window logic mirrors the
+    // Spark lag+running-sum shape exactly
+    "q_t15_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(w) AS tok, unnest(range(1, len(w)+1)) AS pos FROM w
+        |),
+        |runs AS (
+        |  SELECT doc_id, pos, tok,
+        |         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                   IS DISTINCT FROM tok THEN 1 ELSE 0 END AS brk
+        |  FROM tok
+        |),
+        |rid AS (
+        |  SELECT doc_id, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM runs
+        |),
+        |rl AS (SELECT doc_id, run_id, count(*) AS rl FROM rid GROUP BY 1, 2),
+        |mr AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run FROM rl GROUP BY 1),
+        |ts AS (
+        |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        |  FROM tok GROUP BY 1
+        |),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |           i -> w[i::INT] || ' ' || w[(i+1)::INT])) AS bg
+        |  FROM w
+        |),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (
+        |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
+        |         CAST(sum(c) AS BIGINT) AS n_bg
+        |  FROM bc GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_tokens,
+        |       round(1.0 - t.n_distinct::DOUBLE / t.n_tokens, 4) AS dup_token_frac,
+        |       round(CASE WHEN b.n_bg > 0 THEN b.top_bg::DOUBLE / b.n_bg
+        |                  ELSE 0.0 END, 4) AS top_bigram_frac,
+        |       m.max_run
+        |FROM ts t JOIN mr m USING (doc_id) LEFT JOIN bs b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

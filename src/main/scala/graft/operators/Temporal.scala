@@ -206,9 +206,34 @@ object Temporal {
       .orderBy("cohort", "day_offset")
   }
 
+  /** E3: daily + rolling-7-day active users per day (DAU/WAU). The
+    * rolling distinct can't sit in a window frame (count DISTINCT over
+    * RANGE isn't supported — and at scale a per-day distinct-merge is
+    * the wrong shape anyway); instead the deduplicated (day, user) pairs
+    * range-join the tiny day dimension (each pair lands in ≤7 day
+    * windows — bounded fan-out, broadcast dim, one aggregation keyed on
+    * the day). DAU rides the same aggregation via a conditional
+    * distinct.
+    */
+  val activeUsersQ: Relational.Q = (s, d) => {
+    val e = events(s, d)
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    val days = e.select(col("day").as("day_end")).distinct()
+    e.join(broadcast(days),
+        col("day") > col("day_end") - 7 && col("day") <= col("day_end"))
+      .groupBy("day_end")
+      .agg(
+        countDistinct(when(col("day") === col("day_end"), col("user_id")))
+          .as("dau"),
+        countDistinct("user_id").as("wau"))
+      .orderBy("day_end")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "q_e1_funnel" -> funnelQ,
     "q_e2_retention" -> retentionQ,
+    "q_e3_active_users" -> activeUsersQ,
     "q_asof_join" -> asofQ,
     "q_sessionize" -> sessionizeQ,
     "q_range_join" -> rangeJoinQ,
@@ -218,6 +243,16 @@ object Temporal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_e3_active_users" ->
+      """WITH e AS (
+        |  SELECT DISTINCT epoch_us(ts)//86400000000 AS day, user_id FROM events
+        |),
+        |days AS (SELECT DISTINCT day AS day_end FROM e)
+        |SELECT d.day_end,
+        |       count(DISTINCT CASE WHEN e.day = d.day_end THEN e.user_id END) AS dau,
+        |       count(DISTINCT e.user_id) AS wau
+        |FROM e JOIN days d ON e.day > d.day_end - 7 AND e.day <= d.day_end
+        |GROUP BY 1 ORDER BY day_end""".stripMargin,
     "q_e2_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts)//86400000000 AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
