@@ -190,6 +190,87 @@ object Indexed {
     cb
   }
 
+  // ------------------------------------------------- v13: SQ8 bounds
+
+  /** Scalar-quantization geometry (the SQ8 sibling of v12's PQ): each
+    * dimension is affinely mapped to an 8-bit code via the corpus
+    * per-dimension [min, max], so a vector becomes `dims` bytes — 4×
+    * smaller than float32 — and the approximate distance is an INTEGER
+    * sum of squared code deltas (exact on both engines; the float→code
+    * mapping is the only float step, and both engines floor the same
+    * stored-bounds doubles). Top [[PqTopN]] by integer distance pay the
+    * exact re-rank. At 100 TB the scan reads byte codes and does
+    * integer arithmetic only.
+    */
+  private val learnedBounds =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
+  private val writtenBounds = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def sq8Path(d: String): String =
+    s"/tmp/graft_v13_sq8_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+
+  @volatile private var oracleSq8Path: String = sq8Path("/root/testdata/sf0.01")
+
+  /** Corpus per-dimension bounds, computed once per JVM per sf dir and
+    * materialized as (dim, mn, mx) rows the oracle reads back — the
+    * stored-codebook discipline of v10/v12.
+    */
+  def ensureSq8Bounds(s: SparkSession, d: String): (Seq[Double], Seq[Double]) = synchronized {
+    val (mn, mx) = learnedBounds.getOrElseUpdate(d, {
+      val rows = embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+        .orderBy("dim").collect()
+      (rows.map(_.getFloat(1).toDouble).toSeq, rows.map(_.getFloat(2).toDouble).toSeq)
+    })
+    val path = sq8Path(d)
+    writtenBounds.getOrElseUpdate(path, {
+      import s.implicits._
+      mn.indices.map(i => (i, mn(i), mx(i))).toDF("dim", "mn", "mx")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      true
+    })
+    oracleSq8Path = path
+    (mn, mx)
+  }
+
+  /** The shared quantizer: floor((x−mn)·255/(mx−mn)) clamped to
+    * [0, 255] (degenerate dims code to 0). All inputs are the same
+    * stored doubles on both engines, so the floor is bit-deterministic.
+    */
+  private def sq8Code(x: Double, mn: Double, mx: Double): Int =
+    if (mx == mn) 0
+    else math.min(math.max(math.floor((x - mn) * 255.0 / (mx - mn)), 0.0), 255.0).toInt
+
+  /** V13: SQ8 encode + integer-ADC serve, exact re-rank of the TopN. */
+  val v13Sq8: Relational.Q = (s, d) => {
+    val (mn, mx) = ensureSq8Bounds(s, d)
+    val qv = embeddings(s, d).filter(col("vec_id") === Knn.QueryId)
+      .select("embedding").head().getSeq[Float](0)
+    val qCodes: Seq[Int] = qv.indices.map(i => sq8Code(qv(i).toDouble, mn(i), mx(i)))
+    val mnLit = typedlit(mn)
+    val mxLit = typedlit(mx)
+    val codes = transform(col("embedding"), (x, i) => {
+      val mnI = element_at(mnLit, i + 1)
+      val mxI = element_at(mxLit, i + 1)
+      when(mxI === mnI, lit(0)).otherwise(
+        least(greatest(floor((x.cast("double") - mnI) * 255.0 / (mxI - mnI)),
+          lit(0.0)), lit(255.0)).cast("int"))
+    })
+    val approx2 = aggregate(
+      zip_with(typedlit(qCodes), codes, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, t) => acc + t)
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), approx2.as("approx2"))
+      .orderBy(col("approx2").asc, col("vec_id").asc)
+      .limit(PqTopN)
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("approx2"), round(col("dist"), 3).as("dist"))
+  }
+
   // ---------------------------------------------------------- serving
 
   /** Query-to-pivot distances through the same Catalyst kernel the
@@ -309,6 +390,7 @@ object Indexed {
     "q_v9_indexed_range" -> v9IndexedRange,
     "q_v10_ivf_kmeans" -> v10IvfKmeans,
     "q_v12_pq_adc" -> v12PqAdc,
+    "q_v13_sq8" -> v13Sq8,
   )
 
   // The oracles recompute every pivot/centroid distance from the raw
@@ -467,5 +549,56 @@ object Indexed {
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
     },
+    // v13: the quantizer runs on the SAME stored (dim, mn, mx) doubles
+    // both sides; unnest(embedding) zips positionally with
+    // unnest(range(...)) to give each value its 0-based dim (the t15
+    // idiom), and the approximate distance is pure integer arithmetic
+    "q_v13_sq8" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+         |b AS (SELECT dim, mn, mx FROM read_parquet('$oracleSq8Path/*.parquet')),
+         |ev AS (
+         |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         |         unnest(range(0, len(embedding))) AS dim
+         |  FROM embeddings
+         |),
+         |enc AS (
+         |  SELECT vec_id, dim,
+         |         CASE WHEN b.mx = b.mn THEN 0
+         |              ELSE CAST(least(greatest(floor((x - b.mn) * 255.0 / (b.mx - b.mn)),
+         |                   0.0), 255.0) AS INT) END AS c
+         |  FROM ev JOIN b USING (dim)
+         |),
+         |qv AS (
+         |  SELECT unnest(qe)::DOUBLE AS x, unnest(range(0, len(qe))) AS dim FROM q
+         |),
+         |qenc AS (
+         |  SELECT dim,
+         |         CASE WHEN b.mx = b.mn THEN 0
+         |              ELSE CAST(least(greatest(floor((x - b.mn) * 255.0 / (b.mx - b.mn)),
+         |                   0.0), 255.0) AS INT) END AS qc
+         |  FROM qv JOIN b USING (dim)
+         |),
+         |ap AS (
+         |  SELECT vec_id, CAST(sum((qc - c) * (qc - c)) AS BIGINT) AS approx2
+         |  FROM enc JOIN qenc USING (dim) GROUP BY 1
+         |),
+         |cand AS (
+         |  SELECT vec_id, approx2 FROM (
+         |    SELECT vec_id, approx2,
+         |           row_number() OVER (ORDER BY approx2 ASC, vec_id ASC) AS rn
+         |    FROM ap) t
+         |  WHERE rn <= $PqTopN
+         |),
+         |rerank AS (
+         |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |        CROSS JOIN q) z
+         |  GROUP BY vec_id
+         |)
+         |SELECT r.vec_id, c.approx2, round(r.dist,3) AS dist
+         |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
+         |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin,
   )
 }

@@ -170,4 +170,28 @@ class IndexedSearchSpec extends SparkSuite {
     assert(got.map(_._3) === got.map(_._3).sorted)
     assert(got.forall(_._2 >= 0.0))
   }
+
+  test("q_v13_sq8: integer code distances from stored bounds; prune keeps real neighbors") {
+    import graft.operators.Indexed
+    val got = Indexed.v13Sq8(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size === Indexed.K)
+    // the stored bounds table is what serving used, one row per dim
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(spark.read.parquet(Indexed.sq8Path(sf0001)).count() === dims)
+    // the query vector codes to itself: approx2 = 0, exact dist = 0
+    assert(got.head === ((Knn.QueryId, 0L, 0.0)))
+    // 8-bit quantization error is tiny relative to neighbor gaps — the
+    // 100-candidate integer prune should retain the exact top-10 intact
+    val qv = emb.filter(col("vec_id") === Knn.QueryId)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = emb
+      .withColumn("dist", euclidean(col("embedding"), typedlit(qv)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(Indexed.K)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got.map(_._1).toSet.contains).toDouble / exact.size
+    info(s"SQ8 (topN=${Indexed.PqTopN}) recall@10 = $recall")
+    assert(recall >= 0.9, s"SQ8 prune recall degraded: $recall")
+  }
 }
