@@ -22,7 +22,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Temporal.queries ++ operators.Advanced.queries ++
       operators.Indexed.queries ++ operators.Corpus.queries ++
-      operators.Bucketed.queries
+      operators.Bucketed.queries ++ operators.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++ operators.Dedup.oracleSql ++
       operators.Temporal.oracleSql ++ operators.Advanced.oracleSql ++
       operators.Indexed.oracleSql ++ operators.Corpus.oracleSql ++
-      operators.Bucketed.oracleSql
+      operators.Bucketed.oracleSql ++ operators.Layout.oracleSql
 }

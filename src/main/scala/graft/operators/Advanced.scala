@@ -349,10 +349,30 @@ object Advanced {
       .orderBy("status")
   }
 
+  /** UNPIVOT (wide→long melt): the four lineitem measure columns become
+    * (metric, value) rows — the normalization step before generic
+    * per-metric aggregation/feature pipelines. Pure per-row expansion
+    * (no shuffle until the aggregate), ×4 row fan-out.
+    */
+  val aggUnpivot: Relational.Q = (s, d) =>
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        round(min("value"), 2).as("lo"), round(max("value"), 2).as("hi"))
+      .orderBy("metric")
+
   // --------------------------------------------------------- registration
 
   val queries: Map[String, Relational.Q] = Map(
     "q_cdc_merge" -> cdcMerge,
+    "q_agg_unpivot" -> aggUnpivot,
     "q_agg_percentiles" -> aggPercentiles,
     "q_agg_cube" -> aggCube,
     "q_agg_grouping_sets" -> aggGroupingSets,
@@ -373,6 +393,16 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_unpivot" ->
+      """SELECT metric, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 2) AS total,
+        |       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |                  l_discount, l_tax FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME metric VALUE value
+        |)
+        |GROUP BY 1 ORDER BY metric""".stripMargin,
     "q_cdc_merge" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
         |ch AS (

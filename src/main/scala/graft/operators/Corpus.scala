@@ -349,6 +349,59 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- d11: fuzzy edit-distance
+
+  /** Candidate pairs must share this many distinct shingles before any
+    * edit distance is computed, and a pair is a fuzzy match at
+    * distance ≤ [[FuzzyMaxEdit]] (texts here are ~128 chars).
+    */
+  val FuzzyMinShared = 5
+  val FuzzyMaxEdit = 20
+
+  /** D11: fuzzy near-dup detection by EDIT DISTANCE — the
+    * character-level complement of d2/d5's token/vector similarity
+    * (catches small in-place edits that shift every downstream token
+    * n-gram). The O(len²) levenshtein never runs on the corpus
+    * cross-product: candidates come from the same df-capped shingle
+    * inverted index d8 uses (cost = Σ_g |postings(g)|², bounded by the
+    * cap), and only candidate pairs sharing ≥ [[FuzzyMinShared]]
+    * shingles pay the dynamic-programming verify. Output is the per-doc
+    * fuzzy-match summary: partner count, best edit distance, and the
+    * lowest-id best partner (ties broken on (edit, doc_b) — exact
+    * integers on both engines).
+    */
+  val d11FuzzyEdit: Relational.Q = (s, d) => {
+    val docs = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val ex = Dedup.cacheSlot("fuzzy-shingles",
+      docs.select(col("doc_id"), explode(Dedup.shingles(col("t"))).as("g")))
+    val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("g")
+    val exk = ex.join(keep, "g")
+    val cand = exk.as("a")
+      .join(exk.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= FuzzyMinShared)
+    val ta = docs.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+    val pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("edit", levenshtein(col("ta"), col("tb")))
+      .filter(col("edit") <= FuzzyMaxEdit)
+    val w = Window.partitionBy("doc_a").orderBy(col("edit").asc, col("doc_b").asc)
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_a"), col("doc_b").as("best_partner"),
+        col("edit").cast("long").as("min_edit"))
+    pairs.groupBy("doc_a").agg(count(lit(1)).as("n_fuzzy"))
+      .join(best, "doc_a")
+      .select(col("doc_a").as("doc_id"), col("n_fuzzy"), col("min_edit"),
+        col("best_partner"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------- t15: repetition signals
 
   /** T15: repetition quality signals (the Gopher/MassiveText repetition
@@ -407,6 +460,7 @@ object Corpus {
     "q_t12_pack" -> t12Pack,
     "q_t14_rarity" -> t14Rarity,
     "q_t15_repetition" -> t15Repetition,
+    "q_d11_fuzzy_edit" -> d11FuzzyEdit,
   )
 
   /** Transitive closure to the minimum reachable id via recursive CTE —
@@ -513,6 +567,34 @@ object Corpus {
          |)
          |SELECT doc_id, source, n_tokens, cum_before, cum_before // $PackBudget AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_d11_fuzzy_edit" ->
+      s"""${Dedup.shingleCte},
+         |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+         |keep AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= $MaxShingleDf),
+         |exk AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep USING (g)),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM exk a JOIN exk b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $FuzzyMinShared
+         |),
+         |f AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         levenshtein(lower(trim(da.text)), lower(trim(db.text))) AS edit
+         |  FROM cand c JOIN documents da ON c.doc_a = da.doc_id
+         |              JOIN documents db ON c.doc_b = db.doc_id
+         |  WHERE levenshtein(lower(trim(da.text)), lower(trim(db.text))) <= $FuzzyMaxEdit
+         |),
+         |best AS (
+         |  SELECT doc_a, doc_b AS best_partner, edit::BIGINT AS min_edit FROM (
+         |    SELECT doc_a, doc_b, edit,
+         |           row_number() OVER (PARTITION BY doc_a
+         |             ORDER BY edit ASC, doc_b ASC) AS rn
+         |    FROM f) t
+         |  WHERE rn = 1
+         |),
+         |cnt AS (SELECT doc_a, count(*) AS n_fuzzy FROM f GROUP BY 1)
+         |SELECT c.doc_a AS doc_id, c.n_fuzzy, b.min_edit, b.best_partner
+         |FROM cnt c JOIN best b USING (doc_a) ORDER BY doc_id""".stripMargin,
     // two parallel unnests zip positionally (the vp-CTE idiom), giving
     // each token its 1-based pos; the run/window logic mirrors the
     // Spark lag+running-sum shape exactly
