@@ -374,11 +374,12 @@ object Corpus {
     val docs = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-    val ex = Dedup.cacheSlot("fuzzy-shingles",
-      docs.select(col("doc_id"), explode(Dedup.shingles(col("t"))).as("g")))
+    val ex = docs.select(col("doc_id"), explode(Dedup.shingles(col("t"))).as("g"))
     val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select("g")
-    val exk = ex.join(keep, "g")
+    // the capped postings feed BOTH self-join sides — persist the joined
+    // form, not the raw explode (Spark will not reuse the exchange)
+    val exk = Dedup.cacheSlot("fuzzy-postings", ex.join(keep, "g"))
     val cand = exk.as("a")
       .join(exk.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -387,9 +388,11 @@ object Corpus {
       .filter(col("shared") >= FuzzyMinShared)
     val ta = docs.select(col("doc_id").as("doc_a"), col("t").as("ta"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+    // threshold-banded DP: cost O(len·k) not O(len²), early-exits and
+    // returns -1 for pairs beyond the bound (the common case)
     val pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("edit", levenshtein(col("ta"), col("tb")))
-      .filter(col("edit") <= FuzzyMaxEdit)
+      .withColumn("edit", levenshtein(col("ta"), col("tb"), FuzzyMaxEdit))
+      .filter(col("edit") =!= -1)
     val w = Window.partitionBy("doc_a").orderBy(col("edit").asc, col("doc_b").asc)
     val best = pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
