@@ -25,10 +25,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    is evaluated for a pruned row.
   *
   *  - `q_v10_ivf_kmeans` — IVF with LEARNED coarse centroids: MLlib
-  *    KMeans (batch training, seeded) produces the centroids, which are
-  *    materialized to parquet; BOTH engines then compute assignment +
-  *    probe + exact re-rank from the same stored float vectors, so the
-  *    SQL-unreproducible training is outside the compared computation.
+  *    KMeans (batch training, seeded) produces the centroids; centroids
+  *    AND the per-vector cluster assignment are materialized to parquet
+  *    at build ([[ensureAssignments]]), and BOTH engines serve from the
+  *    stored tables — training and the one-time encode are outside the
+  *    compared computation. v12 (PQ codes) and v13 (SQ8 codes) follow
+  *    the same stored-codes discipline.
   *
   * Determinism contract (see graft-oracle-determinism): distances
   * accumulate float→double in index order on both sides (the Catalyst
@@ -128,6 +130,39 @@ object Indexed {
     centers
   }
 
+  // --------------------------------------- v10: stored cluster assignment
+
+  private val writtenAssign = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def assignPath(d: String): String =
+    s"/tmp/graft_v10_assign_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+
+  @volatile private var oracleAssignPath: String = assignPath("/root/testdata/sf0.01")
+
+  /** Materialize the `(vec_id, cluster)` assignment table once per JVM
+    * per sf dir — the index column the reference persists at write time
+    * (`/root/reference/src/database.ts:195-198`). The per-row argmin over
+    * the stored centroids runs ONCE here, at build; serving (and the
+    * oracle) read the stored integers. Sorted by (cluster, vec_id) so a
+    * probe filter prunes row groups via parquet min/max stats.
+    */
+  def ensureAssignments(s: SparkSession, d: String): String = synchronized {
+    val cents = ensureCentroids(s, d)
+    val path = assignPath(d)
+    writtenAssign.getOrElseUpdate(path, {
+      val centLits = cents.map(c => typedlit(c))
+      val distArr = array(centLits.map(c => euclidean(col("embedding"), c)): _*)
+      val cluster = (array_position(distArr, array_min(distArr)) - 1).cast("int")
+      embeddings(s, d)
+        .select(col("vec_id"), cluster.as("cluster"))
+        .repartition(1).sortWithinPartitions("cluster", "vec_id")
+        .write.mode("overwrite").parquet(path)
+      true
+    })
+    oracleAssignPath = path
+    path
+  }
+
   // ------------------------------------------------- v12: PQ codebooks
 
   /** Product-quantization geometry: the embedding is split into
@@ -190,6 +225,40 @@ object Indexed {
     cb
   }
 
+  private val writtenPqCodes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def pqCodesPath(d: String): String =
+    s"/tmp/graft_v12_codes_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+
+  @volatile private var oraclePqCodesPath: String = pqCodesPath("/root/testdata/sf0.01")
+
+  /** Materialize the `(vec_id, code0..codeM-1)` PQ codes table once per
+    * JVM per sf dir. The per-subspace argmin (the expensive encode) runs
+    * ONCE here; serving scans [[PqM]] small integers per row and the
+    * oracle reads the same stored codes — at 100 TB this table is ~64×
+    * smaller than the raw embeddings and the ADC scan touches no float
+    * vector at all.
+    */
+  def ensurePqCodes(s: SparkSession, d: String): String = synchronized {
+    val cb = ensureCodebook(s, d)
+    val path = pqCodesPath(d)
+    writtenPqCodes.getOrElseUpdate(path, {
+      val subDim = cb.head.head.size
+      val codeCols = (0 until PqM).map { m =>
+        val sub = slice(col("embedding"), m * subDim + 1, subDim)
+        val dists = array(cb(m).map(c => euclidean(sub, typedlit(c))): _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$m")
+      }
+      embeddings(s, d)
+        .select(col("vec_id") +: codeCols: _*)
+        .repartition(1).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(path)
+      true
+    })
+    oraclePqCodesPath = path
+    path
+  }
+
   // ------------------------------------------------- v13: SQ8 bounds
 
   /** Scalar-quantization geometry (the SQ8 sibling of v12's PQ): each
@@ -234,6 +303,43 @@ object Indexed {
     (mn, mx)
   }
 
+  private val writtenSq8Codes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def sq8CodesPath(d: String): String =
+    s"/tmp/graft_v13_codes_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+
+  @volatile private var oracleSq8CodesPath: String = sq8CodesPath("/root/testdata/sf0.01")
+
+  /** Materialize the `(vec_id, codes array<int>)` SQ8 table once per JVM
+    * per sf dir: each vector quantized against the stored bounds ONCE at
+    * build. Serving and the oracle both read the stored byte-range codes
+    * — the scan is pure integer arithmetic over a table 4× smaller than
+    * the float corpus (the reference's persisted-index-field discipline,
+    * `/root/reference/src/database.ts:195-198`).
+    */
+  def ensureSq8Codes(s: SparkSession, d: String): String = synchronized {
+    val (mn, mx) = ensureSq8Bounds(s, d)
+    val path = sq8CodesPath(d)
+    writtenSq8Codes.getOrElseUpdate(path, {
+      val mnLit = typedlit(mn)
+      val mxLit = typedlit(mx)
+      val codes = transform(col("embedding"), (x, i) => {
+        val mnI = element_at(mnLit, i + 1)
+        val mxI = element_at(mxLit, i + 1)
+        when(mxI === mnI, lit(0)).otherwise(
+          least(greatest(floor((x.cast("double") - mnI) * 255.0 / (mxI - mnI)),
+            lit(0.0)), lit(255.0)).cast("int"))
+      })
+      embeddings(s, d)
+        .select(col("vec_id"), codes.as("codes"))
+        .repartition(1).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(path)
+      true
+    })
+    oracleSq8CodesPath = path
+    path
+  }
+
   /** The shared quantizer: floor((x−mn)·255/(mx−mn)) clamped to
     * [0, 255] (degenerate dims code to 0). All inputs are the same
     * stored doubles on both engines, so the floor is bit-deterministic.
@@ -242,29 +348,27 @@ object Indexed {
     if (mx == mn) 0
     else math.min(math.max(math.floor((x - mn) * 255.0 / (mx - mn)), 0.0), 255.0).toInt
 
-  /** V13: SQ8 encode + integer-ADC serve, exact re-rank of the TopN. */
+  /** V13: SQ8 integer-ADC serve from the STORED codes table, exact
+    * re-rank of the TopN. The scan reads `(vec_id, codes)` only — the
+    * float corpus is touched exclusively by the [[PqTopN]]-row re-rank
+    * join (broadcast of the candidate ids prunes the big side).
+    */
   val v13Sq8: Relational.Q = (s, d) => {
     val (mn, mx) = ensureSq8Bounds(s, d)
+    val codesPath = ensureSq8Codes(s, d)
     val qv = embeddings(s, d).filter(col("vec_id") === Knn.QueryId)
       .select("embedding").head().getSeq[Float](0)
     val qCodes: Seq[Int] = qv.indices.map(i => sq8Code(qv(i).toDouble, mn(i), mx(i)))
-    val mnLit = typedlit(mn)
-    val mxLit = typedlit(mx)
-    val codes = transform(col("embedding"), (x, i) => {
-      val mnI = element_at(mnLit, i + 1)
-      val mxI = element_at(mxLit, i + 1)
-      when(mxI === mnI, lit(0)).otherwise(
-        least(greatest(floor((x.cast("double") - mnI) * 255.0 / (mxI - mnI)),
-          lit(0.0)), lit(255.0)).cast("int"))
-    })
     val approx2 = aggregate(
-      zip_with(typedlit(qCodes), codes, (a, b) => (a - b) * (a - b)),
+      zip_with(typedlit(qCodes), col("codes"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, t) => acc + t)
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
-    embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), approx2.as("approx2"))
+    val cand = s.read.parquet(codesPath)
+      .select(col("vec_id"), approx2.as("approx2"))
       .orderBy(col("approx2").asc, col("vec_id").asc)
       .limit(PqTopN)
+    embeddings(s, d)
+      .join(broadcast(cand), "vec_id")
       .withColumn("dist", euclidean(col("embedding"), q))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(K)
@@ -313,24 +417,27 @@ object Indexed {
         round(col("dist"), 3).as("dist"))
   }
 
-  /** V10: learned-centroid IVF — assignment, probe selection and exact
-    * re-rank all against the STORED centroids (broadcast as literals;
-    * the oracle reads the same parquet). Assignment argmin ties break
-    * to the lowest cid on both sides.
+  /** V10: learned-centroid IVF served from the STORED `(vec_id,
+    * cluster)` assignment table ([[ensureAssignments]]): probe selection
+    * against the stored centroids, a pushed `cluster IN (probes)` filter
+    * prunes the assignment scan via row-group stats, and only the
+    * surviving candidate ids join back to the float corpus for the exact
+    * re-rank — no per-row centroid arithmetic at query time. Assignment
+    * argmin ties broke to the lowest cid at build (both engines read the
+    * same stored integers).
     */
   val v10IvfKmeans: Relational.Q = (s, d) => {
     val cents = ensureCentroids(s, d)
+    val assign = ensureAssignments(s, d)
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
     val centLits = cents.map(c => typedlit(c))
-    val distCols = centLits.map(c => euclidean(col("embedding"), c))
-    val distArr = array(distCols: _*)
-    val cluster = (array_position(distArr, array_min(distArr)) - 1).cast("int")
     val qd = queryDists(s, d, centLits)
     val probes = qd.zipWithIndex.sortBy { case (dd, cid) => (dd, cid) }
       .take(NProbe).map(_._2)
-    embeddings(s, d)
-      .withColumn("cluster", cluster)
+    val cand = s.read.parquet(assign)
       .filter(col("cluster").isin(probes: _*))
+    embeddings(s, d)
+      .join(cand, "vec_id")
       .withColumn("dist", euclidean(col("embedding"), q))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(K)
@@ -338,16 +445,19 @@ object Indexed {
         round(col("dist"), 3).as("dist"))
   }
 
-  /** V12: PQ encode + ADC serve. Encoding (the per-row argmin over
-    * each subspace codebook) and the ADC lookup table both derive from
-    * the STORED codebook; every distance is double arithmetic in index
-    * order on both engines, argmin ties break to the lowest code, and
-    * the approximate distance sums its PqM lookup terms in fixed
-    * left-to-right subspace order — so the TopN prune boundary cannot
-    * flip across engines. Exact re-rank on the pruned set, top K.
+  /** V12: ADC serve from the STORED `(vec_id, code0..3)` table
+    * ([[ensurePqCodes]]). The encode argmin ran once at build; at query
+    * time the scan reads PqM small integers per row and sums PqM lookup
+    * terms from the query's precomputed distance table — no float-vector
+    * arithmetic before the [[PqTopN]]-row exact re-rank join. The ADC
+    * lookup values are double arithmetic in index order on both engines
+    * (the proven-identical unnest-zip bits), and the approximate
+    * distance sums its PqM terms in fixed left-to-right subspace order —
+    * so the TopN prune boundary cannot flip across engines.
     */
   val v12PqAdc: Relational.Q = (s, d) => {
     val cb = ensureCodebook(s, d)
+    val codesPath = ensurePqCodes(s, d)
     val subDim = cb.head.head.size
     val qv = embeddings(s, d).filter(col("vec_id") === Knn.QueryId)
       .select("embedding").head().getSeq[Float](0)
@@ -365,20 +475,16 @@ object Indexed {
         acc
       }
     }
-    val codeCols = (0 until PqM).map { m =>
-      val sub = slice(col("embedding"), m * subDim + 1, subDim)
-      val dists = array(cb(m).map(c => euclidean(sub, typedlit(c))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$m")
-    }
     val approx = sqrt((0 until PqM).map { m =>
       element_at(typedlit(qd2(m)), col(s"code$m") + 1)
     }.reduceLeft(_ + _))
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
-    embeddings(s, d)
-      .select(col("vec_id") +: col("embedding") +: codeCols: _*)
-      .withColumn("approx", approx)
+    val cand = s.read.parquet(codesPath)
+      .select(col("vec_id"), approx.as("approx"))
       .orderBy(col("approx").asc, col("vec_id").asc)
       .limit(PqTopN)
+    embeddings(s, d)
+      .join(broadcast(cand), "vec_id")
       .withColumn("dist", euclidean(col("embedding"), q))
       .orderBy(col("dist").asc, col("vec_id").asc)
       .limit(K)
@@ -451,6 +557,11 @@ object Indexed {
          |       round(r.dist,3) AS dist
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, id ASC LIMIT $K""".stripMargin,
+    // v10: the assignment is READ from the stored (vec_id, cluster)
+    // table Spark materialized at build — the oracle checks the serving
+    // computation (probe selection + candidate re-rank), with the
+    // SQL-unreproducible KMeans training AND the one-time encode both
+    // outside the compared computation.
     "q_v10_ivf_kmeans" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
          |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
@@ -460,19 +571,8 @@ object Indexed {
          |        FROM cent CROSS JOIN q) z
          |  GROUP BY cid
          |),
-         |vp AS (
-         |  SELECT vec_id, cid, sqrt(sum((a-b)*(a-b))) AS vd
-         |  FROM (SELECT e.vec_id, c.cid, unnest(e.embedding)::DOUBLE AS a,
-         |               unnest(c.centroid)::DOUBLE AS b
-         |        FROM embeddings e CROSS JOIN cent c) z
-         |  GROUP BY vec_id, cid
-         |),
          |assign AS (
-         |  SELECT vec_id, cid AS cluster FROM (
-         |    SELECT vec_id, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY vd ASC, cid ASC) AS rn
-         |    FROM vp) t
-         |  WHERE rn = 1
+         |  SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')
          |),
          |probes AS (
          |  SELECT cid FROM (
@@ -494,28 +594,21 @@ object Indexed {
          |       round(r.dist,3) AS dist
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin,
+    // v12: codes are READ from the stored (vec_id, code0..3) table
+    // Spark materialized at build; the oracle checks the ADC lookup +
+    // TopN prune + exact re-rank — the serving computation. The lookup
+    // sum joins qp once per subspace and adds left-to-right (same
+    // associativity as the Scala reduceLeft).
     "q_v12_pq_adc" -> {
       val sub = oraclePqSubDim
-      // Σ_m of the looked-up qd2 terms, in fixed left-to-right subspace
-      // order (same associativity as the Scala reduceLeft)
-      val adcSum = (0 until PqM)
-        .map(m => s"max(CASE WHEN m=$m THEN qd2 END)").mkString(" + ")
+      val qpJoins = (0 until PqM)
+        .map(m => s"JOIN qp q$m ON q$m.m = $m AND q$m.code = codes.code$m")
+        .mkString("\n  ")
+      val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
          |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
-         |vp AS (
-         |  SELECT vec_id, m, code, sqrt(sum((a-b)*(a-b))) AS dd
-         |  FROM (SELECT e.vec_id, c.m, c.code,
-         |               unnest(e.embedding[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
-         |               unnest(c.centroid)::DOUBLE AS b
-         |        FROM embeddings e CROSS JOIN cb c) z
-         |  GROUP BY vec_id, m, code
-         |),
-         |assign AS (
-         |  SELECT vec_id, m, code FROM (
-         |    SELECT vec_id, m, code,
-         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dd ASC, code ASC) AS rn
-         |    FROM vp) t
-         |  WHERE rn = 1
+         |codes AS (
+         |  SELECT * FROM read_parquet('$oraclePqCodesPath/*.parquet')
          |),
          |qp AS (
          |  SELECT m, code, sum((a-b)*(a-b)) AS qd2
@@ -526,9 +619,9 @@ object Indexed {
          |  GROUP BY m, code
          |),
          |approx AS (
-         |  SELECT vec_id, sqrt($adcSum) AS approx
-         |  FROM assign JOIN qp USING (m, code)
-         |  GROUP BY vec_id
+         |  SELECT codes.vec_id, sqrt($adcSum) AS approx
+         |  FROM codes
+         |  $qpJoins
          |),
          |cand AS (
          |  SELECT vec_id, approx FROM (
@@ -549,24 +642,19 @@ object Indexed {
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
     },
-    // v13: the quantizer runs on the SAME stored (dim, mn, mx) doubles
-    // both sides; unnest(embedding) zips positionally with
-    // unnest(range(...)) to give each value its 0-based dim (the t15
-    // idiom), and the approximate distance is pure integer arithmetic
+    // v13: row codes are READ from the stored (vec_id, codes) table
+    // Spark quantized at build; only the QUERY vector is quantized here,
+    // against the same stored (dim, mn, mx) doubles. unnest(codes) zips
+    // positionally with unnest(range(...)) to give each code its 0-based
+    // dim (the t15 idiom); the approximate distance is pure integer
+    // arithmetic — exact on both engines.
     "q_v13_sq8" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
          |b AS (SELECT dim, mn, mx FROM read_parquet('$oracleSq8Path/*.parquet')),
-         |ev AS (
-         |  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-         |         unnest(range(0, len(embedding))) AS dim
-         |  FROM embeddings
-         |),
          |enc AS (
-         |  SELECT vec_id, dim,
-         |         CASE WHEN b.mx = b.mn THEN 0
-         |              ELSE CAST(least(greatest(floor((x - b.mn) * 255.0 / (b.mx - b.mn)),
-         |                   0.0), 255.0) AS INT) END AS c
-         |  FROM ev JOIN b USING (dim)
+         |  SELECT vec_id, unnest(codes) AS c,
+         |         unnest(range(0, len(codes))) AS dim
+         |  FROM read_parquet('$oracleSq8CodesPath/*.parquet')
          |),
          |qv AS (
          |  SELECT unnest(qe)::DOUBLE AS x, unnest(range(0, len(qe))) AS dim FROM q

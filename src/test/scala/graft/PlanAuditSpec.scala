@@ -120,6 +120,26 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("v10/v12/v13 serve from stored code tables: embedding read only by the re-rank") {
+    // the r4/r5 verdict's scale defect: these plans used to re-encode the
+    // full float corpus per query. Now the candidate scan must read ONLY
+    // the stored integer codes — exactly one scan in each plan may read
+    // the embedding column (the TopN re-rank / final distance).
+    def embeddingScans(p: String): Int =
+      p.linesIterator.filter(_.contains("ReadSchema")).count(_.contains("embedding"))
+    val p10 = plan(graft.operators.Indexed.v10IvfKmeans(spark, sf0001))
+    assert(embeddingScans(p10) === 1, s"v10 must not re-assign floats per query:\n${p10.take(3000)}")
+    assert(p10.contains("In(cluster"), s"probe filter must push to the assignment scan:\n${p10.take(3000)}")
+    val p12 = plan(graft.operators.Indexed.v12PqAdc(spark, sf0001))
+    assert(embeddingScans(p12) === 1, s"v12 must not re-encode floats per query:\n${p12.take(3000)}")
+    assert(p12.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("code0")),
+      s"v12 candidate scan must read the stored codes:\n${p12.take(3000)}")
+    val p13 = plan(graft.operators.Indexed.v13Sq8(spark, sf0001))
+    assert(embeddingScans(p13) === 1, s"v13 must not re-quantize floats per query:\n${p13.take(3000)}")
+    assert(p13.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("codes")),
+      s"v13 candidate scan must read the stored codes:\n${p13.take(3000)}")
+  }
+
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
     val out = tmpDir("plan-audit-ivf") + "/vectors"
     val e = HashingEmbedder(dims = 16)
