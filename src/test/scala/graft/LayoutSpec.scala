@@ -57,6 +57,33 @@ class LayoutSpec extends SparkSuite {
     assert(zx * 2 <= fx, s"zx=$zx full x range=$fx")
   }
 
+  test("q_z2 serves from the z-ordered copy; the box predicate prunes files on BOTH dims") {
+    val df = Layout.z2ZorderServe(spark, sf0001)
+    // both range predicates must reach the parquet scan — that's what
+    // lets footer min/max stats skip files/row groups
+    val p = df.queryExecution.executedPlan.toString()
+    // (the PushedFilters printout truncates at ~100 chars, so the y upper
+    // bound is asserted via the untruncated DataFilters values instead)
+    assert(p.contains("GreaterThanOrEqual(x") && p.contains("LessThanOrEqual(x"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(y"), p.take(2000))
+    assert(p.contains(s">= ${Layout.QyLo}") && p.contains(s"<= ${Layout.QyHi}"), p.take(2000))
+    assert(df.count() > 0)
+    // file-level prune power, computed from the exact stats parquet
+    // footers expose: how many of the z-ordered files' (x, y) bounding
+    // boxes intersect the query box at all?
+    val boxes = spark.read.parquet(Layout.zPath(sf0001))
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    val total = boxes.length
+    val both = boxes.count(b => b.getLong(1) <= Layout.QxHi && b.getLong(2) >= Layout.QxLo &&
+      b.getLong(3) <= Layout.QyHi && b.getLong(4) >= Layout.QyLo)
+    val yOnly = boxes.count(b => b.getLong(3) <= Layout.QyHi && b.getLong(4) >= Layout.QyLo)
+    info(s"files: $total total, $both intersect the (x,y) box, $yOnly intersect the y range")
+    assert(both * 2 <= total, s"box must prune at least half the files: $both/$total")
+    assert(yOnly < total, s"even the y range alone must prune some files: $yOnly/$total")
+  }
+
   test("q_z1_zorder returns the curve head in order") {
     val got = Layout.z1Zorder(spark, sf0001).collect()
     assert(got.length === 100)
