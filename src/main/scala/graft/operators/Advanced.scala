@@ -265,16 +265,29 @@ object Advanced {
   /** Approximate percentiles (t-digest-family sketch) — the quantile
     * estimator for when the exact row_number formulation's per-group
     * sort is too hot (its window sorts each whole group on few keys).
-    * Sketch values are engine-specific → rows-only driver check;
-    * AdvancedSpec bounds the error against q_agg_percentiles' exact
-    * values.
+    * Sketch VALUES are engine-specific, so the oracle-checked row emits
+    * per-group booleans attesting the engine's OWN sketch falls inside
+    * a generous exact-quantile band (p50 within [p40, p60], p95 within
+    * [p90, p99]) it computes itself — deterministic on both engines
+    * even though sketch values and exact-quantile interpolation
+    * conventions differ. AdvancedSpec still bounds the raw estimates
+    * against q_agg_percentiles' exact values at 5%, far tighter than
+    * the attestation band.
     */
   val aggApproxPercentile: Relational.Q = (s, d) =>
     lineitem(s, d)
       .groupBy(col("l_returnflag").as("flag"))
       .agg(
+        count(lit(1)).as("n"),
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
-        approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"))
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"),
+        percentile(col("l_extendedprice"), lit(0.4)).as("p40"),
+        percentile(col("l_extendedprice"), lit(0.6)).as("p60"),
+        percentile(col("l_extendedprice"), lit(0.90)).as("p90"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+      .select(col("flag"), col("n"),
+        (col("ap50") >= col("p40") && col("ap50") <= col("p60")).as("p50_ok"),
+        (col("ap95") >= col("p90") && col("ap95") <= col("p99")).as("p95_ok"))
       .orderBy("flag")
 
   // ----------------------------------------------------- text/multimodal
@@ -491,8 +504,18 @@ object Advanced {
         |              WHERE n.n_regionkey = r.r_regionkey
         |              ORDER BY n_name LIMIT 2) t ON true
         |ORDER BY r_name, n_name""".stripMargin,
-    // q_agg_approx_percentile: deliberately no oracle (sketch values
-    // are engine-specific); driver records rows-only.
+    // each engine attests its OWN t-digest sketch against its OWN exact
+    // quantile band — booleans hash-match even though sketch values and
+    // interpolation conventions are engine-specific
+    "q_agg_approx_percentile" ->
+      """SELECT l_returnflag AS flag, count(*) AS n,
+        |       approx_quantile(l_extendedprice, 0.5)
+        |         BETWEEN quantile_cont(l_extendedprice, 0.4)
+        |             AND quantile_cont(l_extendedprice, 0.6) AS p50_ok,
+        |       approx_quantile(l_extendedprice, 0.95)
+        |         BETWEEN quantile_cont(l_extendedprice, 0.90)
+        |             AND quantile_cont(l_extendedprice, 0.99) AS p95_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(l_returnflag,'ALL') AS flag,
         |       coalesce(l_linestatus,'ALL') AS status,

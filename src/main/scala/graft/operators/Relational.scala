@@ -271,17 +271,25 @@ object Relational {
 
   /** Approximate distinct counting (HLL sketch) — the cardinality
     * estimator a 100 TB pipeline uses where exact distinct would
-    * shuffle everything. Sketch results are engine-specific, so this is
-    * a rows-only check (no DuckDB oracle); AdvancedSpec asserts the
-    * estimate lands within the configured error bound of the exact
-    * count. Deliberately approx-ONLY: bundling an exact countDistinct
-    * in the same agg (as r1 did) re-introduces the full-width shuffle
-    * the sketch exists to avoid.
+    * shuffle everything. Sketch VALUES are engine-specific, so the
+    * oracle-checked row emits, per group, the exact count plus a
+    * boolean attesting the engine's OWN sketch landed within a generous
+    * 10% of its OWN exact count — the attestation is deterministic on
+    * both engines (each sketch sits well inside the band: Spark HLL++
+    * at rsd 0.02, DuckDB HLL at ~2%), so the row hash-matches. The
+    * bundled exact countDistinct is the correctness HARNESS, not the
+    * serving plan — a pipeline runs the approx-only aggregate (whose
+    * true error AdvancedSpec measures against 3× rsd, a far tighter
+    * band than the attestation's).
     */
   val aggApproxDistinct: Q = (s, d) =>
-    lineitem(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-      .orderBy("l_returnflag")
+    lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("flag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")) <= col("exact_parts") * 0.1)
+          .as("within_bound"))
+      .orderBy("flag")
 
   /** Exact per-group median via explicit rank arithmetic (avg of the
     * middle one/two elements). Deliberately NOT percentile()/
@@ -511,6 +519,14 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
         |       count(DISTINCT l_suppkey) AS nd_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // each engine attests its OWN sketch against its OWN exact count —
+    // the boolean is deterministic even though the sketch values differ
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag AS flag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |         <= count(DISTINCT l_partkey) * 0.1 AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_median" ->
       """WITH r AS (
         |  SELECT event_type, value, event_id,

