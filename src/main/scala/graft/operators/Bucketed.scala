@@ -44,19 +44,42 @@ object Bucketed {
     * `repartition(NBuckets, key)` first so each write task holds exactly
     * one bucket's rows (same murmur3 hash both places) — one file per
     * bucket, the layout that keeps bucket scans single-file.
+    *
+    * Concurrency: several JVMs (bench + tests on one sf dir) may build
+    * the same table at once. Each builds ASIDE under a unique tmp dir,
+    * then swaps it in with a single rename(2) — atomic on the local FS,
+    * and it FAILS if the target already exists, so the loser just
+    * discards its build and reuses the winner's dir. Nobody ever reads
+    * a half-written or half-deleted dir (the r4 delete-vs-read race).
+    * Staleness: the dir name carries a layout tag (buckets, key, schema)
+    * — a build-code change lands in a NEW dir instead of silently
+    * reusing an old incompatible one.
     */
   private def writeIfAbsent(s: SparkSession, table: String, path: String,
-      df: DataFrame, key: String): Unit =
-    if (!s.catalog.tableExists(table)) {
-      // fresh JVM: a stale on-disk dir from an older build must not
-      // shadow the current build code
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      df: DataFrame, key: String): Unit = {
+    if (s.catalog.tableExists(table)) return
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val tmpTable = table + "_build_" + java.util.UUID.randomUUID().toString.take(8)
+      val tmpPath = path + "_" + tmpTable
       df.repartition(NBuckets, col(key))
         .write.bucketBy(NBuckets, key).sortBy(key)
-        .option("path", path).saveAsTable(table)
+        .option("path", tmpPath).saveAsTable(tmpTable)
+      // external table: DROP removes metadata only, the files stay
+      s.sql(s"DROP TABLE $tmpTable")
+      // rename(2): atomic; fails iff the target exists (another JVM won)
+      if (!new java.io.File(tmpPath).renameTo(new java.io.File(path)))
+        fs.delete(new org.apache.hadoop.fs.Path(tmpPath), true)
     }
+    // register this JVM's catalog entry over the (now-final) dir; the
+    // bucket spec in the DDL matches what the files were written with
+    s.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table (${df.schema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO $NBuckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
 
   /** Ensure the bucketed orders/lineitem copies for `d` exist and are
     * registered; returns (ordersTable, lineitemTable) catalog names.
@@ -65,15 +88,19 @@ object Bucketed {
     */
   def ensureBucketed(s: SparkSession, d: String): (String, String) = synchronized {
     val h = absHash(d)
-    val oT = s"graft_orders_bkt_$h"
-    val lT = s"graft_lineitem_bkt_$h"
-    writeIfAbsent(s, oT, s"/tmp/graft_bucketed/orders_$h",
-      Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
-      "o_orderkey")
-    writeIfAbsent(s, lT, s"/tmp/graft_bucketed/lineitem_$h",
-      Tables.lineitem(s, d)
-        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
-      "l_orderkey")
+    def tag(key: String, schemaDdl: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$NBuckets|$key|$schemaDdl".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val l = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val oTag = tag("o_orderkey", o.schema.toDDL)
+    val lTag = tag("l_orderkey", l.schema.toDDL)
+    val oT = s"graft_orders_bkt_${h}_$oTag"
+    val lT = s"graft_lineitem_bkt_${h}_$lTag"
+    writeIfAbsent(s, oT, s"/tmp/graft_bucketed/orders_${h}_$oTag", o, "o_orderkey")
+    writeIfAbsent(s, lT, s"/tmp/graft_bucketed/lineitem_${h}_$lTag", l, "l_orderkey")
     (oT, lT)
   }
 
