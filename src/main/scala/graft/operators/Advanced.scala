@@ -279,15 +279,15 @@ object Advanced {
       .groupBy(col("l_returnflag").as("flag"))
       .agg(
         count(lit(1)).as("n"),
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap50"),
-        approx_percentile(col("l_extendedprice"), lit(0.95), lit(1000)).as("ap95"),
-        percentile(col("l_extendedprice"), lit(0.4)).as("p40"),
-        percentile(col("l_extendedprice"), lit(0.6)).as("p60"),
-        percentile(col("l_extendedprice"), lit(0.90)).as("p90"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+        // one sketch and ONE exact-percentile buffer per group (array
+        // percentages), not six separate full-distribution aggregates
+        approx_percentile(col("l_extendedprice"),
+          typedlit(Seq(0.5, 0.95)), lit(1000)).as("ap"),
+        percentile(col("l_extendedprice"),
+          typedlit(Seq(0.4, 0.6, 0.90, 0.99))).as("p"))
       .select(col("flag"), col("n"),
-        (col("ap50") >= col("p40") && col("ap50") <= col("p60")).as("p50_ok"),
-        (col("ap95") >= col("p90") && col("ap95") <= col("p99")).as("p95_ok"))
+        (col("ap")(0) >= col("p")(0) && col("ap")(0) <= col("p")(1)).as("p50_ok"),
+        (col("ap")(1) >= col("p")(2) && col("ap")(1) <= col("p")(3)).as("p95_ok"))
       .orderBy("flag")
 
   // ----------------------------------------------------- text/multimodal

@@ -39,7 +39,10 @@ object ScaleProbe {
     val emb0 = Tables.embeddings(spark, d)
 
     for (n <- scales) {
-      val docsPath = s"$work/docs_x$n"
+      // sf-dir-shaped so the oracle-registered queries (which read
+      // `<dir>/documents.parquet`) run unmodified over the replica
+      val sfLike = s"$work/sfx$n"
+      val docsPath = s"$sfLike/documents.parquet"
       val embPath = s"$work/emb_x$n"
       replicate(docs0, "doc_id", n).write.mode(SaveMode.Overwrite).parquet(docsPath)
       replicate(emb0, "vec_id", n).write.mode(SaveMode.Overwrite).parquet(embPath)
@@ -92,12 +95,30 @@ object ScaleProbe {
           .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= graft.operators.Dedup.SimHamMax)
           .write.format("noop").mode("overwrite").save()
       }
+      // 6-8: the r4 operators (r5 verdict item 6) — the whole registered
+      // query runs over the replica dir, so caps/windows are the real ones
+      val tD10 = time {
+        graft.operators.Corpus.d10PassageDedup(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tD11 = time {
+        graft.operators.Corpus.d11FuzzyEdit(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tT15 = time {
+        graft.operators.Corpus.t15Repetition(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.operators.Dedup.releaseSlots()
       println(f"[scale] x$n%-3d docs=$nDocs%-8d vecs=$nVec%-8d " +
         f"minhash=$tMinhash%6.1fs (${nDocs / tMinhash}%8.0f docs/s)  " +
         f"simhash=$tSimhash%5.1fs (${nDocs / tSimhash}%8.0f docs/s)  " +
         f"knn=$tKnn%5.1fs (${nVec / tKnn}%9.0f vec/s)  " +
         f"index=$tIndex%5.1fs (${nDocs / tIndex}%8.0f docs/s)  " +
-        f"simpairs=$tSimPairs%5.1fs (${nDocs / tSimPairs}%8.0f docs/s)")
+        f"simpairs=$tSimPairs%5.1fs (${nDocs / tSimPairs}%8.0f docs/s)  " +
+        f"d10=$tD10%5.1fs (${nDocs / tD10}%8.0f docs/s)  " +
+        f"d11=$tD11%6.1fs (${nDocs / tD11}%8.0f docs/s)  " +
+        f"t15=$tT15%5.1fs (${nDocs / tT15}%8.0f docs/s)")
     }
     spark.stop()
   }
