@@ -455,15 +455,16 @@ object Indexed {
     * distance sums its PqM terms in fixed left-to-right subspace order —
     * so the TopN prune boundary cannot flip across engines.
     */
-  val v12PqAdc: Relational.Q = (s, d) => {
-    val cb = ensureCodebook(s, d)
-    val codesPath = ensurePqCodes(s, d)
+  /** Query-side ADC table: the query's SQUARED distance to every
+    * centroid of every subspace, double accumulation in index order —
+    * the same bits DuckDB's unnest-zip sum produces.
+    */
+  private def pqQueryTable(s: SparkSession, d: String,
+      cb: Seq[Seq[Seq[Float]]]): Seq[Seq[Double]] = {
     val subDim = cb.head.head.size
     val qv = embeddings(s, d).filter(col("vec_id") === Knn.QueryId)
       .select("embedding").head().getSeq[Float](0)
-    // query-to-centroid SQUARED distances: double accumulation in index
-    // order — the same bits DuckDB's unnest-zip sum produces
-    val qd2: Seq[Seq[Double]] = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       cb(m).map { c =>
         var acc = 0.0
         var i = 0
@@ -475,9 +476,22 @@ object Indexed {
         acc
       }
     }
-    val approx = sqrt((0 until PqM).map { m =>
+  }
+
+  /** The ADC approximate distance of a codes row: sum of PqM lookups
+    * into the query table, added in fixed left-to-right subspace order
+    * (same associativity as the oracle's explicit q0+q1+q2+q3).
+    */
+  private def adcApprox(qd2: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    sqrt((0 until PqM).map { m =>
       element_at(typedlit(qd2(m)), col(s"code$m") + 1)
     }.reduceLeft(_ + _))
+
+  val v12PqAdc: Relational.Q = (s, d) => {
+    val cb = ensureCodebook(s, d)
+    val codesPath = ensurePqCodes(s, d)
+    val qd2 = pqQueryTable(s, d, cb)
+    val approx = adcApprox(qd2)
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
     val cand = s.read.parquet(codesPath)
       .select(col("vec_id"), approx.as("approx"))
@@ -492,11 +506,56 @@ object Indexed {
         round(col("dist"), 3).as("dist"))
   }
 
+  /** V14: IVF+PQ — the two index structures composed, which is the
+    * production ANN shape (Jégou et al., TPAMI'11 §V: a coarse
+    * quantizer restricts the scan to the probed cells; PQ codes give
+    * the in-cell approximate distances). Everything before the re-rank
+    * reads STORED integer tables only: the `(vec_id, cluster)`
+    * assignment ([[ensureAssignments]]) filtered to the [[NProbe]]
+    * probed clusters joins the `(vec_id, code0..3)` codes table
+    * ([[ensurePqCodes]]) by vec_id, ADC-scores the survivors, and only
+    * the [[PqTopN]] best pay the exact float re-rank. At 100 TB the
+    * probe filter prunes the assignment scan via row-group stats
+    * (sorted by cluster at build), the codes join moves ~nprobe/nlist
+    * of the corpus — integers, not floats — and the re-rank join
+    * broadcasts [[PqTopN]] ids against the float corpus. The reference
+    * analogue is its persisted-index-fields serving path
+    * (`/root/reference/src/search.ts:19-54`) with both derived columns
+    * stored at write time (`src/database.ts:195-198`).
+    */
+  val v14IvfPq: Relational.Q = (s, d) => {
+    val cents = ensureCentroids(s, d)
+    val assign = ensureAssignments(s, d)
+    val cb = ensureCodebook(s, d)
+    val codesPath = ensurePqCodes(s, d)
+    val centLits = cents.map(c => typedlit(c))
+    val qdC = queryDists(s, d, centLits)
+    val probes = qdC.zipWithIndex.sortBy { case (dd, cid) => (dd, cid) }
+      .take(NProbe).map(_._2)
+    val qd2 = pqQueryTable(s, d, cb)
+    val probed = s.read.parquet(assign)
+      .filter(col("cluster").isin(probes: _*))
+    val cand = s.read.parquet(codesPath)
+      .join(probed, "vec_id")
+      .select(col("vec_id"), col("cluster"), adcApprox(qd2).as("approx"))
+      .orderBy(col("approx").asc, col("vec_id").asc)
+      .limit(PqTopN)
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    embeddings(s, d)
+      .join(broadcast(cand), "vec_id")
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("approx"), 3).as("approx_dist"), round(col("dist"), 3).as("dist"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "q_v9_indexed_range" -> v9IndexedRange,
     "q_v10_ivf_kmeans" -> v10IvfKmeans,
     "q_v12_pq_adc" -> v12PqAdc,
     "q_v13_sq8" -> v13Sq8,
+    "q_v14_ivfpq" -> v14IvfPq,
   )
 
   // The oracles recompute every pivot/centroid distance from the raw
@@ -639,6 +698,74 @@ object Indexed {
          |  GROUP BY vec_id
          |)
          |SELECT r.vec_id, round(c.approx,3) AS approx_dist, round(r.dist,3) AS dist
+         |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
+         |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
+    },
+    // v14: IVF probe over the stored assignment table composed with the
+    // v12 ADC over the stored codes table — probes from the stored
+    // centroids (v10 CTEs), approximate distances only for assignment
+    // rows in a probed cluster, TopN prune, exact re-rank. Training and
+    // both one-time encodes are outside the compared computation.
+    "q_v14_ivfpq" -> {
+      val sub = oraclePqSubDim
+      val qpJoins = (0 until PqM)
+        .map(m => s"JOIN qp q$m ON q$m.m = $m AND q$m.code = codes.code$m")
+        .mkString("\n  ")
+      val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |qc AS (
+         |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
+         |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
+         |        FROM cent CROSS JOIN q) z
+         |  GROUP BY cid
+         |),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY qd ASC, cid ASC) AS rn FROM qc) t
+         |  WHERE rn <= $NProbe
+         |),
+         |assign AS (
+         |  SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')
+         |),
+         |probed AS (
+         |  SELECT a.vec_id, a.cluster FROM assign a JOIN probes p ON a.cluster = p.cid
+         |),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
+         |codes AS (
+         |  SELECT * FROM read_parquet('$oraclePqCodesPath/*.parquet')
+         |),
+         |qp AS (
+         |  SELECT m, code, sum((a-b)*(a-b)) AS qd2
+         |  FROM (SELECT c.m, c.code,
+         |               unnest(q.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(c.centroid)::DOUBLE AS b
+         |        FROM cb c CROSS JOIN q) z
+         |  GROUP BY m, code
+         |),
+         |approx AS (
+         |  SELECT codes.vec_id, pr.cluster, sqrt($adcSum) AS approx
+         |  FROM codes
+         |  JOIN probed pr ON pr.vec_id = codes.vec_id
+         |  $qpJoins
+         |),
+         |cand AS (
+         |  SELECT vec_id, cluster, approx FROM (
+         |    SELECT vec_id, cluster, approx,
+         |           row_number() OVER (ORDER BY approx ASC, vec_id ASC) AS rn
+         |    FROM approx) t
+         |  WHERE rn <= $PqTopN
+         |),
+         |rerank AS (
+         |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |        CROSS JOIN q) z
+         |  GROUP BY vec_id
+         |)
+         |SELECT r.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+         |       round(c.approx,3) AS approx_dist, round(r.dist,3) AS dist
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
     },

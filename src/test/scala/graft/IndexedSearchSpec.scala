@@ -171,6 +171,31 @@ class IndexedSearchSpec extends SparkSuite {
     assert(got.forall(_._2 >= 0.0))
   }
 
+  test("q_v14_ivfpq: IVF probe + PQ ADC compose; candidates confined to probed clusters") {
+    import graft.operators.Indexed
+    val got = Indexed.v14IvfPq(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got.size === Indexed.K)
+    // the query vector survives probe + ADC prune and re-ranks first
+    assert(got.head._1 === Knn.QueryId && got.head._4 === 0.0)
+    // every result's cluster is one of the probed clusters: results come
+    // only from cells the coarse quantizer selected
+    assert(got.map(_._2).toSet.size <= Indexed.NProbe)
+    // recall vs the exact full-scan top-K — bounded below by the v10
+    // probe recall (the PQ prune inside probed cells keeps topN=100,
+    // far above K)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = emb.filter(col("vec_id") === Knn.QueryId)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = emb
+      .withColumn("dist", euclidean(col("embedding"), typedlit(qv)))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(Indexed.K)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got.map(_._1).toSet.contains).toDouble / exact.size
+    info(s"IVF+PQ (nprobe=${Indexed.NProbe}/${Indexed.CentroidK}, M=${Indexed.PqM}, topN=${Indexed.PqTopN}) recall@10 = $recall")
+    assert(recall >= 0.5, s"IVF+PQ recall degraded: $recall")
+  }
+
   test("q_v13_sq8: integer code distances from stored bounds; prune keeps real neighbors") {
     import graft.operators.Indexed
     val got = Indexed.v13Sq8(spark, sf0001)

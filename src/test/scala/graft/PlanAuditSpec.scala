@@ -138,6 +138,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(embeddingScans(p13) === 1, s"v13 must not re-quantize floats per query:\n${p13.take(3000)}")
     assert(p13.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("codes")),
       s"v13 candidate scan must read the stored codes:\n${p13.take(3000)}")
+    // v14 composes both structures: the probe filter pushes to the
+    // assignment scan, the ADC reads stored codes, and the float corpus
+    // appears only in the TopN re-rank
+    val p14 = plan(graft.operators.Indexed.v14IvfPq(spark, sf0001))
+    assert(embeddingScans(p14) === 1, s"v14 must touch floats only at re-rank:\n${p14.take(3000)}")
+    assert(p14.contains("In(cluster"), s"v14 probe filter must push to the assignment scan:\n${p14.take(3000)}")
+    assert(p14.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("code0")),
+      s"v14 candidate scan must read the stored codes:\n${p14.take(3000)}")
   }
 
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
