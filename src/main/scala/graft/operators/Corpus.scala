@@ -44,54 +44,56 @@ object Corpus {
     // a handful of partitions keeps each fixpoint round's shuffles from
     // paying 32-task scheduling overhead on near-empty partitions
     val loopParts = 8
+    // LOCAL-CHECKPOINT, not persist: each round's labels plan embeds the
+    // previous round's, so with a mere persist the LOGICAL plan (which
+    // the cache does not truncate) grows per round and every lblSum
+    // re-analyzes the whole accumulated lineage — measured seconds of
+    // pure planning by round 3-4 at sf0.1. Truncating per round keeps
+    // analysis constant-size; dropped rounds' checkpoint blocks are
+    // reclaimed by the ContextCleaner (same discipline as the star
+    // loop below). Lazy (eager=false): the convergence probe's job
+    // materializes the round, so each round costs ONE job, not two.
+    // On a cluster, point this at a reliable checkpoint dir instead.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .repartition(loopParts, col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // labels only ever decrease, so sum(lbl) is a strictly decreasing
-      // convergence measure: equal sums across a round ⟺ fixpoint. One
-      // cheap aggregate per round instead of a compare-join. (coalesce:
-      // sum over an empty label set is null — an empty pair graph must
-      // converge immediately, not NPE)
-      def lblSum(df: DataFrame): Long =
-        df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
-      var prevSum = lblSum(labels)
-      var iter = 0
-      var converged = false
-      while (!converged && iter < MaxCcIters) {
-        val nbMin = edges
-          .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
-          .groupBy("src").agg(min("nlbl").as("nb"))
-        val updated = labels
-          .join(nbMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val curSum = lblSum(updated)
-        labels.unpersist()
-        labels = updated
-        converged = curSum == prevSum
-        prevSum = curSum
-        iter += 1
-      }
-      // a silent partial result here would diverge from the q_d7
-      // oracle's full transitive closure (and under-dedup the corpus);
-      // a component chain deeper than MaxCcIters must fail loudly
-      require(converged,
-        s"connected components did not converge within $MaxCcIters rounds " +
-          "— pair-graph diameter exceeds the cap; raise MaxCcIters")
-      // the loop materialized `labels`'s cache itself; hand it to the
-      // shared slot un-re-persisted so repeated invocations don't leak
-      // (a fresh persist+count over the deep fixpoint lineage measured
-      // ~12s of pure planning at sf0.1)
-      Dedup.adoptSlot("cc-labels", labels)
-      labels.select(col("doc_id"), col("lbl").as("cluster"))
-    } finally edges.unpersist()
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(false)
+    // labels only ever decrease, so sum(lbl) is a strictly decreasing
+    // convergence measure: equal sums across a round ⟺ fixpoint. One
+    // cheap aggregate per round instead of a compare-join. (coalesce:
+    // sum over an empty label set is null — an empty pair graph must
+    // converge immediately, not NPE)
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lbl"), lit(0L))).head().getLong(0)
+    var prevSum = lblSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < MaxCcIters) {
+      val nbMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy("src").agg(min("nlbl").as("nb"))
+      val updated = labels
+        .join(nbMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
+        .localCheckpoint(false)
+      val curSum = lblSum(updated)
+      labels = updated
+      converged = curSum == prevSum
+      prevSum = curSum
+      iter += 1
+    }
+    // a silent partial result here would diverge from the q_d7
+    // oracle's full transitive closure (and under-dedup the corpus);
+    // a component chain deeper than MaxCcIters must fail loudly
+    require(converged,
+      s"connected components did not converge within $MaxCcIters rounds " +
+        "— pair-graph diameter exceeds the cap; raise MaxCcIters")
+    labels.select(col("doc_id"), col("lbl").as("cluster"))
   }
 
   /** D7: cluster assignment over the d2 MinHash-LSH verified pairs. */
@@ -124,11 +126,15 @@ object Corpus {
     *
     * Both are one shuffle on the node id (groupBy min + re-emit), both
     * preserve connectivity, and their fixpoint is a forest of stars
-    * whose centers are the component minima. Edges stay canonical
-    * (u > v) and distinct, so the fixpoint test is exact set equality
-    * (count + anti-join), not a heuristic. (At true 100 TB you would
-    * swap the equality probe for the paper's potential-function check
-    * to save one join per round; the loop body is unchanged.)
+    * whose centers are the component minima. The convergence probe is
+    * the star-forest property itself — no node appears as both a child
+    * (`u`) and a root (`v`) — which is EXACT, not a heuristic: a star
+    * forest maps to itself under both operations (each child's only
+    * neighbor is its center, each center is its star's minimum), and
+    * because both operations preserve connectivity, a star's center is
+    * the true minimum of its original component. One single-column
+    * semi-join + isEmpty per round, instead of the count + except pair
+    * an edge-set-equality probe costs.
     *
     * Each round LOCAL-CHECKPOINTS the new edge set rather than merely
     * persisting it: one star round references the previous edge set
@@ -144,9 +150,17 @@ object Corpus {
       .filter(col("u") =!= col("v"))
       .distinct()
       .repartition(loopParts, col("u"))
+      // EAGER: sym and the probe each reference the edge set twice; a
+      // lazy checkpoint would let both consumers race to compute the
+      // partitions before the cache fills (measured +0.5s vs eager)
       .localCheckpoint(true)
+    // star forest ⟺ fixpoint (see scaladoc): no root also hangs as a
+    // child. One job on two single-column projections of the cached
+    // edge set.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("v").as("u")).join(e.select("u"), Seq("u"), "left_semi").isEmpty
     var iter = 0
-    var converged = false
+    var converged = isStarForest(edges)
     while (!converged && iter < MaxStarIters) {
       // large-star: for each node x (both orientations), m = min of its
       // neighborhood incl. itself; re-hang every LARGER neighbor on m
@@ -169,9 +183,7 @@ object Corpus {
         .distinct()
         .repartition(loopParts, col("u"))
         .localCheckpoint(true)
-      // exact fixpoint: canonical distinct sets are equal iff counts
-      // match and the difference is empty
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      converged = isStarForest(next)
       edges = next
       iter += 1
     }

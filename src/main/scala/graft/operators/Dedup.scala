@@ -141,19 +141,6 @@ object Dedup {
     */
   @transient private val cacheSlots =
     scala.collection.mutable.Map.empty[String, DataFrame]
-  /** Register an ALREADY-persisted DataFrame in a slot (no re-persist,
-    * no materialization): the next occupant of the slot unpersists it.
-    * For results whose cache the producer materialized itself (e.g. the
-    * connected-components fixpoint's final labels — re-persisting a
-    * deep iterative lineage and counting it costs seconds of pure
-    * planning).
-    */
-  private[graft] def adoptSlot(slot: String, cached: DataFrame): DataFrame = synchronized {
-    cacheSlots.remove(slot).foreach(_.unpersist())
-    cacheSlots(slot) = cached
-    cached
-  }
-
   private[graft] def cacheSlot(slot: String, df: DataFrame): DataFrame = synchronized {
     cacheSlots.remove(slot).foreach(_.unpersist())
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -212,7 +212,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-(source, lang) cell cap for t16. Small relative to sf0.1 cell
+    * sizes (~hundreds of docs) so the cap actually binds there; at
+    * smaller sf some cells fall under quota and are kept whole — both
+    * behaviors are the operator's contract.
+    */
+  val QuotaPerCell = 5
+
+  /** T16: exact per-cell quota sampling — the mixture-enforcement pass
+    * that caps each (source, language) cell at a fixed number of
+    * documents, selected deterministically by an md5 keep-hash (t13's
+    * reproducibility contract, but with an EXACT per-cell cardinality
+    * guarantee, which is what a training mixture spec actually states).
+    * Scale shape: the bounded-heap top-k aggregate
+    * ([[graft.functions.TopKRows]]) — map-side partials contribute at
+    * most quota rows per cell per partition to the shuffle, no
+    * per-cell full sort; the window formulation the oracle uses would
+    * sort every cell (billions of rows per cell at 100 TB).
+    */
+  val t16QuotaSample: Relational.Q = (s, d) => {
+    // same 28-bit md5 keep-hash family as t6/t13; negated because the
+    // heap keeps score-DESC and the sample takes the LOWEST hashes
+    val keyHash = Dedup.baseHash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")))
+    documents(s, d)
+      .select(col("source"), col("lang"), col("doc_id"), (-keyHash).cast("double").as("nkh"))
+      .groupBy("source", "lang")
+      .agg(graft.functions.TopKRows.topK(
+        col("nkh"), col("doc_id"), lit(0).cast("int"), QuotaPerCell).as("tops"))
+      .select(col("source"), col("lang"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("source"), col("lang"), col("t.id1").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("source", "lang", "rn")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_t16_quota_sample" -> t16QuotaSample,
     "q_t13_domain_mix" -> t13DomainMix,
     "q_t8_lang_mix" -> t8LangMix,
     "q_t9_redact" -> t9Redact,
@@ -241,6 +276,21 @@ object TextAnalysis {
       s"CASE $whens ELSE 'und' END"
     }
     Map(
+      // t16: the window formulation IS the oracle — the engine's
+      // bounded-heap aggregate must equal the per-cell hash-rank prefix
+      "q_t16_quota_sample" ->
+        s"""WITH h AS (
+           |  SELECT source, lang, doc_id,
+           |         ('0x' || substr(md5(source || ':' || doc_id), 1, 7))::BIGINT AS kh
+           |  FROM documents
+           |)
+           |SELECT source, lang, doc_id, rn FROM (
+           |  SELECT source, lang, doc_id,
+           |         row_number() OVER (PARTITION BY source, lang
+           |                            ORDER BY kh ASC, doc_id ASC) AS rn
+           |  FROM h) t
+           |WHERE rn <= $QuotaPerCell
+           |ORDER BY source, lang, rn""".stripMargin,
       "q_t13_domain_mix" -> {
         def inList(ss: Seq[String]) = ss.map(s => s"'$s'").mkString(", ")
         s"""SELECT doc_id, source FROM documents
