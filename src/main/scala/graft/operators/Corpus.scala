@@ -248,6 +248,38 @@ object Corpus {
       .orderBy("train_id", "bench_id")
   }
 
+  // ------------------------------------------------ d13: leakage rate
+
+  /** D13: cross-split n-gram leakage rate — the QUANTITATIVE complement
+    * of d8's binary contamination verdict (the GPT-2/3-style n-gram
+    * overlap analysis between train and held-out splits): for every
+    * test-split document, the fraction of its distinct 3-word shingles
+    * that also occur anywhere in the train split. Splits are t6's
+    * deterministic md5 hash buckets, so the measurement is reproducible
+    * across engines and runs. Scale shape: the test side semi-joins the
+    * DISTINCT train shingle set on the shingle key — postings are never
+    * squared (no pair blowup, unlike candidate generation), so no df
+    * cap is needed; both sides shuffle once on `g`, then one keyed
+    * aggregate per test doc.
+    */
+  val d13Leakage: Relational.Q = (s, d) => {
+    val b = Dedup.baseHash(col("doc_id").cast("string")) % 10
+    val sh = Dedup.cacheSlot("leakage-shingles", documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), b.as("b"), explode(Dedup.shingles(col("text"))).as("g")))
+    val trainG = sh.filter(col("b") < 8).select("g").distinct()
+    val test = sh.filter(col("b") === 9)
+    val seen = test.join(trainG, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    test.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        round(coalesce(col("n_seen"), lit(0L)).cast("double") / col("n_shingles"), 3)
+          .as("leak_rate"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- t11: tf-idf
 
   val TfidfTopK = 3
@@ -476,6 +508,7 @@ object Corpus {
     "q_t14_rarity" -> t14Rarity,
     "q_t15_repetition" -> t15Repetition,
     "q_d11_fuzzy_edit" -> d11FuzzyEdit,
+    "q_d13_leakage" -> d13Leakage,
   )
 
   /** Transitive closure to the minimum reachable id via recursive CTE —
@@ -505,6 +538,27 @@ object Corpus {
   val oracleSql: Map[String, String] = Map(
     "q_d7_dedup_clusters" -> ccOracle,
     "q_d9_cc_bigstar" -> ccOracle,
+    // d13: same shingle CTE; the test side semi-joins the distinct
+    // train shingle set (t6's md5 split buckets decide membership)
+    "q_d13_leakage" ->
+      s"""${Dedup.shingleCte},
+         |ex AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 10 AS b,
+         |         unnest(gs) AS g
+         |  FROM sh
+         |),
+         |traing AS (SELECT DISTINCT g FROM ex WHERE b < 8),
+         |test AS (SELECT doc_id, g FROM ex WHERE b = 9),
+         |seen AS (
+         |  SELECT doc_id, count(*) AS n_seen FROM test
+         |  WHERE g IN (SELECT g FROM traing) GROUP BY doc_id
+         |),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM test GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles,
+         |       coalesce(s.n_seen, 0::BIGINT) AS n_seen,
+         |       round(coalesce(s.n_seen, 0::BIGINT)::DOUBLE / t.n_shingles, 3) AS leak_rate
+         |FROM tot t LEFT JOIN seen s USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q_d8_decontaminate" ->
       s"""${Dedup.shingleCte},
          |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),

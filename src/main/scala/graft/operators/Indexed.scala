@@ -550,12 +550,50 @@ object Indexed {
         round(col("approx"), 3).as("approx_dist"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Cosine threshold above which two same-cluster embeddings are
+    * semantic duplicates. The synthetic corpus is not near-duplicate-
+    * dense, so the demo threshold sits where the fixture yields pairs;
+    * production SemDedup runs 0.95+.
+    */
+  val SemTau = 0.4
+
+  /** D12: SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540) — semantic dedup WITHIN the stored KMeans
+    * clusters: the v10 `(vec_id, cluster)` assignment table
+    * ([[ensureAssignments]]) is the blocking key, so candidate
+    * generation is an equi-join on `cluster` (quadratic only within a
+    * cell, never corpus-wide; with k ∝ √N centroids total pair work is
+    * O(N^1.5), the paper's operating point), and the keep/drop rule is
+    * deterministic: a vector is a duplicate iff a LOWER-id same-cluster
+    * vector has cosine ≥ [[SemTau]]; its canonical is the lowest such
+    * id. Lives here rather than in Dedup because it SERVES from the
+    * materialized index artifact — the d5 SRP-LSH pipeline is the
+    * no-stored-index sibling.
+    */
+  val d12SemDedup: Relational.Q = (s, d) => {
+    val assign = ensureAssignments(s, d)
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val v = e.join(s.read.parquet(assign), "vec_id")
+    val pairs = v.as("x").join(v.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", cosine(col("x.embedding"), col("y.embedding")))
+      .filter(col("sim") >= SemTau)
+    pairs
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("canonical"),
+        count(lit(1)).as("n_dups"),
+        round(max("sim"), 3).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "q_v9_indexed_range" -> v9IndexedRange,
     "q_v10_ivf_kmeans" -> v10IvfKmeans,
     "q_v12_pq_adc" -> v12PqAdc,
     "q_v13_sq8" -> v13Sq8,
     "q_v14_ivfpq" -> v14IvfPq,
+    "q_d12_semdedup" -> d12SemDedup,
   )
 
   // The oracles recompute every pivot/centroid distance from the raw
@@ -769,6 +807,23 @@ object Indexed {
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
     },
+    // d12: the oracle reads the same stored (vec_id, cluster) blocking
+    // table and replays the within-cluster pairwise cosine + keep rule;
+    // list_cosine_similarity over ::DOUBLE[] matches the Catalyst
+    // cosine kernel bit-for-bit (the proven d5 pattern)
+    "q_d12_semdedup" ->
+      s"""WITH a AS (SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |v AS (SELECT e.vec_id, a.cluster, e.ed FROM e JOIN a USING (vec_id)),
+         |p AS (
+         |  SELECT y.vec_id AS vec_id, x.vec_id AS partner,
+         |         list_cosine_similarity(x.ed, y.ed) AS sim
+         |  FROM v x JOIN v y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |)
+         |SELECT vec_id, min(partner) AS canonical, count(*) AS n_dups,
+         |       round(max(sim), 3) AS max_sim
+         |FROM p WHERE sim >= $SemTau
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // v13: row codes are READ from the stored (vec_id, codes) table
     // Spark quantized at build; only the QUERY vector is quantized here,
     // against the same stored (dim, mn, mx) doubles. unnest(codes) zips

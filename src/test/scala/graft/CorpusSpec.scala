@@ -136,4 +136,23 @@ class CorpusSpec extends SparkSuite {
     }
     info(s"contaminated pairs on sf0.001: ${got.length}")
   }
+
+  test("d13 leakage: rates are well-formed and every row is a test-split doc") {
+    val got = Corpus.d13Leakage(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (docId, nSh, nSeen, rate) =>
+      // t6's split hash: bucket 9 is "test"
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString.take(7)
+      assert(java.lang.Long.parseLong(md5, 16) % 10 === 9,
+        s"doc $docId is not in the test split")
+      assert(nSeen >= 0 && nSeen <= nSh)
+      assert(math.abs(rate - nSeen.toDouble / nSh) <= 0.0005 + 1e-9,
+        s"leak_rate $rate is not the rounded $nSeen/$nSh")
+    }
+    info(s"test docs measured on sf0.001: ${got.length}, " +
+      f"mean leak rate ${got.map(_._4).sum / got.length}%.3f")
+  }
 }

@@ -196,6 +196,34 @@ class IndexedSearchSpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF+PQ recall degraded: $recall")
   }
 
+  test("q_d12_semdedup: duplicates share the stored cluster and really exceed the threshold") {
+    import graft.operators.Indexed
+    val got = Indexed.d12SemDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.nonEmpty, "fixture should contain same-cluster near-dups at SemTau")
+    val assign = spark.read.parquet(Indexed.assignPath(sf0001))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.size) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (vid, canon, nDups, maxSim) =>
+      assert(canon < vid, "canonical is the lowest-id qualifying partner")
+      assert(assign(canon) === assign(vid), "duplicate pairs must share the stored cluster")
+      assert(cos(emb(vid), emb(canon)) >= Indexed.SemTau - 1e-9)
+      assert(nDups >= 1 && maxSim >= Indexed.SemTau - 0.0006)
+    }
+    info(s"semantic duplicates on sf0.001: ${got.length}")
+  }
+
   test("q_v13_sq8: integer code distances from stored bounds; prune keeps real neighbors") {
     import graft.operators.Indexed
     val got = Indexed.v13Sq8(spark, sf0001)
