@@ -228,13 +228,15 @@ object Corpus {
     * by the df cap; the doc x doc product never appears.
     */
   val d8Decontaminate: Relational.Q = (s, d) => {
-    val ex = Dedup.cacheSlot("decontam-shingles", documents(s, d)
+    val ex = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g")))
-    val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
+    // df cap via window count — ONE shuffle of the postings on g (the
+    // d2/d5 bucket-cap idiom) instead of a groupBy + join pair
+    val exk = Dedup.cacheSlot("decontam-shingles", ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df") <= MaxShingleDf)
-      .select("g")
-    val exk = ex.join(keep, "g")
+      .drop("df"))
     val bench = exk.filter(col("doc_id") < BenchIdMax)
       .select(col("g"), col("doc_id").as("bench_id"))
     val train = exk.filter(col("doc_id") >= BenchIdMax)
@@ -419,11 +421,13 @@ object Corpus {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
     val ex = docs.select(col("doc_id"), explode(Dedup.shingles(col("t"))).as("g"))
-    val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("g")
-    // the capped postings feed BOTH self-join sides — persist the joined
-    // form, not the raw explode (Spark will not reuse the exchange)
-    val exk = Dedup.cacheSlot("fuzzy-postings", ex.join(keep, "g"))
+    // df cap via window count (one shuffle on g, the d2/d5 idiom); the
+    // capped postings feed BOTH self-join sides — persist the capped
+    // form (Spark will not reuse the exchange across join sides)
+    val exk = Dedup.cacheSlot("fuzzy-postings", ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= MaxShingleDf)
+      .drop("df"))
     val cand = exk.as("a")
       .join(exk.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -43,7 +43,7 @@ object ScaleProbe {
       // `<dir>/documents.parquet`) run unmodified over the replica
       val sfLike = s"$work/sfx$n"
       val docsPath = s"$sfLike/documents.parquet"
-      val embPath = s"$work/emb_x$n"
+      val embPath = s"$sfLike/embeddings.parquet"
       replicate(docs0, "doc_id", n).write.mode(SaveMode.Overwrite).parquet(docsPath)
       replicate(emb0, "vec_id", n).write.mode(SaveMode.Overwrite).parquet(embPath)
       val docs = spark.read.parquet(docsPath)
@@ -109,6 +109,38 @@ object ScaleProbe {
         graft.operators.Corpus.t15Repetition(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
+      // 9-10: the r7 operators — registered queries over the replica
+      val tD13 = time {
+        graft.operators.Corpus.d13Leakage(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tT16 = time {
+        graft.operators.TextAnalysis.t16QuotaSample(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // 11: SemDedup at its stated operating point — k ∝ √N centroids
+      // (the registered q_d12 serves the fixture's stored k=8 table; the
+      // SCALE claim is that cluster count grows with the corpus so
+      // within-cluster pair work stays O(Σ|c|²) ≈ O(N^1.5)). Assignment
+      // here is the broadcast-centroids × corpus equi-shape (N·k
+      // distances, one groupBy argmin), not a k-wide literal expression.
+      val tD12 = time {
+        import spark.implicits._
+        val kk = math.max(8, math.sqrt(nVec.toDouble).toInt)
+        val cents = Pivots.learnKMeans(emb, "embedding", kk)
+        val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("cid", "centroid")
+        val assign = emb.crossJoin(broadcast(centDf))
+          .withColumn("cd", euclidean(col("embedding"), col("centroid")))
+          .groupBy("vec_id").agg(min(struct(col("cd"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cluster"))
+        val v = emb.select("vec_id", "embedding").join(assign, "vec_id")
+        v.as("x").join(v.as("y"),
+            col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+          .select(cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+          .filter(col("sim") >= graft.operators.Indexed.SemTau)
+          .write.format("noop").mode("overwrite").save()
+      }
       graft.operators.Dedup.releaseSlots()
       println(f"[scale] x$n%-3d docs=$nDocs%-8d vecs=$nVec%-8d " +
         f"minhash=$tMinhash%6.1fs (${nDocs / tMinhash}%8.0f docs/s)  " +
@@ -118,7 +150,10 @@ object ScaleProbe {
         f"simpairs=$tSimPairs%5.1fs (${nDocs / tSimPairs}%8.0f docs/s)  " +
         f"d10=$tD10%5.1fs (${nDocs / tD10}%8.0f docs/s)  " +
         f"d11=$tD11%6.1fs (${nDocs / tD11}%8.0f docs/s)  " +
-        f"t15=$tT15%5.1fs (${nDocs / tT15}%8.0f docs/s)")
+        f"t15=$tT15%5.1fs (${nDocs / tT15}%8.0f docs/s)  " +
+        f"d13=$tD13%5.1fs (${nDocs / tD13}%8.0f docs/s)  " +
+        f"t16=$tT16%5.1fs (${nDocs / tT16}%8.0f docs/s)  " +
+        f"d12=$tD12%6.1fs (${nVec / tD12}%8.0f vec/s)")
     }
     spark.stop()
   }
