@@ -332,6 +332,58 @@ object Knn {
       .orderBy("qid", "rn")
   }
 
+  /** Query batch for the v15 recall/cost evaluation. */
+  val EvalQids: Seq[Int] = (1 to 10)
+  val EvalK = 10
+
+  /** V15: recall/cost evaluation of the banded index strategy against
+    * the exact scan — the reference's OWN validation harness made a
+    * first-class operator: every strategy there returns `docReads`
+    * alongside results (`/root/reference/src/search.ts:16,52,107`) and
+    * the (structurally present) oracle cross-check compares exact vs
+    * indexed rankings (`src/index.ts:77-101`). Per query in a batch:
+    * the exact top-K, the pivot-0-band candidate set (the v9 band
+    * semantics), its size (the docReads analogue), and recall@K of the
+    * banded result — all integers, so the row is hash-exact across
+    * engines. One corpus pass computes both strategies (broadcast
+    * query batch, bounded-heap top-K per side); at 100 TB this is the
+    * recurring index-quality audit job that decides eps/nprobe tuning.
+    */
+  val v15RecallEval: Relational.Q = (s, d) => {
+    val pls = pivotLits(s, d)
+    val e = embeddings(s, d).select(
+      col("vec_id") +: col("embedding") +:
+        pls.indices.map(i => euclidean(col("embedding"), pls(i)).as(s"dist$i")): _*)
+    val qs = e.filter(col("vec_id").isin(EvalQids: _*))
+      .select(col("vec_id").as("qid") +: col("embedding").as("qe") +:
+        pls.indices.map(i => col(s"dist$i").as(s"qd$i")): _*)
+    val scored = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("dist", euclidean(col("embedding"), col("qe")))
+    val topIds: Column =
+      transform(graft.functions.TopKRows.topK(
+        -col("dist"), col("vec_id"), lit(0), EvalK), t => t.getField("id1"))
+    val exact = scored.groupBy("qid").agg(topIds.as("exact_ids"))
+    // the strategy under evaluation IS the reference's: union of the
+    // five relative pivot windows (indexDistance, src/search.ts:20,27).
+    // Both engines multiply the same qd bits by the same parsed double,
+    // so band membership cannot flip.
+    val inBand = pls.indices.map { i =>
+      col(s"dist$i") > col(s"qd$i") * (1 - Eps) &&
+        col(s"dist$i") < col(s"qd$i") * (1 + Eps)
+    }.reduce(_ || _)
+    val band = scored.filter(inBand)
+    val banded = band.groupBy("qid").agg(
+      count(lit(1)).as("docreads"), topIds.as("approx_ids"))
+    qs.select("qid")
+      .join(exact, Seq("qid"), "left")
+      .join(banded, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("docreads"), lit(0L)).as("docreads"),
+        coalesce(size(array_intersect(col("exact_ids"), col("approx_ids"))), lit(0))
+          .cast("long").as("recall10"))
+      .orderBy("qid")
+  }
+
   /** Radius for the v11 range search: between the corpus's 5th
     * percentile and median query-distance, so the result is a
     * meaningful neighborhood (~5-10% of vectors) at every sf. The
@@ -356,6 +408,7 @@ object Knn {
   }
 
   val queries: Map[String, Relational.Q] = Map(
+    "q_v15_recall_eval" -> v15RecallEval,
     "q_v11_radius" -> v11Radius,
     "q_v6_knn_filtered" -> v6KnnFiltered,
     "q_v8_batch_knn" -> v8BatchKnn,
@@ -369,6 +422,63 @@ object Knn {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // v15: exact vs banded recall/docreads — every output is an integer,
+    // and both engines compute distances with the bit-identical
+    // unnest-zip double accumulation, so band membership and top-K
+    // boundaries cannot flip
+    "q_v15_recall_eval" ->
+      s"""WITH piv AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |             WHERE vec_id IN (${PivotIds.mkString(",")})),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |vp AS (
+         |  SELECT vec_id, pid, sqrt(sum((a-b)*(a-b))) AS vd
+         |  FROM (SELECT e.vec_id, p.pid, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(p.pe)::DOUBLE AS b
+         |        FROM e CROSS JOIN piv p) z
+         |  GROUP BY vec_id, pid
+         |),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM e
+         |  WHERE vec_id IN (${EvalQids.mkString(",")})
+         |),
+         |pd AS (
+         |  SELECT qid, vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT q.qid, e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) z
+         |  GROUP BY qid, vec_id
+         |),
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+         |    FROM pd) t
+         |  WHERE rn <= $EvalK
+         |),
+         |band AS (
+         |  SELECT DISTINCT pd.qid, pd.vec_id, pd.dist
+         |  FROM pd
+         |  JOIN vp ON vp.vec_id = pd.vec_id
+         |  JOIN vp qv ON qv.vec_id = pd.qid AND qv.pid = vp.pid
+         |  WHERE vp.vd > qv.vd * ${1 - Eps} AND vp.vd < qv.vd * ${1 + Eps}
+         |),
+         |appr AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+         |    FROM band) t
+         |  WHERE rn <= $EvalK
+         |),
+         |reads AS (SELECT qid, count(*) AS docreads FROM band GROUP BY qid),
+         |rec AS (
+         |  SELECT x.qid, count(*) AS recall10
+         |  FROM exact x JOIN appr a ON a.qid = x.qid AND a.vec_id = x.vec_id
+         |  GROUP BY x.qid
+         |)
+         |SELECT q.qid, coalesce(r.docreads, 0::BIGINT) AS docreads,
+         |       coalesce(c.recall10, 0::BIGINT) AS recall10
+         |FROM q LEFT JOIN reads r ON r.qid = q.qid LEFT JOIN rec c ON c.qid = q.qid
+         |ORDER BY q.qid""".stripMargin,
     "q_v11_radius" ->
       s"""$qDistCte
          |SELECT vec_id, round(dist,3) AS dist FROM d

@@ -65,4 +65,22 @@ class KnnSpec extends SparkSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(k5 === exact.take(5))
   }
+
+  test("q_v15_recall_eval: docreads bounded by corpus, recall bounded by K, batch complete") {
+    val total = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val rows = Knn.v15RecallEval(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Knn.EvalQids.map(_.toLong),
+      "one row per eval query, in order")
+    rows.foreach { case (qid, docreads, recall) =>
+      assert(docreads >= 0 && docreads < total, s"q$qid reads must exclude self")
+      assert(recall >= 0 && recall <= Knn.EvalK)
+    }
+    val meanRecall = rows.map(_._3).sum.toDouble / (rows.length * Knn.EvalK)
+    info(f"5-band union @ eps=${Knn.Eps}: mean recall@10 = $meanRecall%.2f, " +
+      f"mean docreads = ${rows.map(_._2).sum / rows.length}/$total")
+    // the union of five pivot bands is the reference's serving strategy;
+    // it should be near-exhaustive in recall on this fixture
+    assert(meanRecall >= 0.8)
+  }
 }
