@@ -23,7 +23,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                          (q_d2 + q_d7)
   *   4. decontamination   — drop training docs sharing >= N shingles
   *                          with the benchmark set (q_d8)
-  *   5. shard packing     — token-budget shards per source (q_t12)
+  *   5. mixture quota     — cap each (source, lang) cell at a fixed
+  *                          doc count, chosen by the deterministic
+  *                          keep-hash (q_t16 semantics, bounded-heap
+  *                          top-k — no per-cell sort)
+  *   6. shard packing     — token-budget shards per source (q_t12)
   *
   * Every stage is a DataFrame transform over the previous one: the
   * composition runs as a single Spark job graph (the intermediate
@@ -34,7 +38,13 @@ object CorpusPipeline {
 
   final case class Report(
       input: Long, afterQuality: Long, afterExact: Long,
-      afterNearDup: Long, afterDecontam: Long, shards: Long)
+      afterNearDup: Long, afterDecontam: Long, afterQuota: Long, shards: Long)
+
+  /** Per-(source, lang) cell cap for the pipeline's mixture stage —
+    * sized so it binds only on over-represented cells (the t16 demo
+    * quota of 5 would gut a real corpus).
+    */
+  val PipelineQuota = 50
 
   /** Run the full preparation over `sfDir`'s documents; write the
     * packed corpus to `outPath` (parquet, partitioned by shard) and
@@ -100,19 +110,35 @@ object CorpusPipeline {
       .persist(MEMORY_AND_DISK)
     val afterDecontam = clean.count()
 
-    // 5. token-budget shard packing per source
+    // 5. mixture quota (q_t16 semantics): each (source, lang) cell keeps
+    // at most PipelineQuota docs, the ones with the lowest deterministic
+    // keep-hash — reproducible across runs and cluster sizes
+    val keyHash = Dedup.baseHash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")))
+    val quotaIds = clean
+      .select(col("source"), col("lang"), col("doc_id"),
+        (-keyHash).cast("double").as("nkh"))
+      .groupBy("source", "lang")
+      .agg(graft.functions.TopKRows.topK(
+        col("nkh"), col("doc_id"), lit(0), PipelineQuota).as("tops"))
+      .select(explode(col("tops.id1")).as("doc_id"))
+    val sampled = clean.join(quotaIds, Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    val afterQuota = sampled.count()
+
+    // 6. token-budget shard packing per source
     val wp = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = clean
+    val packed = sampled
       .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(wp), lit(0L)))
       .withColumn("shard", expr(s"cum_before div ${Corpus.PackBudget}"))
       .drop("cum_before")
     packed.write.mode("overwrite").partitionBy("source", "shard").parquet(outPath)
-    Seq(gated, exact, nearDeduped, clean).foreach(_.unpersist())
+    Seq(gated, exact, nearDeduped, clean, sampled).foreach(_.unpersist())
 
     val out = spark.read.parquet(outPath)
     Report(input, afterQuality, afterExact, afterNearDup, afterDecontam,
-      out.select("source", "shard").distinct().count())
+      afterQuota, out.select("source", "shard").distinct().count())
   }
 }

@@ -19,10 +19,16 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(r.afterQuality >= r.afterExact)
     assert(r.afterExact >= r.afterNearDup)
     assert(r.afterNearDup >= r.afterDecontam)
-    assert(r.afterDecontam > 0 && r.shards > 0)
+    assert(r.afterDecontam >= r.afterQuota)
+    assert(r.afterQuota > 0 && r.shards > 0)
 
     val packed = spark.read.parquet(out)
-    assert(packed.count() === r.afterDecontam)
+    assert(packed.count() === r.afterQuota)
+
+    // mixture quota: no (source, lang) cell exceeds the cap
+    val overQuota = packed.groupBy("source", "lang").count()
+      .filter(col("count") > CorpusPipeline.PipelineQuota).count()
+    assert(overQuota === 0)
 
     // the held-out benchmark set must not appear in the training output
     assert(packed.filter(col("doc_id") < Corpus.BenchIdMax).count() === 0)
