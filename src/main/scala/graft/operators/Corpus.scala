@@ -295,10 +295,11 @@ object Corpus {
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
-    tf.join(df, "term")
+    // document frequency via window count over the tf table — one
+    // shuffle on term instead of a groupBy + join-back pair
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TfidfTopK)
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
@@ -385,8 +386,11 @@ object Corpus {
           expr(s"""transform(sequence(0, (size(w) div $PassageTokens) - 1),
                    i -> array_join(slice(w, i*$PassageTokens + 1, $PassageTokens), ' '))"""))
           .otherwise(array().cast("array<string>"))).as("chunk")))
-    val cnt = chunks.groupBy("chunk").agg(count(lit(1)).as("cnt"))
-    chunks.join(cnt, "chunk")
+    // corpus-wide chunk multiplicity via window count — one shuffle of
+    // the chunk table on its key (the d2/d5/d8 cap idiom) instead of a
+    // groupBy + join-back pair
+    chunks
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("chunk")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))

@@ -92,6 +92,14 @@ class PlanAuditSpec extends SparkSuite {
     // with a partial mode below the exchange — the property that keeps
     // the shuffle at k rows per group per partition
     assert(p.contains("partial_topk_rows"), s"expected partial topk_rows:\n$p")
+    // the r7 TopKRows consumers inherit the same property: only k rows
+    // per group per partition reach the shuffle
+    val p16 = plan(graft.operators.TextAnalysis.t16QuotaSample(spark, sf0001))
+    assert(p16.contains("partial_topk_rows"),
+      s"t16 quota must partial-aggregate per cell:\n${p16.take(2000)}")
+    val p15 = plan(graft.operators.Knn.v15RecallEval(spark, sf0001))
+    assert(p15.contains("partial_topk_rows"),
+      s"v15 eval must partial-aggregate per query:\n${p15.take(2000)}")
   }
 
   test("q_v9 oracle query itself: partition pruning + dist0 stats pushdown") {
