@@ -72,6 +72,21 @@ object VectorFunctions {
     transform(a, x => (x.cast("double") / n).cast("float"))
   }
 
+  /** Integer ADC kernel for SQ8 byte-range codes: `sum_i (a_i-b_i)²`
+    * as a long — the per-row approximate-distance loop of `q_v13_sq8`'s
+    * serving scan. Codegen'd like the float kernels so the SQ8 scan
+    * stays inside whole-stage codegen (the HOF `aggregate(zip_with(…))`
+    * form dispatches two lambdas per element); integer arithmetic is
+    * exact, so the codegen, interpreted and HOF forms agree by VALUE
+    * (`VectorFunctionsSpec` proves it).
+    */
+  def sq8Dist2(a: Column, b: Column): Column = mkCol(Sq8SquaredDistance(ex(a), ex(b)))
+
+  /** The HOF reference form of [[sq8Dist2]] (cross-check in tests). */
+  def sq8Dist2Hof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + t)
+
   /** Reference-compat fixed-width index encoding
     * (`src/database.ts:223-225`): `((nr*10)+'').slice(0,10).padEnd(10,'0')`.
     * Kept ONLY for byte-parity tests against reference semantics; the
@@ -193,6 +208,51 @@ case class DotProduct(left: Expression, right: Expression) extends ArrayFloatKer
        |$result = $s;
      """.stripMargin
   }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** sum_i (a_i - b_i)² over two int arrays, as a long — the SQ8
+  * integer-ADC inner loop (see [[VectorFunctions.sq8Dist2]]).
+  */
+case class Sq8SquaredDistance(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "sq8_squared_distance"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]; val y = r.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) { val d = (x.getInt(i) - y.getInt(i)).toLong; s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = (long) ($a.getInt($i) - $b.getInt($i));
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -359,9 +359,9 @@ object Indexed {
     val qv = embeddings(s, d).filter(col("vec_id") === Knn.QueryId)
       .select("embedding").head().getSeq[Float](0)
     val qCodes: Seq[Int] = qv.indices.map(i => sq8Code(qv(i).toDouble, mn(i), mx(i)))
-    val approx2 = aggregate(
-      zip_with(typedlit(qCodes), col("codes"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, t) => acc + t)
+    // codegen'd integer kernel (exact — no float convention to match);
+    // keeps the codes scan inside whole-stage codegen
+    val approx2 = sq8Dist2(col("codes"), typedlit(qCodes))
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
     val cand = s.read.parquet(codesPath)
       .select(col("vec_id"), approx2.as("approx2"))

@@ -31,6 +31,18 @@ class VectorFunctionsSpec extends SparkSuite {
     }
   }
 
+  test("sq8Dist2 codegen == HOF == plain Scala (100 random int-code pairs)") {
+    def codes(): List[Int] = List.fill(16)(rnd.nextInt(256))
+    val pairs = List.fill(100)((codes(), codes()))
+    val rows = pairs.toDF("a", "b")
+      .select(sq8Dist2($"a", $"b"), sq8Dist2Hof($"a", $"b")).collect()
+    pairs.zip(rows).foreach { case ((a, b), r) =>
+      val expect = a.zip(b).map { case (x, y) => val d = (x - y).toLong; d * d }.sum
+      assert(r.getLong(0) === expect)
+      assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
   test("cosine and dot agree between codegen and HOF (100 random pairs)") {
     val pairs = List.fill(100)((vec(), vec()))
     val rows = pairs.toDF("a", "b")
