@@ -50,6 +50,15 @@ object Indexed {
   val NProbe = 2
   val K = 10
 
+  /** Filtered-search knobs (v16): the metadata predicate thins every
+    * cell, so the probe set widens to keep the candidate pool at the
+    * unfiltered size — the standard filtered-ANN compensation (probe
+    * more cells when selectivity drops; here labels 3,7 keep ~20% of
+    * rows, so 2× the probes).
+    */
+  val FilterLabels: Seq[Int] = Seq(3, 7)
+  val FilteredNProbe = 4
+
   /** Learned-IVF centroid count (small on purpose: the sf tables have
     * 1e3-1e5 vectors; at 100 TB you'd use ~sqrt(N) centroids and the
     * same plan shape).
@@ -550,6 +559,53 @@ object Indexed {
         round(col("approx"), 3).as("approx_dist"), round(col("dist"), 3).as("dist"))
   }
 
+  /** V16: metadata-FILTERED IVF+PQ — the v14 serving plan with a
+    * pushed attribute predicate, which is the reference's combined
+    * selector + vector query (`/root/reference/src/search.ts:19-54`
+    * serves a Mango selector and the index band in one pass) and the
+    * production "filtered vector search" shape. The filter never
+    * touches floats: the allowed-id side is a column-pruned
+    * `(vec_id, label)` scan with `label IN (…)` pushed to parquet, the
+    * probe filter prunes the assignment scan, and the two integer
+    * tables join before ADC scoring — so pre-re-rank work is
+    * (filtered ∩ probed) code rows only. Probes widen [[NProbe]] →
+    * [[FilteredNProbe]] to compensate for predicate selectivity; at
+    * 100 TB this is the knob that trades recall for scan width under
+    * selective filters (Gong et al., VBASE SIGMOD'23 discuss why
+    * post-filtering a fixed top-k instead loses recall).
+    */
+  val v16FilteredIvf: Relational.Q = (s, d) => {
+    val cents = ensureCentroids(s, d)
+    val assign = ensureAssignments(s, d)
+    val cb = ensureCodebook(s, d)
+    val codesPath = ensurePqCodes(s, d)
+    val centLits = cents.map(c => typedlit(c))
+    val qdC = queryDists(s, d, centLits)
+    val probes = qdC.zipWithIndex.sortBy { case (dd, cid) => (dd, cid) }
+      .take(FilteredNProbe).map(_._2)
+    val qd2 = pqQueryTable(s, d, cb)
+    val allowed = embeddings(s, d)
+      .filter(col("label").isin(FilterLabels: _*))
+      .select("vec_id", "label")
+    val probed = s.read.parquet(assign)
+      .filter(col("cluster").isin(probes: _*))
+    val cand = s.read.parquet(codesPath)
+      .join(probed, "vec_id")
+      .join(allowed, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("label"), adcApprox(qd2).as("approx"))
+      .orderBy(col("approx").asc, col("vec_id").asc)
+      .limit(PqTopN)
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    embeddings(s, d)
+      .select("vec_id", "embedding") // cand carries the (filtered) label
+      .join(broadcast(cand), "vec_id")
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"),
+        round(col("approx"), 3).as("approx_dist"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Cosine threshold above which two same-cluster embeddings are
     * semantic duplicates. The synthetic corpus is not near-duplicate-
     * dense, so the demo threshold sits where the fixture yields pairs;
@@ -593,6 +649,7 @@ object Indexed {
     "q_v12_pq_adc" -> v12PqAdc,
     "q_v13_sq8" -> v13Sq8,
     "q_v14_ivfpq" -> v14IvfPq,
+    "q_v16_filtered_ivf" -> v16FilteredIvf,
     "q_d12_semdedup" -> d12SemDedup,
   )
 
@@ -803,6 +860,78 @@ object Indexed {
          |  GROUP BY vec_id
          |)
          |SELECT r.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+         |       round(c.approx,3) AS approx_dist, round(r.dist,3) AS dist
+         |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
+         |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
+    },
+    // v16: the v14 oracle with the label predicate — allowed ids come
+    // from the same (vec_id, label) columns the engine's pruned scan
+    // reads, the probe set widens to FilteredNProbe, and approximate
+    // scoring joins codes ∩ probed ∩ allowed before the TopN prune.
+    "q_v16_filtered_ivf" -> {
+      val sub = oraclePqSubDim
+      val qpJoins = (0 until PqM)
+        .map(m => s"JOIN qp q$m ON q$m.m = $m AND q$m.code = codes.code$m")
+        .mkString("\n  ")
+      val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |qc AS (
+         |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
+         |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
+         |        FROM cent CROSS JOIN q) z
+         |  GROUP BY cid
+         |),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY qd ASC, cid ASC) AS rn FROM qc) t
+         |  WHERE rn <= $FilteredNProbe
+         |),
+         |assign AS (
+         |  SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')
+         |),
+         |probed AS (
+         |  SELECT a.vec_id, a.cluster FROM assign a JOIN probes p ON a.cluster = p.cid
+         |),
+         |allowed AS (
+         |  SELECT vec_id, label FROM embeddings
+         |  WHERE label IN (${FilterLabels.mkString(",")})
+         |),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
+         |codes AS (
+         |  SELECT * FROM read_parquet('$oraclePqCodesPath/*.parquet')
+         |),
+         |qp AS (
+         |  SELECT m, code, sum((a-b)*(a-b)) AS qd2
+         |  FROM (SELECT c.m, c.code,
+         |               unnest(q.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(c.centroid)::DOUBLE AS b
+         |        FROM cb c CROSS JOIN q) z
+         |  GROUP BY m, code
+         |),
+         |approx AS (
+         |  SELECT codes.vec_id, pr.cluster, al.label, sqrt($adcSum) AS approx
+         |  FROM codes
+         |  JOIN probed pr ON pr.vec_id = codes.vec_id
+         |  JOIN allowed al ON al.vec_id = codes.vec_id
+         |  $qpJoins
+         |),
+         |cand AS (
+         |  SELECT vec_id, cluster, label, approx FROM (
+         |    SELECT vec_id, cluster, label, approx,
+         |           row_number() OVER (ORDER BY approx ASC, vec_id ASC) AS rn
+         |    FROM approx) t
+         |  WHERE rn <= $PqTopN
+         |),
+         |rerank AS (
+         |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |        CROSS JOIN q) z
+         |  GROUP BY vec_id
+         |)
+         |SELECT r.vec_id, c.label, CAST(c.cluster AS BIGINT) AS cluster,
          |       round(c.approx,3) AS approx_dist, round(r.dist,3) AS dist
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin

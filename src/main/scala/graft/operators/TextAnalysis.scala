@@ -246,7 +246,44 @@ object TextAnalysis {
       .orderBy("source", "lang", "rn")
   }
 
+  /** Shard count for the t17 export manifest. Small here so the sf
+    * fixture populates every shard; production WebDataset-style exports
+    * use O(10k) shards, which also restores full write parallelism for
+    * the per-shard windows below.
+    */
+  val NumShards = 16
+
+  /** T17: dataloader shard manifest — the export step after packing:
+    * every document gets a deterministic shard (28-bit md5 keep-hash mod
+    * [[NumShards]], the t6 split family), a position within its shard
+    * (hash order, so shard contents are corpus-order-independent and
+    * shuffled "for free"), and the cumulative byte offset where its
+    * payload starts — exactly the index a WebDataset/tar-style reader
+    * needs to seek without parsing. One hash shuffle (the window
+    * partition); the offset is a running sum over the preceding rows of
+    * the shard, so no second pass over the data. The reference analogue
+    * is its paged dump/restore (`/root/reference/src/index.ts:131-149`
+    * exports documents in deterministic id order); the manifest shape is
+    * the distributed generalization.
+    */
+  val t17ShardManifest: Relational.Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val kh = Dedup.baseHash(col("doc_id").cast("string"))
+    val w = Window.partitionBy("shard").orderBy(col("kh").asc, col("doc_id").asc)
+    documents(s, d)
+      .select(col("doc_id"), kh.as("kh"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"), col("n_chars"))
+      .withColumn("shard", (col("kh") % NumShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("byte_offset",
+        coalesce(sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("shard", "pos", "doc_id", "n_tokens", "n_chars", "byte_offset")
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_t17_shard_manifest" -> t17ShardManifest,
     "q_t16_quota_sample" -> t16QuotaSample,
     "q_t13_domain_mix" -> t13DomainMix,
     "q_t8_lang_mix" -> t8LangMix,
@@ -354,6 +391,25 @@ object TextAnalysis {
           |      FROM documents) z
           |GROUP BY tok HAVING count(*) >= 5
           |ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin,
+      // t17: same 28-bit md5 hash family; the offset is the window sum
+      // of preceding n_chars within the shard (ties broken by doc_id)
+      "q_t17_shard_manifest" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, n_chars,
+           |         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+           |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT AS kh
+           |  FROM documents
+           |)
+           |SELECT kh % $NumShards AS shard,
+           |       row_number() OVER w AS pos,
+           |       doc_id, n_tokens, n_chars,
+           |       CAST(coalesce(sum(n_chars) OVER (
+           |         PARTITION BY kh % $NumShards ORDER BY kh ASC, doc_id ASC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |         AS byte_offset
+           |FROM h
+           |WINDOW w AS (PARTITION BY kh % $NumShards ORDER BY kh ASC, doc_id ASC)
+           |ORDER BY shard, pos""".stripMargin,
       "q_t6_sample_split" ->
         """WITH h AS (
           |  SELECT doc_id,

@@ -118,6 +118,14 @@ object ScaleProbe {
         graft.operators.TextAnalysis.t16QuotaSample(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
+      // 10b: t17 export manifest — the fixture's 16 shards cap window
+      // parallelism, so the probe watches for the per-shard sort
+      // becoming the bottleneck as rows/shard grows (production uses
+      // O(10k) shards, same plan shape)
+      val tT17 = time {
+        graft.operators.TextAnalysis.t17ShardManifest(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
       // 11: SemDedup at its stated operating point — k ∝ √N centroids
       // (the registered q_d12 serves the fixture's stored k=8 table; the
       // SCALE claim is that cluster count grows with the corpus so
@@ -153,6 +161,7 @@ object ScaleProbe {
         f"t15=$tT15%5.1fs (${nDocs / tT15}%8.0f docs/s)  " +
         f"d13=$tD13%5.1fs (${nDocs / tD13}%8.0f docs/s)  " +
         f"t16=$tT16%5.1fs (${nDocs / tT16}%8.0f docs/s)  " +
+        f"t17=$tT17%5.1fs (${nDocs / tT17}%8.0f docs/s)  " +
         f"d12=$tD12%6.1fs (${nVec / tD12}%8.0f vec/s)")
     }
     spark.stop()

@@ -154,6 +154,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(p14.contains("In(cluster"), s"v14 probe filter must push to the assignment scan:\n${p14.take(3000)}")
     assert(p14.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("code0")),
       s"v14 candidate scan must read the stored codes:\n${p14.take(3000)}")
+    // v16 adds the metadata predicate: the allowed-id side must be a
+    // column-pruned (vec_id, label) scan with the IN pushed to parquet —
+    // the float column (embedding:array) still read by the re-rank only
+    def floatScans(p: String): Int =
+      p.linesIterator.filter(_.contains("ReadSchema")).count(_.contains("embedding:array"))
+    val p16 = plan(graft.operators.Indexed.v16FilteredIvf(spark, sf0001))
+    assert(floatScans(p16) === 1, s"v16 must touch floats only at re-rank:\n${p16.take(3000)}")
+    assert(p16.contains("In(label"), s"v16 label predicate must push to the scan:\n${p16.take(3000)}")
+    assert(p16.contains("In(cluster"), s"v16 probe filter must push to the assignment scan:\n${p16.take(3000)}")
+    assert(p16.linesIterator.exists(l => l.contains("ReadSchema") &&
+        l.contains("struct<vec_id:bigint,label:int>")),
+      s"v16 allowed-id scan must be pruned to (vec_id, label):\n${p16.take(3000)}")
+  }
+
+  test("t17 shard manifest: one hash shuffle, no extra pass for offsets") {
+    val p = plan(graft.operators.TextAnalysis.t17ShardManifest(spark, sf0001))
+    // pos and byte_offset share the window partition — a second
+    // hashpartitioning Exchange would mean the offset pays its own pass
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"t17 must compute pos+offset in ONE shard shuffle:\n${p.take(3000)}")
   }
 
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
