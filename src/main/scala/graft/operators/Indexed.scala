@@ -155,15 +155,22 @@ object Indexed {
     * oracle) read the stored integers. Sorted by (cluster, vec_id) so a
     * probe filter prunes row groups via parquet min/max stats.
     */
+  /** Coarse-assignment expression against the FROZEN centroids — the
+    * one encode kernel shared by the bulk build and the delta append
+    * (ties break to the lowest cid on both paths by construction).
+    */
+  private[graft] def assignExpr(cents: Seq[Seq[Float]]): org.apache.spark.sql.Column = {
+    val centLits = cents.map(c => typedlit(c))
+    val distArr = array(centLits.map(c => euclidean(col("embedding"), c)): _*)
+    (array_position(distArr, array_min(distArr)) - 1).cast("int")
+  }
+
   def ensureAssignments(s: SparkSession, d: String): String = synchronized {
     val cents = ensureCentroids(s, d)
     val path = assignPath(d)
     writtenAssign.getOrElseUpdate(path, {
-      val centLits = cents.map(c => typedlit(c))
-      val distArr = array(centLits.map(c => euclidean(col("embedding"), c)): _*)
-      val cluster = (array_position(distArr, array_min(distArr)) - 1).cast("int")
       embeddings(s, d)
-        .select(col("vec_id"), cluster.as("cluster"))
+        .select(col("vec_id"), assignExpr(cents).as("cluster"))
         .repartition(1).sortWithinPartitions("cluster", "vec_id")
         .write.mode("overwrite").parquet(path)
       true
@@ -248,23 +255,70 @@ object Indexed {
     * smaller than the raw embeddings and the ADC scan touches no float
     * vector at all.
     */
+  /** Per-subspace PQ encode expressions against the FROZEN codebook —
+    * shared by the bulk build and the delta append.
+    */
+  private[graft] def pqCodeCols(cb: Seq[Seq[Seq[Float]]]): Seq[org.apache.spark.sql.Column] = {
+    val subDim = cb.head.head.size
+    (0 until PqM).map { m =>
+      val sub = slice(col("embedding"), m * subDim + 1, subDim)
+      val dists = array(cb(m).map(c => euclidean(sub, typedlit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$m")
+    }
+  }
+
   def ensurePqCodes(s: SparkSession, d: String): String = synchronized {
     val cb = ensureCodebook(s, d)
     val path = pqCodesPath(d)
     writtenPqCodes.getOrElseUpdate(path, {
-      val subDim = cb.head.head.size
-      val codeCols = (0 until PqM).map { m =>
-        val sub = slice(col("embedding"), m * subDim + 1, subDim)
-        val dists = array(cb(m).map(c => euclidean(sub, typedlit(c))): _*)
-        (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$m")
-      }
       embeddings(s, d)
-        .select(col("vec_id") +: codeCols: _*)
+        .select(col("vec_id") +: pqCodeCols(cb): _*)
         .repartition(1).sortWithinPartitions("vec_id")
         .write.mode("overwrite").parquet(path)
       true
     })
     oraclePqCodesPath = path
+    path
+  }
+
+  // ------------------------------------- incremental index maintenance
+
+  /** Incremental refresh of the stored ANN tables: encode ONLY a delta
+    * of new vectors with the FROZEN learned structures (centroids /
+    * codebook do not move between retrains) and append the resulting
+    * integer rows. This is how the build-once tables absorb arriving
+    * data at 100 TB — each new vector pays one encode, the serve-many
+    * plans ([[v10IvfKmeans]], [[v12PqAdc]], [[v14IvfPq]],
+    * [[v16FilteredIvf]]) read the grown tables unchanged, and the
+    * existing corpus is never reprocessed. Codebook retraining under
+    * distribution drift is a separate, rarer full rebuild. The
+    * reference writes its index fields per document at insert time
+    * (`/root/reference/src/database.ts:195-198`); this is the batched
+    * analogue. `IndexRefreshSpec` proves append ≡ all-at-once build.
+    *
+    * Each delta batch lands as its own sorted file; at production
+    * scale the append partitions by `cluster` like the base build and
+    * periodic compaction (the [[graft.operators.Layout]] rewrite
+    * discipline) keeps row-group pruning sharp.
+    */
+  def appendAssignments(s: SparkSession, d: String, delta: DataFrame): String = synchronized {
+    val cents = ensureCentroids(s, d)
+    val path = ensureAssignments(s, d)
+    delta.select(col("vec_id"), assignExpr(cents).as("cluster"))
+      .repartition(1).sortWithinPartitions("cluster", "vec_id")
+      .write.mode("append").parquet(path)
+    path
+  }
+
+  /** PQ sibling of [[appendAssignments]]: delta rows encoded with the
+    * stored codebook, appended to the codes table.
+    */
+  def appendPqCodes(s: SparkSession, d: String, delta: DataFrame): String = synchronized {
+    val cb = ensureCodebook(s, d)
+    val path = ensurePqCodes(s, d)
+    delta.select(col("vec_id") +: pqCodeCols(cb): _*)
+      .repartition(1).sortWithinPartitions("vec_id")
+      .write.mode("append").parquet(path)
     path
   }
 

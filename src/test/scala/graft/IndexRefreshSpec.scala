@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Indexed
+import org.apache.spark.sql.functions._
+
+/** Incremental index maintenance: appending a delta encoded with the
+  * FROZEN structures must leave the stored tables identical (as sets)
+  * to an all-at-once encode of the full corpus with those same
+  * structures — so every serve-many plan reading the grown tables
+  * (v10/v12/v14/v16) behaves as if the index had been built from the
+  * full corpus in one shot.
+  */
+class IndexRefreshSpec extends SparkSuite {
+
+  test("delta append with frozen centroids/codebook == all-at-once encode") {
+    val base = tmpDir("idxrefresh")
+    val full = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // base corpus = ids < 400; the rest arrives later as a delta batch
+    full.filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+
+    val cents = Indexed.ensureCentroids(spark, base)
+    val cb = Indexed.ensureCodebook(spark, base)
+    val assignPath = Indexed.ensureAssignments(spark, base)
+    val codesPath = Indexed.ensurePqCodes(spark, base)
+    val baseRows = spark.read.parquet(assignPath).count()
+
+    val delta = full.filter(col("vec_id") >= 400)
+    val deltaRows = delta.count()
+    assert(deltaRows > 0 && baseRows > 0, "fixture must split into base + delta")
+    Indexed.appendAssignments(spark, base, delta)
+    Indexed.appendPqCodes(spark, base, delta)
+
+    // the grown tables == encoding the FULL corpus with the SAME frozen
+    // structures (centroids/codebook learned from the base corpus only)
+    val gotAssign = spark.read.parquet(assignPath)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expAssign = full.select(col("vec_id"), Indexed.assignExpr(cents).as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotAssign.size === baseRows + deltaRows, "append must not drop or dup ids")
+    assert(gotAssign === expAssign)
+
+    val gotCodes = spark.read.parquet(codesPath)
+      .select("vec_id", "code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).toSet
+    val expCodes = full.select(col("vec_id") +: Indexed.pqCodeCols(cb): _*)
+      .collect().map(_.toSeq).toSet
+    assert(gotCodes === expCodes)
+  }
+}
