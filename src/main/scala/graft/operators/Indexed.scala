@@ -380,26 +380,46 @@ object Indexed {
     * the float corpus (the reference's persisted-index-field discipline,
     * `/root/reference/src/database.ts:195-198`).
     */
+  /** SQ8 encode expression against the FROZEN per-dimension bounds —
+    * shared by the bulk build and the delta append. Out-of-range delta
+    * values clamp to 0/255 (bounds do not move between retrains, the
+    * same contract as the frozen codebook).
+    */
+  private[graft] def sq8CodeExpr(mn: Seq[Double], mx: Seq[Double]): org.apache.spark.sql.Column = {
+    val mnLit = typedlit(mn)
+    val mxLit = typedlit(mx)
+    transform(col("embedding"), (x, i) => {
+      val mnI = element_at(mnLit, i + 1)
+      val mxI = element_at(mxLit, i + 1)
+      when(mxI === mnI, lit(0)).otherwise(
+        least(greatest(floor((x.cast("double") - mnI) * 255.0 / (mxI - mnI)),
+          lit(0.0)), lit(255.0)).cast("int"))
+    })
+  }
+
   def ensureSq8Codes(s: SparkSession, d: String): String = synchronized {
     val (mn, mx) = ensureSq8Bounds(s, d)
     val path = sq8CodesPath(d)
     writtenSq8Codes.getOrElseUpdate(path, {
-      val mnLit = typedlit(mn)
-      val mxLit = typedlit(mx)
-      val codes = transform(col("embedding"), (x, i) => {
-        val mnI = element_at(mnLit, i + 1)
-        val mxI = element_at(mxLit, i + 1)
-        when(mxI === mnI, lit(0)).otherwise(
-          least(greatest(floor((x.cast("double") - mnI) * 255.0 / (mxI - mnI)),
-            lit(0.0)), lit(255.0)).cast("int"))
-      })
       embeddings(s, d)
-        .select(col("vec_id"), codes.as("codes"))
+        .select(col("vec_id"), sq8CodeExpr(mn, mx).as("codes"))
         .repartition(1).sortWithinPartitions("vec_id")
         .write.mode("overwrite").parquet(path)
       true
     })
     oracleSq8CodesPath = path
+    path
+  }
+
+  /** SQ8 sibling of [[appendAssignments]]: delta rows quantized with
+    * the stored bounds, appended to the codes table.
+    */
+  def appendSq8Codes(s: SparkSession, d: String, delta: DataFrame): String = synchronized {
+    val (mn, mx) = ensureSq8Bounds(s, d)
+    val path = ensureSq8Codes(s, d)
+    delta.select(col("vec_id"), sq8CodeExpr(mn, mx).as("codes"))
+      .repartition(1).sortWithinPartitions("vec_id")
+      .write.mode("append").parquet(path)
     path
   }
 
@@ -445,8 +465,8 @@ object Indexed {
     * path vs the DuckDB qp CTE).
     */
   private def queryDists(s: SparkSession, d: String,
-      pivots: Seq[org.apache.spark.sql.Column]): Seq[Double] = {
-    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+      pivots: Seq[org.apache.spark.sql.Column], qid: Int = Knn.QueryId): Seq[Double] = {
+    val q = Knn.embeddingLit(s, d, qid)
     val one = embeddings(s, d).limit(1).select(pivots.map(p => euclidean(p, q)): _*).head()
     pivots.indices.map(one.getDouble)
   }
@@ -523,9 +543,9 @@ object Indexed {
     * the same bits DuckDB's unnest-zip sum produces.
     */
   private def pqQueryTable(s: SparkSession, d: String,
-      cb: Seq[Seq[Seq[Float]]]): Seq[Seq[Double]] = {
+      cb: Seq[Seq[Seq[Float]]], qid: Int = Knn.QueryId): Seq[Seq[Double]] = {
     val subDim = cb.head.head.size
-    val qv = embeddings(s, d).filter(col("vec_id") === Knn.QueryId)
+    val qv = embeddings(s, d).filter(col("vec_id") === qid)
       .select("embedding").head().getSeq[Float](0)
     (0 until PqM).map { m =>
       cb(m).map { c =>
@@ -660,6 +680,74 @@ object Indexed {
         round(col("approx"), 3).as("approx_dist"), round(col("dist"), 3).as("dist"))
   }
 
+  /** Query batch for v17 (the v8 batch, served from the index). */
+  val BatchQids: Seq[Int] = Seq(1, 2, 3, 4, 5)
+
+  /** V17: BATCH IVF+PQ — the whole query set served in ONE pass over
+    * the stored integer tables, the batch-inference sibling of
+    * [[v14IvfPq]] (and the indexed upgrade of the exact
+    * [[Knn.v8BatchKnn]]): per-query TakeOrdered would rescan the
+    * corpus |Q| times, which at 100 TB turns an eval-set run into |Q|
+    * full scans. Instead the tiny `(qid, probed cluster)` table and
+    * the per-query ADC lookup tables broadcast onto a single scan of
+    * assignment ⋈ codes: the pushed `cluster IN (∪ probes)` filter
+    * prunes row groups once for the union, the broadcast probe join
+    * fans each surviving row out to only the queries that probed its
+    * cell, and one window per query prunes to the ADC TopN before the
+    * broadcast float re-rank. Scan cost is amortized across the batch
+    * — the corpus is read once no matter how many queries arrive.
+    */
+  val v17BatchIvfPq: Relational.Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cents = ensureCentroids(s, d)
+    val assign = ensureAssignments(s, d)
+    val cb = ensureCodebook(s, d)
+    val codesPath = ensurePqCodes(s, d)
+    val centLits = cents.map(c => typedlit(c))
+    // per-query probes + ADC tables: |Q|·k driver-side distances
+    val probePairs: Seq[(Long, Int)] = BatchQids.flatMap { qid =>
+      queryDists(s, d, centLits, qid).zipWithIndex
+        .sortBy { case (dd, cid) => (dd, cid) }
+        .take(NProbe).map { case (_, cid) => (qid.toLong, cid) }
+    }
+    val qtabDf = BatchQids.map(qid => (qid.toLong, pqQueryTable(s, d, cb, qid)))
+      .toDF("qid", "qtab")
+    val probesDf = probePairs.toDF("qid", "cluster")
+    val allProbes = probePairs.map(_._2).distinct
+    val probed = s.read.parquet(assign)
+      .filter(col("cluster").isin(allProbes: _*)) // pushed: one union prune
+      .join(broadcast(probesDf), Seq("cluster"))  // fan out to probing queries
+    val scored = s.read.parquet(codesPath)
+      .join(probed, "vec_id")
+      .join(broadcast(qtabDf), "qid")
+      .withColumn("approx", sqrt((0 until PqM).map { m =>
+        element_at(element_at(col("qtab"), m + 1), col(s"code$m") + 1)
+      }.reduceLeft(_ + _)))
+    val wA = Window.partitionBy("qid").orderBy(col("approx").asc, col("vec_id").asc)
+    val cand = scored.withColumn("rnA", row_number().over(wA))
+      .filter(col("rnA") <= PqTopN)
+      .select("qid", "vec_id", "cluster", "approx")
+    // query vectors held driver-side (|Q| rows), like embeddingLit for
+    // the single-query family — keeps the float corpus scan count at 1
+    val qs = embeddings(s, d).filter(col("vec_id").isin(BatchQids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("qid", "qe")
+    val wD = Window.partitionBy("qid").orderBy(col("dist").asc, col("vec_id").asc)
+    embeddings(s, d)
+      .select("vec_id", "embedding")
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(qs), "qid")
+      .withColumn("dist", euclidean(col("embedding"), col("qe")))
+      .withColumn("rn", row_number().over(wD).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("approx"), 3).as("approx_dist"), round(col("dist"), 3).as("dist"),
+        col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Cosine threshold above which two same-cluster embeddings are
     * semantic duplicates. The synthetic corpus is not near-duplicate-
     * dense, so the demo threshold sits where the fixture yields pairs;
@@ -704,6 +792,7 @@ object Indexed {
     "q_v13_sq8" -> v13Sq8,
     "q_v14_ivfpq" -> v14IvfPq,
     "q_v16_filtered_ivf" -> v16FilteredIvf,
+    "q_v17_batch_ivfpq" -> v17BatchIvfPq,
     "q_d12_semdedup" -> d12SemDedup,
   )
 
@@ -917,6 +1006,81 @@ object Indexed {
          |       round(c.approx,3) AS approx_dist, round(r.dist,3) AS dist
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
+    },
+    // v17: the v14 oracle per query — probe selection, ADC lookup and
+    // TopN prune all PARTITION BY qid; training and encodes outside the
+    // compared computation as ever.
+    "q_v17_batch_ivfpq" -> {
+      val sub = oraclePqSubDim
+      val qpJoins = (0 until PqM)
+        .map(m => s"JOIN qp q$m ON q$m.qid = pr.qid AND q$m.m = $m AND q$m.code = codes.code$m")
+        .mkString("\n  ")
+      val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |            WHERE vec_id IN (${BatchQids.mkString(",")})),
+         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |qc AS (
+         |  SELECT qid, cid, sqrt(sum((a-b)*(a-b))) AS qd
+         |  FROM (SELECT qs.qid, cid, unnest(centroid)::DOUBLE AS a,
+         |               unnest(qs.qe)::DOUBLE AS b
+         |        FROM cent CROSS JOIN qs) z
+         |  GROUP BY qid, cid
+         |),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY qd ASC, cid ASC) AS rn
+         |    FROM qc) t
+         |  WHERE rn <= $NProbe
+         |),
+         |assign AS (
+         |  SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')
+         |),
+         |probed AS (
+         |  SELECT p.qid, a.vec_id, a.cluster FROM assign a
+         |  JOIN probes p ON a.cluster = p.cid
+         |),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
+         |codes AS (
+         |  SELECT * FROM read_parquet('$oraclePqCodesPath/*.parquet')
+         |),
+         |qp AS (
+         |  SELECT qid, m, code, sum((a-b)*(a-b)) AS qd2
+         |  FROM (SELECT qs.qid, c.m, c.code,
+         |               unnest(qs.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(c.centroid)::DOUBLE AS b
+         |        FROM cb c CROSS JOIN qs) z
+         |  GROUP BY qid, m, code
+         |),
+         |approx AS (
+         |  SELECT pr.qid, codes.vec_id, pr.cluster, sqrt($adcSum) AS approx
+         |  FROM codes
+         |  JOIN probed pr ON pr.vec_id = codes.vec_id
+         |  $qpJoins
+         |),
+         |cand AS (
+         |  SELECT qid, vec_id, cluster, approx FROM (
+         |    SELECT qid, vec_id, cluster, approx,
+         |           row_number() OVER (PARTITION BY qid ORDER BY approx ASC, vec_id ASC) AS rn
+         |    FROM approx) t
+         |  WHERE rn <= $PqTopN
+         |),
+         |rerank AS (
+         |  SELECT qid, vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT c.qid, e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(qs.qe)::DOUBLE AS b
+         |        FROM embeddings e
+         |        JOIN cand c ON e.vec_id = c.vec_id
+         |        JOIN qs ON qs.qid = c.qid) z
+         |  GROUP BY qid, vec_id
+         |)
+         |SELECT qid, vec_id, cluster, approx_dist, dist, rn FROM (
+         |  SELECT r.qid, r.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+         |         round(c.approx,3) AS approx_dist, round(r.dist,3) AS dist,
+         |         row_number() OVER (PARTITION BY r.qid
+         |                            ORDER BY r.dist ASC, r.vec_id ASC) AS rn
+         |  FROM rerank r JOIN cand c ON r.qid = c.qid AND r.vec_id = c.vec_id) t
+         |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
     },
     // v16: the v14 oracle with the label predicate — allowed ids come
     // from the same (vec_id, label) columns the engine's pruned scan

@@ -46,5 +46,15 @@ class IndexRefreshSpec extends SparkSuite {
     val expCodes = full.select(col("vec_id") +: Indexed.pqCodeCols(cb): _*)
       .collect().map(_.toSeq).toSet
     assert(gotCodes === expCodes)
+
+    // SQ8: delta quantized with the base corpus's stored bounds
+    val (mn, mx) = Indexed.ensureSq8Bounds(spark, base)
+    val sq8Path = Indexed.ensureSq8Codes(spark, base)
+    Indexed.appendSq8Codes(spark, base, delta)
+    val gotSq8 = spark.read.parquet(sq8Path)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    val expSq8 = full.select(col("vec_id"), Indexed.sq8CodeExpr(mn, mx).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    assert(gotSq8 === expSq8)
   }
 }

@@ -166,6 +166,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p16.linesIterator.exists(l => l.contains("ReadSchema") &&
         l.contains("struct<vec_id:bigint,label:int>")),
       s"v16 allowed-id scan must be pruned to (vec_id, label):\n${p16.take(3000)}")
+    // v17 batch: ONE scan of the codes table and ONE float scan no
+    // matter how many queries are in the batch — the whole point of
+    // batch serving (per-query plans would scan |Q| times)
+    val p17 = plan(graft.operators.Indexed.v17BatchIvfPq(spark, sf0001))
+    assert(floatScans(p17) === 1, s"v17 must touch floats only at re-rank:\n${p17.take(3000)}")
+    assert(p17.linesIterator.count(l => l.contains("ReadSchema") && l.contains("code0")) === 1,
+      s"v17 must scan the codes table ONCE for the whole batch:\n${p17.take(3000)}")
+    assert(p17.contains("In(cluster"),
+      s"v17 union probe filter must push to the assignment scan:\n${p17.take(3000)}")
   }
 
   test("t17 shard manifest: one hash shuffle, no extra pass for offsets") {
