@@ -132,16 +132,30 @@ final case class GraftCollection(spark: SparkSession, path: String) {
   // path use `graft.operators.Knn.searchIndexed` over an
   // `index.IndexBuild` table instead.
 
+  /** Optional Mango pre-filter for the combined selector + vector
+    * query (the reference serves both in one pass,
+    * `src/search.ts:19-54`): PRE-filter semantics — the k results are
+    * the nearest among the documents matching the selector, not a
+    * post-filtered top-k (which loses recall under selective filters;
+    * see also `Indexed.v16FilteredIvf` for the index-served variant).
+    */
+  private def searchBase(selector: Map[String, Any]): DataFrame =
+    if (selector.isEmpty) toDf
+    else toDf.filter(Mango.selectorToColumn(selector))
+
   /** Exact full-scan kNN (`vectorSearchFullScan`). */
   def vectorSearchFullScan(q: Seq[Float], k: Int = 10, idCol: String = "id",
-      embeddingCol: String = "embedding"): DataFrame =
-    graft.operators.Knn.fullScanKnnOn(toDf, idCol, embeddingCol, typedlit(q), k)
+      embeddingCol: String = "embedding",
+      selector: Map[String, Any] = Map.empty): DataFrame =
+    graft.operators.Knn.fullScanKnnOn(searchBase(selector), idCol, embeddingCol,
+      typedlit(q), k)
 
   /** Pivot-range kNN (`vectorSearchIndexRange`). */
   def vectorSearchIndexRange(q: Seq[Float], pivots: Seq[Seq[Float]],
       eps: Double = 0.05, k: Int = 10, idCol: String = "id",
-      embeddingCol: String = "embedding"): DataFrame =
-    graft.operators.Knn.indexRangeKnnOn(toDf, idCol, embeddingCol,
+      embeddingCol: String = "embedding",
+      selector: Map[String, Any] = Map.empty): DataFrame =
+    graft.operators.Knn.indexRangeKnnOn(searchBase(selector), idCol, embeddingCol,
       typedlit(q), pivots.map(typedlit(_)), k, eps)
 
   /** Per-side pivot-neighborhood kNN (`vectorSearchIndexSimilarity`,
@@ -149,8 +163,9 @@ final case class GraftCollection(spark: SparkSession, path: String) {
     */
   def vectorSearchIndexSimilarity(q: Seq[Float], pivots: Seq[Seq[Float]],
       perSide: Int = 100, k: Int = 10, idCol: String = "id",
-      embeddingCol: String = "embedding"): DataFrame =
-    graft.operators.Knn.indexSimilarityKnnOn(toDf, idCol, embeddingCol,
+      embeddingCol: String = "embedding",
+      selector: Map[String, Any] = Map.empty): DataFrame =
+    graft.operators.Knn.indexSimilarityKnnOn(searchBase(selector), idCol, embeddingCol,
       typedlit(q), pivots.map(typedlit(_)), k, perSide)
 
   /** S7 dump / restore with schema enforcement. For a NEW collection

@@ -96,4 +96,38 @@ class GraftDbSpec extends SparkSuite {
     // the neighborhood strategy with generous perSide recovers the exact top-k head
     assert(simil.head === 7L)
   }
+
+  test("combined selector + vector query: PRE-filter semantics on all strategies") {
+    import org.apache.spark.sql.functions._
+    val db = GraftDb(spark, tmpDir("graftdb-vecsel"))
+    val vectors = db.collection("vectors")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    vectors.bulkInsert(emb.select(col("vec_id").as("id"), col("embedding"), col("label")))
+
+    val q = emb.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+    val sel = Map[String, Any]("label" -> Map("$in" -> Seq(3, 7)))
+
+    val got = vectors.vectorSearchFullScan(q, k = 10, selector = sel)
+    assert(got.count() === 10)
+    // every hit satisfies the selector…
+    assert(got.filter(!col("label").isin(3, 7)).count() === 0)
+    // …and equals filter-then-search (PRE-filter, not post-filtered top-k)
+    val exp = graft.operators.Knn.fullScanKnnOn(
+      emb.filter(col("label").isin(3, 7)).select(col("vec_id").as("id"),
+        col("embedding"), col("label")),
+      "id", "embedding", typedlit(q), 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got.select("id").collect().map(_.getLong(0)).toSeq === exp)
+
+    // range/similarity project to (id, dist) — check membership by id
+    val allowed = emb.filter(col("label").isin(3, 7))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pivots = graft.index.IndexBuild.pivotsFromIds(emb, "vec_id", Seq(0, 1, 2, 3, 4))
+    val range = vectors.vectorSearchIndexRange(q, pivots, eps = 0.5, k = 10, selector = sel)
+      .select("id").collect().map(_.getLong(0))
+    assert(range.nonEmpty && range.forall(allowed))
+    val simil = vectors.vectorSearchIndexSimilarity(q, pivots, perSide = 100, k = 10,
+      selector = sel).select("id").collect().map(_.getLong(0))
+    assert(simil.nonEmpty && simil.forall(allowed))
+  }
 }
