@@ -28,6 +28,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                          keep-hash (q_t16 semantics, bounded-heap
   *                          top-k — no per-cell sort)
   *   6. shard packing     — token-budget shards per source (q_t12)
+  *   7. export manifest   — per-(source, shard) position + byte
+  *                          offset index beside the corpus (q_t17)
   *
   * Every stage is a DataFrame transform over the previous one: the
   * composition runs as a single Spark job graph (the intermediate
@@ -135,6 +137,19 @@ object CorpusPipeline {
       .withColumn("shard", expr(s"cum_before div ${Corpus.PackBudget}"))
       .drop("cum_before")
     packed.write.mode("overwrite").partitionBy("source", "shard").parquet(outPath)
+
+    // 7. export manifest (q_t17 semantics over the PACKED shards): the
+    // dataloader index — per (source, shard), each doc's position and
+    // the cumulative byte offset where its payload starts, so a reader
+    // seeks without parsing. Written beside the corpus; same single
+    // window shuffle as the packing stage's key.
+    val wm = Window.partitionBy("source", "shard").orderBy("doc_id")
+    packed
+      .withColumn("pos", row_number().over(wm).cast("long"))
+      .withColumn("byte_offset", coalesce(
+        sum("n_chars").over(wm.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "shard", "pos", "doc_id", "n_tokens", "n_chars", "byte_offset")
+      .write.mode("overwrite").parquet(outPath + "_manifest")
     Seq(gated, exact, nearDeduped, clean, sampled).foreach(_.unpersist())
 
     val out = spark.read.parquet(outPath)
