@@ -544,9 +544,17 @@ object Indexed {
     */
   private def pqQueryTable(s: SparkSession, d: String,
       cb: Seq[Seq[Seq[Float]]], qid: Int = Knn.QueryId): Seq[Seq[Double]] = {
-    val subDim = cb.head.head.size
     val qv = embeddings(s, d).filter(col("vec_id") === qid)
       .select("embedding").head().getSeq[Float](0)
+    pqQueryTableOf(cb, qv)
+  }
+
+  /** The ADC table from an already-fetched query vector (batch serving
+    * collects all query vectors in one job and computes tables here).
+    */
+  private def pqQueryTableOf(cb: Seq[Seq[Seq[Float]]],
+      qv: Seq[Float]): Seq[Seq[Double]] = {
+    val subDim = cb.head.head.size
     (0 until PqM).map { m =>
       cb(m).map { c =>
         var acc = 0.0
@@ -559,6 +567,22 @@ object Indexed {
         acc
       }
     }
+  }
+
+  /** Driver-side euclidean over fetched floats — double accumulation in
+    * index order, the same bits as the Catalyst kernel and DuckDB's
+    * unnest-zip sum (the [[pqQueryTableOf]] equivalence plus sqrt), so
+    * probe selection cannot flip across engines.
+    */
+  private def euclideanOf(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.size) {
+      val dd = a(i).toDouble - b(i).toDouble
+      acc += dd * dd
+      i += 1
+    }
+    math.sqrt(acc)
   }
 
   /** The ADC approximate distance of a codes row: sum of PqM lookups
@@ -704,14 +728,19 @@ object Indexed {
     val assign = ensureAssignments(s, d)
     val cb = ensureCodebook(s, d)
     val codesPath = ensurePqCodes(s, d)
-    val centLits = cents.map(c => typedlit(c))
-    // per-query probes + ADC tables: |Q|·k driver-side distances
-    val probePairs: Seq[(Long, Int)] = BatchQids.flatMap { qid =>
-      queryDists(s, d, centLits, qid).zipWithIndex
+    // ONE job fetches every query vector; probes and ADC tables are
+    // then pure driver arithmetic (a per-query Spark job here cost the
+    // batch ~2 s of scheduling at |Q|=5 — and would cost |Q|× that)
+    val qVecs: Seq[(Long, Seq[Float])] = embeddings(s, d)
+      .filter(col("vec_id").isin(BatchQids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val probePairs: Seq[(Long, Int)] = qVecs.flatMap { case (qid, qv) =>
+      cents.map(euclideanOf(qv, _)).zipWithIndex
         .sortBy { case (dd, cid) => (dd, cid) }
-        .take(NProbe).map { case (_, cid) => (qid.toLong, cid) }
+        .take(NProbe).map { case (_, cid) => (qid, cid) }
     }
-    val qtabDf = BatchQids.map(qid => (qid.toLong, pqQueryTable(s, d, cb, qid)))
+    val qtabDf = qVecs.map { case (qid, qv) => (qid, pqQueryTableOf(cb, qv)) }
       .toDF("qid", "qtab")
     val probesDf = probePairs.toDF("qid", "cluster")
     val allProbes = probePairs.map(_._2).distinct
@@ -728,12 +757,10 @@ object Indexed {
     val cand = scored.withColumn("rnA", row_number().over(wA))
       .filter(col("rnA") <= PqTopN)
       .select("qid", "vec_id", "cluster", "approx")
-    // query vectors held driver-side (|Q| rows), like embeddingLit for
-    // the single-query family — keeps the float corpus scan count at 1
-    val qs = embeddings(s, d).filter(col("vec_id").isin(BatchQids: _*))
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      .toDF("qid", "qe")
+    // query vectors held driver-side (the one collect above), like
+    // embeddingLit for the single-query family — keeps the float
+    // corpus scan count at 1
+    val qs = qVecs.toDF("qid", "qe")
     val wD = Window.partitionBy("qid").orderBy(col("dist").asc, col("vec_id").asc)
     embeddings(s, d)
       .select("vec_id", "embedding")
