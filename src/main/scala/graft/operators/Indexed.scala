@@ -322,6 +322,96 @@ object Indexed {
     path
   }
 
+  // ------------------------------------- v18: residual (IVFADC) codebooks
+
+  /** The per-row residual against the stored coarse centroids —
+    * `x − centroid(cluster(x))`, the quantity IVFADC quantizes
+    * (Jégou et al. TPAMI'11 §IV-B: encoding residuals instead of raw
+    * vectors concentrates the distribution each sub-codebook must
+    * cover, which is what keeps PQ distortion low as nlist grows).
+    * Float subtraction: the residual is BUILD-side state, consumed
+    * only by training and the one-time encode — both engines read the
+    * stored integer codes, so its float convention never crosses the
+    * oracle boundary.
+    */
+  private def residDf(s: SparkSession, d: String): DataFrame = {
+    val cents = ensureCentroids(s, d)
+    val assign = ensureAssignments(s, d)
+    embeddings(s, d).join(s.read.parquet(assign), "vec_id")
+      .withColumn("resid", zip_with(col("embedding"),
+        element_at(typedlit(cents), col("cluster") + 1), (x, c) => x - c))
+  }
+
+  private val learnedResidCodebooks =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
+  private val writtenResidCodebooks = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def residCbPath(d: String): String =
+    s"/tmp/graft_v18_rcodebook_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+
+  @volatile private var oracleResidCbPath: String = residCbPath("/root/testdata/sf0.01")
+
+  /** Learn the residual sub-codebooks once per JVM per sf dir (seeded
+    * apart from the raw-vector v12 books) and materialize them as
+    * (m, code, centroid) rows the oracle reads back.
+    */
+  def ensureResidCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] = synchronized {
+    val cb = learnedResidCodebooks.getOrElseUpdate(d, {
+      val r = residDf(s, d)
+      val dims = embeddings(s, d).select(size(col("embedding"))).head().getInt(0)
+      require(dims % PqM == 0, s"embedding dim $dims not divisible into $PqM subspaces")
+      val sub = dims / PqM
+      (0 until PqM).map { m =>
+        Pivots.learnKMeans(
+          r.select(slice(col("resid"), m * sub + 1, sub).as("sub")),
+          "sub", PqK, seed = 142L + m)
+      }
+    })
+    val path = residCbPath(d)
+    writtenResidCodebooks.getOrElseUpdate(path, {
+      import s.implicits._
+      cb.zipWithIndex.flatMap { case (cents, m) =>
+        cents.zipWithIndex.map { case (c, code) => (m, code, c) }
+      }.toDF("m", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      true
+    })
+    oracleResidCbPath = path
+    cb
+  }
+
+  private val writtenResidCodes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def residCodesPath(d: String): String =
+    s"/tmp/graft_v18_rcodes_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+
+  @volatile private var oracleResidCodesPath: String = residCodesPath("/root/testdata/sf0.01")
+
+  /** Materialize the `(vec_id, cluster, rcode0..3)` residual-codes
+    * table once per JVM per sf dir — cluster rides along so the probe
+    * filter prunes THIS scan directly (sorted by (cluster, vec_id) for
+    * row-group stats), and serving never joins the assignment table.
+    */
+  def ensureResidCodes(s: SparkSession, d: String): String = synchronized {
+    val cb = ensureResidCodebook(s, d)
+    val path = residCodesPath(d)
+    writtenResidCodes.getOrElseUpdate(path, {
+      val subDim = cb.head.head.size
+      val codeCols = (0 until PqM).map { m =>
+        val sub = slice(col("resid"), m * subDim + 1, subDim)
+        val dists = array(cb(m).map(c => euclidean(sub, typedlit(c))): _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int").as(s"rcode$m")
+      }
+      residDf(s, d)
+        .select(col("vec_id") +: col("cluster") +: codeCols: _*)
+        .repartition(1).sortWithinPartitions("cluster", "vec_id")
+        .write.mode("overwrite").parquet(path)
+      true
+    })
+    oracleResidCodesPath = path
+    path
+  }
+
   // ------------------------------------------------- v13: SQ8 bounds
 
   /** Scalar-quantization geometry (the SQ8 sibling of v12's PQ): each
@@ -775,6 +865,67 @@ object Indexed {
       .orderBy("qid", "rn")
   }
 
+  /** V18: IVFADC with RESIDUAL encoding — the published form of the
+    * structure (Jégou et al. TPAMI'11 §IV-B): codes quantize
+    * `x − centroid(cluster(x))` rather than the raw vector, so each
+    * sub-codebook covers one cell-centred distribution instead of the
+    * whole corpus spread — the variant whose distortion stays low as
+    * nlist grows, i.e. the 100 TB configuration (v14 is the raw-vector
+    * composition for comparison). Serving differences from v14: the
+    * codes table CARRIES its cluster (no assignment join at all — the
+    * probe filter prunes this scan directly), and the query side
+    * precomputes one ADC table PER PROBED CELL from its residual
+    * against that cell's centroid; a row's approximate distance looks
+    * up its own cell's table. Floats are touched only by the TopN
+    * re-rank, as ever.
+    */
+  val v18IvfAdcResidual: Relational.Q = (s, d) => {
+    import s.implicits._
+    val cents = ensureCentroids(s, d)
+    val rcb = ensureResidCodebook(s, d)
+    val rcodesPath = ensureResidCodes(s, d)
+    val qv = embeddings(s, d).filter(col("vec_id") === Knn.QueryId)
+      .select("embedding").head().getSeq[Float](0)
+    val probes = cents.map(euclideanOf(qv, _)).zipWithIndex
+      .sortBy { case (dd, cid) => (dd, cid) }.take(NProbe).map(_._2)
+    val subDim = rcb.head.head.size
+    // per-probed-cell ADC tables from the query residual: each term is
+    // ((q_i − cent_i) − b_i)² accumulated as doubles in index order —
+    // the same bits as the oracle's (a1−a2−b)² unnest-zip sum
+    val qtabDf = probes.map { cid =>
+      val tab = (0 until PqM).map { m =>
+        rcb(m).map { c =>
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) {
+            val dd = qv(m * subDim + i).toDouble -
+              cents(cid)(m * subDim + i).toDouble - c(i).toDouble
+            acc += dd * dd
+            i += 1
+          }
+          acc
+        }
+      }
+      (cid, tab)
+    }.toDF("cluster", "qtab")
+    val approx = sqrt((0 until PqM).map { m =>
+      element_at(element_at(col("qtab"), m + 1), col(s"rcode$m") + 1)
+    }.reduceLeft(_ + _))
+    val cand = s.read.parquet(rcodesPath)
+      .filter(col("cluster").isin(probes: _*))
+      .join(broadcast(qtabDf), "cluster")
+      .select(col("vec_id"), col("cluster"), approx.as("approx"))
+      .orderBy(col("approx").asc, col("vec_id").asc)
+      .limit(PqTopN)
+    embeddings(s, d)
+      .join(broadcast(cand), "vec_id")
+      .withColumn("dist", euclidean(col("embedding"), typedlit(qv)))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        round(col("approx"), 3).as("approx_dist"), round(col("dist"), 3).as("dist"))
+  }
+
   /** Cosine threshold above which two same-cluster embeddings are
     * semantic duplicates. The synthetic corpus is not near-duplicate-
     * dense, so the demo threshold sits where the fixture yields pairs;
@@ -820,6 +971,7 @@ object Indexed {
     "q_v14_ivfpq" -> v14IvfPq,
     "q_v16_filtered_ivf" -> v16FilteredIvf,
     "q_v17_batch_ivfpq" -> v17BatchIvfPq,
+    "q_v18_ivfadc_residual" -> v18IvfAdcResidual,
     "q_d12_semdedup" -> d12SemDedup,
   )
 
@@ -1108,6 +1260,70 @@ object Indexed {
          |                            ORDER BY r.dist ASC, r.vec_id ASC) AS rn
          |  FROM rerank r JOIN cand c ON r.qid = c.qid AND r.vec_id = c.vec_id) t
          |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+    },
+    // v18: residual IVFADC — qp builds one ADC table per PROBED cell
+    // from (query − cell centroid − sub-codeword), three positionally
+    // zipped unnests; codes carry their cluster so approx joins no
+    // assignment table. Training and the one-time residual encode are
+    // outside the compared computation.
+    "q_v18_ivfadc_residual" -> {
+      val sub = oraclePqSubDim
+      val qpJoins = (0 until PqM)
+        .map(m => s"JOIN qp q$m ON q$m.cid = codes.cluster AND q$m.m = $m AND q$m.code = codes.rcode$m")
+        .mkString("\n  ")
+      val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |qc AS (
+         |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
+         |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
+         |        FROM cent CROSS JOIN q) z
+         |  GROUP BY cid
+         |),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY qd ASC, cid ASC) AS rn FROM qc) t
+         |  WHERE rn <= $NProbe
+         |),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('$oracleResidCbPath/*.parquet')),
+         |codes AS (
+         |  SELECT * FROM read_parquet('$oracleResidCodesPath/*.parquet')
+         |),
+         |qp AS (
+         |  SELECT cid, m, code, sum((a1-a2-b)*(a1-a2-b)) AS qd2
+         |  FROM (SELECT p.cid, c.m, c.code,
+         |               unnest(q.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a1,
+         |               unnest(ct.centroid[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a2,
+         |               unnest(c.centroid)::DOUBLE AS b
+         |        FROM cb c CROSS JOIN q CROSS JOIN probes p
+         |        JOIN cent ct ON ct.cid = p.cid) z
+         |  GROUP BY cid, m, code
+         |),
+         |approx AS (
+         |  SELECT codes.vec_id, codes.cluster, sqrt($adcSum) AS approx
+         |  FROM codes
+         |  JOIN probes p ON codes.cluster = p.cid
+         |  $qpJoins
+         |),
+         |cand AS (
+         |  SELECT vec_id, cluster, approx FROM (
+         |    SELECT vec_id, cluster, approx,
+         |           row_number() OVER (ORDER BY approx ASC, vec_id ASC) AS rn
+         |    FROM approx) t
+         |  WHERE rn <= $PqTopN
+         |),
+         |rerank AS (
+         |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+         |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |               unnest(q.qe)::DOUBLE AS b
+         |        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |        CROSS JOIN q) z
+         |  GROUP BY vec_id
+         |)
+         |SELECT r.vec_id, CAST(c.cluster AS BIGINT) AS cluster,
+         |       round(c.approx,3) AS approx_dist, round(r.dist,3) AS dist
+         |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
+         |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin
     },
     // v16: the v14 oracle with the label predicate — allowed ids come
     // from the same (vec_id, label) columns the engine's pruned scan

@@ -175,6 +175,17 @@ class PlanAuditSpec extends SparkSuite {
       s"v17 must scan the codes table ONCE for the whole batch:\n${p17.take(3000)}")
     assert(p17.contains("In(cluster"),
       s"v17 union probe filter must push to the assignment scan:\n${p17.take(3000)}")
+    // v18 residual IVFADC: codes carry their cluster — the probe
+    // filter must prune the RESIDUAL-codes scan itself, and no
+    // assignment-table scan may appear anywhere in the plan
+    val p18 = plan(graft.operators.Indexed.v18IvfAdcResidual(spark, sf0001))
+    assert(floatScans(p18) === 1, s"v18 must touch floats only at re-rank:\n${p18.take(3000)}")
+    assert(p18.contains("In(cluster"),
+      s"v18 probe filter must push to the residual-codes scan:\n${p18.take(3000)}")
+    assert(p18.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("rcode0")),
+      s"v18 candidate scan must read the stored residual codes:\n${p18.take(3000)}")
+    assert(!p18.contains("graft_v10_assign"),
+      s"v18 must not join the assignment table (cluster rides the codes):\n${p18.take(3000)}")
   }
 
   test("t17 shard manifest: one hash shuffle, no extra pass for offsets") {
