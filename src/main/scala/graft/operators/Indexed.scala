@@ -392,23 +392,48 @@ object Indexed {
     * filter prunes THIS scan directly (sorted by (cluster, vec_id) for
     * row-group stats), and serving never joins the assignment table.
     */
+  /** Per-subspace residual-encode expressions against the FROZEN
+    * residual codebook — shared by the bulk build and the delta append.
+    */
+  private[graft] def residCodeCols(cb: Seq[Seq[Seq[Float]]]): Seq[org.apache.spark.sql.Column] = {
+    val subDim = cb.head.head.size
+    (0 until PqM).map { m =>
+      val sub = slice(col("resid"), m * subDim + 1, subDim)
+      val dists = array(cb(m).map(c => euclidean(sub, typedlit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"rcode$m")
+    }
+  }
+
   def ensureResidCodes(s: SparkSession, d: String): String = synchronized {
     val cb = ensureResidCodebook(s, d)
     val path = residCodesPath(d)
     writtenResidCodes.getOrElseUpdate(path, {
-      val subDim = cb.head.head.size
-      val codeCols = (0 until PqM).map { m =>
-        val sub = slice(col("resid"), m * subDim + 1, subDim)
-        val dists = array(cb(m).map(c => euclidean(sub, typedlit(c))): _*)
-        (array_position(dists, array_min(dists)) - 1).cast("int").as(s"rcode$m")
-      }
       residDf(s, d)
-        .select(col("vec_id") +: col("cluster") +: codeCols: _*)
+        .select(col("vec_id") +: col("cluster") +: residCodeCols(cb): _*)
         .repartition(1).sortWithinPartitions("cluster", "vec_id")
         .write.mode("overwrite").parquet(path)
       true
     })
     oracleResidCodesPath = path
+    path
+  }
+
+  /** Residual sibling of [[appendAssignments]]: delta rows are coarse-
+    * assigned with the frozen centroids, residual-encoded with the
+    * frozen residual codebook, and appended to the cluster-carrying
+    * codes table.
+    */
+  def appendResidCodes(s: SparkSession, d: String, delta: DataFrame): String = synchronized {
+    val cents = ensureCentroids(s, d)
+    val rcb = ensureResidCodebook(s, d)
+    val path = ensureResidCodes(s, d)
+    delta
+      .withColumn("cluster", assignExpr(cents))
+      .withColumn("resid", zip_with(col("embedding"),
+        element_at(typedlit(cents), col("cluster") + 1), (x, c) => x - c))
+      .select(col("vec_id") +: col("cluster") +: residCodeCols(rcb): _*)
+      .repartition(1).sortWithinPartitions("cluster", "vec_id")
+      .write.mode("append").parquet(path)
     path
   }
 

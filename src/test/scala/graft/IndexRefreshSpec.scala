@@ -56,5 +56,22 @@ class IndexRefreshSpec extends SparkSuite {
     val expSq8 = full.select(col("vec_id"), Indexed.sq8CodeExpr(mn, mx).as("codes"))
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
     assert(gotSq8 === expSq8)
+
+    // residual IVFADC: delta coarse-assigned + residual-encoded with
+    // the frozen centroids/residual codebook
+    val rcb = Indexed.ensureResidCodebook(spark, base)
+    val rPath = Indexed.ensureResidCodes(spark, base)
+    Indexed.appendResidCodes(spark, base, delta)
+    val gotR = spark.read.parquet(rPath)
+      .select("vec_id", "cluster", "rcode0", "rcode1", "rcode2", "rcode3")
+      .collect().map(_.toSeq).toSet
+    val expR = full
+      .withColumn("cluster", Indexed.assignExpr(cents))
+      .withColumn("resid", zip_with(col("embedding"),
+        element_at(typedlit(cents), col("cluster") + 1),
+        (x, c) => x - c))
+      .select(col("vec_id") +: col("cluster") +: Indexed.residCodeCols(rcb): _*)
+      .collect().map(_.toSeq).toSet
+    assert(gotR === expR)
   }
 }
