@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // The dumped oracle SQL reads index artifacts for THIS dataset —
+    // set once, up front, so every artifact path in the dump is a pure
+    // function of the dataset Verify was invoked on (not of whichever
+    // dataset some ensure* call touched last).
+    graft.core.OracleDataset.dir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,0 +1,118 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Durable, versioned store for built index artifacts (learned
+  * centroids, code tables, bucketed/clustered copies).
+  *
+  * Replaces the r7 `/tmp` + per-JVM-memo discipline, whose guards were
+  * process-lifetime only: a new JVM rebuilt every artifact from the raw
+  * corpus, silently discarding any delta rows a previous process had
+  * appended, and its `mode("overwrite")` rebuilds could delete files
+  * out from under a concurrent reader (the r4 Bucketed race).
+  *
+  * Layout: one directory per (artifact, dataset, layout-tag); inside
+  * it, immutable-by-rebuild version subdirectories plus a `CURRENT`
+  * pointer file naming the live one:
+  *
+  * {{{
+  *   <root>/v10_assign_<ds>_<dshash>_<tag>/
+  *     CURRENT              # contains "v_ab12cd34"
+  *     v_ab12cd34/          # parquet files (appends land in here)
+  * }}}
+  *
+  * Invariants:
+  *  - A build writes ASIDE into a fresh version dir, then flips
+  *    `CURRENT` with an atomic same-directory file rename. Readers
+  *    resolve `CURRENT` once and read a directory that is never
+  *    deleted — no overwrite-vs-read window.
+  *  - An existing `CURRENT` means BUILT, across processes: `ensure`
+  *    never rebuilds over it, so delta batches appended into the live
+  *    version dir survive JVM restarts (the incremental-maintenance
+  *    contract is durable, not JVM-lifetime).
+  *  - The layout tag encodes the build parameters/schema (and a
+  *    version counter bumped on encode-logic changes), so changed
+  *    build code lands in a NEW artifact dir instead of silently
+  *    reusing an incompatible old one.
+  *
+  * The root defaults to a warehouse directory next to the code and is
+  * overridable per-process (`graft.warehouse` system property, then
+  * `SPARK_GRAFT_WAREHOUSE`); on a real cluster it would be an
+  * HDFS/object-store URI, where the `CURRENT` flip maps to the
+  * conditional-put / commit-log primitive of the store (the simplified
+  * form of a Delta/Iceberg pointer commit). Two processes racing the
+  * same build each publish a complete version and the later pointer
+  * flip wins — wasted work, never a torn read.
+  */
+object ArtifactStore {
+
+  def root: String = new java.io.File(
+    sys.props.get("graft.warehouse")
+      .orElse(sys.env.get("SPARK_GRAFT_WAREHOUSE"))
+      .getOrElse("/root/repo/warehouse")).getAbsolutePath
+  // absolute: a relative override would resolve against the JVM cwd in
+  // java.io/nio calls but against spark-warehouse/ in a table LOCATION
+
+  /** Absolute-path hash, not basename: two distinct dirs named alike
+    * (e.g. ../a/sf0.01 and ../b/sf0.01) must not share an artifact.
+    */
+  def absHash(d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  def artifactDir(name: String, d: String, layout: String): String =
+    s"$root/${name}_${new java.io.File(d).getName}_${absHash(d)}_$layout"
+
+  /** Resolve the live version dir, or None if the artifact was never
+    * (completely) built. A `CURRENT` pointing at a missing dir — e.g. a
+    * manually pruned warehouse — counts as unbuilt.
+    */
+  def current(dir: String): Option[String] = {
+    val cur = Paths.get(dir, "CURRENT")
+    if (!Files.isRegularFile(cur)) None
+    else {
+      val v = Files.readString(cur).trim
+      val p = Paths.get(dir, v)
+      if (v.nonEmpty && Files.isDirectory(p)) Some(p.toString) else None
+    }
+  }
+
+  /** Write a new version via `write(targetDir)` and flip `CURRENT` to
+    * it. The pointer flip is a same-directory atomic rename, so readers
+    * see the old complete version or the new complete version, never a
+    * partial one. Returns the new version dir.
+    */
+  def publish(dir: String)(write: String => Unit): String = {
+    val v = "v_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Files.createDirectories(Paths.get(dir))
+    val target = s"$dir/$v"
+    write(target)
+    val tmp = Paths.get(dir, s".CURRENT.$v.tmp")
+    Files.writeString(tmp, v)
+    Files.move(tmp, Paths.get(dir, "CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    target
+  }
+
+  /** The build-once guard: an existing on-disk version IS the build
+    * (cross-process; no in-memory memo to lose). Per-JVM `synchronized`
+    * only collapses duplicate concurrent builds inside one process.
+    */
+  def ensure(dir: String)(build: String => Unit): String = synchronized {
+    current(dir).getOrElse(publish(dir)(build))
+  }
+}
+
+/** The dataset whose artifacts the oracle SQL dump reads. Verify sets
+  * this once at process start from its own `sfDir` argument, BEFORE
+  * running any query — so every `read_parquet` path in the dumped SQL
+  * is a pure function of the dataset Verify was invoked on, not of
+  * whichever dataset some `ensure*` call happened to touch last (the
+  * r7 cross-wiring hazard: eight independent `@volatile` path vars,
+  * each tracking its own most-recent caller).
+  */
+object OracleDataset {
+  @volatile var dir: String = "/root/testdata/sf0.01"
+}

@@ -20,9 +20,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stream from disk).
   *
   * Build-once / serve-many discipline mirrors [[Indexed.ensureIndex]]:
-  * the bucketed copies are materialized under /tmp once per JVM per
-  * dataset and registered in the session catalog; the query reads only
-  * the bucketed tables. The oracle recomputes the same aggregate from
+  * the bucketed copies are materialized once under the durable
+  * warehouse ([[graft.core.ArtifactStore.root]]) and registered in the
+  * session catalog; the query reads only the bucketed tables. The oracle recomputes the same aggregate from
   * the raw parquet — bucketing is a physical-layout property, so the
   * logical result must be identical (that equality IS the check).
   */
@@ -99,8 +99,9 @@ object Bucketed {
     val lTag = tag("l_orderkey", l.schema.toDDL)
     val oT = s"graft_orders_bkt_${h}_$oTag"
     val lT = s"graft_lineitem_bkt_${h}_$lTag"
-    writeIfAbsent(s, oT, s"/tmp/graft_bucketed/orders_${h}_$oTag", o, "o_orderkey")
-    writeIfAbsent(s, lT, s"/tmp/graft_bucketed/lineitem_${h}_$lTag", l, "l_orderkey")
+    val base = s"${graft.core.ArtifactStore.root}/bucketed"
+    writeIfAbsent(s, oT, s"$base/orders_${h}_$oTag", o, "o_orderkey")
+    writeIfAbsent(s, lT, s"$base/lineitem_${h}_$lTag", l, "l_orderkey")
     (oT, lT)
   }
 

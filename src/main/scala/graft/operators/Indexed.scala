@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.core.Tables._
+import graft.core.{ArtifactStore, OracleDataset}
 import graft.functions.VectorFunctions._
 import graft.index.{IndexBuild, Pivots}
 import org.apache.spark.sql.functions._
@@ -67,86 +68,95 @@ object Indexed {
 
   // ------------------------------------------------------ index build
 
-  private val builtIndexes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  private val writtenCentroids = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  /** Every learned/encoded artifact lives in the versioned warehouse
+    * ([[graft.core.ArtifactStore]]): an existing on-disk version IS the
+    * build — across processes — so delta batches appended by one JVM
+    * survive into the next ensure* call of another, and a rebuild never
+    * deletes files a concurrent reader resolved. Layout tags carry the
+    * build parameters plus the `l1` version counter (bump it whenever
+    * the encode logic changes, so stale durable artifacts from older
+    * build code are never silently reused).
+    */
+  private val CentTag = s"l1k$CentroidK"
+  private val AssignTag = s"l1k$CentroidK"
+  private val IndexTag = "l1piv"
+
+  /** Build parallelism for the encode jobs: the r7 builds wrote with
+    * `repartition(1)` — a one-task write that is fine at sf0.1 and a
+    * non-starter at 100×. Encodes now shuffle on their layout key
+    * (cluster for probe-pruned tables, vec_id hash otherwise) into
+    * [[BuildTasks]] sorted files; at 100 TB you'd raise this to the
+    * cluster's write parallelism and the plan shape is unchanged.
+    */
+  val BuildTasks = 8
+
   private val learnedCentroids =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Float]]]
 
-  private def absHash(d: String): String = {
-    // absolute-path hash, not basename: two distinct dirs named alike
-    // (e.g. ../a/sf0.01 and ../b/sf0.01) must not share an index
-    val abs = new java.io.File(d).getAbsolutePath
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  private def resolve(name: String, d: String, tag: String): String = {
+    val a = ArtifactStore.artifactDir(name, d, tag)
+    ArtifactStore.current(a).getOrElse(a)
   }
 
-  private def indexPath(d: String): String =
-    s"/tmp/graft_index/${new java.io.File(d).getName}_${absHash(d)}"
-
-  /** Path the oracle SQL reads the learned centroids from — the one
-    * piece of shared state between the engines (the whole point: same
-    * stored centroids on both sides). Derived PER DATASET (abs-path
-    * hash, like [[indexPath]]) so two concurrent JVMs on different sf
-    * dirs never race on one file; rewritten once per JVM so it always
-    * reflects the current build code.
+  /** The live version dir serving (and the oracle) read the learned
+    * centroids from — the one piece of shared state between the engines
+    * (the whole point: same stored centroids on both sides).
     */
-  def centroidPath(d: String): String =
-    s"/tmp/graft_v10_centroids_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+  def centroidPath(d: String): String = resolve("v10_centroids", d, CentTag)
 
-  /** The dataset the v10 query most recently served — the oracle SQL
-    * (dumped by Verify AFTER the queries run) reads this dataset's
-    * centroid file. Initialized to the driver's verify sf so the dump
-    * is sane even if q_v10 itself failed.
+  /** Oracle-side path resolution: the dumped SQL reads the LIVE version
+    * of each artifact for [[graft.core.OracleDataset]] — the dataset
+    * Verify was invoked on, set once at process start. A pure function
+    * of that dataset: no per-artifact mutable path state to cross-wire
+    * when several datasets are ensured in one JVM.
     */
-  @volatile private var oracleCentroidPath: String =
-    centroidPath("/root/testdata/sf0.01")
+  private def oPath(name: String, tag: String): String =
+    resolve(name, OracleDataset.dir, tag)
 
-  /** Build the pivot-distance index for an sf dir once per JVM (the
-    * testdata is immutable; rebuilding per JVM keeps the on-disk table
-    * in sync with the build code without a cross-process cache
-    * protocol). Serving reads ONLY this table.
+  /** Build the pivot-distance index for an sf dir once (durable across
+    * processes; the testdata is immutable and the layout tag isolates
+    * build-code changes). Serving reads ONLY this table.
     */
-  def ensureIndex(s: SparkSession, d: String): String = {
-    val path = indexPath(d)
-    builtIndexes.getOrElseUpdate(path, {
+  def ensureIndex(s: SparkSession, d: String): String = synchronized {
+    ArtifactStore.ensure(ArtifactStore.artifactDir("v9_index", d, IndexTag)) { target =>
       val pivots = IndexBuild.pivotsFromIds(embeddings(s, d), "vec_id", Knn.PivotIds)
       val base = embeddings(s, d)
         .select(col("vec_id").as("id"), col("embedding"), col("label"))
-      IndexBuild.write(IndexBuild.withPivotColumns(base, pivots), path)
-      true
-    })
-    path
+      IndexBuild.write(IndexBuild.withPivotColumns(base, pivots), target)
+    }
   }
 
-  /** Learn centroids once per JVM per sf dir and materialize them to
-    * [[centroidPath]] (cid + array<float> centroid). Returned in cid
-    * order for literal-based serving.
+  /** Learn centroids once and materialize them (cid + array<float>
+    * centroid). Returned in cid order for literal-based serving. If a
+    * previous process already published the artifact, serving literals
+    * (and delta encodes) come from the STORED floats — never a retrain
+    * that could drift from what the oracle reads.
     */
   def ensureCentroids(s: SparkSession, d: String): Seq[Seq[Float]] = synchronized {
-    val centers = learnedCentroids.getOrElseUpdate(d,
-      Pivots.learnKMeans(embeddings(s, d), "embedding", CentroidK))
-    val path = centroidPath(d)
-    // rewrite once per JVM (even if a file exists from an older run —
-    // serving literals and the file the oracle reads must always agree)
-    writtenCentroids.getOrElseUpdate(path, {
-      import s.implicits._
-      centers.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("cid", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      true
+    val adir = ArtifactStore.artifactDir("v10_centroids", d, CentTag)
+    learnedCentroids.getOrElseUpdate(adir, {
+      ArtifactStore.current(adir) match {
+        case Some(cur) =>
+          s.read.parquet(cur).orderBy("cid").collect()
+            .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toIndexedSeq)
+            .toIndexedSeq
+        case None =>
+          val centers = Pivots.learnKMeans(embeddings(s, d), "embedding", CentroidK)
+          ArtifactStore.publish(adir) { target =>
+            import s.implicits._
+            centers.zipWithIndex.map { case (c, i) => (i, c) }
+              .toDF("cid", "centroid")
+              .coalesce(1).write.parquet(target)
+          }
+          centers
+      }
     })
-    oracleCentroidPath = path
-    centers
   }
 
   // --------------------------------------- v10: stored cluster assignment
 
-  private val writtenAssign = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-
-  def assignPath(d: String): String =
-    s"/tmp/graft_v10_assign_${new java.io.File(d).getName}_${absHash(d)}.parquet"
-
-  @volatile private var oracleAssignPath: String = assignPath("/root/testdata/sf0.01")
+  /** The live version dir of the `(vec_id, cluster)` assignment table. */
+  def assignPath(d: String): String = resolve("v10_assign", d, AssignTag)
 
   /** Materialize the `(vec_id, cluster)` assignment table once per JVM
     * per sf dir — the index column the reference persists at write time
@@ -167,16 +177,13 @@ object Indexed {
 
   def ensureAssignments(s: SparkSession, d: String): String = synchronized {
     val cents = ensureCentroids(s, d)
-    val path = assignPath(d)
-    writtenAssign.getOrElseUpdate(path, {
+    ArtifactStore.ensure(ArtifactStore.artifactDir("v10_assign", d, AssignTag)) { target =>
       embeddings(s, d)
         .select(col("vec_id"), assignExpr(cents).as("cluster"))
-        .repartition(1).sortWithinPartitions("cluster", "vec_id")
-        .write.mode("overwrite").parquet(path)
-      true
-    })
-    oracleAssignPath = path
-    path
+        .repartition(BuildTasks, col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
+        .write.parquet(target)
+    }
   }
 
   // ------------------------------------------------- v12: PQ codebooks
@@ -200,53 +207,62 @@ object Indexed {
   val PqK = 16
   val PqTopN = 100
 
+  private val PqCbTag = s"l1m${PqM}k$PqK"
+
   private val learnedCodebooks =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
-  private val writtenCodebooks = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  def pqPath(d: String): String =
-    s"/tmp/graft_v12_codebook_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+  /** The live version dir of the (m, code, centroid) codebook table. */
+  def pqPath(d: String): String = resolve("v12_codebook", d, PqCbTag)
 
-  @volatile private var oraclePqPath: String = pqPath("/root/testdata/sf0.01")
-  @volatile private var oraclePqSubDim: Int = 16
-
-  /** Learn the PqM sub-codebooks once per JVM per sf dir and
-    * materialize them as (m, code, centroid) rows — the oracle reads
-    * the same stored floats, so KMeans training stays outside the
-    * compared computation (the v10 discipline).
+  /** Load a stored (m, code, centroid) codebook back into the nested
+    * per-subspace shape (shared by the raw-vector and residual books).
     */
-  def ensureCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] = synchronized {
-    val cb = learnedCodebooks.getOrElseUpdate(d, {
-      val e = embeddings(s, d)
-      val dims = e.select(size(col("embedding"))).head().getInt(0)
-      require(dims % PqM == 0, s"embedding dim $dims not divisible into $PqM subspaces")
-      val sub = dims / PqM
-      (0 until PqM).map { m =>
-        Pivots.learnKMeans(
-          e.select(slice(col("embedding"), m * sub + 1, sub).as("sub")),
-          "sub", PqK, seed = 42L + m)
-      }
-    })
-    val path = pqPath(d)
-    writtenCodebooks.getOrElseUpdate(path, {
-      import s.implicits._
-      cb.zipWithIndex.flatMap { case (cents, m) =>
-        cents.zipWithIndex.map { case (c, code) => (m, code, c) }
-      }.toDF("m", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      true
-    })
-    oraclePqPath = path
-    oraclePqSubDim = cb.head.head.size
-    cb
+  private def loadCodebook(s: SparkSession, cur: String): Seq[Seq[Seq[Float]]] = {
+    val rows = s.read.parquet(cur).orderBy("m", "code").collect()
+      .map(r => (r.getInt(r.fieldIndex("m")),
+        r.getSeq[Float](r.fieldIndex("centroid")).toIndexedSeq))
+    (0 until PqM).map(m => rows.filter(_._1 == m).map(_._2).toIndexedSeq)
   }
 
-  private val writtenPqCodes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def writeCodebook(s: SparkSession, cb: Seq[Seq[Seq[Float]]],
+      target: String): Unit = {
+    import s.implicits._
+    cb.zipWithIndex.flatMap { case (cents, m) =>
+      cents.zipWithIndex.map { case (c, code) => (m, code, c) }
+    }.toDF("m", "code", "centroid")
+      .coalesce(1).write.parquet(target)
+  }
 
-  def pqCodesPath(d: String): String =
-    s"/tmp/graft_v12_codes_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+  /** Learn the PqM sub-codebooks once and materialize them as
+    * (m, code, centroid) rows — the oracle reads the same stored
+    * floats, so KMeans training stays outside the compared computation
+    * (the v10 discipline). A previously published artifact is loaded,
+    * not retrained.
+    */
+  def ensureCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] = synchronized {
+    val adir = ArtifactStore.artifactDir("v12_codebook", d, PqCbTag)
+    learnedCodebooks.getOrElseUpdate(adir, {
+      ArtifactStore.current(adir) match {
+        case Some(cur) => loadCodebook(s, cur)
+        case None =>
+          val e = embeddings(s, d)
+          val dims = e.select(size(col("embedding"))).head().getInt(0)
+          require(dims % PqM == 0, s"embedding dim $dims not divisible into $PqM subspaces")
+          val sub = dims / PqM
+          val cb = (0 until PqM).map { m =>
+            Pivots.learnKMeans(
+              e.select(slice(col("embedding"), m * sub + 1, sub).as("sub")),
+              "sub", PqK, seed = 42L + m)
+          }
+          ArtifactStore.publish(adir)(writeCodebook(s, cb, _))
+          cb
+      }
+    })
+  }
 
-  @volatile private var oraclePqCodesPath: String = pqCodesPath("/root/testdata/sf0.01")
+  /** The live version dir of the `(vec_id, code0..3)` PQ codes table. */
+  def pqCodesPath(d: String): String = resolve("v12_codes", d, PqCbTag)
 
   /** Materialize the `(vec_id, code0..codeM-1)` PQ codes table once per
     * JVM per sf dir. The per-subspace argmin (the expensive encode) runs
@@ -269,16 +285,12 @@ object Indexed {
 
   def ensurePqCodes(s: SparkSession, d: String): String = synchronized {
     val cb = ensureCodebook(s, d)
-    val path = pqCodesPath(d)
-    writtenPqCodes.getOrElseUpdate(path, {
+    ArtifactStore.ensure(ArtifactStore.artifactDir("v12_codes", d, PqCbTag)) { target =>
       embeddings(s, d)
         .select(col("vec_id") +: pqCodeCols(cb): _*)
-        .repartition(1).sortWithinPartitions("vec_id")
-        .write.mode("overwrite").parquet(path)
-      true
-    })
-    oraclePqCodesPath = path
-    path
+        .repartition(BuildTasks, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.parquet(target)
+    }
   }
 
   // ------------------------------------- incremental index maintenance
@@ -342,50 +354,42 @@ object Indexed {
         element_at(typedlit(cents), col("cluster") + 1), (x, c) => x - c))
   }
 
+  private val RCbTag = s"l1m${PqM}k${PqK}r"
+
   private val learnedResidCodebooks =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Float]]]]
-  private val writtenResidCodebooks = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  def residCbPath(d: String): String =
-    s"/tmp/graft_v18_rcodebook_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+  /** The live version dir of the residual (m, code, centroid) table. */
+  def residCbPath(d: String): String = resolve("v18_rcodebook", d, RCbTag)
 
-  @volatile private var oracleResidCbPath: String = residCbPath("/root/testdata/sf0.01")
-
-  /** Learn the residual sub-codebooks once per JVM per sf dir (seeded
-    * apart from the raw-vector v12 books) and materialize them as
-    * (m, code, centroid) rows the oracle reads back.
+  /** Learn the residual sub-codebooks once (seeded apart from the
+    * raw-vector v12 books) and materialize them as (m, code, centroid)
+    * rows the oracle reads back; a previously published artifact is
+    * loaded, not retrained.
     */
   def ensureResidCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] = synchronized {
-    val cb = learnedResidCodebooks.getOrElseUpdate(d, {
-      val r = residDf(s, d)
-      val dims = embeddings(s, d).select(size(col("embedding"))).head().getInt(0)
-      require(dims % PqM == 0, s"embedding dim $dims not divisible into $PqM subspaces")
-      val sub = dims / PqM
-      (0 until PqM).map { m =>
-        Pivots.learnKMeans(
-          r.select(slice(col("resid"), m * sub + 1, sub).as("sub")),
-          "sub", PqK, seed = 142L + m)
+    val adir = ArtifactStore.artifactDir("v18_rcodebook", d, RCbTag)
+    learnedResidCodebooks.getOrElseUpdate(adir, {
+      ArtifactStore.current(adir) match {
+        case Some(cur) => loadCodebook(s, cur)
+        case None =>
+          val r = residDf(s, d)
+          val dims = embeddings(s, d).select(size(col("embedding"))).head().getInt(0)
+          require(dims % PqM == 0, s"embedding dim $dims not divisible into $PqM subspaces")
+          val sub = dims / PqM
+          val cb = (0 until PqM).map { m =>
+            Pivots.learnKMeans(
+              r.select(slice(col("resid"), m * sub + 1, sub).as("sub")),
+              "sub", PqK, seed = 142L + m)
+          }
+          ArtifactStore.publish(adir)(writeCodebook(s, cb, _))
+          cb
       }
     })
-    val path = residCbPath(d)
-    writtenResidCodebooks.getOrElseUpdate(path, {
-      import s.implicits._
-      cb.zipWithIndex.flatMap { case (cents, m) =>
-        cents.zipWithIndex.map { case (c, code) => (m, code, c) }
-      }.toDF("m", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      true
-    })
-    oracleResidCbPath = path
-    cb
   }
 
-  private val writtenResidCodes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-
-  def residCodesPath(d: String): String =
-    s"/tmp/graft_v18_rcodes_${new java.io.File(d).getName}_${absHash(d)}.parquet"
-
-  @volatile private var oracleResidCodesPath: String = residCodesPath("/root/testdata/sf0.01")
+  /** The live version dir of the `(vec_id, cluster, rcode0..3)` table. */
+  def residCodesPath(d: String): String = resolve("v18_rcodes", d, RCbTag)
 
   /** Materialize the `(vec_id, cluster, rcode0..3)` residual-codes
     * table once per JVM per sf dir — cluster rides along so the probe
@@ -406,16 +410,13 @@ object Indexed {
 
   def ensureResidCodes(s: SparkSession, d: String): String = synchronized {
     val cb = ensureResidCodebook(s, d)
-    val path = residCodesPath(d)
-    writtenResidCodes.getOrElseUpdate(path, {
+    ArtifactStore.ensure(ArtifactStore.artifactDir("v18_rcodes", d, RCbTag)) { target =>
       residDf(s, d)
         .select(col("vec_id") +: col("cluster") +: residCodeCols(cb): _*)
-        .repartition(1).sortWithinPartitions("cluster", "vec_id")
-        .write.mode("overwrite").parquet(path)
-      true
-    })
-    oracleResidCodesPath = path
-    path
+        .repartition(BuildTasks, col("cluster"))
+        .sortWithinPartitions("cluster", "vec_id")
+        .write.parquet(target)
+    }
   }
 
   /** Residual sibling of [[appendAssignments]]: delta rows are coarse-
@@ -449,44 +450,45 @@ object Indexed {
     * exact re-rank. At 100 TB the scan reads byte codes and does
     * integer arithmetic only.
     */
+  private val Sq8Tag = "l1b256"
+
   private val learnedBounds =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
-  private val writtenBounds = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  def sq8Path(d: String): String =
-    s"/tmp/graft_v13_sq8_${new java.io.File(d).getName}_${absHash(d)}.parquet"
+  /** The live version dir of the (dim, mn, mx) bounds table. */
+  def sq8Path(d: String): String = resolve("v13_sq8", d, Sq8Tag)
 
-  @volatile private var oracleSq8Path: String = sq8Path("/root/testdata/sf0.01")
-
-  /** Corpus per-dimension bounds, computed once per JVM per sf dir and
-    * materialized as (dim, mn, mx) rows the oracle reads back — the
-    * stored-codebook discipline of v10/v12.
+  /** Corpus per-dimension bounds, computed once and materialized as
+    * (dim, mn, mx) rows the oracle reads back — the stored-codebook
+    * discipline of v10/v12. A previously published artifact is loaded,
+    * not recomputed (bounds are FROZEN between retrains; deltas clamp).
     */
   def ensureSq8Bounds(s: SparkSession, d: String): (Seq[Double], Seq[Double]) = synchronized {
-    val (mn, mx) = learnedBounds.getOrElseUpdate(d, {
-      val rows = embeddings(s, d)
-        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
-        .orderBy("dim").collect()
-      (rows.map(_.getFloat(1).toDouble).toSeq, rows.map(_.getFloat(2).toDouble).toSeq)
+    val adir = ArtifactStore.artifactDir("v13_sq8", d, Sq8Tag)
+    learnedBounds.getOrElseUpdate(adir, {
+      ArtifactStore.current(adir) match {
+        case Some(cur) =>
+          val rows = s.read.parquet(cur).orderBy("dim").collect()
+          (rows.map(_.getDouble(1)).toIndexedSeq, rows.map(_.getDouble(2)).toIndexedSeq)
+        case None =>
+          val rows = embeddings(s, d)
+            .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+            .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+            .orderBy("dim").collect()
+          val mn = rows.map(_.getFloat(1).toDouble).toIndexedSeq
+          val mx = rows.map(_.getFloat(2).toDouble).toIndexedSeq
+          ArtifactStore.publish(adir) { target =>
+            import s.implicits._
+            mn.indices.map(i => (i, mn(i), mx(i))).toDF("dim", "mn", "mx")
+              .coalesce(1).write.parquet(target)
+          }
+          (mn, mx)
+      }
     })
-    val path = sq8Path(d)
-    writtenBounds.getOrElseUpdate(path, {
-      import s.implicits._
-      mn.indices.map(i => (i, mn(i), mx(i))).toDF("dim", "mn", "mx")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      true
-    })
-    oracleSq8Path = path
-    (mn, mx)
   }
 
-  private val writtenSq8Codes = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-
-  def sq8CodesPath(d: String): String =
-    s"/tmp/graft_v13_codes_${new java.io.File(d).getName}_${absHash(d)}.parquet"
-
-  @volatile private var oracleSq8CodesPath: String = sq8CodesPath("/root/testdata/sf0.01")
+  /** The live version dir of the `(vec_id, codes)` SQ8 table. */
+  def sq8CodesPath(d: String): String = resolve("v13_codes", d, Sq8Tag)
 
   /** Materialize the `(vec_id, codes array<int>)` SQ8 table once per JVM
     * per sf dir: each vector quantized against the stored bounds ONCE at
@@ -514,16 +516,12 @@ object Indexed {
 
   def ensureSq8Codes(s: SparkSession, d: String): String = synchronized {
     val (mn, mx) = ensureSq8Bounds(s, d)
-    val path = sq8CodesPath(d)
-    writtenSq8Codes.getOrElseUpdate(path, {
+    ArtifactStore.ensure(ArtifactStore.artifactDir("v13_codes", d, Sq8Tag)) { target =>
       embeddings(s, d)
         .select(col("vec_id"), sq8CodeExpr(mn, mx).as("codes"))
-        .repartition(1).sortWithinPartitions("vec_id")
-        .write.mode("overwrite").parquet(path)
-      true
-    })
-    oracleSq8CodesPath = path
-    path
+        .repartition(BuildTasks, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.parquet(target)
+    }
   }
 
   /** SQ8 sibling of [[appendAssignments]]: delta rows quantized with
@@ -1065,7 +1063,7 @@ object Indexed {
     // outside the compared computation.
     "q_v10_ivf_kmeans" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
-         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |cent AS (SELECT cid, centroid FROM read_parquet('${oPath("v10_centroids", CentTag)}/*.parquet')),
          |qp AS (
          |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
          |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
@@ -1073,7 +1071,7 @@ object Indexed {
          |  GROUP BY cid
          |),
          |assign AS (
-         |  SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')
+         |  SELECT vec_id, cluster FROM read_parquet('${oPath("v10_assign", AssignTag)}/*.parquet')
          |),
          |probes AS (
          |  SELECT cid FROM (
@@ -1101,22 +1099,22 @@ object Indexed {
     // sum joins qp once per subspace and adds left-to-right (same
     // associativity as the Scala reduceLeft).
     "q_v12_pq_adc" -> {
-      val sub = oraclePqSubDim
       val qpJoins = (0 until PqM)
         .map(m => s"JOIN qp q$m ON q$m.m = $m AND q$m.code = codes.code$m")
         .mkString("\n  ")
       val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
-         |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('${oPath("v12_codebook", PqCbTag)}/*.parquet')),
          |codes AS (
-         |  SELECT * FROM read_parquet('$oraclePqCodesPath/*.parquet')
+         |  SELECT * FROM read_parquet('${oPath("v12_codes", PqCbTag)}/*.parquet')
          |),
+         |sd AS (SELECT len(centroid) AS sub FROM cb LIMIT 1),
          |qp AS (
          |  SELECT m, code, sum((a-b)*(a-b)) AS qd2
          |  FROM (SELECT c.m, c.code,
-         |               unnest(q.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(q.qe[c.m*sd.sub+1 : c.m*sd.sub+sd.sub])::DOUBLE AS a,
          |               unnest(c.centroid)::DOUBLE AS b
-         |        FROM cb c CROSS JOIN q) z
+         |        FROM cb c CROSS JOIN q CROSS JOIN sd) z
          |  GROUP BY m, code
          |),
          |approx AS (
@@ -1149,13 +1147,12 @@ object Indexed {
     // rows in a probed cluster, TopN prune, exact re-rank. Training and
     // both one-time encodes are outside the compared computation.
     "q_v14_ivfpq" -> {
-      val sub = oraclePqSubDim
       val qpJoins = (0 until PqM)
         .map(m => s"JOIN qp q$m ON q$m.m = $m AND q$m.code = codes.code$m")
         .mkString("\n  ")
       val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
-         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |cent AS (SELECT cid, centroid FROM read_parquet('${oPath("v10_centroids", CentTag)}/*.parquet')),
          |qc AS (
          |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
          |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
@@ -1168,21 +1165,22 @@ object Indexed {
          |  WHERE rn <= $NProbe
          |),
          |assign AS (
-         |  SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')
+         |  SELECT vec_id, cluster FROM read_parquet('${oPath("v10_assign", AssignTag)}/*.parquet')
          |),
          |probed AS (
          |  SELECT a.vec_id, a.cluster FROM assign a JOIN probes p ON a.cluster = p.cid
          |),
-         |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('${oPath("v12_codebook", PqCbTag)}/*.parquet')),
          |codes AS (
-         |  SELECT * FROM read_parquet('$oraclePqCodesPath/*.parquet')
+         |  SELECT * FROM read_parquet('${oPath("v12_codes", PqCbTag)}/*.parquet')
          |),
+         |sd AS (SELECT len(centroid) AS sub FROM cb LIMIT 1),
          |qp AS (
          |  SELECT m, code, sum((a-b)*(a-b)) AS qd2
          |  FROM (SELECT c.m, c.code,
-         |               unnest(q.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(q.qe[c.m*sd.sub+1 : c.m*sd.sub+sd.sub])::DOUBLE AS a,
          |               unnest(c.centroid)::DOUBLE AS b
-         |        FROM cb c CROSS JOIN q) z
+         |        FROM cb c CROSS JOIN q CROSS JOIN sd) z
          |  GROUP BY m, code
          |),
          |approx AS (
@@ -1215,14 +1213,13 @@ object Indexed {
     // TopN prune all PARTITION BY qid; training and encodes outside the
     // compared computation as ever.
     "q_v17_batch_ivfpq" -> {
-      val sub = oraclePqSubDim
       val qpJoins = (0 until PqM)
         .map(m => s"JOIN qp q$m ON q$m.qid = pr.qid AND q$m.m = $m AND q$m.code = codes.code$m")
         .mkString("\n  ")
       val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
       s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
          |            WHERE vec_id IN (${BatchQids.mkString(",")})),
-         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |cent AS (SELECT cid, centroid FROM read_parquet('${oPath("v10_centroids", CentTag)}/*.parquet')),
          |qc AS (
          |  SELECT qid, cid, sqrt(sum((a-b)*(a-b))) AS qd
          |  FROM (SELECT qs.qid, cid, unnest(centroid)::DOUBLE AS a,
@@ -1238,22 +1235,23 @@ object Indexed {
          |  WHERE rn <= $NProbe
          |),
          |assign AS (
-         |  SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')
+         |  SELECT vec_id, cluster FROM read_parquet('${oPath("v10_assign", AssignTag)}/*.parquet')
          |),
          |probed AS (
          |  SELECT p.qid, a.vec_id, a.cluster FROM assign a
          |  JOIN probes p ON a.cluster = p.cid
          |),
-         |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('${oPath("v12_codebook", PqCbTag)}/*.parquet')),
          |codes AS (
-         |  SELECT * FROM read_parquet('$oraclePqCodesPath/*.parquet')
+         |  SELECT * FROM read_parquet('${oPath("v12_codes", PqCbTag)}/*.parquet')
          |),
+         |sd AS (SELECT len(centroid) AS sub FROM cb LIMIT 1),
          |qp AS (
          |  SELECT qid, m, code, sum((a-b)*(a-b)) AS qd2
          |  FROM (SELECT qs.qid, c.m, c.code,
-         |               unnest(qs.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(qs.qe[c.m*sd.sub+1 : c.m*sd.sub+sd.sub])::DOUBLE AS a,
          |               unnest(c.centroid)::DOUBLE AS b
-         |        FROM cb c CROSS JOIN qs) z
+         |        FROM cb c CROSS JOIN qs CROSS JOIN sd) z
          |  GROUP BY qid, m, code
          |),
          |approx AS (
@@ -1292,13 +1290,12 @@ object Indexed {
     // assignment table. Training and the one-time residual encode are
     // outside the compared computation.
     "q_v18_ivfadc_residual" -> {
-      val sub = oraclePqSubDim
       val qpJoins = (0 until PqM)
         .map(m => s"JOIN qp q$m ON q$m.cid = codes.cluster AND q$m.m = $m AND q$m.code = codes.rcode$m")
         .mkString("\n  ")
       val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
-         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |cent AS (SELECT cid, centroid FROM read_parquet('${oPath("v10_centroids", CentTag)}/*.parquet')),
          |qc AS (
          |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
          |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
@@ -1310,17 +1307,18 @@ object Indexed {
          |    SELECT cid, row_number() OVER (ORDER BY qd ASC, cid ASC) AS rn FROM qc) t
          |  WHERE rn <= $NProbe
          |),
-         |cb AS (SELECT m, code, centroid FROM read_parquet('$oracleResidCbPath/*.parquet')),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('${oPath("v18_rcodebook", RCbTag)}/*.parquet')),
          |codes AS (
-         |  SELECT * FROM read_parquet('$oracleResidCodesPath/*.parquet')
+         |  SELECT * FROM read_parquet('${oPath("v18_rcodes", RCbTag)}/*.parquet')
          |),
+         |sd AS (SELECT len(centroid) AS sub FROM cb LIMIT 1),
          |qp AS (
          |  SELECT cid, m, code, sum((a1-a2-b)*(a1-a2-b)) AS qd2
          |  FROM (SELECT p.cid, c.m, c.code,
-         |               unnest(q.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a1,
-         |               unnest(ct.centroid[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a2,
+         |               unnest(q.qe[c.m*sd.sub+1 : c.m*sd.sub+sd.sub])::DOUBLE AS a1,
+         |               unnest(ct.centroid[c.m*sd.sub+1 : c.m*sd.sub+sd.sub])::DOUBLE AS a2,
          |               unnest(c.centroid)::DOUBLE AS b
-         |        FROM cb c CROSS JOIN q CROSS JOIN probes p
+         |        FROM cb c CROSS JOIN q CROSS JOIN probes p CROSS JOIN sd
          |        JOIN cent ct ON ct.cid = p.cid) z
          |  GROUP BY cid, m, code
          |),
@@ -1355,13 +1353,12 @@ object Indexed {
     // reads, the probe set widens to FilteredNProbe, and approximate
     // scoring joins codes ∩ probed ∩ allowed before the TopN prune.
     "q_v16_filtered_ivf" -> {
-      val sub = oraclePqSubDim
       val qpJoins = (0 until PqM)
         .map(m => s"JOIN qp q$m ON q$m.m = $m AND q$m.code = codes.code$m")
         .mkString("\n  ")
       val adcSum = (0 until PqM).map(m => s"q$m.qd2").mkString(" + ")
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
-         |cent AS (SELECT cid, centroid FROM read_parquet('$oracleCentroidPath/*.parquet')),
+         |cent AS (SELECT cid, centroid FROM read_parquet('${oPath("v10_centroids", CentTag)}/*.parquet')),
          |qc AS (
          |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
          |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
@@ -1374,7 +1371,7 @@ object Indexed {
          |  WHERE rn <= $FilteredNProbe
          |),
          |assign AS (
-         |  SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')
+         |  SELECT vec_id, cluster FROM read_parquet('${oPath("v10_assign", AssignTag)}/*.parquet')
          |),
          |probed AS (
          |  SELECT a.vec_id, a.cluster FROM assign a JOIN probes p ON a.cluster = p.cid
@@ -1383,16 +1380,17 @@ object Indexed {
          |  SELECT vec_id, label FROM embeddings
          |  WHERE label IN (${FilterLabels.mkString(",")})
          |),
-         |cb AS (SELECT m, code, centroid FROM read_parquet('$oraclePqPath/*.parquet')),
+         |cb AS (SELECT m, code, centroid FROM read_parquet('${oPath("v12_codebook", PqCbTag)}/*.parquet')),
          |codes AS (
-         |  SELECT * FROM read_parquet('$oraclePqCodesPath/*.parquet')
+         |  SELECT * FROM read_parquet('${oPath("v12_codes", PqCbTag)}/*.parquet')
          |),
+         |sd AS (SELECT len(centroid) AS sub FROM cb LIMIT 1),
          |qp AS (
          |  SELECT m, code, sum((a-b)*(a-b)) AS qd2
          |  FROM (SELECT c.m, c.code,
-         |               unnest(q.qe[c.m*$sub+1 : c.m*$sub+$sub])::DOUBLE AS a,
+         |               unnest(q.qe[c.m*sd.sub+1 : c.m*sd.sub+sd.sub])::DOUBLE AS a,
          |               unnest(c.centroid)::DOUBLE AS b
-         |        FROM cb c CROSS JOIN q) z
+         |        FROM cb c CROSS JOIN q CROSS JOIN sd) z
          |  GROUP BY m, code
          |),
          |approx AS (
@@ -1427,7 +1425,7 @@ object Indexed {
     // list_cosine_similarity over ::DOUBLE[] matches the Catalyst
     // cosine kernel bit-for-bit (the proven d5 pattern)
     "q_d12_semdedup" ->
-      s"""WITH a AS (SELECT vec_id, cluster FROM read_parquet('$oracleAssignPath/*.parquet')),
+      s"""WITH a AS (SELECT vec_id, cluster FROM read_parquet('${oPath("v10_assign", AssignTag)}/*.parquet')),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
          |v AS (SELECT e.vec_id, a.cluster, e.ed FROM e JOIN a USING (vec_id)),
          |p AS (
@@ -1447,11 +1445,11 @@ object Indexed {
     // arithmetic — exact on both engines.
     "q_v13_sq8" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
-         |b AS (SELECT dim, mn, mx FROM read_parquet('$oracleSq8Path/*.parquet')),
+         |b AS (SELECT dim, mn, mx FROM read_parquet('${oPath("v13_sq8", Sq8Tag)}/*.parquet')),
          |enc AS (
          |  SELECT vec_id, unnest(codes) AS c,
          |         unnest(range(0, len(codes))) AS dim
-         |  FROM read_parquet('$oracleSq8CodesPath/*.parquet')
+         |  FROM read_parquet('${oPath("v13_codes", Sq8Tag)}/*.parquet')
          |),
          |qv AS (
          |  SELECT unnest(qe)::DOUBLE AS x, unnest(range(0, len(qe))) AS dim FROM q

@@ -109,29 +109,23 @@ object Layout {
     */
   val ZFiles = 16
 
-  private val writtenZ = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val ZTag = s"l1f${ZFiles}b$ZBits"
 
-  private def absHash(d: String): String = {
-    val abs = new java.io.File(d).getAbsolutePath
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  /** The live version dir of the z-ordered events copy. */
+  def zPath(d: String): String = {
+    val a = graft.core.ArtifactStore.artifactDir("z_events", d, ZTag)
+    graft.core.ArtifactStore.current(a).getOrElse(a)
   }
 
-  def zPath(d: String): String =
-    s"/tmp/graft_z_events_${new java.io.File(d).getName}_${absHash(d)}.parquet"
-
-  /** Write the events table z-ordered once per JVM per sf dir (the
-    * [[graft.operators.Indexed.ensureIndex]] build-once discipline);
-    * serving reads only the clustered copy.
+  /** Write the events table z-ordered once (durable across processes in
+    * the versioned warehouse — the [[graft.operators.Indexed.ensureIndex]]
+    * build-once discipline); serving reads only the clustered copy.
     */
-  def ensureZOrdered(s: SparkSession, d: String): String = {
-    val path = zPath(d)
-    writtenZ.getOrElseUpdate(path, {
-      writeZOrdered(events(s, d), path, ZFiles)
-      true
-    })
-    path
-  }
+  def ensureZOrdered(s: SparkSession, d: String): String =
+    graft.core.ArtifactStore.ensure(
+      graft.core.ArtifactStore.artifactDir("z_events", d, ZTag)) { target =>
+      writeZOrdered(events(s, d), target, ZFiles)
+    }
 
   /** Z2: the SERVING query over the z-ordered layout — a (user-range AND
     * day-range) predicate read from the clustered copy. Both range

@@ -5,6 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session per suite (same knobs as Verify/Bench). */
 trait SparkSuite extends AnyFunSuite {
+  // Specs build index artifacts for per-run fixture dirs; isolate them
+  // in a test warehouse (cleaned by `sbt clean`) so fixture junk never
+  // accumulates in — or races — the real durable warehouse the driver's
+  // Verify/Bench runs share.
+  sys.props.getOrElseUpdate("graft.warehouse", "target/graft-test-warehouse")
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName(getClass.getSimpleName)
