@@ -132,12 +132,16 @@ final case class GraftCollection(spark: SparkSession, path: String) {
   // path use `graft.operators.Knn.searchIndexed` over an
   // `index.IndexBuild` table instead.
 
-  /** Optional Mango pre-filter for the combined selector + vector
-    * query (the reference serves both in one pass,
-    * `src/search.ts:19-54`): PRE-filter semantics — the k results are
-    * the nearest among the documents matching the selector, not a
-    * post-filtered top-k (which loses recall under selective filters;
-    * see also `Indexed.v16FilteredIvf` for the index-served variant).
+  /** Optional Mango pre-filter combined with vector search. The
+    * reference serves ALL vector search through Mango selectors — but
+    * the selector in `src/search.ts:19-54` is the pivot-band predicate
+    * of `vectorSearchIndexRange` itself, not a user metadata filter;
+    * the reference has no metadata-filtered vector search. This
+    * GENERALIZES that selector-served machinery to arbitrary metadata
+    * pre-filters: PRE-filter semantics — the k results are the nearest
+    * among the documents matching the selector, not a post-filtered
+    * top-k (which loses recall under selective filters; see also
+    * `Indexed.v16FilteredIvf` for the index-served variant).
     */
   private def searchBase(selector: Map[String, Any]): DataFrame =
     if (selector.isEmpty) toDf

@@ -140,15 +140,23 @@ object CorpusPipeline {
 
     // 7. export manifest (q_t17 semantics over the PACKED shards): the
     // dataloader index — per (source, shard), each doc's position and
-    // the cumulative byte offset where its payload starts, so a reader
-    // seeks without parsing. Written beside the corpus; same single
-    // window shuffle as the packing stage's key.
+    // the cumulative UTF-8 byte offset where its payload starts, so a
+    // reader seeks without parsing (octet_length, not the n_chars char
+    // count — char offsets land mid-character on non-ASCII corpora).
+    // Built by READING BACK the materialized shards: the manifest job
+    // scans the final files a reader will open, instead of re-running
+    // the packing lineage — whose upstream caches may have been evicted
+    // by the time this stage runs, silently turning "no second pass"
+    // into a full recompute.
+    val shards = spark.read.parquet(outPath)
     val wm = Window.partitionBy("source", "shard").orderBy("doc_id")
-    packed
+    shards
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
       .withColumn("pos", row_number().over(wm).cast("long"))
       .withColumn("byte_offset", coalesce(
-        sum("n_chars").over(wm.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("source", "shard", "pos", "doc_id", "n_tokens", "n_chars", "byte_offset")
+        sum("n_bytes").over(wm.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "shard", "pos", "doc_id", "n_tokens", "n_chars", "n_bytes",
+        "byte_offset")
       .write.mode("overwrite").parquet(outPath + "_manifest")
     Seq(gated, exact, nearDeduped, clean, sampled).foreach(_.unpersist())
 

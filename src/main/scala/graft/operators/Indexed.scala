@@ -771,10 +771,13 @@ object Indexed {
   }
 
   /** V16: metadata-FILTERED IVF+PQ — the v14 serving plan with a
-    * pushed attribute predicate, which is the reference's combined
-    * selector + vector query (`/root/reference/src/search.ts:19-54`
-    * serves a Mango selector and the index band in one pass) and the
-    * production "filtered vector search" shape. The filter never
+    * pushed attribute predicate: the production "filtered vector
+    * search" shape. The reference serves vector search THROUGH Mango
+    * selectors (`/root/reference/src/search.ts:19-54` — but its
+    * selector is the index-band predicate itself, not a user metadata
+    * filter; the reference has no metadata-filtered vector search).
+    * This generalizes that selector-served machinery to arbitrary
+    * metadata pre-filters. The filter never
     * touches floats: the allowed-id side is a column-pruned
     * `(vec_id, label)` scan with `label IN (…)` pushed to parquet, the
     * probe filter prunes the assignment scan, and the two integer

@@ -261,7 +261,10 @@ object TextAnalysis {
     * payload starts — exactly the index a WebDataset/tar-style reader
     * needs to seek without parsing. One hash shuffle (the window
     * partition); the offset is a running sum over the preceding rows of
-    * the shard, so no second pass over the data. The reference analogue
+    * the shard, so no second pass over the data. Offsets accumulate the
+    * UTF-8 octet length of the payload (`octet_length`), NOT the
+    * character count — on any non-ASCII corpus a reader seeking by
+    * char-count offsets would land mid-character. The reference analogue
     * is its paged dump/restore (`/root/reference/src/index.ts:131-149`
     * exports documents in deterministic id order); the manifest shape is
     * the distributed generalization.
@@ -272,13 +275,14 @@ object TextAnalysis {
     val w = Window.partitionBy("shard").orderBy(col("kh").asc, col("doc_id").asc)
     documents(s, d)
       .select(col("doc_id"), kh.as("kh"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"), col("n_chars"))
+        size(tokens(col("text"))).cast("long").as("n_tokens"), col("n_chars"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
       .withColumn("shard", (col("kh") % NumShards).cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .withColumn("byte_offset",
-        coalesce(sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        coalesce(sum("n_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select("shard", "pos", "doc_id", "n_tokens", "n_chars", "byte_offset")
+      .select("shard", "pos", "doc_id", "n_tokens", "n_chars", "n_bytes", "byte_offset")
       .orderBy("shard", "pos")
   }
 
@@ -392,18 +396,20 @@ object TextAnalysis {
           |GROUP BY tok HAVING count(*) >= 5
           |ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin,
       // t17: same 28-bit md5 hash family; the offset is the window sum
-      // of preceding n_chars within the shard (ties broken by doc_id)
+      // of preceding UTF-8 octet lengths within the shard (DuckDB's
+      // strlen counts bytes; its length counts characters — matching
+      // Spark's octet_length vs length), ties broken by doc_id
       "q_t17_shard_manifest" ->
         s"""WITH h AS (
-           |  SELECT doc_id, n_chars,
+           |  SELECT doc_id, n_chars, strlen(text) AS n_bytes,
            |         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
            |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT AS kh
            |  FROM documents
            |)
            |SELECT kh % $NumShards AS shard,
            |       row_number() OVER w AS pos,
-           |       doc_id, n_tokens, n_chars,
-           |       CAST(coalesce(sum(n_chars) OVER (
+           |       doc_id, n_tokens, n_chars, n_bytes,
+           |       CAST(coalesce(sum(n_bytes) OVER (
            |         PARTITION BY kh % $NumShards ORDER BY kh ASC, doc_id ASC
            |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            |         AS byte_offset

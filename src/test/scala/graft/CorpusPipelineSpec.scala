@@ -50,15 +50,15 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(shardsOk.count() === r.shards)
 
     // export manifest: one row per packed doc; positions contiguous
-    // from 1 and offsets equal the running sum of preceding n_chars
-    // within each (source, shard)
+    // from 1 and offsets equal the running sum of preceding UTF-8 byte
+    // lengths within each (source, shard)
     val manifest = spark.read.parquet(out + "_manifest")
     assert(manifest.count() === r.afterQuota)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "shard").orderBy("doc_id")
     val checked = manifest
       .withColumn("exp_pos", row_number().over(w).cast("long"))
-      .withColumn("exp_off", coalesce(sum("n_chars").over(
+      .withColumn("exp_off", coalesce(sum("n_bytes").over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
         lit(0L)))
     assert(checked.filter(col("pos") =!= col("exp_pos") ||
