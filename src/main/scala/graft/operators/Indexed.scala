@@ -989,7 +989,78 @@ object Indexed {
       .orderBy("vec_id")
   }
 
+  /** V19: recall/cost grid over the STORED-index serving family — the
+    * tuning audit the r7 verdict flagged as missing: every learned-ANN
+    * variant ships with its recall@K and its scan cost at the chosen
+    * `NProbe`/`PqTopN`, so the knobs are set against a measured
+    * recall/reads trade-off instead of blind (the reference's own
+    * exact-vs-indexed cross-check idea, `src/index.ts:77-101`, applied
+    * to the whole family). One row per variant:
+    *
+    *  - `code_reads` — stored INTEGER rows scanned after pruning (the
+    *    cheap pass: assignment/codes rows ADC- or distance-scored);
+    *  - `doc_reads` — FLOAT vectors fetched for exact re-rank (the
+    *    expensive pass; the reference's `docReads` accounting,
+    *    `src/search.ts:16,52,107`);
+    *  - `recall10` — |top-K ∩ exact top-K| (0..10, integers — the row
+    *    is hash-exact across engines; v16 scores against the exact
+    *    top-K of its OWN filtered ground truth).
+    *
+    * The ANN top-K sets come from the very serving plans the other
+    * q_v1x queries run — evaluated == served, nothing re-derived. At
+    * 100 TB this is the recurring index-quality job that decides
+    * nprobe/topn retuning after drift or re-clustering.
+    */
+  val v19RecallGrid: Relational.Q = (s, d) => {
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    def exactTop(base: DataFrame): DataFrame = base
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(K).select("vec_id")
+    val exact = exactTop(embeddings(s, d))
+    val exactF = exactTop(embeddings(s, d).filter(col("label").isin(FilterLabels: _*)))
+
+    // probe sets exactly as the serving plans select them
+    val cents = ensureCentroids(s, d)
+    val qd = queryDists(s, d, cents.map(c => typedlit(c)))
+    def probesOf(n: Int): Seq[Int] =
+      qd.zipWithIndex.sortBy { case (dd, cid) => (dd, cid) }.take(n).map(_._2)
+    val probes2 = probesOf(NProbe)
+    val probes4 = probesOf(FilteredNProbe)
+
+    val assign = s.read.parquet(ensureAssignments(s, d))
+    val codes = s.read.parquet(ensurePqCodes(s, d))
+    val rcodes = s.read.parquet(ensureResidCodes(s, d))
+    val sq8 = s.read.parquet(ensureSq8Codes(s, d))
+    val allowed = embeddings(s, d)
+      .filter(col("label").isin(FilterLabels: _*)).select("vec_id")
+
+    def reads(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("code_reads"))
+    val pc2 = reads(assign.filter(col("cluster").isin(probes2: _*)))
+    val pc4f = reads(assign.filter(col("cluster").isin(probes4: _*))
+      .join(allowed, "vec_id"))
+    val pr2 = reads(rcodes.filter(col("cluster").isin(probes2: _*)))
+    val topNCap = least(col("code_reads"), lit(PqTopN.toLong))
+
+    def row(variant: String, readsDf: DataFrame,
+        docReads: org.apache.spark.sql.Column,
+        ann: DataFrame, truth: DataFrame): DataFrame =
+      readsDf.crossJoin(ann.select("vec_id").join(truth, "vec_id")
+          .agg(count(lit(1)).as("recall10")))
+        .select(lit(variant).as("variant"), col("code_reads"),
+          docReads.cast("long").as("doc_reads"), col("recall10"))
+
+    Seq(
+      row("v10_ivf", pc2, col("code_reads"), v10IvfKmeans(s, d), exact),
+      row("v12_pq_adc", reads(codes), topNCap, v12PqAdc(s, d), exact),
+      row("v13_sq8", reads(sq8), topNCap, v13Sq8(s, d), exact),
+      row("v14_ivfpq", pc2, topNCap, v14IvfPq(s, d), exact),
+      row("v16_filtered", pc4f, topNCap, v16FilteredIvf(s, d), exactF),
+      row("v18_ivfadc", pr2, topNCap, v18IvfAdcResidual(s, d), exact),
+    ).reduce(_ union _).orderBy("variant")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_v19_recall_grid" -> v19RecallGrid,
     "q_v9_indexed_range" -> v9IndexedRange,
     "q_v10_ivf_kmeans" -> v10IvfKmeans,
     "q_v12_pq_adc" -> v12PqAdc,
@@ -1005,9 +1076,12 @@ object Indexed {
   // tables (v9) / the materialized centroid parquet (v10) with the
   // unnest-zip double arithmetic that matches the Catalyst kernels
   // bit-for-bit, then apply the identical probe + band + re-rank logic.
-  // `def`, not `val`: the v10 SQL splices the dataset-derived centroid
-  // path recorded by the query run (Verify dumps oracleSql last).
-  def oracleSql: Map[String, String] = Map(
+  // `def`, not `val`: the SQL splices the live artifact paths for
+  // [[graft.core.OracleDataset]] (Verify dumps oracleSql last).
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q_v19_recall_grid" -> v19OracleSql)
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_v9_indexed_range" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
          |piv AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
@@ -1487,4 +1561,102 @@ object Indexed {
          |FROM rerank r JOIN cand c ON r.vec_id = c.vec_id
          |ORDER BY r.dist ASC, r.vec_id ASC LIMIT $K""".stripMargin,
   )
+
+  /** v19: each variant's top-K comes from that variant's OWN oracle SQL
+    * embedded as a derived table (DuckDB CTE shadowing keeps the inner
+    * WITH blocks self-contained), so the grid's recall is measured
+    * against exactly the per-variant formulations the driver already
+    * hash-checks; read counts replay the same probe CTEs over the same
+    * stored tables. All outputs are integers — hash-exact.
+    */
+  private def v19OracleSql: String = {
+    val base = oracleSqlBase
+    def sub(name: String): String = base(name).replace("\n", "\n  ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+       |dist_all AS (
+       |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+       |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+       |               unnest(q.qe)::DOUBLE AS b
+       |        FROM embeddings e CROSS JOIN q) z
+       |  GROUP BY vec_id
+       |),
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM dist_all) t
+       |  WHERE rn <= $K
+       |),
+       |allowed AS (
+       |  SELECT vec_id FROM embeddings WHERE label IN (${FilterLabels.mkString(",")})
+       |),
+       |exactf AS (
+       |  SELECT vec_id FROM (
+       |    SELECT d.vec_id, row_number() OVER (ORDER BY d.dist ASC, d.vec_id ASC) AS rn
+       |    FROM dist_all d JOIN allowed al ON al.vec_id = d.vec_id) t
+       |  WHERE rn <= $K
+       |),
+       |cent AS (SELECT cid, centroid FROM read_parquet('${oPath("v10_centroids", CentTag)}/*.parquet')),
+       |qc AS (
+       |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
+       |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
+       |        FROM cent CROSS JOIN q) z
+       |  GROUP BY cid
+       |),
+       |probes2 AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY qd ASC, cid ASC) AS rn FROM qc) t
+       |  WHERE rn <= $NProbe
+       |),
+       |probes4 AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY qd ASC, cid ASC) AS rn FROM qc) t
+       |  WHERE rn <= $FilteredNProbe
+       |),
+       |assign AS (SELECT vec_id, cluster FROM read_parquet('${oPath("v10_assign", AssignTag)}/*.parquet')),
+       |pc2 AS (SELECT count(*) AS n FROM assign a JOIN probes2 p ON a.cluster = p.cid),
+       |pc4f AS (SELECT count(*) AS n FROM assign a JOIN probes4 p ON a.cluster = p.cid
+       |         JOIN allowed al ON al.vec_id = a.vec_id),
+       |pr2 AS (SELECT count(*) AS n
+       |        FROM read_parquet('${oPath("v18_rcodes", RCbTag)}/*.parquet') c
+       |        JOIN probes2 p ON c.cluster = p.cid),
+       |nc AS (SELECT count(*) AS n FROM read_parquet('${oPath("v12_codes", PqCbTag)}/*.parquet')),
+       |ns AS (SELECT count(*) AS n FROM read_parquet('${oPath("v13_codes", Sq8Tag)}/*.parquet')),
+       |v10r AS (SELECT vec_id FROM (
+       |  ${sub("q_v10_ivf_kmeans")}) t),
+       |v12r AS (SELECT vec_id FROM (
+       |  ${sub("q_v12_pq_adc")}) t),
+       |v13r AS (SELECT vec_id FROM (
+       |  ${sub("q_v13_sq8")}) t),
+       |v14r AS (SELECT vec_id FROM (
+       |  ${sub("q_v14_ivfpq")}) t),
+       |v16r AS (SELECT vec_id FROM (
+       |  ${sub("q_v16_filtered_ivf")}) t),
+       |v18r AS (SELECT vec_id FROM (
+       |  ${sub("q_v18_ivfadc_residual")}) t)
+       |SELECT variant, code_reads, doc_reads, recall10 FROM (
+       |  SELECT 'v10_ivf' AS variant, (SELECT n FROM pc2) AS code_reads,
+       |         (SELECT n FROM pc2) AS doc_reads,
+       |         (SELECT count(*) FROM v10r JOIN exact USING (vec_id)) AS recall10
+       |  UNION ALL
+       |  SELECT 'v12_pq_adc', (SELECT n FROM nc),
+       |         least($PqTopN, (SELECT n FROM nc)),
+       |         (SELECT count(*) FROM v12r JOIN exact USING (vec_id))
+       |  UNION ALL
+       |  SELECT 'v13_sq8', (SELECT n FROM ns),
+       |         least($PqTopN, (SELECT n FROM ns)),
+       |         (SELECT count(*) FROM v13r JOIN exact USING (vec_id))
+       |  UNION ALL
+       |  SELECT 'v14_ivfpq', (SELECT n FROM pc2),
+       |         least($PqTopN, (SELECT n FROM pc2)),
+       |         (SELECT count(*) FROM v14r JOIN exact USING (vec_id))
+       |  UNION ALL
+       |  SELECT 'v16_filtered', (SELECT n FROM pc4f),
+       |         least($PqTopN, (SELECT n FROM pc4f)),
+       |         (SELECT count(*) FROM v16r JOIN exactf USING (vec_id))
+       |  UNION ALL
+       |  SELECT 'v18_ivfadc', (SELECT n FROM pr2),
+       |         least($PqTopN, (SELECT n FROM pr2)),
+       |         (SELECT count(*) FROM v18r JOIN exact USING (vec_id))
+       |) g ORDER BY variant""".stripMargin
+  }
 }

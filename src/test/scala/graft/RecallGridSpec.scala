@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Indexed
+import org.apache.spark.sql.functions._
+
+/** The v19 recall/cost grid is the tuning audit for the stored-index
+  * family: every variant must clear a recall floor at its configured
+  * NProbe/PqTopN, and its scan cost must actually be sub-corpus
+  * (otherwise the "index" is a full scan in disguise).
+  */
+class RecallGridSpec extends SparkSuite {
+
+  test("every stored-index variant clears the recall floor at sub-corpus cost") {
+    val grid = Indexed.v19RecallGrid(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(grid.length === 6)
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    for ((variant, codeReads, docReads, recall) <- grid) {
+      // the operating-point contract: at least half the exact top-10
+      // (the sf0.001 fixture's hardest case is the 2-of-8-cell probe)
+      assert(recall >= 5, s"$variant recall@10 $recall below floor")
+      assert(docReads > 0 && docReads < n,
+        s"$variant re-ranks $docReads of $n floats — not an index")
+      assert(codeReads > 0, s"$variant scanned no stored codes")
+    }
+    // the exhaustive-scan variants (v12/v13) read every code row but
+    // cap the float re-rank; the probed variants prune the code scan too
+    val probed = grid.filter(g => Set("v10_ivf", "v14_ivfpq", "v16_filtered",
+      "v18_ivfadc").contains(g._1))
+    assert(probed.forall(_._2 < n),
+      s"probed variants must scan fewer than all $n code rows")
+  }
+}
