@@ -39,6 +39,21 @@ object Corpus {
     * groupBy on the (small) edge list — the driver only sees the
     * per-round convergence count, never the data.
     */
+  /** Lineage truncation for the fixpoint loops: a RELIABLE checkpoint
+    * when the context has a checkpoint dir configured — on a cluster
+    * `sc.setCheckpointDir` on HDFS/object storage makes every round's
+    * edge/label set survive executor loss, which executor-local blocks
+    * do not (lose an executor mid-loop with localCheckpoint and the
+    * truncated lineage cannot recompute the partitions) — else
+    * executor-local blocks, the fast single-JVM test/bench path.
+    * `CorpusSpec` drives the loop both ways.
+    */
+  private implicit class TruncOps(private val df: DataFrame) {
+    def truncated(eager: Boolean): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+      else df.localCheckpoint(eager)
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // the pair graph is far smaller than the corpus that produced it;
     // a handful of partitions keeps each fixpoint round's shuffles from
@@ -53,15 +68,16 @@ object Corpus {
     // reclaimed by the ContextCleaner (same discipline as the star
     // loop below). Lazy (eager=false): the convergence probe's job
     // materializes the round, so each round costs ONE job, not two.
-    // On a cluster, point this at a reliable checkpoint dir instead.
+    // With sc.setCheckpointDir configured (cluster), rounds checkpoint
+    // reliably instead — see TruncOps.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .repartition(loopParts, col("src"))
-      .localCheckpoint(false)
+      .truncated(false)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .localCheckpoint(false)
+      .truncated(false)
     // labels only ever decrease, so sum(lbl) is a strictly decreasing
     // convergence measure: equal sums across a round ⟺ fixpoint. One
     // cheap aggregate per round instead of a compare-join. (coalesce:
@@ -80,7 +96,7 @@ object Corpus {
         .join(nbMin.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"))
-        .localCheckpoint(false)
+        .truncated(false)
       val curSum = lblSum(updated)
       labels = updated
       converged = curSum == prevSum
@@ -141,7 +157,8 @@ object Corpus {
     * four times (two union legs × join sides), so without truncating
     * the lineage the logical plan grows ~4× per round and the
     * optimizer itself OOMs after a handful of rounds. On a cluster
-    * you'd point this at a reliable checkpoint dir instead.
+    * the round checkpoints reliably whenever `sc.setCheckpointDir` is
+    * configured (see TruncOps).
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val loopParts = 8
@@ -153,7 +170,7 @@ object Corpus {
       // EAGER: sym and the probe each reference the edge set twice; a
       // lazy checkpoint would let both consumers race to compute the
       // partitions before the cache fills (measured +0.5s vs eager)
-      .localCheckpoint(true)
+      .truncated(true)
     // star forest ⟺ fixpoint (see scaladoc): no root also hangs as a
     // child. One job on two single-column projections of the cached
     // edge set.
@@ -182,7 +199,7 @@ object Corpus {
         .union(mins2.select(col("u"), col("mn").as("v")))
         .distinct()
         .repartition(loopParts, col("u"))
-        .localCheckpoint(true)
+        .truncated(true)
       converged = isStarForest(next)
       edges = next
       iter += 1

@@ -25,6 +25,34 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.connectedComponents(empty, "a", "b").count() === 0)
   }
 
+  test("CC loops use RELIABLE checkpoints when a checkpoint dir is configured") {
+    // the cluster path: with sc.setCheckpointDir, each fixpoint round
+    // must land in the reliable store (survives executor loss), not
+    // executor-local blocks — identical results, durable lineage cuts
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "suite assumes no prior checkpoint dir")
+    val ckpt = tmpDir("cc-ckpt")
+    // no unset API on the shared context: from here on this JVM's CC
+    // loops run the reliable path — which the remaining real-corpus
+    // d7/d9 tests in this suite then exercise end-to-end for free
+    sc.setCheckpointDir(ckpt)
+    val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
+      .toDF("a", "b")
+    val lp = Corpus.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Corpus.connectedComponentsStar(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
+    assert(lp === exp && star === exp)
+    // reliable checkpoint files actually landed under the dir
+    def files(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(files).sum
+      else 1L
+    assert(files(new java.io.File(ckpt)) > 0,
+      "no RDD checkpoint files written — loops still on localCheckpoint")
+  }
+
   test("connectedComponentsStar: known graph, long chain, empty graph") {
     // same graph as the label-propagation test
     val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
