@@ -334,6 +334,42 @@ object Indexed {
     path
   }
 
+  // --------------------------------------------------- index compaction
+
+  /** Compaction: each delta append lands as one small sorted file, so a
+    * long append history gradually inflates file counts and blunts the
+    * (cluster, vec_id) row-group pruning the bulk layout provides.
+    * `compact*` rewrites the LIVE version into the canonical bulk
+    * layout — same partitioning and sort as the original build — and
+    * publishes it as a NEW version through the store's atomic pointer
+    * flip, so concurrent readers of the old version are never disturbed
+    * (the [[graft.operators.Layout]] rewrite discipline applied to the
+    * artifact store). At 100 TB this is the periodic maintenance job
+    * that keeps serve-many scans sharp under continuous ingest;
+    * `CompactionSpec` proves content identity and file-count collapse.
+    */
+  private def compactTable(s: SparkSession, name: String, d: String, tag: String,
+      partCol: String, sortCols: Seq[String]): String = synchronized {
+    val adir = ArtifactStore.artifactDir(name, d, tag)
+    val cur = ArtifactStore.current(adir).getOrElse(
+      throw new IllegalStateException(s"nothing to compact: $name for $d"))
+    val df = s.read.parquet(cur)
+    ArtifactStore.publish(adir) { target =>
+      df.repartition(BuildTasks, col(partCol))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.parquet(target)
+    }
+  }
+
+  def compactAssignments(s: SparkSession, d: String): String =
+    compactTable(s, "v10_assign", d, AssignTag, "cluster", Seq("cluster", "vec_id"))
+  def compactPqCodes(s: SparkSession, d: String): String =
+    compactTable(s, "v12_codes", d, PqCbTag, "vec_id", Seq("vec_id"))
+  def compactSq8Codes(s: SparkSession, d: String): String =
+    compactTable(s, "v13_codes", d, Sq8Tag, "vec_id", Seq("vec_id"))
+  def compactResidCodes(s: SparkSession, d: String): String =
+    compactTable(s, "v18_rcodes", d, RCbTag, "cluster", Seq("cluster", "vec_id"))
+
   // ------------------------------------- v18: residual (IVFADC) codebooks
 
   /** The per-row residual against the stored coarse centroids —
