@@ -158,8 +158,8 @@ object Indexed {
   /** The live version dir of the `(vec_id, cluster)` assignment table. */
   def assignPath(d: String): String = resolve("v10_assign", d, AssignTag)
 
-  /** Materialize the `(vec_id, cluster)` assignment table once per JVM
-    * per sf dir — the index column the reference persists at write time
+  /** Materialize the `(vec_id, cluster)` assignment table once
+    * (durable, cross-process) — the index column the reference persists at write time
     * (`/root/reference/src/database.ts:195-198`). The per-row argmin over
     * the stored centroids runs ONCE here, at build; serving (and the
     * oracle) read the stored integers. Sorted by (cluster, vec_id) so a
@@ -428,7 +428,7 @@ object Indexed {
   def residCodesPath(d: String): String = resolve("v18_rcodes", d, RCbTag)
 
   /** Materialize the `(vec_id, cluster, rcode0..3)` residual-codes
-    * table once per JVM per sf dir — cluster rides along so the probe
+    * table once (durable, cross-process) — cluster rides along so the probe
     * filter prunes THIS scan directly (sorted by (cluster, vec_id) for
     * row-group stats), and serving never joins the assignment table.
     */
@@ -526,9 +526,9 @@ object Indexed {
   /** The live version dir of the `(vec_id, codes)` SQ8 table. */
   def sq8CodesPath(d: String): String = resolve("v13_codes", d, Sq8Tag)
 
-  /** Materialize the `(vec_id, codes array<int>)` SQ8 table once per JVM
-    * per sf dir: each vector quantized against the stored bounds ONCE at
-    * build. Serving and the oracle both read the stored byte-range codes
+  /** Materialize the `(vec_id, codes array<int>)` SQ8 table once
+    * (durable, cross-process): each vector quantized against the stored
+    * bounds ONCE at build. Serving and the oracle both read the stored byte-range codes
     * — the scan is pure integer arithmetic over a table 4× smaller than
     * the float corpus (the reference's persisted-index-field discipline,
     * `/root/reference/src/database.ts:195-198`).
@@ -882,7 +882,15 @@ object Indexed {
     val codesPath = ensurePqCodes(s, d)
     // ONE job fetches every query vector; probes and ADC tables are
     // then pure driver arithmetic (a per-query Spark job here cost the
-    // batch ~2 s of scheduling at |Q|=5 — and would cost |Q|× that)
+    // batch ~2 s of scheduling at |Q|=5 — and would cost |Q|× that).
+    // Quantified (r7 verdict): the driver work is |Q|·C·dims distance
+    // terms + |Q|·M·K ADC entries — at |Q|=1e5, C=4096, dims=384
+    // that's ~1.6e11 flops ≈ tens of seconds single-threaded, so the
+    // collect-and-compute shape holds through eval-set sizes; past
+    // that, probe selection becomes its own Spark job (queries ⋈
+    // broadcast centroids, the v8 batch shape) and the plan below is
+    // unchanged — the broadcast probe/qtab tables just arrive from an
+    // upstream job instead of the driver.
     val qVecs: Seq[(Long, Seq[Float])] = embeddings(s, d)
       .filter(col("vec_id").isin(BatchQids: _*))
       .select("vec_id", "embedding").collect()
