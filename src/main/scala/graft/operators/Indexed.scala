@@ -1103,7 +1103,37 @@ object Indexed {
     ).reduce(_ union _).orderBy("variant")
   }
 
+  /** V20: index-coverage audit — the staleness check continuous ingest
+    * needs: for each stored table, how many corpus vectors are MISSING
+    * from it (an append that never ran) and how many indexed rows are
+    * ORPHANED (corpus rows since removed). Both are anti-join counts on
+    * integer ids — two keyed shuffles per table at 100 TB, no floats
+    * touched — and `0 / 0` everywhere is the steady-state invariant a
+    * scheduler alerts on. Complements [[v19RecallGrid]] (quality) and
+    * `compact*` (layout) as the third maintenance primitive.
+    */
+  val v20IndexCoverage: Relational.Q = (s, d) => {
+    val corpus = embeddings(s, d).select("vec_id")
+    def cov(table: String, path: String): DataFrame = {
+      val ids = s.read.parquet(path).select("vec_id")
+      ids.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(corpus.join(ids, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_missing")))
+        .crossJoin(ids.join(corpus, Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan")))
+        .select(lit(table).as("table"), col("n_rows"), col("n_missing"),
+          col("n_orphan"))
+    }
+    Seq(
+      cov("v10_assign", ensureAssignments(s, d)),
+      cov("v12_codes", ensurePqCodes(s, d)),
+      cov("v13_codes", ensureSq8Codes(s, d)),
+      cov("v18_rcodes", ensureResidCodes(s, d)),
+    ).reduce(_ union _).orderBy("table")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_v20_index_coverage" -> v20IndexCoverage,
     "q_v19_recall_grid" -> v19RecallGrid,
     "q_v9_indexed_range" -> v9IndexedRange,
     "q_v10_ivf_kmeans" -> v10IvfKmeans,
@@ -1123,7 +1153,30 @@ object Indexed {
   // `def`, not `val`: the SQL splices the live artifact paths for
   // [[graft.core.OracleDataset]] (Verify dumps oracleSql last).
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("q_v19_recall_grid" -> v19OracleSql)
+    oracleSqlBase +
+      ("q_v19_recall_grid" -> v19OracleSql) +
+      ("q_v20_index_coverage" -> v20OracleSql)
+
+  /** v20: the same three anti-join counts per stored table, all
+    * integers — hash-exact.
+    */
+  private def v20OracleSql: String = {
+    def block(table: String, path: String): String =
+      s"""SELECT '$table' AS "table",
+         |       (SELECT count(*) FROM read_parquet('$path/*.parquet')) AS n_rows,
+         |       (SELECT count(*) FROM embeddings e WHERE NOT EXISTS (
+         |          SELECT 1 FROM read_parquet('$path/*.parquet') t
+         |          WHERE t.vec_id = e.vec_id)) AS n_missing,
+         |       (SELECT count(*) FROM read_parquet('$path/*.parquet') t
+         |        WHERE NOT EXISTS (
+         |          SELECT 1 FROM embeddings e WHERE e.vec_id = t.vec_id)) AS n_orphan""".stripMargin
+    Seq(
+      block("v10_assign", oPath("v10_assign", AssignTag)),
+      block("v12_codes", oPath("v12_codes", PqCbTag)),
+      block("v13_codes", oPath("v13_codes", Sq8Tag)),
+      block("v18_rcodes", oPath("v18_rcodes", RCbTag)),
+    ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) c ORDER BY \"table\"")
+  }
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q_v9_indexed_range" ->
