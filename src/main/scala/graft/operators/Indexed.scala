@@ -370,6 +370,41 @@ object Indexed {
   def compactResidCodes(s: SparkSession, d: String): String =
     compactTable(s, "v18_rcodes", d, RCbTag, "cluster", Seq("cluster", "vec_id"))
 
+  /** Deletion from the stored index tables — the index-side half of
+    * the reference's remove-by-selector (`GraftDb.remove`; the
+    * reference rewrites its persisted index fields on document delete,
+    * `/root/reference/src/database.ts:195-198` discipline in reverse).
+    * Each table is rewritten WITHOUT the given ids and published as a
+    * new version through the pointer flip, so in-flight readers keep
+    * their snapshot and the serve-many plans simply stop seeing the
+    * rows. One anti-join per table on integer ids — a keyed shuffle at
+    * 100 TB, floats untouched. Completes the maintenance lifecycle:
+    * append (ingest) / removeFromIndexes (delete) / compact* (layout) /
+    * v20 (audit, whose orphan count this drives back to zero) / v19
+    * (quality). Deletion is rewrite-based, not tombstone-based: the
+    * simplicity is paid once per (batched) delete, and a deferred
+    * variant would just move the anti-join into the serving plans.
+    */
+  def removeFromIndexes(s: SparkSession, d: String, ids: DataFrame): String = synchronized {
+    val del = ids.select("vec_id")
+    def rewrite(name: String, tag: String, cur: String, partCol: String,
+        sortCols: Seq[String]): Unit = {
+      val kept = s.read.parquet(cur).join(del, Seq("vec_id"), "left_anti")
+      ArtifactStore.publish(ArtifactStore.artifactDir(name, d, tag)) { target =>
+        kept.repartition(BuildTasks, col(partCol))
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.parquet(target)
+      }
+    }
+    rewrite("v10_assign", AssignTag, ensureAssignments(s, d), "cluster",
+      Seq("cluster", "vec_id"))
+    rewrite("v12_codes", PqCbTag, ensurePqCodes(s, d), "vec_id", Seq("vec_id"))
+    rewrite("v13_codes", Sq8Tag, ensureSq8Codes(s, d), "vec_id", Seq("vec_id"))
+    rewrite("v18_rcodes", RCbTag, ensureResidCodes(s, d), "cluster",
+      Seq("cluster", "vec_id"))
+    assignPath(d)
+  }
+
   // ------------------------------------- v18: residual (IVFADC) codebooks
 
   /** The per-row residual against the stored coarse centroids —
