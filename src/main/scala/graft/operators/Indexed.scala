@@ -1167,7 +1167,44 @@ object Indexed {
     ).reduce(_ union _).orderBy("table")
   }
 
+  /** Probe widths for the v21 curve (1 → all cells: the last point is
+    * the exact-scan anchor, recall 10/10 by construction).
+    */
+  val NProbeCurve: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** V21: the recall-vs-cost CURVE for IVF serving — [[v19RecallGrid]]
+    * audits the chosen operating point; this sweeps `nprobe` over
+    * [[NProbeCurve]] so the 2-of-8 default is a point chosen ON a
+    * measured curve (the Jégou-style recall/selectivity trade-off made
+    * a first-class query). Per width: the probed-candidate count (the
+    * scan cost that scales linearly with nprobe at 100 TB) and
+    * recall@10 of probe-then-exact-rerank vs the full exact top-10.
+    * All integers — hash-exact. One assignment-table pass per width,
+    * each pruned to its probe set; the exact baseline is computed once.
+    */
+  val v21NprobeCurve: Relational.Q = (s, d) => {
+    val cents = ensureCentroids(s, d)
+    val assign = s.read.parquet(ensureAssignments(s, d))
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    val qd = queryDists(s, d, cents.map(c => typedlit(c)))
+    val exact = embeddings(s, d)
+      .withColumn("dist", euclidean(col("embedding"), q))
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(K).select("vec_id")
+    NProbeCurve.map { np =>
+      val probes = qd.zipWithIndex.sortBy { case (dd, cid) => (dd, cid) }
+        .take(np).map(_._2)
+      val cand = assign.filter(col("cluster").isin(probes: _*))
+      val ann = embeddings(s, d).join(cand.select("vec_id"), "vec_id")
+        .withColumn("dist", euclidean(col("embedding"), q))
+        .orderBy(col("dist").asc, col("vec_id").asc).limit(K).select("vec_id")
+      cand.agg(count(lit(1)).as("code_reads"))
+        .crossJoin(ann.join(exact, "vec_id").agg(count(lit(1)).as("recall10")))
+        .select(lit(np).as("nprobe"), col("code_reads"), col("recall10"))
+    }.reduce(_ union _).orderBy("nprobe")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_v21_nprobe_curve" -> v21NprobeCurve,
     "q_v20_index_coverage" -> v20IndexCoverage,
     "q_v19_recall_grid" -> v19RecallGrid,
     "q_v9_indexed_range" -> v9IndexedRange,
@@ -1190,7 +1227,59 @@ object Indexed {
   def oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q_v19_recall_grid" -> v19OracleSql) +
-      ("q_v20_index_coverage" -> v20OracleSql)
+      ("q_v20_index_coverage" -> v20OracleSql) +
+      ("q_v21_nprobe_curve" -> v21OracleSql)
+
+  /** v21: shared exact/probe CTEs, one candidate + top-10 block per
+    * probe width; the exact distances are computed once (`dist_all`)
+    * and reused for every width's re-rank. All-integer output.
+    */
+  private def v21OracleSql: String = {
+    val blocks = NProbeCurve.map { np =>
+      s"""p$np AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY qd ASC, cid ASC) AS rn FROM qc) t
+         |  WHERE rn <= $np
+         |),
+         |c$np AS (SELECT a.vec_id FROM assign a JOIN p$np p ON a.cluster = p.cid),
+         |t$np AS (
+         |  SELECT vec_id FROM (
+         |    SELECT d.vec_id, row_number() OVER (ORDER BY d.dist ASC, d.vec_id ASC) AS rn
+         |    FROM dist_all d JOIN c$np c ON c.vec_id = d.vec_id) t
+         |  WHERE rn <= $K
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = NProbeCurve.map { np =>
+      s"""SELECT $np AS nprobe, (SELECT count(*) FROM c$np) AS code_reads,
+         |       (SELECT count(*) FROM t$np JOIN exact USING (vec_id)) AS recall10""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+       |dist_all AS (
+       |  SELECT vec_id, sqrt(sum((a-b)*(a-b))) AS dist
+       |  FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+       |               unnest(q.qe)::DOUBLE AS b
+       |        FROM embeddings e CROSS JOIN q) z
+       |  GROUP BY vec_id
+       |),
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY dist ASC, vec_id ASC) AS rn
+       |    FROM dist_all) t
+       |  WHERE rn <= $K
+       |),
+       |cent AS (SELECT cid, centroid FROM read_parquet('${oPath("v10_centroids", CentTag)}/*.parquet')),
+       |qc AS (
+       |  SELECT cid, sqrt(sum((a-b)*(a-b))) AS qd
+       |  FROM (SELECT cid, unnest(centroid)::DOUBLE AS a, unnest(q.qe)::DOUBLE AS b
+       |        FROM cent CROSS JOIN q) z
+       |  GROUP BY cid
+       |),
+       |assign AS (SELECT vec_id, cluster FROM read_parquet('${oPath("v10_assign", AssignTag)}/*.parquet')),
+       |$blocks
+       |SELECT * FROM (
+       |$rows
+       |) g ORDER BY nprobe""".stripMargin
+  }
 
   /** v20: the same three anti-join counts per stored table, all
     * integers — hash-exact.
