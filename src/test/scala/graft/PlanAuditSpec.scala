@@ -197,6 +197,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(hashEx === 1, s"t17 must compute pos+offset in ONE shard shuffle:\n${p.take(3000)}")
   }
 
+  test("v20/v21 maintenance queries: pushed probe filters, real anti joins, no cartesian") {
+    // v21: each width's candidate scan must push its cluster IN filter
+    // to the stored assignment parquet (the scan cost the curve
+    // measures IS the pruned scan), and nothing may plan a cartesian
+    val p21 = plan(graft.operators.Indexed.v21NprobeCurve(spark, sf0001))
+    assert(p21.contains("In(cluster"),
+      s"v21 probe filters must push to the assignment scans:\n${p21.take(3000)}")
+    assert(!p21.contains("CartesianProduct"),
+      s"v21 must not plan a cartesian over data:\n${p21.take(3000)}")
+    // (the 1-row metric crossJoins legitimately plan as broadcast
+    // nested-loop over single-row aggregates — only cartesians over
+    // DATA are forbidden)
+    val p20 = plan(graft.operators.Indexed.v20IndexCoverage(spark, sf0001))
+    assert(p20.contains("LeftAnti"),
+      s"v20 missing/orphan counts must plan as real anti joins:\n${p20.take(3000)}")
+  }
+
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
     val out = tmpDir("plan-audit-ivf") + "/vectors"
     val e = HashingEmbedder(dims = 16)
