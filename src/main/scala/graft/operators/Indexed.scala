@@ -384,6 +384,20 @@ object Indexed {
     * (quality). Deletion is rewrite-based, not tombstone-based: the
     * simplicity is paid once per (batched) delete, and a deferred
     * variant would just move the anti-join into the serving plans.
+    *
+    * Cross-artifact consistency (the store's pointers are per-table, so
+    * a concurrent reader can resolve mid-sequence): safe by join
+    * structure. Every multi-table serving plan (v14/v16/v17) joins
+    * assignment ⋈ codes on vec_id, so a reader sees the INTERSECTION of
+    * whatever snapshots it resolved — an id deleted from one table but
+    * not yet the other simply drops out; an appended id visible in one
+    * table but not yet the other is invisible until both publish. The
+    * single-table plans (v10, v12, v13, v18) read one snapshot each.
+    * The transient states are thus momentary under- (never over-)
+    * serving of in-flight rows — eventual-consistency semantics no
+    * worse than any ANN index mid-refresh; a cross-table atomic cut
+    * would need a manifest-level pointer (the full Delta/Iceberg
+    * commit), deliberately out of scope.
     */
   def removeFromIndexes(s: SparkSession, d: String, ids: DataFrame): String = synchronized {
     val del = ids.select("vec_id")
