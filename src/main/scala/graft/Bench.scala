@@ -145,7 +145,18 @@ object Bench {
       val med = median(kept.toSeq)
       val t =
         if (t1 > 1.0 && kept.size >= 8 && t1 > 2 * med) {
-          hygiene()
+          // Re-run WITHOUT the GC/rewarm: hygiene's System.gc() flushes
+          // JVM caches, so a hygiene'd re-run reproduces the same cold
+          // state as the first run and cannot tell a one-time cost from
+          // a real regression (r8's q_t2_quality "confirmed" at
+          // [2.92, 3.11]: both runs paid the same ~2.3 s one-time
+          // codegen+JIT of its query shape — probed cold 3.08 s vs warm
+          // 0.78 s on identical code). A warm re-run is the diagnostic:
+          // still slow → the PLAN is slow (real regression, and at
+          // 100 TB the steady-state plan cost is what scales — one-time
+          // per-JVM compile amortizes to zero); fast → the first number
+          // was compile/GC noise, and keep-min records steady state.
+          operators.Dedup.releaseSlots()
           val t2 = force(n)
           reruns(n) = (t1, t2)
           math.min(t1, t2)

