@@ -104,17 +104,33 @@ object Advanced {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .orderBy("day")
 
-  /** Set-valued aggregation: the distinct statuses seen per flag,
-    * deterministically sorted and joined to a scalar (collect_set's
-    * native output order is partition-dependent; sort_array makes it
-    * canonical — the only safe way to oracle-check a collected column).
+  /** Set-valued aggregation with a BOUNDED contract: the first
+    * `CollectSetCap` distinct statuses per flag (sorted ascending),
+    * plus the exact distinct count. A raw `collect_set` buffers every
+    * distinct value of the group in one aggregate state — unbounded by
+    * definition, an executor OOM when a 100 TB group holds millions of
+    * distinct values. Here the distinct set materializes through a
+    * spillable hash aggregate (O(1) task state), a rank window caps
+    * what gets collected (`collect_list` buffer ≤ cap rows), and the
+    * count aggregates the deduped rows without collecting anything —
+    * no operator in the plan holds more than `CollectSetCap` values.
+    * Output order is canonical (sorted join), so the oracle check is
+    * exact.
     */
-  val aggCollectSet: Relational.Q = (s, d) =>
+  val CollectSetCap = 8
+  val aggCollectSet: Relational.Q = (s, d) => {
+    val w = Window.partitionBy("flag").orderBy(col("status").asc)
     lineitem(s, d)
-      .groupBy(col("l_returnflag").as("flag"))
-      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
-        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .groupBy("flag")
+      .agg(
+        array_join(sort_array(collect_list(
+          when(col("rn") <= CollectSetCap, col("status")))), ",").as("statuses"),
+        count(lit(1)).as("n_statuses"))
       .orderBy("flag")
+  }
 
   // ---------------------------------------------------------- windows
 
@@ -273,22 +289,38 @@ object Advanced {
     * conventions differ. AdvancedSpec still bounds the raw estimates
     * against q_agg_percentiles' exact values at 5%, far tighter than
     * the attestation band.
+    *
+    * The exact band values come from the same rank-selection window
+    * formulation as [[Relational.aggMedian]] (value at rank
+    * `ceil(q·n)`), NOT from Spark's `percentile` aggregate: that
+    * aggregate buffers every value of the group in one aggregate state
+    * — at 100 TB a single `l_returnflag` group is billions of rows and
+    * that buffer is an executor OOM. The window route sorts the group
+    * through the shuffle machinery (spillable, O(1) task state) and the
+    * final aggregate carries one t-digest sketch plus four scalars per
+    * group.
     */
-  val aggApproxPercentile: Relational.Q = (s, d) =>
+  val aggApproxPercentile: Relational.Q = (s, d) => {
+    val w = Window.partitionBy("flag")
+      .orderBy(col("price").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    def bandAt(q: Double): Column =
+      min(when(col("rn") === ceil(col("n") * q), col("price")))
     lineitem(s, d)
-      .groupBy(col("l_returnflag").as("flag"))
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      .groupBy("flag")
       .agg(
-        count(lit(1)).as("n"),
-        // one sketch and ONE exact-percentile buffer per group (array
-        // percentages), not six separate full-distribution aggregates
-        approx_percentile(col("l_extendedprice"),
-          typedlit(Seq(0.5, 0.95)), lit(1000)).as("ap"),
-        percentile(col("l_extendedprice"),
-          typedlit(Seq(0.4, 0.6, 0.90, 0.99))).as("p"))
+        max("n").as("n"),
+        approx_percentile(col("price"), typedlit(Seq(0.5, 0.95)), lit(1000)).as("ap"),
+        bandAt(0.4).as("p40"), bandAt(0.6).as("p60"),
+        bandAt(0.90).as("p90"), bandAt(0.99).as("p99"))
       .select(col("flag"), col("n"),
-        (col("ap")(0) >= col("p")(0) && col("ap")(0) <= col("p")(1)).as("p50_ok"),
-        (col("ap")(1) >= col("p")(2) && col("ap")(1) <= col("p")(3)).as("p95_ok"))
+        (col("ap")(0) >= col("p40") && col("ap")(0) <= col("p60")).as("p50_ok"),
+        (col("ap")(1) >= col("p90") && col("ap")(1) <= col("p99")).as("p95_ok"))
       .orderBy("flag")
+  }
 
   // ----------------------------------------------------- text/multimodal
 
@@ -486,11 +518,19 @@ object Advanced {
     "q_j5_cross" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    // bounded contract: first CollectSetCap distinct statuses (sorted)
+    // + exact distinct count — mirrors the engine's capped-rank plan
     "q_agg_collect_set" ->
-      """SELECT l_returnflag AS flag,
-        |       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
-        |       count(DISTINCT l_linestatus) AS n_statuses
-        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin,
+      s"""WITH d AS (SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status
+         |           FROM lineitem),
+         |r AS (SELECT flag, status,
+         |             row_number() OVER (PARTITION BY flag ORDER BY status) AS rn
+         |      FROM d)
+         |SELECT flag,
+         |       array_to_string(list_sort(list(status) FILTER (rn <= $CollectSetCap)), ',')
+         |         AS statuses,
+         |       count(*) AS n_statuses
+         |FROM r GROUP BY flag ORDER BY flag""".stripMargin,
     "q_sub_scalar" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
         |FROM orders o
