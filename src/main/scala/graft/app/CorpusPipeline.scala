@@ -52,10 +52,30 @@ object CorpusPipeline {
     * packed corpus to `outPath` (parquet, partitioned by shard) and
     * return the retention report.
     */
-  def run(spark: SparkSession, sfDir: String, outPath: String): Report = {
+  def run(spark: SparkSession, sfDir: String, outPath: String): Report =
+    runTimed(spark, sfDir, outPath)._1
+
+  /** [[run]], additionally returning per-stage wall times (stage name →
+    * seconds, in execution order). Each stage's time covers the action
+    * that materializes it (count / write), so the attribution follows
+    * the persist boundaries: a stage pays for its own lineage segment,
+    * not for re-running upstream stages. `Bench` records these in the
+    * round artifact so an end-to-end pipeline regression — the thing a
+    * real 100 TB corpus build runs nightly — is visible round-over-round
+    * instead of hiding behind per-query timings.
+    */
+  def runTimed(spark: SparkSession, sfDir: String,
+      outPath: String): (Report, Seq[(String, Double)]) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      times += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
     val docs = documents(spark, sfDir)
-    val input = docs.count()
+    val input = timed("scan")(docs.count())
 
     // A training corpus must not contain the held-out benchmark set at
     // all: bench docs are excluded from the candidate stream up front
@@ -70,7 +90,7 @@ object CorpusPipeline {
     val n = size(toks).cast("long")
     val nd = size(array_distinct(toks)).cast("long")
     val gated = train.filter(n >= 20 && nd * 2 > n).persist(MEMORY_AND_DISK)
-    val afterQuality = gated.count()
+    val afterQuality = timed("quality_gate")(gated.count())
 
     // 2. exact dedup: canonical = min doc_id per normalized fingerprint
     val wFp = Window.partitionBy("fp")
@@ -80,7 +100,7 @@ object CorpusPipeline {
       .filter(col("doc_id") === col("canonical"))
       .drop("fp", "canonical")
       .persist(MEMORY_AND_DISK)
-    val afterExact = exact.count()
+    val afterExact = timed("exact_dedup")(exact.count())
 
     // 3. near-dup clusters on the survivors: drop non-representatives
     val pairs = Dedup.d2MinhashLshOn(exact).select("doc_a", "doc_b")
@@ -88,7 +108,7 @@ object CorpusPipeline {
     val nonReps = clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id")
     val nearDeduped = exact.join(nonReps, Seq("doc_id"), "left_anti")
       .persist(MEMORY_AND_DISK)
-    val afterNearDup = nearDeduped.count()
+    val afterNearDup = timed("neardup_cc")(nearDeduped.count())
 
     // 4. decontamination: drop train docs overlapping the bench set.
     // The bench side comes from the FULL documents table — a bench doc
@@ -110,7 +130,7 @@ object CorpusPipeline {
       .select("doc_id").distinct()
     val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
       .persist(MEMORY_AND_DISK)
-    val afterDecontam = clean.count()
+    val afterDecontam = timed("decontaminate")(clean.count())
 
     // 5. mixture quota (q_t16 semantics): each (source, lang) cell keeps
     // at most PipelineQuota docs, the ones with the lowest deterministic
@@ -126,7 +146,7 @@ object CorpusPipeline {
       .select(explode(col("tops.id1")).as("doc_id"))
     val sampled = clean.join(quotaIds, Seq("doc_id"), "left_semi")
       .persist(MEMORY_AND_DISK)
-    val afterQuota = sampled.count()
+    val afterQuota = timed("mixture_quota")(sampled.count())
 
     // 6. token-budget shard packing per source
     val wp = Window.partitionBy("source").orderBy("doc_id")
@@ -136,7 +156,8 @@ object CorpusPipeline {
       .withColumn("cum_before", coalesce(sum("n_tokens").over(wp), lit(0L)))
       .withColumn("shard", expr(s"cum_before div ${Corpus.PackBudget}"))
       .drop("cum_before")
-    packed.write.mode("overwrite").partitionBy("source", "shard").parquet(outPath)
+    timed("pack_write")(
+      packed.write.mode("overwrite").partitionBy("source", "shard").parquet(outPath))
 
     // 7. export manifest (q_t17 semantics over the PACKED shards): the
     // dataloader index — per (source, shard), each doc's position and
@@ -147,21 +168,28 @@ object CorpusPipeline {
     // scans the final files a reader will open, instead of re-running
     // the packing lineage — whose upstream caches may have been evicted
     // by the time this stage runs, silently turning "no second pass"
-    // into a full recompute.
+    // into a full recompute. The partition columns come back INFERRED
+    // from directory names (`shard` as int, `source` possibly widened),
+    // so both are pinned back to the written types — without the casts
+    // the manifest's `shard` column silently drifts from the long the
+    // q_t17/TextAnalysis manifest schema declares.
     val shards = spark.read.parquet(outPath)
+      .withColumn("shard", col("shard").cast("long"))
+      .withColumn("source", col("source").cast("string"))
     val wm = Window.partitionBy("source", "shard").orderBy("doc_id")
-    shards
+    timed("manifest")(shards
       .withColumn("n_bytes", octet_length(col("text")).cast("long"))
       .withColumn("pos", row_number().over(wm).cast("long"))
       .withColumn("byte_offset", coalesce(
         sum("n_bytes").over(wm.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("source", "shard", "pos", "doc_id", "n_tokens", "n_chars", "n_bytes",
         "byte_offset")
-      .write.mode("overwrite").parquet(outPath + "_manifest")
+      .write.mode("overwrite").parquet(outPath + "_manifest"))
     Seq(gated, exact, nearDeduped, clean, sampled).foreach(_.unpersist())
 
     val out = spark.read.parquet(outPath)
-    Report(input, afterQuality, afterExact, afterNearDup, afterDecontam,
+    val report = Report(input, afterQuality, afterExact, afterNearDup, afterDecontam,
       afterQuota, out.select("source", "shard").distinct().count())
+    (report, times.toSeq)
   }
 }

@@ -15,10 +15,17 @@ class RecallGridSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(grid.length === 6)
     val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    // Per-variant floors pinned AT the measured sf0.001 operating
+    // points (the serving plans are deterministic, so these are exact
+    // today): any downward recall drift fails CI instead of aging in a
+    // doc. The larger-corpus operating points (sf0.01: 8-10/10) are
+    // committed in ARCHITECTURE.md "Stored-index operating points".
+    val floors = Map(
+      "v10_ivf" -> 5L, "v12_pq_adc" -> 6L, "v13_sq8" -> 10L,
+      "v14_ivfpq" -> 5L, "v16_filtered" -> 10L, "v18_ivfadc" -> 5L)
     for ((variant, codeReads, docReads, recall) <- grid) {
-      // the operating-point contract: at least half the exact top-10
-      // (the sf0.001 fixture's hardest case is the 2-of-8-cell probe)
-      assert(recall >= 5, s"$variant recall@10 $recall below floor")
+      assert(recall >= floors(variant),
+        s"$variant recall@10 $recall below measured floor ${floors(variant)}")
       assert(docReads > 0 && docReads < n,
         s"$variant re-ranks $docReads of $n floats — not an index")
       assert(codeReads > 0, s"$variant scanned no stored codes")
