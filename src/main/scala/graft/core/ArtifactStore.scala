@@ -18,18 +18,21 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * {{{
   *   <root>/v10_assign_<ds>_<dshash>_<tag>/
   *     CURRENT              # contains "v_ab12cd34"
-  *     v_ab12cd34/          # parquet files (appends land in here)
+  *     v_ab12cd34/          # immutable parquet files
   * }}}
   *
   * Invariants:
-  *  - A build writes ASIDE into a fresh version dir, then flips
-  *    `CURRENT` with an atomic same-directory file rename. Readers
-  *    resolve `CURRENT` once and read a directory that is never
-  *    deleted — no overwrite-vs-read window.
+  *  - EVERY mutation — build, append, compact, delete — writes ASIDE
+  *    into a fresh version dir, then flips `CURRENT` with an atomic
+  *    same-directory file rename (appends carry the live files forward
+  *    via [[appendVersion]]). Readers resolve `CURRENT` once and read
+  *    an immutable directory that is never deleted — no
+  *    overwrite-vs-read window, no partially visible delta batch.
   *  - An existing `CURRENT` means BUILT, across processes: `ensure`
-  *    never rebuilds over it, so delta batches appended into the live
-  *    version dir survive JVM restarts (the incremental-maintenance
-  *    contract is durable, not JVM-lifetime).
+  *    never rebuilds over it, so appended delta batches survive JVM
+  *    restarts (the incremental-maintenance contract is durable, not
+  *    JVM-lifetime). Concurrent maintenance mutations from different
+  *    processes serialize through [[withMaintenanceLock]].
   *  - The layout tag encodes the build parameters/schema (and a
   *    version counter bumped on encode-logic changes), so changed
   *    build code lands in a NEW artifact dir instead of silently
@@ -103,6 +106,74 @@ object ArtifactStore {
   def ensure(dir: String)(build: String => Unit): String = synchronized {
     current(dir).getOrElse(publish(dir)(build))
   }
+
+  /** Cross-process mutual exclusion for maintenance mutations (append /
+    * compact / delete) on one artifact: an OS file lock on a lockfile
+    * inside the artifact dir. Closes the append-vs-compact lost-update
+    * window between JVMs on one host — two maintenance ops that both
+    * publish from the same base version would otherwise race the
+    * pointer flip and the loser's rows would silently vanish. On an
+    * object store this maps to the lease/lock service a table format's
+    * commit protocol uses (readers still need no lock: they resolve
+    * `CURRENT` once and read an immutable version dir).
+    *
+    * Same-JVM re-entry is the caller's job (`Indexed`'s maintenance
+    * entry points hold the object monitor for the whole mutation, so
+    * two threads of one process never reach the file lock
+    * concurrently — an overlapping same-JVM `FileLock` would throw).
+    */
+  def withMaintenanceLock[T](dir: String)(f: => T): T = {
+    Files.createDirectories(Paths.get(dir))
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(dir, ".maintenance.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try f finally lock.release()
+    } finally ch.close()
+  }
+
+  /** Append as a PUBLISH, not an in-place write: carries the live
+    * version's data files forward into a fresh version dir (hard links
+    * when the filesystem allows — a metadata-only operation; copies
+    * otherwise), lets `writeDelta` add the delta files beside them, and
+    * flips `CURRENT` atomically. Readers therefore see the pre-append
+    * table or the post-append table, never a partially committed delta
+    * batch — and a failed delta job strands its debris in an
+    * unreferenced version dir instead of inside the live one. Links are
+    * safe because version data files are immutable: every mutation
+    * (append/compact/delete) writes a NEW version and no version dir is
+    * ever deleted. On an object store the same discipline is a
+    * manifest/file-list commit (carry forward the old manifest entries,
+    * add the delta files, commit the new manifest) — the Delta/Iceberg
+    * append primitive.
+    */
+  def appendVersion(dir: String)(writeDelta: String => Unit): String =
+    publish(dir) { target =>
+      Files.createDirectories(Paths.get(target))
+      current(dir).foreach { live =>
+        val files = Files.list(Paths.get(live))
+        try files.forEach { p =>
+          val n = p.getFileName.toString
+          if (Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) {
+            val t = Paths.get(target, n)
+            try Files.createLink(t, p)
+            catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(p, t, StandardCopyOption.COPY_ATTRIBUTES)
+            }
+          }
+        } finally files.close()
+      }
+      writeDelta(target)
+    }
+
+  /** Number of data files in a version dir — the compaction trigger's
+    * measure of append-history fragmentation.
+    */
+  def dataFileCount(versionDir: String): Int =
+    Option(new java.io.File(versionDir).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
 }
 
 /** The dataset whose artifacts the oracle SQL dump reads. Verify sets

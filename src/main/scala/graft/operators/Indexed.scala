@@ -109,9 +109,19 @@ object Indexed {
     * Verify was invoked on, set once at process start. A pure function
     * of that dataset: no per-artifact mutable path state to cross-wire
     * when several datasets are ensured in one JVM.
+    *
+    * Fails FAST (with the artifact name) when no live version exists at
+    * dump time: that means an `ensure*` build failed earlier in the
+    * run, and silently emitting the version-less artifact dir would
+    * make the oracle's `read_parquet` glob fail far from the root
+    * cause — or, worse, match stale files under an old layout.
     */
-  private def oPath(name: String, tag: String): String =
-    resolve(name, OracleDataset.dir, tag)
+  private def oPath(name: String, tag: String): String = {
+    val a = ArtifactStore.artifactDir(name, OracleDataset.dir, tag)
+    ArtifactStore.current(a).getOrElse(throw new IllegalStateException(
+      s"oracle dump: no live version for artifact $name (${OracleDataset.dir}) — " +
+        "its ensure* build failed before the dump"))
+  }
 
   /** Build the pivot-distance index for an sf dir once (durable across
     * processes; the testdata is immutable and the layout tag isolates
@@ -308,18 +318,47 @@ object Indexed {
     * (`/root/reference/src/database.ts:195-198`); this is the batched
     * analogue. `IndexRefreshSpec` proves append ≡ all-at-once build.
     *
-    * Each delta batch lands as its own sorted file; at production
-    * scale the append partitions by `cluster` like the base build and
-    * periodic compaction (the [[graft.operators.Layout]] rewrite
-    * discipline) keeps row-group pruning sharp.
+    * Each delta batch encodes through the SAME layout-key shuffle as
+    * the bulk build (`cluster` for probe-pruned tables, `vec_id` hash
+    * otherwise, [[BuildTasks]] sorted writers — a bulk backfill routed
+    * through `append*` parallelizes exactly like a rebuild), and the
+    * append itself is a PUBLISH: [[graft.core.ArtifactStore.appendVersion]]
+    * carries the live files forward (hard links, metadata-only) into a
+    * fresh version beside the delta files and flips the pointer, so a
+    * reader never sees a half-committed batch and concurrent
+    * maintenance from another process serializes through the store's
+    * file lock. When the append history fragments the table past
+    * [[CompactFileThreshold]] data files, the matching `compact*` runs
+    * automatically — continuous ingest keeps row-group pruning sharp
+    * without a manual maintenance job (the reference's analogue runs
+    * its pipeline automatically on the change feed,
+    * `/root/reference/src/rx-pipeline.js`-style; here the policy is a
+    * file-count threshold checked on the ingest path itself).
     */
+  val CompactFileThreshold: Int = 4 * BuildTasks
+
+  private def appendDelta(s: SparkSession, name: String, d: String, tag: String,
+      partCol: String, sortCols: Seq[String], encoded: DataFrame): String = {
+    val adir = ArtifactStore.artifactDir(name, d, tag)
+    ArtifactStore.withMaintenanceLock(adir) {
+      ArtifactStore.appendVersion(adir) { target =>
+        encoded
+          .repartition(BuildTasks, col(partCol))
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode("append").parquet(target)
+      }
+    }
+    val live = ArtifactStore.current(adir).get
+    if (ArtifactStore.dataFileCount(live) > CompactFileThreshold)
+      compactTable(s, name, d, tag, partCol, sortCols)
+    else live
+  }
+
   def appendAssignments(s: SparkSession, d: String, delta: DataFrame): String = synchronized {
     val cents = ensureCentroids(s, d)
-    val path = ensureAssignments(s, d)
-    delta.select(col("vec_id"), assignExpr(cents).as("cluster"))
-      .repartition(1).sortWithinPartitions("cluster", "vec_id")
-      .write.mode("append").parquet(path)
-    path
+    ensureAssignments(s, d)
+    appendDelta(s, "v10_assign", d, AssignTag, "cluster", Seq("cluster", "vec_id"),
+      delta.select(col("vec_id"), assignExpr(cents).as("cluster")))
   }
 
   /** PQ sibling of [[appendAssignments]]: delta rows encoded with the
@@ -327,11 +366,9 @@ object Indexed {
     */
   def appendPqCodes(s: SparkSession, d: String, delta: DataFrame): String = synchronized {
     val cb = ensureCodebook(s, d)
-    val path = ensurePqCodes(s, d)
-    delta.select(col("vec_id") +: pqCodeCols(cb): _*)
-      .repartition(1).sortWithinPartitions("vec_id")
-      .write.mode("append").parquet(path)
-    path
+    ensurePqCodes(s, d)
+    appendDelta(s, "v12_codes", d, PqCbTag, "vec_id", Seq("vec_id"),
+      delta.select(col("vec_id") +: pqCodeCols(cb): _*))
   }
 
   // --------------------------------------------------- index compaction
@@ -351,13 +388,15 @@ object Indexed {
   private def compactTable(s: SparkSession, name: String, d: String, tag: String,
       partCol: String, sortCols: Seq[String]): String = synchronized {
     val adir = ArtifactStore.artifactDir(name, d, tag)
-    val cur = ArtifactStore.current(adir).getOrElse(
-      throw new IllegalStateException(s"nothing to compact: $name for $d"))
-    val df = s.read.parquet(cur)
-    ArtifactStore.publish(adir) { target =>
-      df.repartition(BuildTasks, col(partCol))
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.parquet(target)
+    ArtifactStore.withMaintenanceLock(adir) {
+      val cur = ArtifactStore.current(adir).getOrElse(
+        throw new IllegalStateException(s"nothing to compact: $name for $d"))
+      val df = s.read.parquet(cur)
+      ArtifactStore.publish(adir) { target =>
+        df.repartition(BuildTasks, col(partCol))
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.parquet(target)
+      }
     }
   }
 
@@ -403,11 +442,17 @@ object Indexed {
     val del = ids.select("vec_id")
     def rewrite(name: String, tag: String, cur: String, partCol: String,
         sortCols: Seq[String]): Unit = {
-      val kept = s.read.parquet(cur).join(del, Seq("vec_id"), "left_anti")
-      ArtifactStore.publish(ArtifactStore.artifactDir(name, d, tag)) { target =>
-        kept.repartition(BuildTasks, col(partCol))
-          .sortWithinPartitions(sortCols.map(col): _*)
-          .write.parquet(target)
+      val adir = ArtifactStore.artifactDir(name, d, tag)
+      ArtifactStore.withMaintenanceLock(adir) {
+        // re-resolve under the lock: `cur` was read before acquisition
+        // and a concurrent append/compact may have published since
+        val live = ArtifactStore.current(adir).getOrElse(cur)
+        val kept = s.read.parquet(live).join(del, Seq("vec_id"), "left_anti")
+        ArtifactStore.publish(adir) { target =>
+          kept.repartition(BuildTasks, col(partCol))
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.parquet(target)
+        }
       }
     }
     rewrite("v10_assign", AssignTag, ensureAssignments(s, d), "cluster",
@@ -512,15 +557,13 @@ object Indexed {
   def appendResidCodes(s: SparkSession, d: String, delta: DataFrame): String = synchronized {
     val cents = ensureCentroids(s, d)
     val rcb = ensureResidCodebook(s, d)
-    val path = ensureResidCodes(s, d)
-    delta
-      .withColumn("cluster", assignExpr(cents))
-      .withColumn("resid", zip_with(col("embedding"),
-        element_at(typedlit(cents), col("cluster") + 1), (x, c) => x - c))
-      .select(col("vec_id") +: col("cluster") +: residCodeCols(rcb): _*)
-      .repartition(1).sortWithinPartitions("cluster", "vec_id")
-      .write.mode("append").parquet(path)
-    path
+    ensureResidCodes(s, d)
+    appendDelta(s, "v18_rcodes", d, RCbTag, "cluster", Seq("cluster", "vec_id"),
+      delta
+        .withColumn("cluster", assignExpr(cents))
+        .withColumn("resid", zip_with(col("embedding"),
+          element_at(typedlit(cents), col("cluster") + 1), (x, c) => x - c))
+        .select(col("vec_id") +: col("cluster") +: residCodeCols(rcb): _*))
   }
 
   // ------------------------------------------------- v13: SQ8 bounds
@@ -614,11 +657,9 @@ object Indexed {
     */
   def appendSq8Codes(s: SparkSession, d: String, delta: DataFrame): String = synchronized {
     val (mn, mx) = ensureSq8Bounds(s, d)
-    val path = ensureSq8Codes(s, d)
-    delta.select(col("vec_id"), sq8CodeExpr(mn, mx).as("codes"))
-      .repartition(1).sortWithinPartitions("vec_id")
-      .write.mode("append").parquet(path)
-    path
+    ensureSq8Codes(s, d)
+    appendDelta(s, "v13_codes", d, Sq8Tag, "vec_id", Seq("vec_id"),
+      delta.select(col("vec_id"), sq8CodeExpr(mn, mx).as("codes")))
   }
 
   /** The shared quantizer: floor((x−mn)·255/(mx−mn)) clamped to

@@ -59,4 +59,48 @@ class ArtifactStoreSpec extends AnyFunSuite {
     assert(ArtifactStore.current(dir).isEmpty,
       "pointer must not move when the build throws")
   }
+
+  test("appendVersion carries live files forward; a failed delta strands no debris") {
+    val dir = freshDir()
+    def put(target: String, name: String, body: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(target))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(target, name), body)
+    }
+    val v1 = ArtifactStore.publish(dir)(put(_, "part-base", "base"))
+    val v2 = ArtifactStore.appendVersion(dir)(put(_, "part-delta", "delta"))
+    assert(v2 !== v1)
+    assert(ArtifactStore.current(dir).contains(v2))
+    // new version = carried-forward base + delta; old version untouched
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(v2, "part-base")) === "base")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(v2, "part-delta")) === "delta")
+    assert(ArtifactStore.dataFileCount(v1) === 1,
+      "pre-append snapshot must be immutable")
+
+    // a delta job that dies mid-write must leave the live pointer (and
+    // the live dir) exactly as they were — its partial files live in an
+    // unreferenced version dir
+    intercept[RuntimeException] {
+      ArtifactStore.appendVersion(dir) { target =>
+        put(target, "part-halfdelta", "partial")
+        throw new RuntimeException("delta died")
+      }
+    }
+    assert(ArtifactStore.current(dir).contains(v2),
+      "pointer must not move when the delta write throws")
+    assert(ArtifactStore.dataFileCount(v2) === 2,
+      "live version must not absorb a failed delta's files")
+  }
+
+  test("withMaintenanceLock serializes mutations across lock scopes") {
+    val dir = freshDir()
+    // sequential re-acquisition must work (lock released both times)
+    val a = ArtifactStore.withMaintenanceLock(dir)(1)
+    val b = ArtifactStore.withMaintenanceLock(dir)(2)
+    assert(a + b === 3)
+    // the lockfile must not read as a data file or a version
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    assert(ArtifactStore.current(dir).isEmpty)
+  }
 }

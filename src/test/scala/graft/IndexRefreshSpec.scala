@@ -33,14 +33,18 @@ class IndexRefreshSpec extends SparkSuite {
 
     // the grown tables == encoding the FULL corpus with the SAME frozen
     // structures (centroids/codebook learned from the base corpus only)
-    val gotAssign = spark.read.parquet(assignPath)
+    // appends PUBLISH: the pre-append snapshot dirs must be untouched,
+    // and the re-resolved live dirs carry base + delta
+    assert(spark.read.parquet(assignPath).count() === baseRows,
+      "pre-append snapshot must be immutable")
+    val gotAssign = spark.read.parquet(Indexed.assignPath(base))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val expAssign = full.select(col("vec_id"), Indexed.assignExpr(cents).as("cluster"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(gotAssign.size === baseRows + deltaRows, "append must not drop or dup ids")
     assert(gotAssign === expAssign)
 
-    val gotCodes = spark.read.parquet(codesPath)
+    val gotCodes = spark.read.parquet(Indexed.pqCodesPath(base))
       .select("vec_id", "code0", "code1", "code2", "code3")
       .collect().map(_.toSeq).toSet
     val expCodes = full.select(col("vec_id") +: Indexed.pqCodeCols(cb): _*)
@@ -51,7 +55,7 @@ class IndexRefreshSpec extends SparkSuite {
     val (mn, mx) = Indexed.ensureSq8Bounds(spark, base)
     val sq8Path = Indexed.ensureSq8Codes(spark, base)
     Indexed.appendSq8Codes(spark, base, delta)
-    val gotSq8 = spark.read.parquet(sq8Path)
+    val gotSq8 = spark.read.parquet(Indexed.sq8CodesPath(base))
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
     val expSq8 = full.select(col("vec_id"), Indexed.sq8CodeExpr(mn, mx).as("codes"))
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
@@ -62,7 +66,7 @@ class IndexRefreshSpec extends SparkSuite {
     val rcb = Indexed.ensureResidCodebook(spark, base)
     val rPath = Indexed.ensureResidCodes(spark, base)
     Indexed.appendResidCodes(spark, base, delta)
-    val gotR = spark.read.parquet(rPath)
+    val gotR = spark.read.parquet(Indexed.residCodesPath(base))
       .select("vec_id", "cluster", "rcode0", "rcode1", "rcode2", "rcode3")
       .collect().map(_.toSeq).toSet
     val expR = full

@@ -23,7 +23,9 @@ class StreamingIndexRefreshSpec extends SparkSuite {
     val full = spark.read.parquet(s"$sf0001/embeddings.parquet")
     full.filter(col("vec_id") < 400).write.parquet(s"$base/embeddings.parquet")
     val cb = Indexed.ensureCodebook(spark, base)
-    val codesPath = Indexed.ensurePqCodes(spark, base)
+    Indexed.ensurePqCodes(spark, base)
+    // appends publish new versions: always read the LIVE codes table
+    def codesPath: String = Indexed.pqCodesPath(base)
 
     // the delta arrives as a JSON directory (the pipeline source shape)
     val srcDir = tmpDir("stream-idx-src")
