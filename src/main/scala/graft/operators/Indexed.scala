@@ -964,12 +964,7 @@ object Indexed {
     * — the corpus is read once no matter how many queries arrive.
     */
   val v17BatchIvfPq: Relational.Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val cents = ensureCentroids(s, d)
-    val assign = ensureAssignments(s, d)
-    val cb = ensureCodebook(s, d)
-    val codesPath = ensurePqCodes(s, d)
     // ONE job fetches every query vector; probes and ADC tables are
     // then pure driver arithmetic (a per-query Spark job here cost the
     // batch ~2 s of scheduling at |Q|=5 — and would cost |Q|× that).
@@ -977,10 +972,14 @@ object Indexed {
     // terms + |Q|·M·K ADC entries — at |Q|=1e5, C=4096, dims=384
     // that's ~1.6e11 flops ≈ tens of seconds single-threaded, so the
     // collect-and-compute shape holds through eval-set sizes; past
-    // that, probe selection becomes its own Spark job (queries ⋈
-    // broadcast centroids, the v8 batch shape) and the plan below is
-    // unchanged — the broadcast probe/qtab tables just arrive from an
-    // upstream job instead of the driver.
+    // [[BatchDriverMaxQ]] the registered query would dispatch to
+    // [[v17BatchIvfPqDistributed]], where probe selection runs as a
+    // queries ⋈ broadcast-structures job feeding the SAME serving plan.
+    require(BatchQids.size <= BatchDriverMaxQ,
+      s"driver-side probe selection capped at $BatchDriverMaxQ queries — " +
+        "use v17BatchIvfPqDistributed for larger batches")
+    val cents = ensureCentroids(s, d)
+    val cb = ensureCodebook(s, d)
     val qVecs: Seq[(Long, Seq[Float])] = embeddings(s, d)
       .filter(col("vec_id").isin(BatchQids: _*))
       .select("vec_id", "embedding").collect()
@@ -990,10 +989,88 @@ object Indexed {
         .sortBy { case (dd, cid) => (dd, cid) }
         .take(NProbe).map { case (_, cid) => (qid, cid) }
     }
-    val qtabDf = qVecs.map { case (qid, qv) => (qid, pqQueryTableOf(cb, qv)) }
-      .toDF("qid", "qtab")
-    val probesDf = probePairs.toDF("qid", "cluster")
-    val allProbes = probePairs.map(_._2).distinct
+    // query vectors held driver-side (the one collect above), like
+    // embeddingLit for the single-query family — keeps the float
+    // corpus scan count at 1
+    v17Serve(s, d,
+      qVecs.toDF("qid", "qe"),
+      probePairs.toDF("qid", "cluster"),
+      qVecs.map { case (qid, qv) => (qid, pqQueryTableOf(cb, qv)) }.toDF("qid", "qtab"),
+      probePairs.map(_._2).distinct)
+  }
+
+  /** Driver ceiling for batch probe selection: below it the probe/ADC
+    * tables are driver arithmetic (collect-and-compute, [[v17BatchIvfPq]]);
+    * above it they come from [[batchProbeTablesDistributed]]. The value
+    * sits under the quantified ~1.6e11-flop point where single-threaded
+    * table construction stops being negligible.
+    */
+  val BatchDriverMaxQ = 10000
+
+  /** Distributed probe selection + ADC-table construction for batches
+    * past the driver ceiling: the (qid, embedding) set STAYS a Dataset
+    * and each partition runs, against the broadcast frozen
+    * centroids/codebook, the very same scalar kernels the driver path
+    * runs ([[euclideanOf]] / [[pqQueryTableOf]] — double accumulation
+    * in index order, so the two paths are bit-identical and the probe
+    * sets/prune boundaries cannot differ). This is the queries ⋈
+    * broadcast-structures job: work is |Q|-parallel across executors,
+    * the driver never materializes a per-query row, and the output
+    * tables feed [[v17Serve]] unchanged.
+    */
+  private[graft] def batchProbeTablesDistributed(s: SparkSession,
+      queries: DataFrame, cents: Seq[Seq[Float]], cb: Seq[Seq[Seq[Float]]])
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast((cents, cb))
+    val qds = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+    val probes = qds.mapPartitions { it =>
+      val cs = bc.value._1
+      it.flatMap { case (qid, qv) =>
+        cs.map(euclideanOf(qv, _)).zipWithIndex
+          .sortBy { case (dd, cid) => (dd, cid) }
+          .take(NProbe).map { case (_, cid) => (qid, cid) }
+      }
+    }.toDF("qid", "cluster")
+    val qtabs = qds.mapPartitions { it =>
+      val cbv = bc.value._2
+      it.map { case (qid, qv) => (qid, pqQueryTableOf(cbv, qv)) }
+    }.toDF("qid", "qtab")
+    (probes, qtabs)
+  }
+
+  /** [[v17BatchIvfPq]] for batches past [[BatchDriverMaxQ]]: identical
+    * serving plan, probe/ADC tables from the distributed job.
+    */
+  private[graft] def v17BatchIvfPqDistributed(s: SparkSession, d: String,
+      qids: Seq[Int]): DataFrame = {
+    val cents = ensureCentroids(s, d)
+    val cb = ensureCodebook(s, d)
+    val queries = embeddings(s, d)
+      .filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding")
+    val (probesDf, qtabDf) = batchProbeTablesDistributed(s, queries, cents, cb)
+    // the pushed `cluster IN (∪ probes)` list: ≤ CentroidK integers by
+    // construction (distinct CLUSTERS, not per-query rows) — bounded by
+    // the index geometry, never by |Q|, so this collect stays tiny
+    val allProbes = probesDf.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    v17Serve(s, d,
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      probesDf, qtabDf, allProbes)
+  }
+
+  /** The shared v17 serving plan — identical whichever front-end built
+    * the probe/ADC tables: pushed union-prune on the assignment scan,
+    * broadcast probe fan-out, ADC TopN window per query, broadcast
+    * float re-rank.
+    */
+  private def v17Serve(s: SparkSession, d: String, qs: DataFrame,
+      probesDf: DataFrame, qtabDf: DataFrame, allProbes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = ensureAssignments(s, d)
+    val codesPath = ensurePqCodes(s, d)
     val probed = s.read.parquet(assign)
       .filter(col("cluster").isin(allProbes: _*)) // pushed: one union prune
       .join(broadcast(probesDf), Seq("cluster"))  // fan out to probing queries
@@ -1007,10 +1084,6 @@ object Indexed {
     val cand = scored.withColumn("rnA", row_number().over(wA))
       .filter(col("rnA") <= PqTopN)
       .select("qid", "vec_id", "cluster", "approx")
-    // query vectors held driver-side (the one collect above), like
-    // embeddingLit for the single-query family — keeps the float
-    // corpus scan count at 1
-    val qs = qVecs.toDF("qid", "qe")
     val wD = Window.partitionBy("qid").orderBy(col("dist").asc, col("vec_id").asc)
     embeddings(s, d)
       .select("vec_id", "embedding")
