@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-time stream-stream joins — the one north-star streaming hole
@@ -17,8 +17,48 @@ import org.apache.spark.sql.functions._
   * match and drop it (the standard watermark + interval-condition
   * eviction reasoning in Structured Streaming). Without (b), state
   * grows with the stream and the job dies by memory, not by logic.
+  *
+  * Column hygiene: EVERY right-side column is suffixed `_r` before the
+  * join condition is built, so two streams that share names — both
+  * calling their event time `ts`, or carrying common payload columns —
+  * can never make the condition ambiguous (or silently resolve both
+  * references to one side). After the join, right columns whose bare
+  * name does not collide with a surviving left column get their
+  * original name back, so the common disjoint-name case keeps its
+  * natural output schema.
   */
 object StreamJoin {
+
+  /** Watermarked, suffix-disambiguated sides + the interval condition
+    * shared by the inner and left-outer variants.
+    */
+  private def prepared(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      delayThreshold: String, maxDelay: String): (DataFrame, DataFrame, Column) = {
+    val l = left.withWatermark(leftTs, delayThreshold)
+    val r0 = right.withWatermark(rightTs, delayThreshold)
+    require(!r0.columns.exists(_.endsWith("_r")),
+      "right-side columns may not already end in _r (suffix reserved)")
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, c + "_r"))
+    val cond = col(key) === col(s"${key}_r") &&
+      col(s"${rightTs}_r") >= col(leftTs) &&
+      col(s"${rightTs}_r") <= col(leftTs) + expr(s"interval $maxDelay")
+    (l, r, cond)
+  }
+
+  /** Restore right columns' bare names where they do not collide with a
+    * left column (the joined key column is dropped outright: it equals
+    * the left key on matches and is null on outer non-matches).
+    */
+  private def restore(joined: DataFrame, left: DataFrame, key: String): DataFrame = {
+    val leftCols = left.columns.toSet
+    val base = joined.drop(s"${key}_r")
+    base.columns.foldLeft(base) {
+      case (df, c) if c.endsWith("_r") && !leftCols.contains(c.stripSuffix("_r")) =>
+        df.withColumnRenamed(c, c.stripSuffix("_r"))
+      case (df, _) => df
+    }
+  }
 
   /** Inner event-time join of two keyed streams where the right event
     * must occur within `[0, maxDelay]` AFTER the matching left event —
@@ -34,13 +74,25 @@ object StreamJoin {
   def within(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       delayThreshold: String, maxDelay: String): DataFrame = {
-    val l = left.withWatermark(leftTs, delayThreshold)
-    val r = right.withWatermark(rightTs, delayThreshold)
-      .withColumnRenamed(key, s"${key}_r")
-    l.join(r, expr(
-      s"""$key = ${key}_r AND
-         |$rightTs >= $leftTs AND
-         |$rightTs <= $leftTs + interval $maxDelay""".stripMargin))
-      .drop(s"${key}_r")
+    val (l, r, cond) = prepared(left, right, key, leftTs, rightTs,
+      delayThreshold, maxDelay)
+    restore(l.join(r, cond), left, key)
+  }
+
+  /** Left-outer variant of [[within]] — the "impression that never
+    * clicked" shape: every left row is emitted exactly once, either
+    * joined to its in-window right match or with null right columns
+    * ONCE the watermark proves no match can still arrive (Spark emits
+    * outer results only at state eviction time — the same bound that
+    * keeps state finite also makes the null verdict safe to emit).
+    * Same watermarks, same interval condition, same eviction
+    * arithmetic as the inner form.
+    */
+  def leftOuterWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      delayThreshold: String, maxDelay: String): DataFrame = {
+    val (l, r, cond) = prepared(left, right, key, leftTs, rightTs,
+      delayThreshold, maxDelay)
+    restore(l.join(r, cond, "left_outer"), left, key)
   }
 }

@@ -48,4 +48,73 @@ class StreamJoinSpec extends SparkSuite {
     assert(out.toSeq === Seq(1L),
       s"expected only imp 1 attributed; got ${out.toSeq}")
   }
+
+  test("left-outer: unmatched impressions emit null-click rows at eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoin.leftOuterWithin(
+      imps.toDF().toDF("imp_id", "imp_ts"),
+      clicks.toDF().toDF("imp_id", "click_ts"),
+      key = "imp_id", leftTs = "imp_ts", rightTs = "click_ts",
+      delayThreshold = "5 minutes", maxDelay = "10 minutes")
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib_outer").start()
+    try {
+      imps.addData((1L, t(0)), (2L, t(1)), (3L, t(2)))
+      // imp 1 clicked in-window; imp 2's click is 19 min late (outside
+      // the window); imp 3 never clicks at all
+      clicks.addData((1L, t(4)), (2L, t(20)))
+      q.processAllAvailable()
+      // push both watermarks far enough that imps 2 and 3 are provably
+      // unmatchable — the point where Spark may emit their null rows
+      imps.addData((99L, t(50)))
+      clicks.addData((98L, t(50)))
+      q.processAllAvailable()
+      imps.addData((97L, t(80)))
+      clicks.addData((96L, t(80)))
+      q.processAllAvailable()
+      // late click behind both watermarks: state already evicted, must
+      // not retro-match imp 3 or emit anything new for it
+      clicks.addData((3L, t(6)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("attrib_outer")
+      .select("imp_id", "click_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).isDefined)).toMap
+    assert(rows.get(1L) === Some(true), "in-window click must attribute")
+    assert(rows.get(2L) === Some(false),
+      "out-of-window click must surface as an unmatched impression")
+    assert(rows.get(3L) === Some(false),
+      "never-clicked impression must surface with null click columns")
+  }
+
+  test("streams sharing column names (both 'ts', common payload) join unambiguously") {
+    implicit val sqlCtx = spark.sqlContext
+    val reqs = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val resps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // identical schemas on both sides: key, ts, v — the shape that made
+    // the un-suffixed condition ambiguous (or silently one-sided)
+    val joined = StreamJoin.within(
+      reqs.toDF().toDF("k", "ts", "v"),
+      resps.toDF().toDF("k", "ts", "v"),
+      key = "k", leftTs = "ts", rightTs = "ts",
+      delayThreshold = "5 minutes", maxDelay = "10 minutes")
+    assert(joined.columns.toSeq === Seq("k", "ts", "v", "ts_r", "v_r"),
+      s"colliding right columns must stay suffixed; got ${joined.columns.toSeq}")
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("shared_names_out").start()
+    try {
+      reqs.addData((1L, t(0), "req"))
+      resps.addData((1L, t(4), "resp"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = spark.table("shared_names_out")
+      .select("k", "v", "v_r").collect().map(_.toSeq)
+    assert(row.toSeq === Seq(Seq(1L, "req", "resp")),
+      "payloads must come from their own sides")
+  }
 }
