@@ -136,6 +136,47 @@ object TextAnalysis {
         regexp_extract(col("body"), "Content: (.*)$", 1).as("content"))
       .orderBy("doc_id")
 
+  /** Chunking geometry: window of [[ChunkTokens]] tokens advancing by
+    * [[ChunkStride]] (overlap = window − stride) — the standard
+    * context-window preprocessing for RAG corpora and long-document
+    * pretraining.
+    */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** T18: overlapping token-window chunking — split each document's
+    * token stream into fixed-size windows with stride, one output row
+    * per chunk: (doc_id, chunk_idx, start_tok, n_chunk_toks,
+    * chunk_md5). Every document yields at least one chunk; the last
+    * chunk may be short. Pure per-row flatMap (scan → codegen'd
+    * sequence/explode/slice, no UDF, no shuffle before the final
+    * sort), so the cost is linear in corpus tokens at any scale — the
+    * chunk text itself is emitted as an md5 so the output stays
+    * id-sized while still attesting the exact window content. The
+    * reference has no chunking (its unit IS the document); this is the
+    * op its users run upstream before embedding
+    * (`/root/reference/src/embeddings.ts` embeds whole docs).
+    */
+  val t18Chunk: Relational.Q = (s, d) => {
+    val W = lit(ChunkTokens.toLong)
+    val S = lit(ChunkStride.toLong)
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // chunks = 1 + ceil(max(n - W, 0) / S): one window, plus one per
+      // stride step needed to cover the tail
+      .withColumn("n_chunks",
+        lit(1L) + ceil(greatest(col("n") - W, lit(0L)).cast("double") / S).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_idx") * S + 1)
+      .withColumn("n_chunk_toks", least(W, col("n") - col("start_tok") + 1))
+      .withColumn("chunk_md5",
+        md5(array_join(slice(col("toks"), col("start_tok").cast("int"),
+          col("n_chunk_toks").cast("int")), " ").cast("binary")))
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_toks", "chunk_md5")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** T5: corpus token-frequency table — the canonical distributed
     * wordcount (explode → partial-agg groupBy): vocabulary building /
     * BPE preparation over a training corpus.
@@ -268,6 +309,55 @@ object TextAnalysis {
       .orderBy("source", "lang", "rn")
   }
 
+  /** Document budget for the t19 temperature-scaled mixture. */
+  val TempBudget = 300
+
+  /** T19: temperature-scaled mixture resampling — the UniMax/T5-style
+    * pass that re-weights SOURCES, not cells: each source's share of a
+    * fixed document budget is proportional to `n_s^(1/2)` (temperature
+    * alpha = 0.5 — down-weights dominant sources, boosts the tail),
+    * capped at the source's own size, and the winning documents are the
+    * target-many lowest keep-hashes — reproducible across runs and
+    * cluster sizes like t16, but with DATA-DEPENDENT per-source
+    * targets instead of a fixed quota.
+    *
+    * Determinism across engines: the weight is the INTEGER
+    * `floor(sqrt(n_s))` and the target `(budget·w) div Σw` is pure
+    * bigint arithmetic — no cross-engine float summation anywhere
+    * (IEEE sqrt of an exact integer is correctly rounded on both
+    * engines; everything after it is integer). Scale shape: targets
+    * come from a per-source AGGREGATE (cardinality = #sources — the
+    * scalar window runs over that tiny table, not over documents) and
+    * the winners come from the same bounded-heap top-k aggregate as
+    * t16 with k = budget, so map-side partials cap at budget rows per
+    * source per partition and no per-source full sort ever runs — the
+    * window formulation stays oracle-side.
+    */
+  val t19TemperatureMix: Relational.Q = (s, d) => {
+    val counts = documents(s, d).groupBy("source").agg(count(lit(1)).as("n_s"))
+    val targets = counts
+      .withColumn("w", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+      .withColumn("w_total",
+        sum("w").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("target",
+        least(col("n_s"), expr(s"($TempBudget * w) div w_total")))
+      .select("source", "target")
+    val keyHash = Dedup.baseHash(
+      concat(col("source"), lit(":"), col("doc_id").cast("string")))
+    documents(s, d)
+      .select(col("source"), col("doc_id"), (-keyHash).cast("double").as("nkh"))
+      .groupBy("source")
+      .agg(graft.functions.TopKRows.topK(
+        col("nkh"), col("doc_id"), lit(0).cast("int"), TempBudget).as("tops"))
+      .select(col("source"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.id1").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .join(broadcast(targets), "source")
+      .filter(col("rn") <= col("target"))
+      .select("source", "doc_id", "rn", "target")
+      .orderBy("source", "rn")
+  }
+
   /** Shard count for the t17 export manifest. Small here so the sf
     * fixture populates every shard; production WebDataset-style exports
     * use O(10k) shards, which also restores full write parallelism for
@@ -321,6 +411,8 @@ object TextAnalysis {
     "q_t2_quality" -> t2Quality,
     "q_t3_token_count" -> t3TokenCount,
     "q_t4_fingerprint" -> t4Fingerprint,
+    "q_t18_chunk" -> t18Chunk,
+    "q_t19_temperature_mix" -> t19TemperatureMix,
     "q_f4_parse" -> f4Parse,
   )
 
@@ -339,6 +431,51 @@ object TextAnalysis {
       s"CASE $whens ELSE 'und' END"
     }
     Map(
+      // t18: same window/stride arithmetic; unnest(range(...)) is the
+      // per-doc chunk fan-out, list_slice the (inclusive-end) window
+      "q_t18_chunk" ->
+        s"""$tokCte,
+           |base AS (
+           |  SELECT doc_id, toks, len(toks)::BIGINT AS n,
+           |         (1 + ceil(greatest(len(toks) - $ChunkTokens, 0)::DOUBLE
+           |                   / $ChunkStride))::BIGINT AS n_chunks
+           |  FROM tok
+           |),
+           |ex AS (
+           |  SELECT doc_id, toks, n, unnest(range(0, n_chunks))::BIGINT AS i
+           |  FROM base
+           |)
+           |SELECT doc_id,
+           |       i AS chunk_idx,
+           |       (i * $ChunkStride + 1)::BIGINT AS start_tok,
+           |       least($ChunkTokens, n - (i * $ChunkStride + 1) + 1)::BIGINT
+           |         AS n_chunk_toks,
+           |       md5(array_to_string(list_slice(toks, i * $ChunkStride + 1,
+           |         i * $ChunkStride + least($ChunkTokens, n - (i * $ChunkStride + 1) + 1)),
+           |         ' ')) AS chunk_md5
+           |FROM ex
+           |ORDER BY doc_id, chunk_idx""".stripMargin,
+      // t19: integer-only target arithmetic (floor-sqrt weights, bigint
+      // div) + the same hash-rank window formulation as t16's oracle
+      "q_t19_temperature_mix" ->
+        s"""WITH c AS (SELECT source, count(*)::BIGINT AS n_s
+           |           FROM documents GROUP BY source),
+           |t AS (SELECT source, n_s, floor(sqrt(n_s))::BIGINT AS w FROM c),
+           |tg AS (SELECT source,
+           |              least(n_s, ($TempBudget * w)
+           |                // (SELECT sum(w) FROM t)::BIGINT)::BIGINT AS target
+           |       FROM t),
+           |h AS (SELECT source, doc_id,
+           |             ('0x' || substr(md5(source || ':' || doc_id), 1, 7))::BIGINT AS kh
+           |      FROM documents),
+           |r AS (SELECT source, doc_id,
+           |             row_number() OVER (PARTITION BY source
+           |                                ORDER BY kh ASC, doc_id ASC) AS rn
+           |      FROM h)
+           |SELECT r.source, r.doc_id, r.rn, tg.target
+           |FROM r JOIN tg USING (source)
+           |WHERE r.rn <= tg.target
+           |ORDER BY source, rn""".stripMargin,
       // t16: the window formulation IS the oracle — the engine's
       // bounded-heap aggregate must equal the per-cell hash-rank prefix
       "q_t16_quota_sample" ->

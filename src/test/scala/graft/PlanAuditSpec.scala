@@ -197,6 +197,32 @@ class PlanAuditSpec extends SparkSuite {
     assert(hashEx === 1, s"t17 must compute pos+offset in ONE shard shuffle:\n${p.take(3000)}")
   }
 
+  test("t18 chunking: pure per-row fan-out — no shuffle before the final sort") {
+    val p = plan(graft.operators.TextAnalysis.t18Chunk(spark, sf0001))
+    assert(p.contains("Generate explode"),
+      s"chunk fan-out must plan as a Generate (codegen explode):\n${p.take(3000)}")
+    // one Exchange total: the rangepartitioning for the output ORDER BY;
+    // any hashpartitioning would mean the chunker itself shuffles
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle document data:\n${p.take(3000)}")
+  }
+
+  test("t19 temperature mix: map-side heap partials, broadcast targets, tiny scalar window") {
+    val p = plan(graft.operators.TextAnalysis.t19TemperatureMix(spark, sf0001))
+    assert(p.contains("partial_topk"),
+      s"t19 winners must come from map-side bounded-heap partials:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-source targets must broadcast onto the winners:\n${p.take(3000)}")
+    // documents must flow through the heap aggregate only: a
+    // row_number() ranking window (the oracle's formulation) would
+    // sort every source's documents inside the shuffle — rn comes from
+    // the heap's posexplode instead. (The one Window in the plan is
+    // the scalar w_total over the per-source AGGREGATE, cardinality =
+    // #sources.)
+    assert(!p.contains("row_number()"),
+      s"no ranking window over documents may appear:\n${p.take(3000)}")
+  }
+
   test("v20/v21 maintenance queries: pushed probe filters, real anti joins, no cartesian") {
     // v21: each width's candidate scan must push its cluster IN filter
     // to the stored assignment parquet (the scan cost the curve
