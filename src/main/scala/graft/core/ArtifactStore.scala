@@ -26,8 +26,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    into a fresh version dir, then flips `CURRENT` with an atomic
   *    same-directory file rename (appends carry the live files forward
   *    via [[appendVersion]]). Readers resolve `CURRENT` once and read
-  *    an immutable directory that is never deleted — no
-  *    overwrite-vs-read window, no partially visible delta batch.
+  *    an immutable directory — no overwrite-vs-read window, no
+  *    partially visible delta batch. Superseded versions survive a
+  *    reader-retention window of [[gcVersions]] generations before the
+  *    vacuum reclaims them.
   *  - An existing `CURRENT` means BUILT, across processes: `ensure`
   *    never rebuilds over it, so appended delta batches survive JVM
   *    restarts (the incremental-maintenance contract is durable, not
@@ -174,6 +176,40 @@ object ArtifactStore {
   def dataFileCount(versionDir: String): Int =
     Option(new java.io.File(versionDir).listFiles()).getOrElse(Array.empty)
       .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  /** Garbage-collect superseded versions: delete version dirs that are
+    * (a) not the `CURRENT` target and (b) not among the `keep` most
+    * recently published others — the retention window for in-flight
+    * readers, who resolve `CURRENT` once and then read that dir for
+    * the lifetime of one job. Retention is therefore a TIME contract:
+    * `keep` generations must outlast the longest-running reader (at
+    * 100 TB, generations are compaction/delete epochs — hours apart —
+    * while readers are queries; a snapshot older than several epochs
+    * indicates a wedged job, the same staleness bound every
+    * MVCC-with-vacuum store imposes). Runs under the maintenance lock
+    * so it cannot race a publish; returns the deleted version dirs.
+    *
+    * Data files are hard-link-shared across versions by
+    * [[appendVersion]], so deleting a superseded version only reclaims
+    * the delta files no surviving version links — deleting a link
+    * never touches the shared inode's other names.
+    */
+  def gcVersions(dir: String, keep: Int = 2): Seq[String] = withMaintenanceLock(dir) {
+    val curTarget = current(dir).map(p => Paths.get(p).getFileName.toString)
+    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .filterNot(f => curTarget.contains(f.getName))
+      .sortBy(-_.lastModified())
+    val victims = versions.drop(keep)
+    victims.foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(v)
+    }
+    victims.map(_.getPath).toSeq
+  }
 }
 
 /** The dataset whose artifacts the oracle SQL dump reads. Verify sets

@@ -388,7 +388,7 @@ object Indexed {
   private def compactTable(s: SparkSession, name: String, d: String, tag: String,
       partCol: String, sortCols: Seq[String]): String = synchronized {
     val adir = ArtifactStore.artifactDir(name, d, tag)
-    ArtifactStore.withMaintenanceLock(adir) {
+    val compacted = ArtifactStore.withMaintenanceLock(adir) {
       val cur = ArtifactStore.current(adir).getOrElse(
         throw new IllegalStateException(s"nothing to compact: $name for $d"))
       val df = s.read.parquet(cur)
@@ -398,6 +398,12 @@ object Indexed {
           .write.parquet(target)
       }
     }
+    // compaction is the natural vacuum point: superseded versions past
+    // the reader-retention window are reclaimed here, so continuous
+    // ingest bounds STORAGE as well as file count. (Separate lock
+    // scope — the OS file lock is not reentrant.)
+    ArtifactStore.gcVersions(adir)
+    compacted
   }
 
   def compactAssignments(s: SparkSession, d: String): String =

@@ -93,6 +93,31 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "live version must not absorb a failed delta's files")
   }
 
+  test("gcVersions reclaims superseded versions, keeps CURRENT + retention window") {
+    val dir = freshDir()
+    def put(target: String, body: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(target))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(target, "part-a"), body)
+    }
+    val vs = (1 to 5).map { i =>
+      val v = ArtifactStore.publish(dir)(put(_, s"gen$i"))
+      Thread.sleep(5) // distinct mtimes for the retention ordering
+      v
+    }
+    val deleted = ArtifactStore.gcVersions(dir, keep = 2)
+    // CURRENT target (v5) + the 2 newest others (v4, v3) survive
+    assert(ArtifactStore.current(dir).contains(vs(4)))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(vs(3))))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(vs(2))))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(vs(0))))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(vs(1))))
+    assert(deleted.toSet === Set(vs(0), vs(1)))
+    // linked data files shared with surviving versions are untouched:
+    // the live version still reads its own content
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(vs(4), "part-a")) === "gen5")
+  }
+
   test("withMaintenanceLock serializes mutations across lock scopes") {
     val dir = freshDir()
     // sequential re-acquisition must work (lock released both times)

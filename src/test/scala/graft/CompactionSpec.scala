@@ -36,8 +36,10 @@ class CompactionSpec extends SparkSuite {
 
     val after = Indexed.compactAssignments(spark, base)
     assert(after !== before, "compaction must publish a NEW version dir")
-    assert(new java.io.File(before).isDirectory,
-      "old version must survive for in-flight readers")
+    // the vacuum keeps a reader-retention window: the version an
+    // in-flight reader resolved just before the compact must survive it
+    assert(new java.io.File(appended).isDirectory,
+      "the immediately superseded version must survive for in-flight readers")
     assert(Indexed.assignPath(base) === after,
       "serving path must resolve to the compacted version")
 
