@@ -149,6 +149,17 @@ object ScaleProbe {
           .filter(col("sim") >= graft.operators.Indexed.SemTau)
           .write.format("noop").mode("overwrite").save()
       }
+      // 12-13: the r9 text operators — registered queries over the
+      // replica (t18 is a pure per-row fan-out, t19 a heap aggregate +
+      // broadcast targets; both should show RISING docs/s with scale)
+      val tT18 = time {
+        graft.operators.TextAnalysis.t18Chunk(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tT19 = time {
+        graft.operators.TextAnalysis.t19TemperatureMix(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
       graft.operators.Dedup.releaseSlots()
       println(f"[scale] x$n%-3d docs=$nDocs%-8d vecs=$nVec%-8d " +
         f"minhash=$tMinhash%6.1fs (${nDocs / tMinhash}%8.0f docs/s)  " +
@@ -162,7 +173,9 @@ object ScaleProbe {
         f"d13=$tD13%5.1fs (${nDocs / tD13}%8.0f docs/s)  " +
         f"t16=$tT16%5.1fs (${nDocs / tT16}%8.0f docs/s)  " +
         f"t17=$tT17%5.1fs (${nDocs / tT17}%8.0f docs/s)  " +
-        f"d12=$tD12%6.1fs (${nVec / tD12}%8.0f vec/s)")
+        f"d12=$tD12%6.1fs (${nVec / tD12}%8.0f vec/s)  " +
+        f"t18=$tT18%5.1fs (${nDocs / tT18}%8.0f docs/s)  " +
+        f"t19=$tT19%5.1fs (${nDocs / tT19}%8.0f docs/s)")
     }
     spark.stop()
   }
