@@ -118,6 +118,32 @@ class ArtifactStoreSpec extends AnyFunSuite {
       java.nio.file.Paths.get(vs(4), "part-a")) === "gen5")
   }
 
+  test("maintenance lock excludes ANOTHER JVM for the duration of its hold") {
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val child = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.tools.LockHolder", dir, "1500")
+      .redirectErrorStream(true).start()
+    try {
+      // wait for the child to SIGNAL acquisition (marker written while
+      // holding the lock), then contend from this JVM
+      val held = java.nio.file.Paths.get(dir, "held")
+      val t0 = System.nanoTime()
+      while (!java.nio.file.Files.exists(held) &&
+          (System.nanoTime() - t0) < 30e9.toLong) Thread.sleep(20)
+      assert(java.nio.file.Files.exists(held),
+        "child JVM never acquired the maintenance lock")
+      val tAcq = System.nanoTime()
+      ArtifactStore.withMaintenanceLock(dir)(())
+      val waitedMs = (System.nanoTime() - tAcq) / 1e6
+      assert(waitedMs >= 500,
+        s"this JVM entered the lock after only ${waitedMs}ms while the " +
+          "child held it for 1500ms — the lock does not exclude processes")
+    } finally child.waitFor()
+  }
+
   test("withMaintenanceLock serializes mutations across lock scopes") {
     val dir = freshDir()
     // sequential re-acquisition must work (lock released both times)
