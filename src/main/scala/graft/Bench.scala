@@ -184,14 +184,23 @@ object Bench {
     // map itself.
     val pipelineStages: Seq[(String, Double)] =
       if (only.isDefined) Seq.empty
-      else try {
-        val outPath = java.nio.file.Files
-          .createTempDirectory("graft-bench-pipeline").toString + "/corpus"
-        hygiene()
-        app.CorpusPipeline.runTimed(spark, sfDir, outPath)._2
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
-        Seq.empty
+      else {
+        val tmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-pipeline")
+        try {
+          hygiene()
+          app.CorpusPipeline.runTimed(spark, sfDir, tmpRoot.toString + "/corpus")._2
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+          Seq.empty
+        } finally {
+          // the packed corpus + manifest are corpus-sized: repeated
+          // bench runs must not accumulate copies under /tmp
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(tmpRoot.toFile)
+        }
       }
     for ((k, v) <- pipelineStages) println(s"""{"pipeline_stage":"$k","sec":${r3(v)}}""")
     val ps = pipelineStages.map { case (k, v) => "\"" + k + "\":" + r3(v) }

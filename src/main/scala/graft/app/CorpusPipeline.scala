@@ -168,14 +168,14 @@ object CorpusPipeline {
     // scans the final files a reader will open, instead of re-running
     // the packing lineage — whose upstream caches may have been evicted
     // by the time this stage runs, silently turning "no second pass"
-    // into a full recompute. The partition columns come back INFERRED
-    // from directory names (`shard` as int, `source` possibly widened),
-    // so both are pinned back to the written types — without the casts
-    // the manifest's `shard` column silently drifts from the long the
-    // q_t17/TextAnalysis manifest schema declares.
-    val shards = spark.read.parquet(outPath)
-      .withColumn("shard", col("shard").cast("long"))
-      .withColumn("source", col("source").cast("string"))
+    // into a full recompute. The read back PINS the writer's schema:
+    // without it the partition columns come back INFERRED from
+    // directory names — `shard` as int (drifting the manifest from the
+    // long the q_t17 manifest schema declares), and a numeric-looking
+    // `source` ("007") parsed as a number and re-rendered lossily
+    // ("7"), silently merging distinct sources. A cast after an
+    // inferred read cannot undo that parse; schema-on-read prevents it.
+    val shards = spark.read.schema(packed.schema).parquet(outPath)
     val wm = Window.partitionBy("source", "shard").orderBy("doc_id")
     timed("manifest")(shards
       .withColumn("n_bytes", octet_length(col("text")).cast("long"))
@@ -187,7 +187,7 @@ object CorpusPipeline {
       .write.mode("overwrite").parquet(outPath + "_manifest"))
     Seq(gated, exact, nearDeduped, clean, sampled).foreach(_.unpersist())
 
-    val out = spark.read.parquet(outPath)
+    val out = spark.read.schema(packed.schema).parquet(outPath)
     val report = Report(input, afterQuality, afterExact, afterNearDup, afterDecontam,
       afterQuota, out.select("source", "shard").distinct().count())
     (report, times.toSeq)

@@ -98,6 +98,14 @@ object ArtifactStore {
     Files.writeString(tmp, v)
     Files.move(tmp, Paths.get(dir, "CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // publication history (newest last): the vacuum's retention window
+    // counts PUBLISHED generations from this log, so a crashed
+    // mutation's debris dir can never consume a reader's retention
+    // slot. Best-effort append — a lost log line only makes that
+    // version age out via the debris grace path instead.
+    try Files.writeString(Paths.get(dir, "VERSIONS"), v + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: java.io.IOException => () }
     target
   }
 
@@ -194,19 +202,44 @@ object ArtifactStore {
     * the delta files no surviving version links — deleting a link
     * never touches the shared inode's other names.
     */
-  def gcVersions(dir: String, keep: Int = 2): Seq[String] = withMaintenanceLock(dir) {
+  def gcVersions(dir: String, keep: Int = 2,
+      debrisGraceMs: Long = 15 * 60 * 1000L): Seq[String] = withMaintenanceLock(dir) {
     val curTarget = current(dir).map(p => Paths.get(p).getFileName.toString)
-    val versions = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val dirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
-      .filterNot(f => curTarget.contains(f.getName))
-      .sortBy(-_.lastModified())
-    val victims = versions.drop(keep)
+    val logPath = Paths.get(dir, "VERSIONS")
+    val published: Seq[String] =
+      if (Files.isRegularFile(logPath))
+        Files.readAllLines(logPath).toArray(Array.empty[String])
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      else Seq.empty
+    val publishedSet = published.toSet
+    val existing = dirs.map(_.getName).toSet
+    // retention counts PUBLISHED generations (newest last in the log),
+    // never debris: a crashed mutation's unreferenced dir must not
+    // shrink the in-flight-reader window
+    val keepSet = curTarget.toSet ++
+      published.reverse.filterNot(curTarget.contains).filter(existing).take(keep)
+    val now = System.currentTimeMillis()
+    val victims = dirs.filterNot(f => keepSet(f.getName)).filter { f =>
+      // superseded published versions go immediately; UNLOGGED dirs may
+      // be a concurrent publish mid-write (builds don't take the
+      // maintenance lock) — reclaim those only past a grace window
+      publishedSet(f.getName) || now - f.lastModified() > debrisGraceMs
+    }
     victims.foreach { v =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(); ()
       }
       rm(v)
+    }
+    // prune the log to surviving versions so it stays bounded
+    if (published.nonEmpty) {
+      val survivors = existing -- victims.map(_.getName)
+      try Files.writeString(logPath,
+        published.filter(survivors).mkString("", "\n", "\n"))
+      catch { case _: java.io.IOException => () }
     }
     victims.map(_.getPath).toSeq
   }

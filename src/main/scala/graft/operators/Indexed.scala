@@ -110,17 +110,22 @@ object Indexed {
     * of that dataset: no per-artifact mutable path state to cross-wire
     * when several datasets are ensured in one JVM.
     *
-    * Fails FAST (with the artifact name) when no live version exists at
-    * dump time: that means an `ensure*` build failed earlier in the
-    * run, and silently emitting the version-less artifact dir would
-    * make the oracle's `read_parquet` glob fail far from the root
-    * cause — or, worse, match stale files under an old layout.
+    * When no live version exists at dump time — an `ensure*` build
+    * failed earlier in the run, or a subset run never built this
+    * artifact — the emitted path carries an explicit
+    * `__MISSING_ARTIFACT__` marker: the affected query's oracle fails
+    * loudly AT THAT QUERY with the artifact name in the error, while
+    * the dump itself (and every other query's compare) completes.
+    * Throwing here instead would kill the whole oracle_sql.json for
+    * one bad artifact — one failed build must cost one query's
+    * compare, not the round's correctness signal. The version-less
+    * bare dir is never emitted (it could glob stale files under an
+    * old layout).
     */
   private def oPath(name: String, tag: String): String = {
     val a = ArtifactStore.artifactDir(name, OracleDataset.dir, tag)
-    ArtifactStore.current(a).getOrElse(throw new IllegalStateException(
-      s"oracle dump: no live version for artifact $name (${OracleDataset.dir}) — " +
-        "its ensure* build failed before the dump"))
+    ArtifactStore.current(a).getOrElse(
+      s"$a/__MISSING_ARTIFACT__-$name-unbuilt-for-${OracleDataset.dir}")
   }
 
   /** Build the pivot-distance index for an sf dir once (durable across
@@ -1053,10 +1058,19 @@ object Indexed {
       qids: Seq[Int]): DataFrame = {
     val cents = ensureCentroids(s, d)
     val cb = ensureCodebook(s, d)
-    val queries = embeddings(s, d)
-      .filter(col("vec_id").isin(qids: _*))
-      .select("vec_id", "embedding")
-    val (probesDf, qtabDf) = batchProbeTablesDistributed(s, queries, cents, cb)
+    // Cache the query set and both derived tables (slot-managed, like
+    // the dedup working sets): each is consumed more than once — the
+    // probes by the allProbes collect AND the serving broadcast, the
+    // queries by the probe job, the qtab job AND the re-rank broadcast.
+    // Without the persists every consumer re-runs the corpus scan +
+    // per-query kernels — four redundant scans in the very path that
+    // exists for |Q| large enough that one scan matters.
+    val queries = Dedup.cacheSlot("v17_batch_queries",
+      embeddings(s, d).filter(col("vec_id").isin(qids: _*))
+        .select("vec_id", "embedding"))
+    val (probes0, qtab0) = batchProbeTablesDistributed(s, queries, cents, cb)
+    val probesDf = Dedup.cacheSlot("v17_batch_probes", probes0)
+    val qtabDf = Dedup.cacheSlot("v17_batch_qtabs", qtab0)
     // the pushed `cluster IN (∪ probes)` list: ≤ CentroidK integers by
     // construction (distinct CLUSTERS, not per-query rows) — bounded by
     // the index geometry, never by |Q|, so this collect stays tiny

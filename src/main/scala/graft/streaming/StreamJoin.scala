@@ -35,6 +35,12 @@ object StreamJoin {
   private def prepared(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       delayThreshold: String, maxDelay: String): (DataFrame, DataFrame, Column) = {
+    // the suffix is reserved on BOTH sides: a left column ending in _r
+    // would be indistinguishable from a suffixed right column in the
+    // joined output (restore() would rename it — or collide it with a
+    // genuinely suffixed right column of the same stripped name)
+    require(!left.columns.exists(_.endsWith("_r")),
+      "left-side columns may not end in _r (suffix reserved)")
     val l = left.withWatermark(leftTs, delayThreshold)
     val r0 = right.withWatermark(rightTs, delayThreshold)
     require(!r0.columns.exists(_.endsWith("_r")),

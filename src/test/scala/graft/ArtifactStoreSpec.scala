@@ -104,11 +104,21 @@ class ArtifactStoreSpec extends AnyFunSuite {
       Thread.sleep(5) // distinct mtimes for the retention ordering
       v
     }
+    // a crashed mutation's debris: an unreferenced version dir, NEWER
+    // than everything published — it must neither consume a retention
+    // slot nor be reclaimed inside its grace window (it may be a
+    // concurrent publish mid-write)
+    val debris = java.nio.file.Paths.get(dir, "v_debris000000")
+    java.nio.file.Files.createDirectories(debris)
+
     val deleted = ArtifactStore.gcVersions(dir, keep = 2)
-    // CURRENT target (v5) + the 2 newest others (v4, v3) survive
+    // CURRENT target (v5) + the 2 newest PUBLISHED others (v4, v3)
+    // survive; fresh debris survives its grace window
     assert(ArtifactStore.current(dir).contains(vs(4)))
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(vs(3))))
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(vs(2))))
+    assert(java.nio.file.Files.isDirectory(debris),
+      "fresh debris may be a concurrent publish mid-write — grace window")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(vs(0))))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(vs(1))))
     assert(deleted.toSet === Set(vs(0), vs(1)))
@@ -116,6 +126,16 @@ class ArtifactStoreSpec extends AnyFunSuite {
     // the live version still reads its own content
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(vs(4), "part-a")) === "gen5")
+
+    // past its grace window the same debris IS reclaimed — and still
+    // without touching the published retention window
+    java.nio.file.Files.setLastModifiedTime(debris,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000))
+    val deleted2 = ArtifactStore.gcVersions(dir, keep = 2)
+    assert(deleted2.toSet === Set(debris.toString))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(vs(2))),
+      "reclaiming debris must not consume a published retention slot")
   }
 
   test("maintenance lock excludes ANOTHER JVM for the duration of its hold") {
