@@ -317,6 +317,86 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D14 knobs. The df cap bounds the posting self-join the same way
+    * d8/d11 bound theirs: a shingle shared by more than [[ContainDfCap]]
+    * docs contributes |postings|² candidate pairs and near-zero signal
+    * (it is boilerplate by definition — the CONTAINED side's rarer
+    * shingles still pair the true inclusions), so it is dropped before
+    * the join. [[ContainMinShared]] then prunes incidental one-shingle
+    * collisions before the exact verify. Integer-exact compares,
+    * mirrored in the oracle.
+    */
+  val ContainDfCap = 100
+  val ContainMinShared = 4
+
+  /** Containment verify threshold: |A∩B| / min(|A|,|B|) — asymmetric
+    * near-dup. 0.8 is exactly representable? No — but the compare is on
+    * an identically-computed double in both engines (int sizes, one
+    * division), so the boundary is deterministic cross-engine the same
+    * way [[JaccardThreshold]] is.
+    */
+  val ContainTau = 0.8
+
+  /** D14: containment (asymmetric Jaccard) pairs — the subset-
+    * duplication detector symmetric Jaccard misses: a short doc quoted
+    * wholesale inside a much longer one scores |A∩B|/|A∪B| ≈ |A|/|B|
+    * (arbitrarily low) but containment |A∩B|/min(|A|,|B|) ≈ 1. Training
+    * pipelines run this against boilerplate wrappers and quote-
+    * expansion dups (reference analogue: its dedup story stops at exact
+    * equality, `src/store.ts:63-71` — containment is the scale
+    * extension of the same intent).
+    *
+    * Scale shape (the d8/d11 inverted-index discipline, not LSH: a
+    * contained short doc shares only |A| shingles — a band of MinHashes
+    * over A∪B's sketch misses it precisely when containment matters):
+    *  1. distinct 3-word shingles per doc (shared [[shingles]] kernel);
+    *  2. postings (shingle → doc) df-capped at [[ContainDfCap]] — one
+    *     window count over one hash shuffle of the postings;
+    *  3. same-shingle self-join → pair shared-counts, kept at
+    *     ≥ [[ContainMinShared]] — cost Σ_g df(g)² bounded by the cap;
+    *  4. exact verify on the full shingle sets (broadcast the small
+    *     candidate side into the shingle table, twice — no shingle
+    *     arrays ever shuffle).
+    * Output: (contained, container, containment) — contained = the
+    * smaller set (ties: lower doc_id), rounded like d2's jac.
+    */
+  val d14Containment: Relational.Q = (s, d) => d14ContainmentOn(documents(s, d))
+
+  /** Same pipeline over an arbitrary (doc_id, text) DataFrame. */
+  def d14ContainmentOn(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docsDf.sparkSession
+    val sh = cacheSlot("contain-shingles", docsDf
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), shingles(col("text")).as("gs"))
+      .filter(size(col("gs")) > 0))
+    val post = sh.select(col("doc_id"), explode(col("gs")).as("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("df") <= ContainDfCap)
+      .drop("df")
+    val cand = post.as("a")
+      .join(post.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContainMinShared)
+      .select("doc_a", "doc_b")
+    val gsets = sh.select("doc_id", "gs")
+    val smallerA = size(col("gs_a")) <= size(col("gs_b"))
+    cand
+      .join(gsets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(gsets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("double") /
+          least(size(col("gs_a")), size(col("gs_b"))))
+      .filter(col("containment") >= ContainTau)
+      .select(
+        when(smallerA, col("doc_a")).otherwise(col("doc_b")).as("contained"),
+        when(smallerA, col("doc_b")).otherwise(col("doc_a")).as("container"),
+        round(col("containment"), 3).as("containment"))
+      .orderBy("contained", "container")
+  }
+
   /** SRP-LSH geometry for d5: SrpTables hash tables of SrpBits
     * sign-bit random projections each. Candidates are same-bucket pairs
     * in ANY table; exact cosine verifies them. Projection weights are
@@ -421,6 +501,7 @@ object Dedup {
     "q_d4_dedup_ngram_jaccard" -> d4NgramJaccard,
     "q_d5_dedup_embedding" -> d5EmbedNearDup,
     "q_d6_simhash_pairs" -> d6SimhashPairs,
+    "q_d14_containment" -> d14Containment,
   )
 
   // Shared oracle CTEs: tokenization + shingling identical to the Scala
@@ -584,5 +665,31 @@ object Dedup {
          |SELECT id_a, id_b, round(sim, 3) AS sim FROM v
          |WHERE sim >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin
     },
+    "q_d14_containment" ->
+      s"""$shingleCte,
+         |post AS (
+         |  SELECT doc_id, g FROM (
+         |    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df
+         |    FROM (SELECT doc_id, unnest(gs) AS g FROM sh) z
+         |  ) w WHERE df <= $ContainDfCap
+         |),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $ContainMinShared
+         |),
+         |ver AS (
+         |  SELECT c.doc_a, c.doc_b, len(x.gs) AS sz_a, len(y.gs) AS sz_b,
+         |         len(list_intersect(x.gs, y.gs))::DOUBLE
+         |           / least(len(x.gs), len(y.gs)) AS containment
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b
+         |)
+         |SELECT CASE WHEN sz_a <= sz_b THEN doc_a ELSE doc_b END AS contained,
+         |       CASE WHEN sz_a <= sz_b THEN doc_b ELSE doc_a END AS container,
+         |       round(containment, 3) AS containment
+         |FROM ver WHERE containment >= $ContainTau
+         |ORDER BY contained, container""".stripMargin,
   )
 }

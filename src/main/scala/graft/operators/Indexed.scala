@@ -1351,7 +1351,35 @@ object Indexed {
     }.reduce(_ union _).orderBy("nprobe")
   }
 
+  /** V22: cluster-balance audit — the fourth maintenance primitive,
+    * completing coverage ([[v20IndexCoverage]]), quality
+    * ([[v19RecallGrid]]) and tuning ([[v21NprobeCurve]]) with LAYOUT:
+    * per-cell row counts of the stored assignment table, including
+    * EMPTY cells (a dead centroid wastes a probe slot; a fat cell makes
+    * its probe read |cell| rows — both are the "re-cluster now" signal
+    * continuous ingest drifts toward). `share_x1000` is floor(sz·1000 /
+    * total): sizes and counts are exact integers, the one division is
+    * floored on identically-computed doubles, so the row set is
+    * hash-exact cross-engine. One groupBy of the integer assignment
+    * table + a [[CentroidK]]-row static frame joined in — at 100 TB
+    * this is a single map-side-combined shuffle over (vec_id, cluster)
+    * ints, nothing else.
+    */
+  val v22ClusterBalance: Relational.Q = (s, d) => {
+    val assign = s.read.parquet(ensureAssignments(s, d))
+    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("sz"))
+    val cells = s.range(CentroidK).select(col("id").cast("int").as("cluster"))
+    val total = sizes.agg(sum("sz").as("n_total"))
+    cells.join(sizes, Seq("cluster"), "left")
+      .na.fill(0L, Seq("sz"))
+      .crossJoin(total)
+      .select(col("cluster"), col("sz"),
+        floor(col("sz") * lit(1000.0) / col("n_total")).cast("long").as("share_x1000"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_v22_cluster_balance" -> v22ClusterBalance,
     "q_v21_nprobe_curve" -> v21NprobeCurve,
     "q_v20_index_coverage" -> v20IndexCoverage,
     "q_v19_recall_grid" -> v19RecallGrid,
@@ -1376,7 +1404,25 @@ object Indexed {
     oracleSqlBase +
       ("q_v19_recall_grid" -> v19OracleSql) +
       ("q_v20_index_coverage" -> v20OracleSql) +
-      ("q_v21_nprobe_curve" -> v21OracleSql)
+      ("q_v21_nprobe_curve" -> v21OracleSql) +
+      ("q_v22_cluster_balance" -> v22OracleSql)
+
+  /** v22: same per-cell counts over the same stored assignment table,
+    * empty cells materialized from a range frame; the one division is
+    * floored identically (exact integer inputs).
+    */
+  private def v22OracleSql: String =
+    s"""WITH sz AS (
+       |  SELECT cluster, count(*) AS sz
+       |  FROM read_parquet('${oPath("v10_assign", AssignTag)}/*.parquet')
+       |  GROUP BY 1
+       |),
+       |tot AS (SELECT sum(sz) AS n_total FROM sz),
+       |cells AS (SELECT unnest(range(0, $CentroidK))::INT AS cluster)
+       |SELECT c.cluster, COALESCE(s.sz, 0)::BIGINT AS sz,
+       |       CAST(floor(COALESCE(s.sz, 0) * 1000.0 / t.n_total) AS BIGINT) AS share_x1000
+       |FROM cells c LEFT JOIN sz s USING (cluster) CROSS JOIN tot t
+       |ORDER BY cluster""".stripMargin
 
   /** v21: shared exact/probe CTEs, one candidate + top-10 block per
     * probe width; the exact distances are computed once (`dist_all`)

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Indexed}
+import org.apache.spark.sql.functions._
+
+/** d14 containment dedup + v22 cluster balance.
+  *
+  * The d14 synthetic fixture is the operator's reason to exist: a short
+  * doc quoted wholesale inside a much longer one. Symmetric Jaccard on
+  * the pair is |A|/|B| (small by construction, far under
+  * [[Dedup.JaccardThreshold]]), so the d2 family never pairs them —
+  * containment must.
+  */
+class ContainmentSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("d14 finds a short doc embedded in a long one that Jaccard misses") {
+    val quoted = (1 to 12).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val filler = (1 to 120).map(i => s"filler$i noise$i pad$i").mkString(" ")
+    val fixture = docs(
+      1L -> quoted,                      // the short original
+      2L -> s"$filler $quoted",          // quotes it wholesale
+      3L -> (1 to 40).map(i => s"unrelated$i token$i").mkString(" "))
+
+    val pairs = Dedup.d14ContainmentOn(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the (contained=1, container=2) pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 0.9, s"wholesale quote must score near 1.0: ${pairs.head._3}")
+
+    // the same pair is invisible to symmetric Jaccard at the d2 threshold
+    val jacPairs = Dedup.d2MinhashLshOn(fixture).collect()
+    assert(jacPairs.isEmpty,
+      s"fixture must sit below the symmetric-Jaccard threshold, got ${jacPairs.toSeq}")
+  }
+
+  test("d14 respects the df cap: shared boilerplate alone pairs nothing") {
+    // every doc shares one identical boilerplate sentence (df = all docs
+    // > ContainDfCap is impossible at 3 docs, so use distinct bodies and
+    // verify min-shared instead: a single common shingle is pruned by
+    // ContainMinShared)
+    val fixture = docs(
+      1L -> ("common header line " + (1 to 30).map(i => s"a$i b$i").mkString(" ")),
+      2L -> ("common header line " + (1 to 30).map(i => s"c$i d$i").mkString(" ")))
+    assert(Dedup.d14ContainmentOn(fixture).collect().isEmpty)
+  }
+
+  test("d14 plan: no cartesian product, candidates via the shingle equi-join") {
+    val p = Dedup.d14ContainmentOn(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), "containment must never go all-pairs")
+  }
+
+  test("v22 cluster balance: every cell accounted, shares floor-exact") {
+    val rows = Indexed.v22ClusterBalance(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == Indexed.CentroidK, "one row per centroid cell, empty included")
+    assert(rows.map(_._1).toSeq == (0 until Indexed.CentroidK).toSeq)
+    val total = rows.map(_._2).sum
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(total == corpus, s"cell sizes must partition the corpus: $total vs $corpus")
+    rows.foreach { case (cid, sz, share) =>
+      assert(share == sz * 1000L / total, s"share_x1000 drifted for cell $cid")
+    }
+  }
+}
