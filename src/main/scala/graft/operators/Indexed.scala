@@ -1378,7 +1378,54 @@ object Indexed {
       .orderBy("cluster")
   }
 
+  /** v23 tail thresholds on the per-subspace reconstruction error —
+    * 0.5 ≈ the measured p90 and 0.625 ≈ the near-max tail at build time
+    * (both exactly-representable doubles, the BandLo/BandHi discipline:
+    * the > compare then evaluates bit-identically cross-engine on the
+    * identically-accumulated distance).
+    */
+  val QErrTau = 0.5
+  val QErrTau2 = 0.625
+
+  /** V23: quantization-error audit — the codebook-drift monitor that
+    * closes the maintenance loop: [[v19RecallGrid]] says recall
+    * DROPPED, v23 says WHY — the frozen PQ codebook no longer fits the
+    * corpus distribution (appended vectors reconstruct badly), which is
+    * the retrain-vs-retune decision at 100 TB (retraining re-encodes
+    * every stored code; you want evidence first). Per subspace: corpus
+    * count and how many vectors' reconstruction error
+    * ‖x_m − cb[m][code_m]‖ exceeds the build-time tail thresholds. A
+    * healthy frozen codebook holds the tail counts near build-time
+    * rates; drift shows as the tail swelling, per subspace (one
+    * degenerate subspace — from, say, a new embedding model version —
+    * is visible on its own row).
+    *
+    * Cost shape: one keyed join (embeddings ⋈ codes on vec_id — both
+    * bulk tables are vec_id-sorted), 4 codegen distance kernels per
+    * row against a broadcast 16-entry centroid literal, one 4-key
+    * map-side-combined groupBy. Integer output; the only doubles are
+    * per-row compares (no cross-row float summation).
+    */
+  val v23QuantError: Relational.Q = (s, d) => {
+    val cb = ensureCodebook(s, d)
+    val subDim = cb.head.head.size
+    val codes = s.read.parquet(ensurePqCodes(s, d))
+    val errs = (0 until PqM).map { m =>
+      val sub = slice(col("embedding"), m * subDim + 1, subDim)
+      val cent = element_at(array(cb(m).map(c => typedlit(c)): _*), col(s"code$m") + 1)
+      euclidean(sub, cent)
+    }
+    embeddings(s, d).select("vec_id", "embedding").join(codes, "vec_id")
+      .select(posexplode(array(errs: _*)).as(Seq("m", "err")))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("err") > QErrTau, 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("err") > QErrTau2, 1L).otherwise(0L)).as("n_outlier"))
+      .orderBy("m")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_v23_quant_error" -> v23QuantError,
     "q_v22_cluster_balance" -> v22ClusterBalance,
     "q_v21_nprobe_curve" -> v21NprobeCurve,
     "q_v20_index_coverage" -> v20IndexCoverage,
@@ -1405,7 +1452,37 @@ object Indexed {
       ("q_v19_recall_grid" -> v19OracleSql) +
       ("q_v20_index_coverage" -> v20OracleSql) +
       ("q_v21_nprobe_curve" -> v21OracleSql) +
-      ("q_v22_cluster_balance" -> v22OracleSql)
+      ("q_v22_cluster_balance" -> v22OracleSql) +
+      ("q_v23_quant_error" -> v23OracleSql)
+
+  /** v23: per-vector per-subspace reconstruction distance with the
+    * same unnest-zip double accumulation as the v12 rerank CTE, then
+    * integer tail counts at the two exactly-representable thresholds.
+    */
+  private def v23OracleSql: String = {
+    val codeMatch = (0 until PqM)
+      .map(m => s"(cb.m = $m AND cb.code = j.code$m)").mkString(" OR ")
+    val codeCols = (0 until PqM).map(m => s"c.code$m").mkString(", ")
+    s"""WITH cb AS (SELECT m, code, centroid FROM read_parquet('${oPath("v12_codebook", PqCbTag)}/*.parquet')),
+       |codes AS (SELECT * FROM read_parquet('${oPath("v12_codes", PqCbTag)}/*.parquet')),
+       |sd AS (SELECT len(centroid) AS sub FROM cb LIMIT 1),
+       |j AS (
+       |  SELECT e.vec_id, e.embedding, $codeCols
+       |  FROM embeddings e JOIN codes c ON e.vec_id = c.vec_id
+       |),
+       |err AS (
+       |  SELECT vec_id, m, sqrt(sum((a-b)*(a-b))) AS err
+       |  FROM (SELECT j.vec_id, cb.m,
+       |               unnest(j.embedding[cb.m*sd.sub+1 : cb.m*sd.sub+sd.sub])::DOUBLE AS a,
+       |               unnest(cb.centroid)::DOUBLE AS b
+       |        FROM j CROSS JOIN sd JOIN cb ON $codeMatch) z
+       |  GROUP BY vec_id, m
+       |)
+       |SELECT m, count(*)::BIGINT AS n_vecs,
+       |       CAST(sum(CASE WHEN err > $QErrTau THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+       |       CAST(sum(CASE WHEN err > $QErrTau2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+       |FROM err GROUP BY m ORDER BY m""".stripMargin
+  }
 
   /** v22: same per-cell counts over the same stored assignment table,
     * empty cells materialized from a range frame; the one division is

@@ -30,6 +30,13 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_PROBE_OPS=d14,minhash probes a subset (skipped ops
+    // report 0.0s in the summary line — dev tool, not an artifact)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_OPS").filter(_.trim.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def timeIf(name: String)(f: => Unit): Double =
+      if (only.forall(_.contains(name))) time(f) else 0.0
+
     def replicate(df: DataFrame, idCol: String, n: Int): DataFrame =
       df.crossJoin(spark.range(n).select(col("id").as("__rep")))
         .withColumn(idCol, col(idCol) * n + col("__rep")).drop("__rep")
@@ -51,18 +58,18 @@ object ScaleProbe {
       val nDocs = docs.count(); val nVec = emb.count()
 
       // 1. minhash LSH dedup (candidate-driven, must stay near-linear)
-      val tMinhash = time {
+      val tMinhash = timeIf("minhash") {
         graft.operators.Dedup.d2MinhashLshOn(docs)
           .write.format("noop").mode("overwrite").save()
       }
       // 2. simhash signatures (pure map)
-      val tSimhash = time {
+      val tSimhash = timeIf("simhash") {
         graft.operators.Dedup.d3SimhashOn(docs)
           .write.format("noop").mode("overwrite").save()
       }
       // 3. brute-force kNN (linear scan, TakeOrderedAndProject)
       val q = emb0.limit(1).select("embedding").head().getSeq[Float](0)
-      val tKnn = time {
+      val tKnn = timeIf("knn") {
         emb.withColumn("dist", euclidean(col("embedding"), typedlit(q)))
           .orderBy(col("dist").asc).limit(10)
           .write.format("noop").mode("overwrite").save()
@@ -70,13 +77,13 @@ object ScaleProbe {
       // 4. index build (embed + pivot distances + partitioned write)
       val embedder = HashingEmbedder(dims = 64)
       val pivots = Pivots.fromSample(emb0, "vec_id", "embedding", 5)
-      val tIndex = time {
+      val tIndex = timeIf("index") {
         IndexBuild.buildFromDocuments(
           docs.select(col("doc_id").cast("string").as("id"), col("text")),
           "id", "text", embedder, pivots, s"$work/idx_x$n")
       }
       // 5. simhash prefix-band pairs (r3 shape: band join, no payload block)
-      val tSimPairs = time {
+      val tSimPairs = timeIf("simpairs") {
         import org.apache.spark.sql.expressions.Window
         val sigs = graft.operators.Dedup.d3SimhashOn(docs)
         val bands = sigs.select(col("doc_id"), col("simhash"),
@@ -97,24 +104,24 @@ object ScaleProbe {
       }
       // 6-8: the r4 operators (r5 verdict item 6) — the whole registered
       // query runs over the replica dir, so caps/windows are the real ones
-      val tD10 = time {
+      val tD10 = timeIf("d10") {
         graft.operators.Corpus.d10PassageDedup(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
-      val tD11 = time {
+      val tD11 = timeIf("d11") {
         graft.operators.Corpus.d11FuzzyEdit(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
-      val tT15 = time {
+      val tT15 = timeIf("t15") {
         graft.operators.Corpus.t15Repetition(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
       // 9-10: the r7 operators — registered queries over the replica
-      val tD13 = time {
+      val tD13 = timeIf("d13") {
         graft.operators.Corpus.d13Leakage(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
-      val tT16 = time {
+      val tT16 = timeIf("t16") {
         graft.operators.TextAnalysis.t16QuotaSample(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
@@ -122,7 +129,7 @@ object ScaleProbe {
       // parallelism, so the probe watches for the per-shard sort
       // becoming the bottleneck as rows/shard grows (production uses
       // O(10k) shards, same plan shape)
-      val tT17 = time {
+      val tT17 = timeIf("t17") {
         graft.operators.TextAnalysis.t17ShardManifest(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
@@ -132,7 +139,7 @@ object ScaleProbe {
       // within-cluster pair work stays O(Σ|c|²) ≈ O(N^1.5)). Assignment
       // here is the broadcast-centroids × corpus equi-shape (N·k
       // distances, one groupBy argmin), not a k-wide literal expression.
-      val tD12 = time {
+      val tD12 = timeIf("d12") {
         import spark.implicits._
         val kk = math.max(8, math.sqrt(nVec.toDouble).toInt)
         val cents = Pivots.learnKMeans(emb, "embedding", kk)
@@ -152,12 +159,31 @@ object ScaleProbe {
       // 12-13: the r9 text operators — registered queries over the
       // replica (t18 is a pure per-row fan-out, t19 a heap aggregate +
       // broadcast targets; both should show RISING docs/s with scale)
-      val tT18 = time {
+      val tT18 = timeIf("t18") {
         graft.operators.TextAnalysis.t18Chunk(spark, sfLike)
           .write.format("noop").mode("overwrite").save()
       }
-      val tT19 = time {
+      val tT19 = timeIf("t19") {
         graft.operators.TextAnalysis.t19TemperatureMix(spark, sfLike)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // 15: d14 containment over a replica with UNIQUE text per copy
+      // (every token suffixed with the replica nr, so shingles differ
+      // across copies): identical-copy replication would synthesize the
+      // exact-duplicate explosion that the upstream d1 stage removes in
+      // the pipeline (n copies of one doc = C(n,2) containment-1.0
+      // pairs per doc — a fixture property, not an operator cost; on an
+      // UN-deduped duplicate-heavy corpus the df cap bounds the blowup
+      // to Σ_g C(min(df_g, cap), 2), the d2 MaxBucket reasoning). What
+      // this measures is postings + window df + equi-join growth on
+      // n×-unique content — the 100 TB claim.
+      val tD14 = timeIf("d14") {
+        val uniqText = docs
+          .withColumn("__rep", (col("doc_id") % n).cast("string"))
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1"), col("__rep"))))
+          .drop("__rep")
+        graft.operators.Dedup.d14ContainmentOn(uniqText)
           .write.format("noop").mode("overwrite").save()
       }
       graft.operators.Dedup.releaseSlots()
@@ -175,7 +201,8 @@ object ScaleProbe {
         f"t17=$tT17%5.1fs (${nDocs / tT17}%8.0f docs/s)  " +
         f"d12=$tD12%6.1fs (${nVec / tD12}%8.0f vec/s)  " +
         f"t18=$tT18%5.1fs (${nDocs / tT18}%8.0f docs/s)  " +
-        f"t19=$tT19%5.1fs (${nDocs / tT19}%8.0f docs/s)")
+        f"t19=$tT19%5.1fs (${nDocs / tT19}%8.0f docs/s)  " +
+        f"d14=$tD14%6.1fs (${nDocs / tD14}%8.0f docs/s)")
     }
     spark.stop()
   }

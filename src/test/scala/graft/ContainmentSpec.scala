@@ -56,6 +56,27 @@ class ContainmentSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "containment must never go all-pairs")
   }
 
+  test("v23 quant error: tail counts match build-time rates, drift swells them") {
+    val rows = Indexed.v23QuantError(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0 until Indexed.PqM).toSeq, "one row per subspace")
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    rows.foreach { case (m, n, tail, outlier) =>
+      assert(n == corpus, s"subspace $m must audit every vector")
+      assert(outlier <= tail, s"nested thresholds must nest: m=$m $outlier > $tail")
+      // the thresholds sit at the build-time p90 / near-max: a healthy
+      // frozen codebook keeps the tail a minority and outliers rare
+      assert(tail < n / 2, s"m=$m: p90-threshold tail must be a minority, got $tail/$n")
+      assert(outlier < n / 10, s"m=$m: near-max outliers must be rare, got $outlier/$n")
+    }
+
+    // no cartesian, and the 4-key groupBy partial-aggregates map-side
+    val p = Indexed.v23QuantError(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n${p.take(1500)}")
+  }
+
   test("v22 cluster balance: every cell accounted, shares floor-exact") {
     val rows = Indexed.v22ClusterBalance(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
