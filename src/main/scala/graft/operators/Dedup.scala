@@ -370,10 +370,14 @@ object Dedup {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("gs"))
       .filter(size(col("gs")) > 0))
-    val post = sh.select(col("doc_id"), explode(col("gs")).as("g"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("df") <= ContainDfCap)
-      .drop("df")
+    // capped postings feed BOTH self-join sides; the broadcast side
+    // cannot ReusedExchange the window subtree, so uncached the
+    // explode+window-df pass runs twice (verified in the physical plan)
+    val post = cacheSlot("contain-postings",
+      sh.select(col("doc_id"), explode(col("gs")).as("g"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .filter(col("df") <= ContainDfCap)
+        .drop("df"))
     val cand = post.as("a")
       .join(post.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
