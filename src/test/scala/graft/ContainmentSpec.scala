@@ -38,15 +38,35 @@ class ContainmentSpec extends SparkSuite {
       s"fixture must sit below the symmetric-Jaccard threshold, got ${jacPairs.toSeq}")
   }
 
-  test("d14 respects the df cap: shared boilerplate alone pairs nothing") {
-    // every doc shares one identical boilerplate sentence (df = all docs
-    // > ContainDfCap is impossible at 3 docs, so use distinct bodies and
-    // verify min-shared instead: a single common shingle is pruned by
-    // ContainMinShared)
+  test("d14 min-shared prune: a short common header alone pairs nothing") {
     val fixture = docs(
       1L -> ("common header line " + (1 to 30).map(i => s"a$i b$i").mkString(" ")),
       2L -> ("common header line " + (1 to 30).map(i => s"c$i d$i").mkString(" ")))
     assert(Dedup.d14ContainmentOn(fixture).collect().isEmpty)
+  }
+
+  test("d14 df cap: corpus-wide boilerplate shingles stop generating candidates") {
+    // every doc = the same 8-token boilerplate block (6 shingles, enough
+    // to clear the min-shared prune) + unique filler. With nDocs > the
+    // cap, every boilerplate shingle has df = nDocs > ContainDfCap and
+    // is dropped from the postings — no candidates at all. The SAME
+    // corpus truncated under the cap is the positive control: those
+    // shingles survive and every doc pair is a candidate (then the
+    // exact verify scores them low — boilerplate is a minority of each
+    // doc — so candidates are counted on the pre-verify pipeline).
+    def boiler(id: Long) =
+      id -> ("shared head block of eight tokens exactly " +
+        (1 to 20).map(i => s"u${id}x$i").mkString(" "))
+    val over = docs((0L until (Dedup.ContainDfCap + 2L)).map(boiler): _*)
+    assert(Dedup.d14ContainmentOn(over).collect().isEmpty,
+      "df > cap must drop the boilerplate postings entirely")
+
+    val under = docs((0L until (Dedup.ContainDfCap - 50L)).map(boiler): _*)
+    val sh = under.select(col("doc_id"), Dedup.shingles(col("text")).as("gs"))
+    val candAlive = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(size(array_intersect(col("a.gs"), col("b.gs"))) >= Dedup.ContainMinShared)
+      .count()
+    assert(candAlive > 0, "control: under the cap the shared shingles must pair")
   }
 
   test("d14 plan: no cartesian product, candidates via the shingle equi-join") {
