@@ -92,6 +92,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** Uniform-stride frame sampling: split the opaque media bytes into
+    * fixed-size frames and emit up to `maxFrames` of them, evenly
+    * spaced (index floor(j·n/k), strictly increasing since n ≥ k) —
+    * the video-pipeline pass that bounds per-asset downstream cost no
+    * matter how long the asset is. Pure columnar (sequence + explode +
+    * binary substring — no codec, stays in codegen), one row per
+    * sampled frame carrying the frame bytes for a downstream
+    * [[extractFeatures]]. Media bytes still never cross a shuffle: the
+    * fan-out is a per-row Generate over the scan. A real video codec
+    * replaces byte-ranges with decoded frames at the same geometry.
+    */
+  def frameSample(assets: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame =
+    assets
+      .withColumn("n_frames", (length(col("media")) / frameBytes).cast("long"))
+      .filter(col("n_frames") >= 1)
+      .withColumn("k", least(lit(maxFrames.toLong), col("n_frames")))
+      .select(col("*"), explode(sequence(lit(0L), col("k") - 1)).as("j"))
+      .withColumn("frame_idx", expr("(j * n_frames) DIV k"))
+      .withColumn("frame",
+        expr(s"substring(media, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
+      .drop("j", "k")
+
   /** Metadata-level operators need no codec at all — pure columnar. */
   def metadataStats(assets: DataFrame): DataFrame =
     assets.groupBy("kind").agg(

@@ -354,6 +354,36 @@ object Advanced {
         substring(col("text"), 1, 16).as("head"))
       .orderBy("doc_id")
 
+  /** M2 frame-sampling geometry (mirrored in the oracle). */
+  val FrameChars = 256
+  val MaxFrames = 4
+
+  /** M2: uniform-stride frame sampling over the binary payload — the
+    * [[graft.multimodal.Multimodal.frameSample]] geometry made
+    * oracle-checkable by treating each document's (ASCII) text bytes
+    * as the opaque media column, the same stand-in [[m1BinaryMeta]]
+    * uses. Per asset: n_frames = ⌊bytes/256⌋, k = min(4, n_frames)
+    * sampled at frame_idx = ⌊j·n_frames/k⌋ (strictly increasing since
+    * n ≥ k — no duplicate frames), one output row per sampled frame
+    * whose md5 attests the exact byte range. All-integer geometry +
+    * md5 strings → hash-exact; per-row fan-out only, media bytes never
+    * shuffle (the Generate sits on the scan; the only Exchange is the
+    * output sort's).
+    */
+  val m2FrameSample: Relational.Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / FrameChars).cast("long").as("n_frames"))
+      .filter(col("n_frames") >= 1)
+      .withColumn("k", least(lit(MaxFrames.toLong), col("n_frames")))
+      .select(col("doc_id"), col("text"), col("n_frames"),
+        explode(sequence(lit(0L), col("k") - 1)).as("j"), col("k"))
+      .withColumn("frame_idx", expr("(j * n_frames) DIV k"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(expr(s"CAST(substring(text, CAST(frame_idx * $FrameChars + 1 AS INT), $FrameChars) AS BINARY)"))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
   /** CDC MERGE: apply a change batch (updates / deletes / inserts) to a
     * base table in ONE full-outer join — the incremental-maintenance
     * primitive behind upsert sinks and slowly-changing tables. The
@@ -435,6 +465,7 @@ object Advanced {
     "q_bloom_join" -> bloomJoin,
     "q_t7_bigrams" -> t7Bigrams,
     "q_m1_binary_meta" -> m1BinaryMeta,
+    "q_m2_frame_sample" -> m2FrameSample,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -608,5 +639,20 @@ object Advanced {
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
         |       md5(text) AS payload_md5, substr(text, 1, 16) AS head
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_m2_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text, (length(text) // $FrameChars)::BIGINT AS n_frames
+         |  FROM documents
+         |),
+         |fk AS (
+         |  SELECT doc_id, text, n_frames, least($MaxFrames, n_frames) AS k
+         |  FROM f WHERE n_frames >= 1
+         |),
+         |j AS (
+         |  SELECT doc_id, text, n_frames, k, unnest(range(0, k)) AS j FROM fk
+         |)
+         |SELECT doc_id, n_frames, ((j * n_frames) // k)::BIGINT AS frame_idx,
+         |       md5(substring(text, ((j * n_frames) // k * $FrameChars + 1)::BIGINT, $FrameChars)) AS frame_md5
+         |FROM j ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -40,4 +40,31 @@ class MultimodalSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats === Map("audio" -> 1L, "image" -> 3L))
   }
+
+  test("frame sampling: uniform stride, exact byte ranges, bounded fan-out") {
+    // 1000-byte "video" = 100 frames of 10 bytes; 25-byte one = 2 frames;
+    // 5-byte one = 0 frames (dropped); null media dropped
+    val bytes1000 = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val rows = Seq(
+      Row(10L, "video", bytes1000, "video/mp4", Row(null, null, 40000L)),
+      Row(11L, "video", Array.tabulate[Byte](25)(_.toByte), "video/mp4", Row(null, null, 1000L)),
+      Row(12L, "video", Array.tabulate[Byte](5)(_.toByte), "video/mp4", Row(null, null, 200L)),
+      Row(13L, "video", null, null, Row(null, null, null)))
+    val vids = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+
+    val out = Multimodal.frameSample(vids, frameBytes = 10, maxFrames = 4)
+      .select("asset_id", "n_frames", "frame_idx", "frame")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3)))
+
+    // asset 10: k=4 of 100 frames at idx 0,25,50,75; asset 11: both frames
+    assert(out.map(t => (t._1, t._3)).sorted.toSeq ==
+      Seq((10L, 0L), (10L, 25L), (10L, 50L), (10L, 75L), (11L, 0L), (11L, 1L)))
+    out.filter(_._1 == 10L).foreach { case (_, nf, idx, frame) =>
+      assert(nf == 100L)
+      assert(frame.toSeq == bytes1000.slice(idx.toInt * 10, idx.toInt * 10 + 10).toSeq,
+        s"frame $idx must be the exact byte range")
+    }
+  }
 }
