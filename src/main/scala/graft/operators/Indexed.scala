@@ -1405,6 +1405,13 @@ object Indexed {
     * row against a broadcast 16-entry centroid literal, one 4-key
     * map-side-combined groupBy. Integer output; the only doubles are
     * per-row compares (no cross-row float summation).
+    *
+    * The join is inner by design: a corpus vector MISSING from the
+    * codes table is a coverage fault, not a quality fault — it shows
+    * up in [[v20IndexCoverage]]'s `n_missing`, and counting it here
+    * would conflate the two alerts (n_vecs = audited rows makes the
+    * split explicit: v20.n_rows − v23.n_vecs ≡ 0 when coverage is
+    * clean).
     */
   val v23QuantError: Relational.Q = (s, d) => {
     val cb = ensureCodebook(s, d)
