@@ -207,6 +207,16 @@ class PlanAuditSpec extends SparkSuite {
       s"chunking must not hash-shuffle document data:\n${p.take(3000)}")
   }
 
+  test("m2 frame sampling: per-row fan-out, media bytes never hash-shuffle") {
+    val p = plan(graft.operators.Advanced.m2FrameSample(spark, sf0001))
+    assert(p.contains("Generate explode"),
+      s"frame fan-out must plan as a Generate (codegen explode):\n${p.take(3000)}")
+    // only the output ORDER BY's rangepartitioning may move rows; a
+    // hashpartitioning would mean the sampler shuffles payload bytes
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"frame sampling must not hash-shuffle asset data:\n${p.take(3000)}")
+  }
+
   test("t19 temperature mix: map-side heap partials, broadcast targets, tiny scalar window") {
     val p = plan(graft.operators.TextAnalysis.t19TemperatureMix(spark, sf0001))
     assert(p.contains("partial_topk"),
