@@ -329,11 +329,12 @@ object Dedup {
   val ContainDfCap = 100
   val ContainMinShared = 4
 
-  /** Containment verify threshold: |A∩B| / min(|A|,|B|) — asymmetric
-    * near-dup. 0.8 is exactly representable? No — but the compare is on
-    * an identically-computed double in both engines (int sizes, one
-    * division), so the boundary is deterministic cross-engine the same
-    * way [[JaccardThreshold]] is.
+  /** Containment verify threshold on |A∩B| / min(|A|,|B|). 0.8 is not
+    * exactly representable, but both engines parse the literal to the
+    * same double and compare it against an identically-computed value
+    * (integer set sizes, one correctly-rounded division), so the
+    * boundary is deterministic cross-engine the same way
+    * [[JaccardThreshold]]'s is.
     */
   val ContainTau = 0.8
 
