@@ -61,24 +61,22 @@ object Dedup {
   }
 
   /** Distinct 3-word shingles of the text (empty for docs under 3
-    * tokens).
+    * tokens), first-occurrence order.
     *
-    * Built from three aligned `slice`s zipped together rather than
-    * per-index `element_at` lookups: HOF lambdas defeat common-
-    * subexpression elimination, so an `element_at(tokens, i)` form
-    * re-evaluates the whole `split()` for every lambda invocation
-    * (~3 regex splits per *shingle*); the slice+zip_with form costs a
-    * constant handful of splits per *row* — measured 8× faster on the
-    * sf0.1 corpus.
+    * Evolution of this hot path (it feeds d2/d8/d11/d13/d14 and the
+    * pipeline's decontamination stage): per-index `element_at` lookups
+    * re-evaluated the whole `split()` per lambda invocation (HOF
+    * lambdas defeat common-subexpression elimination — ~3 regex splits
+    * per *shingle*); the slice+zip_with form cut that to a constant
+    * handful of splits per *row* (measured 8× faster at sf0.1); the
+    * [[graft.functions.Shingles3]] kernel now fuses tokenize + build +
+    * distinct into one pass per row, element-for-element identical to
+    * the HOF chain (`ShingleKernelSpec` proves it on both corpora and
+    * the whitespace/unicode edges), so every shingle-based DuckDB
+    * oracle below is untouched.
     */
-  def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    def sl(off: Int) = slice(toks, lit(off), greatest(size(toks) - 2, lit(0)))
-    array_distinct(
-      zip_with(
-        zip_with(sl(1), sl(2), (a, b) => concat(a, lit(" "), b)),
-        sl(3), (ab, c) => concat(ab, lit(" "), c)))
-  }
+  def shingles(text: Column): Column =
+    graft.functions.ShingleKernel.shingles3(text)
 
   /** 28-bit base hash of a string: first 7 hex chars of md5 —
     * deterministic and reproducible in any engine that has md5 (the
