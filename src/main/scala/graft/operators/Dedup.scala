@@ -341,8 +341,10 @@ object Dedup {
     * wholesale inside a much longer one scores |A∩B|/|A∪B| ≈ |A|/|B|
     * (arbitrarily low) but containment |A∩B|/min(|A|,|B|) ≈ 1. Training
     * pipelines run this against boilerplate wrappers and quote-
-    * expansion dups (reference analogue: its dedup story stops at exact
-    * equality, `src/store.ts:63-71` — containment is the scale
+    * expansion dups (reference analogue: its dedup story stops at
+    * id-identity — the embed pipeline skips docs whose primary key is
+    * already stored and upserts by `doc.primary`,
+    * `src/database.ts:184-200` — containment is the content-level scale
     * extension of the same intent).
     *
     * Scale shape (the d8/d11 inverted-index discipline, not LSH: a

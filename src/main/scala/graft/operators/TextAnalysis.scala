@@ -154,8 +154,10 @@ object TextAnalysis {
     * chunk text itself is emitted as an md5 so the output stays
     * id-sized while still attesting the exact window content. The
     * reference has no chunking (its unit IS the document); this is the
-    * op its users run upstream before embedding
-    * (`/root/reference/src/embeddings.ts` embeds whole docs).
+    * op its users run upstream before embedding — the reference embeds
+    * each whole `doc.body` as one vector
+    * (`/root/reference/src/database.ts:193`, via the single-text
+    * pipeline `/root/reference/src/vector.ts:24-38`).
     */
   val t18Chunk: Relational.Q = (s, d) => {
     val W = lit(ChunkTokens.toLong)
@@ -377,9 +379,11 @@ object TextAnalysis {
     * UTF-8 octet length of the payload (`octet_length`), NOT the
     * character count — on any non-ASCII corpus a reader seeking by
     * char-count offsets would land mid-character. The reference analogue
-    * is its paged dump/restore (`/root/reference/src/index.ts:131-149`
-    * exports documents in deterministic id order); the manifest shape is
-    * the distributed generalization.
+    * is its JSON dump/restore surface (the json-dump plugin registered
+    * at `/root/reference/src/database.ts:17,34`; the `exportJSON` call
+    * sketched at `/root/reference/src/index.ts:14-15`), which exports
+    * the whole collection as one blob; the manifest shape is the
+    * distributed, seekable generalization.
     */
   val t17ShardManifest: Relational.Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
