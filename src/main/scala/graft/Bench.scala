@@ -30,15 +30,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Double = {
-      val t0 = System.nanoTime()
+    // Process-CPU time alongside wall time (r9 verdict #1): on a shared
+    // sandbox, wall time alone cannot distinguish "the code got slower"
+    // from "another process ate the cores". cpu/wall ≈ effective
+    // parallelism; a contaminated run shows wall inflating while cpu
+    // stays flat (our process simply wasn't scheduled).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    /** (wall sec, process-cpu sec) for one forced end-to-end run; (-1,-1) on failure. */
+    def force(name: String): (Double, Double) = {
+      val t0 = System.nanoTime(); val c0 = osBean.getProcessCpuTime
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        return (-1.0, -1.0)
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
     }
 
     // Untimed hygiene between queries: drop the previous query's cache
@@ -125,6 +134,32 @@ object Bench {
     // and corrupt the JSON line the driver parses
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+    // Environment sentinel (r9 verdict #1): the r9 driver artifact was
+    // contaminated (d7 21 s / t1 6 s vs judge-re-measured 3.7 / 0.78 on
+    // the same code) and NOTHING in the artifact let a reader tell
+    // "slower code" from "busy sandbox" — the round's regression signal
+    // burned silently. Fix: a fixed calibration query (the q1_agg
+    // scan+shuffle+agg, warmed once untimed) is re-timed every
+    // [[CalibEvery]] queries and at both ends of the run; its code never
+    // changes within a run, so any mid-run drift is BY CONSTRUCTION the
+    // environment, not the diff under test. Each sample also records the
+    // OS 1-min load average (an external-pressure witness independent of
+    // our own process). If calibration drifts >2x its best sample the
+    // artifact self-identifies with a top-level "env_suspect": true —
+    // the judge's bar for discarding a run without a manual re-measure.
+    val CalibEvery = 15
+    val CalibQuery = "q1_agg"
+    val calib = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    def calibrate(after: Int): Unit = {
+      val (w, _) = force(CalibQuery)
+      if (w >= 0) {
+        val load = osBean.getSystemLoadAverage
+        calib += ((after, w, load))
+        println(s"""{"calibration_after":$after,"sec":${r3(w)},"load":${r3(load)}}""")
+      }
+    }
+    force(CalibQuery) // untimed warm so sample 0 is steady-state, like the rest
+
     // Per-query re-run guard (r5 verdict item 1, r7 "what's wrong" #1):
     // a single organic full-GC / JIT / page-cache event can land inside
     // one arbitrary timed query and read as a 2-7x regression of code
@@ -139,11 +174,12 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
     }
-    val results = names.map { n =>
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i % CalibEvery == 0) calibrate(i)
       hygiene()
-      val t1 = force(n)
+      val (t1, c1) = force(n)
       val med = median(kept.toSeq)
-      val t =
+      val (t, cpu) =
         if (t1 > 1.0 && kept.size >= 8 && t1 > 2 * med) {
           // Re-run WITHOUT the GC/rewarm: hygiene's System.gc() flushes
           // JVM caches, so a hygiene'd re-run reproduces the same cold
@@ -157,24 +193,36 @@ object Bench {
           // per-JVM compile amortizes to zero); fast → the first number
           // was compile/GC noise, and keep-min records steady state.
           operators.Dedup.releaseSlots()
-          val t2 = force(n)
+          val (t2, c2) = force(n)
           reruns(n) = (t1, t2)
-          math.min(t1, t2)
-        } else t1
+          if (t2 >= 0 && t2 < t1) (t2, c2) else (t1, c1)
+        } else (t1, c1)
       if (t >= 0) kept += t
       // one SMALL complete JSON line per query, printed as it finishes:
       // a tail-buffered log reader keeps the last window of lines, so
       // the per-query record survives even when the big combined line
       // below is truncated (the r7 artifact lost its first ~28 queries).
-      println(s"""{"q":"$n","sec":${r3(t)}}""")
-      n -> t
+      println(s"""{"q":"$n","sec":${r3(t)},"cpu":${r3(cpu)}}""")
+      n -> (t, cpu)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    calibrate(names.size) // closing sample: drift at run END is recorded too
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val cpus_ = results.map { case (k, (_, c)) => "\"" + k + "\":" + r3(c) }
+      .mkString("{", ",", "}")
+    val calibJson = calib.map { case (after, sec, load) =>
+      s"""{"after":$after,"sec":${r3(sec)},"load":${r3(load)}}"""
+    }.mkString("[", ",", "]")
+    // >2x drift between the best and worst calibration sample = the
+    // machine changed under us mid-run; 0.05 s floor guards the ratio
+    // against a degenerate near-zero best sample.
+    val calibSecs = calib.map(_._2)
+    val envSuspect = calibSecs.nonEmpty &&
+      calibSecs.max > 2 * math.max(calibSecs.min, 0.05)
     val rr = reruns.map { case (k, (a, b)) =>
       "\"" + k + "\":[" + r3(a) + "," + r3(b) + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
 
     // End-to-end corpus pipeline, per-stage (full runs only — a
     // SPARK_GRAFT_ONLY subset run is iterating on queries). Stage times
@@ -206,7 +254,7 @@ object Bench {
     val ps = pipelineStages.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"reruns":$rr,"pipeline":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"pipeline":$ps,"sf":"$sfDir"}"""
     println(full)
     // Belt-and-braces: the complete itemized record also goes to a file
     // in the repo (the driver commits the working tree each round, so
@@ -225,7 +273,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] write history: ${e.getMessage}") }
     // Print a short, complete JSON object LAST so a parseable record
     // always sits inside any tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"env_suspect":$envSuspect}""")
     spark.stop()
   }
 }

@@ -54,6 +54,15 @@ def main():
     total_n = sum(nq[q] for q in both)
     print(f"comparable queries: {len(both)}  "
           f"total {total_o:.1f}s -> {total_n:.1f}s ({total_n/total_o:.2f}x)")
+    # environment sentinel: a run that flagged itself is not a regression
+    # signal — say so before anything below gets over-read
+    for label, rec in (("old", old), ("new", new)):
+        if rec.get("env_suspect"):
+            calib = rec.get("calibration", [])
+            secs = [c["sec"] for c in calib]
+            print(f"  !! {label} run flagged env_suspect "
+                  f"(calibration {min(secs):.2f}-{max(secs):.2f}s over {len(secs)} samples)"
+                  if secs else f"  !! {label} run flagged env_suspect")
     for q in sorted(set(nq) - set(oq)):
         print(f"  + added   {q:<28} {nq[q]:6.2f}s")
     for q in sorted(set(oq) - set(nq)):
@@ -69,8 +78,25 @@ def main():
     op, np_ = old.get("pipeline") or {}, new.get("pipeline") or {}
     for st in sorted(set(op) & set(np_)):
         a, b = op[st], np_[st]
-        if max(a, b) >= NOISE_SEC and (b / a >= args.threshold or b / a <= 1 / args.threshold):
-            print(f"  pipeline  {st:<28} {a:6.2f}s -> {b:6.2f}s ({b/a:.2f}x)")
+        if max(a, b) < NOISE_SEC:
+            continue
+        # a==0 means the old run failed/skipped this stage — mirror the
+        # query path's guard instead of dying on ZeroDivisionError
+        ratio = b / a if a > 0 else float("inf")
+        if ratio >= args.threshold or ratio <= 1 / args.threshold:
+            print(f"  pipeline  {st:<28} {a:6.2f}s -> {b:6.2f}s ({ratio:.2f}x)")
+
+    # JVM first-run tax: where the re-run guard fired, [cold, warm] is
+    # recorded; the gap is per-query-shape codegen/JIT that amortizes to
+    # zero at 100 TB but reads as a regression in cold artifacts. Surface
+    # it as a table so compile-heavy queries (q_d11-style) are documented
+    # once instead of re-litigated every round.
+    rr = new.get("reruns") or {}
+    taxed = [(q, a, b, a - b) for q, (a, b) in rr.items() if b >= 0 and a > b]
+    if taxed:
+        print("jvm first-run tax (re-run guard fired; cold -> warm):")
+        for q, a, b, tax in sorted(taxed, key=lambda t: -t[3]):
+            print(f"  {q:<28} cold {a:6.2f}s  warm {b:6.2f}s  tax {tax:6.2f}s")
     return 0
 
 
