@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.core.Tables._
+import graft.functions.RepetitionKernel
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -483,41 +484,29 @@ object Corpus {
     * machine-generated text scores high on all three and is gated out
     * before training. Everything derives from integer counts (exact on
     * both engines); the two ratios divide those exact integers as
-    * doubles and round. All shuffles key on `doc_id` — per-doc work
-    * only, no cross-doc joins, so the op is embarrassingly parallel at
-    * corpus scale.
+    * doubles and round.
+    *
+    * All five underlying integers come from ONE per-row pass of the
+    * fused [[graft.functions.RepetitionKernel]] (see its scaladoc for
+    * the equivalence contract to the previous explode + window + three-
+    * aggregation formulation, proven in `RepetitionKernelSpec`): zero
+    * data shuffles — only the final presentation `orderBy` exchanges —
+    * so at corpus scale the op is a single embarrassingly-parallel
+    * scan. The null filter replicates the old plan's `explode`
+    * dropping null-text rows.
     */
   val t15Repetition: Relational.Q = (s, d) => {
-    val docs = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val toks = docs.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
-    // longest run: window flags a run break when the token changes, the
-    // running sum of breaks is the run id, run length = rows per id
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val prev = lag("tok", 1).over(w)
-    val runs = toks
-      .withColumn("brk", when(prev.isNull || prev =!= col("tok"), 1).otherwise(0))
-      .withColumn("run_id", sum("brk").over(w))
-    val maxRun = runs.groupBy("doc_id", "run_id").agg(count(lit(1)).as("rl"))
-      .groupBy("doc_id").agg(max("rl").as("max_run"))
-    val tokStats = toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_distinct"))
-    val t = TextAnalysis.tokens(col("text"))
-    val n1 = greatest(size(t) - 1, lit(0))
-    val bg = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
-      (a, b) => concat(a, lit(" "), b))
-    val bgStats = docs.select(col("doc_id"), explode(bg).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_bg"), sum("c").as("n_bg"))
-    tokStats.join(maxRun, "doc_id").join(bgStats, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+    val r = RepetitionKernel.repetitionStats(col("text"))
+    documents(s, d)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+        round(lit(1.0) - col("r.n_distinct").cast("double") / col("r.n_tokens"), 4)
           .as("dup_token_frac"),
-        round(when(col("n_bg") > 0,
-          col("top_bg").cast("double") / col("n_bg")).otherwise(0.0), 4)
+        round(when(col("r.n_bg") > 0,
+          col("r.top_bg").cast("double") / col("r.n_bg")).otherwise(0.0), 4)
           .as("top_bigram_frac"),
-        col("max_run"))
+        col("r.max_run").as("max_run"))
       .orderBy("doc_id")
   }
 

@@ -207,6 +207,17 @@ class PlanAuditSpec extends SparkSuite {
       s"chunking must not hash-shuffle document data:\n${p.take(3000)}")
   }
 
+  test("t15 repetition: fused kernel — single scan, no shuffle before the final sort") {
+    val p = plan(graft.operators.Corpus.t15Repetition(spark, sf0001))
+    assert(p.contains("repetition_stats"),
+      s"t15 must evaluate the fused RepetitionStats kernel:\n${p.take(3000)}")
+    // one Exchange total: the rangepartitioning for the output ORDER BY;
+    // the old formulation paid four doc_id hash shuffles (window + three
+    // sibling aggregations) and ran the tokenizer three times per row
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"t15 must not hash-shuffle token data:\n${p.take(3000)}")
+  }
+
   test("m2 frame sampling: per-row fan-out, media bytes never hash-shuffle") {
     val p = plan(graft.operators.Advanced.m2FrameSample(spark, sf0001))
     assert(p.contains("Generate explode"),
