@@ -162,21 +162,35 @@ object ArtifactStore {
   def appendVersion(dir: String)(writeDelta: String => Unit): String =
     publish(dir) { target =>
       Files.createDirectories(Paths.get(target))
-      current(dir).foreach { live =>
-        val files = Files.list(Paths.get(live))
-        try files.forEach { p =>
-          val n = p.getFileName.toString
-          if (Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) {
-            val t = Paths.get(target, n)
-            try Files.createLink(t, p)
-            catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-              Files.copy(p, t, StandardCopyOption.COPY_ATTRIBUTES)
-            }
-          }
-        } finally files.close()
-      }
+      current(dir).foreach(live => linkTree(Paths.get(live), Paths.get(target)))
       writeDelta(target)
     }
+
+  /** Recursively hard-link (or copy) `src`'s data entries into `dst`,
+    * recreating subdirectories — so [[appendVersion]] carries forward
+    * partitioned/nested version layouts intact, not just flat ones.
+    * Spark metadata (`_SUCCESS`) and dotfiles are skipped at every
+    * level; partition dirs (`part=...`) don't start with either marker
+    * and are descended into.
+    */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val files = Files.list(src)
+    try files.forEach { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val t = dst.resolve(n)
+        if (Files.isDirectory(p)) {
+          Files.createDirectories(t)
+          linkTree(p, t)
+        } else if (Files.isRegularFile(p)) {
+          try Files.createLink(t, p)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(p, t, StandardCopyOption.COPY_ATTRIBUTES)
+          }
+        }
+      }
+    } finally files.close()
+  }
 
   /** Number of data files in a version dir — the compaction trigger's
     * measure of append-history fragmentation.
@@ -208,11 +222,31 @@ object ArtifactStore {
     val dirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
     val logPath = Paths.get(dir, "VERSIONS")
-    val published: Seq[String] =
+    val logged: Seq[String] =
       if (Files.isRegularFile(logPath))
         Files.readAllLines(logPath).toArray(Array.empty[String])
           .map(_.trim).filter(_.nonEmpty).toSeq
       else Seq.empty
+    val loggedSet = logged.toSet
+    // pre-log history: version dirs published before the VERSIONS log
+    // existed (warehouse artifacts persist across code upgrades) have
+    // no log line. Any unlogged dir OLDER than every logged publish
+    // cannot be a concurrent publish mid-write — it predates the log —
+    // so seed it into the published history (mtime order ≈ publish
+    // order; version dirs are immutable after publish). Without this,
+    // the first GC after an upgrade would reclaim dirs inside the
+    // `keep` retention window via the debris grace path. Unlogged dirs
+    // NEWER than the log's oldest entry — or younger than the grace
+    // window — keep the grace-path treatment (they may be a concurrent
+    // publish mid-write).
+    val now = System.currentTimeMillis()
+    val oldestLogged = dirs.filter(f => loggedSet(f.getName))
+      .map(_.lastModified).minOption.getOrElse(Long.MaxValue)
+    val preLog = dirs.filterNot(f => loggedSet(f.getName))
+      .filter(f => f.lastModified < oldestLogged &&
+        now - f.lastModified > debrisGraceMs)
+      .sortBy(_.lastModified).map(_.getName).toSeq
+    val published = preLog ++ logged
     val publishedSet = published.toSet
     val existing = dirs.map(_.getName).toSet
     // retention counts PUBLISHED generations (newest last in the log),
@@ -220,7 +254,6 @@ object ArtifactStore {
     // shrink the in-flight-reader window
     val keepSet = curTarget.toSet ++
       published.reverse.filterNot(curTarget.contains).filter(existing).take(keep)
-    val now = System.currentTimeMillis()
     val victims = dirs.filterNot(f => keepSet(f.getName)).filter { f =>
       // superseded published versions go immediately; UNLOGGED dirs may
       // be a concurrent publish mid-write (builds don't take the

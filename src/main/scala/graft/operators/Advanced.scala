@@ -284,9 +284,10 @@ object Advanced {
     * Sketch VALUES are engine-specific, so the oracle-checked row emits
     * per-group booleans attesting the engine's OWN sketch falls inside
     * a generous exact-quantile band (p50 within [p40, p60], p95 within
-    * [p90, p99]) it computes itself — deterministic on both engines
-    * even though sketch values and exact-quantile interpolation
-    * conventions differ. AdvancedSpec still bounds the raw estimates
+    * [p90, p99]). Both engines compute the band edges with the SAME
+    * rank-at-ceil(q·n) selection and tiebreak ordering, so the sketch
+    * is tested against identical edges — deterministic even though
+    * sketch values differ. AdvancedSpec still bounds the raw estimates
     * against q_agg_percentiles' exact values at 5%, far tighter than
     * the attestation band.
     *
@@ -575,18 +576,36 @@ object Advanced {
         |              WHERE n.n_regionkey = r.r_regionkey
         |              ORDER BY n_name LIMIT 2) t ON true
         |ORDER BY r_name, n_name""".stripMargin,
-    // each engine attests its OWN t-digest sketch against its OWN exact
-    // quantile band — booleans hash-match even though sketch values and
-    // interpolation conventions are engine-specific
+    // each engine attests its OWN t-digest sketch against an exact
+    // quantile band BOTH engines compute with the identical rank-at-
+    // ceil(q·n) selection (same tiebreak ordering as the Spark window)
+    // — interpolated quantile_cont would give DuckDB different band
+    // edges than the Spark side's rank formulation, widening the
+    // cross-engine disagreement window when a sketch estimate lands
+    // between the two conventions' edges
     "q_agg_approx_percentile" ->
-      """SELECT l_returnflag AS flag, count(*) AS n,
-        |       approx_quantile(l_extendedprice, 0.5)
-        |         BETWEEN quantile_cont(l_extendedprice, 0.4)
-        |             AND quantile_cont(l_extendedprice, 0.6) AS p50_ok,
-        |       approx_quantile(l_extendedprice, 0.95)
-        |         BETWEEN quantile_cont(l_extendedprice, 0.90)
-        |             AND quantile_cont(l_extendedprice, 0.99) AS p95_ok
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT l_returnflag AS flag, l_extendedprice AS price,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |bands AS (
+        |  SELECT flag, max(n) AS n,
+        |         min(CASE WHEN rn = CAST(ceil(n * 0.4)  AS BIGINT) THEN price END) AS p40,
+        |         min(CASE WHEN rn = CAST(ceil(n * 0.6)  AS BIGINT) THEN price END) AS p60,
+        |         min(CASE WHEN rn = CAST(ceil(n * 0.90) AS BIGINT) THEN price END) AS p90,
+        |         min(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN price END) AS p99
+        |  FROM ranked GROUP BY flag),
+        |sk AS (
+        |  SELECT l_returnflag AS flag,
+        |         approx_quantile(l_extendedprice, 0.5)  AS a50,
+        |         approx_quantile(l_extendedprice, 0.95) AS a95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT b.flag, b.n,
+        |       sk.a50 BETWEEN b.p40 AND b.p60 AS p50_ok,
+        |       sk.a95 BETWEEN b.p90 AND b.p99 AS p95_ok
+        |FROM bands b JOIN sk USING (flag) ORDER BY flag""".stripMargin,
     "q_agg_cube" ->
       """SELECT coalesce(l_returnflag,'ALL') AS flag,
         |       coalesce(l_linestatus,'ALL') AS status,

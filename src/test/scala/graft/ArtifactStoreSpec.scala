@@ -93,6 +93,62 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "live version must not absorb a failed delta's files")
   }
 
+  test("appendVersion carries a partitioned/nested layout forward intact") {
+    import java.nio.file.{Files, Paths}
+    val dir = freshDir()
+    val v1 = ArtifactStore.publish(dir) { t =>
+      Files.createDirectories(Paths.get(t, "part=1"))
+      Files.writeString(Paths.get(t, "part=1", "file-a"), "a1")
+      Files.writeString(Paths.get(t, "_SUCCESS"), "")
+    }
+    val v2 = ArtifactStore.appendVersion(dir) { t =>
+      Files.createDirectories(Paths.get(t, "part=2"))
+      Files.writeString(Paths.get(t, "part=2", "file-b"), "b2")
+    }
+    assert(Files.readString(Paths.get(v2, "part=1", "file-a")) === "a1",
+      "nested data files must be carried forward, not silently dropped")
+    assert(Files.readString(Paths.get(v2, "part=2", "file-b")) === "b2")
+    assert(!Files.exists(Paths.get(v2, "_SUCCESS")),
+      "writer metadata is not data — not carried forward")
+    assert(Files.readString(Paths.get(v1, "part=1", "file-a")) === "a1",
+      "pre-append snapshot must be immutable")
+  }
+
+  test("gcVersions honors retention for pre-log versions (upgrade path)") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = freshDir()
+    def put(target: String, body: String): Unit = {
+      Files.createDirectories(Paths.get(target))
+      Files.writeString(Paths.get(target, "part-a"), body)
+    }
+    val vs = (1 to 4).map { i =>
+      val v = ArtifactStore.publish(dir)(put(_, s"gen$i"))
+      Thread.sleep(5)
+      v
+    }
+    // simulate a warehouse published by pre-VERSIONS-log code: no log,
+    // every version dir well past the debris grace window
+    Files.delete(Paths.get(dir, "VERSIONS"))
+    vs.zipWithIndex.foreach { case (v, i) =>
+      Files.setLastModifiedTime(Paths.get(v),
+        FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000 + i * 2000))
+    }
+    val deleted = ArtifactStore.gcVersions(dir, keep = 2)
+    // the keep=2 retention promise must hold for unlogged history too:
+    // CURRENT (v4) + the two newest others (v3, v2) survive, only v1
+    // is reclaimed — NOT everything-past-the-grace-window
+    assert(deleted.toSet === Set(vs(0)))
+    assert(Files.isDirectory(Paths.get(vs(1))), "retention slot 2 (pre-log)")
+    assert(Files.isDirectory(Paths.get(vs(2))), "retention slot 1 (pre-log)")
+    assert(ArtifactStore.current(dir).contains(vs(3)))
+    // the seeded history is made durable: the rewritten log carries the
+    // surviving pre-log versions so the next GC needs no re-seeding
+    val relogged = Files.readAllLines(Paths.get(dir, "VERSIONS"))
+    assert(relogged.contains(Paths.get(vs(1)).getFileName.toString))
+    assert(relogged.contains(Paths.get(vs(2)).getFileName.toString))
+  }
+
   test("gcVersions reclaims superseded versions, keeps CURRENT + retention window") {
     val dir = freshDir()
     def put(target: String, body: String): Unit = {
