@@ -9,11 +9,15 @@ import org.apache.spark.sql.{DataFrame, Row}
   * resize / frame-sample stages as per-partition batch transforms.
   *
   * The Spark-side plumbing here — schemas, batch shape, partitioning,
-  * null/corrupt handling — is real and tested. The actual codec work is
-  * STUBBED (`StubCodec`): this container ships no image/audio libraries,
-  * so the stub produces deterministic pseudo-features derived from the
-  * bytes. A real implementation replaces `MediaCodec` only; every
-  * pipeline around it is unchanged.
+  * null/corrupt handling — is real and tested. For BMP and WAV the
+  * DECODE is real too: [[MediaFormats.RealCodec]] parses the actual
+  * binary format (header magic, stride/padding, RIFF chunk walk,
+  * PCM16 frames) with no library dependency, and `q_m3_codec_meta`
+  * oracle-checks the parsed fields end-to-end. Formats that need a
+  * native library the container doesn't ship (JPEG, MP3, H.264)
+  * remain stubbed (`StubCodec`: deterministic pseudo-features from
+  * the byte stream); a real implementation replaces `MediaCodec`
+  * only — every pipeline around it is unchanged.
   *
   * Scale design: media bytes never pass through a shuffle — all stages
   * are per-row/per-partition maps over the scan, and feature outputs

@@ -385,6 +385,71 @@ object Advanced {
           .as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** M3: REAL codec decode, oracle-checked. Each document id
+    * deterministically generates a genuine binary media asset — a
+    * 24bpp BMP for even ids, a RIFF/WAVE PCM16 file for odd ids (with
+    * a junk LIST chunk every 5th to force real chunk-walking), every
+    * 17th truncated to 10 bytes to exercise per-row corrupt
+    * degradation — and the [[graft.multimodal.MediaFormats]] decoders
+    * must PARSE the bytes back: header magic, offsets, stride, chunk
+    * walk, PCM frames. The DuckDB oracle never sees the bytes: because
+    * the generator is deterministic arithmetic on the id, it predicts
+    * every decoded field (dimensions, channels, sample rate, integer
+    * duration, total file size) and even the payload sums (Σ pixel
+    * bytes, Σ |sample|) via `generate_series` sums — so a decoder that
+    * misreads stride, padding, sign, or chunk bounds hash-mismatches.
+    *
+    * Scale shape: generate + decode fuse into one narrow map over the
+    * id scan — media bytes live only inside the row mapper, never
+    * cross a shuffle, and only the decoded scalars flow to the output
+    * sort (the lone Exchange).
+    */
+  val m3CodecMeta: Relational.Q = (s, d) => {
+    import graft.multimodal.MediaFormats
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("channels", LongType, nullable = true),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("payload_sum", LongType, nullable = true),
+      StructField("n_media_bytes", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents(s, d).select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val q = id / 2
+        val full =
+          if (id % 2 == 0)
+            MediaFormats.encodeBmp(id, (4 * (1 + q % 4)).toInt, (2 + q % 3).toInt)
+          else
+            MediaFormats.encodeWav(id, (1 + q % 2).toInt, (8000 * (1 + q % 3)).toInt,
+              (40 + q % 60).toInt, junkChunk = q % 5 == 0)
+        val bytes =
+          if (id % 17 == 0) java.util.Arrays.copyOf(full, math.min(10, full.length))
+          else full
+        val n = bytes.length.toLong
+        if (id % 2 == 0) MediaFormats.decodeBmp(bytes) match {
+          case Some(m) => org.apache.spark.sql.Row(id, "image", true,
+            m.width.toLong, m.height.toLong, null, null, null, m.pxSum, n)
+          case None => org.apache.spark.sql.Row(id, "image", false,
+            null, null, null, null, null, null, n)
+        }
+        else MediaFormats.decodeWav(bytes) match {
+          case Some(m) => org.apache.spark.sql.Row(id, "audio", true,
+            null, null, m.channels.toLong, m.sampleRate.toLong, m.durationMs,
+            m.ampSum, n)
+          case None => org.apache.spark.sql.Row(id, "audio", false,
+            null, null, null, null, null, null, n)
+        }
+      }
+    }(enc).orderBy("asset_id")
+  }
+
   /** CDC MERGE: apply a change batch (updates / deletes / inserts) to a
     * base table in ONE full-outer join — the incremental-maintenance
     * primitive behind upsert sinks and slowly-changing tables. The
@@ -467,6 +532,7 @@ object Advanced {
     "q_t7_bigrams" -> t7Bigrams,
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_m2_frame_sample" -> m2FrameSample,
+    "q_m3_codec_meta" -> m3CodecMeta,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -673,5 +739,44 @@ object Advanced {
          |SELECT doc_id, n_frames, ((j * n_frames) // k)::BIGINT AS frame_idx,
          |       md5(substring(text, ((j * n_frames) // k * $FrameChars + 1)::BIGINT, $FrameChars)) AS frame_md5
          |FROM j ORDER BY doc_id, frame_idx""".stripMargin,
+    // the oracle PREDICTS every decoded field (and the payload sums,
+    // via generate_series) from the deterministic generator arithmetic
+    // — it never parses bytes; only a correct Spark-side binary parse
+    // of the generated BMP/WAV can hash-match it
+    "q_m3_codec_meta" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS asset_id, doc_id // 2 AS q,
+        |         doc_id % 2 = 0 AS is_img, doc_id % 17 = 0 AS corrupt
+        |  FROM documents),
+        |img AS (
+        |  SELECT asset_id, corrupt, 4*(1 + q%4) AS w, 2 + q%3 AS h
+        |  FROM ids WHERE is_img),
+        |aud AS (
+        |  SELECT asset_id, corrupt, 1 + q%2 AS ch, 8000*(1 + q%3) AS rate,
+        |         40 + q%60 AS nf, q%5 = 0 AS junk
+        |  FROM ids WHERE NOT is_img)
+        |SELECT asset_id, 'image' AS kind, NOT corrupt AS ok,
+        |       (CASE WHEN corrupt THEN NULL ELSE w END)::BIGINT AS width,
+        |       (CASE WHEN corrupt THEN NULL ELSE h END)::BIGINT AS height,
+        |       NULL::BIGINT AS channels, NULL::BIGINT AS sample_rate,
+        |       NULL::BIGINT AS duration_ms,
+        |       (CASE WHEN corrupt THEN NULL ELSE
+        |          list_aggregate(list_transform(range(0, 3*w*h),
+        |            g -> (asset_id + g) % 256), 'sum') END)::BIGINT AS payload_sum,
+        |       (CASE WHEN corrupt THEN 10 ELSE 54 + 3*w*h END)::BIGINT AS n_media_bytes
+        |FROM img
+        |UNION ALL
+        |SELECT asset_id, 'audio', NOT corrupt,
+        |       NULL::BIGINT, NULL::BIGINT,
+        |       (CASE WHEN corrupt THEN NULL ELSE ch END)::BIGINT,
+        |       (CASE WHEN corrupt THEN NULL ELSE rate END)::BIGINT,
+        |       (CASE WHEN corrupt THEN NULL ELSE (nf * 1000) // rate END)::BIGINT,
+        |       (CASE WHEN corrupt THEN NULL ELSE
+        |          list_aggregate(list_transform(range(0, nf*ch),
+        |            g -> abs((asset_id + g) % 512 - 256)), 'sum') END)::BIGINT,
+        |       (CASE WHEN corrupt THEN 10
+        |             ELSE 44 + (CASE WHEN junk THEN 12 ELSE 0 END) + nf*ch*2 END)::BIGINT
+        |FROM aud
+        |ORDER BY asset_id""".stripMargin,
   )
 }

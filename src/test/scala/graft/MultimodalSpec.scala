@@ -41,6 +41,86 @@ class MultimodalSpec extends SparkSuite {
     assert(stats === Map("audio" -> 1L, "image" -> 3L))
   }
 
+  // ---------------------------------------------- real codec (BMP/WAV)
+
+  test("BMP round-trip: stride padding honored, top-down accepted, sums exact") {
+    import graft.multimodal.MediaFormats
+    // w=3 → row stride 12 (3 pad bytes/row), w=5 → stride 16 (1 pad byte):
+    // a decoder that sums the raw pixel array including padding, or
+    // assumes stride = 3w, gets a different sum
+    for ((w, h, seed) <- Seq((3, 4, 7L), (5, 3, 11L), (4, 2, 0L), (16, 4, 999L))) {
+      val b = MediaFormats.encodeBmp(seed, w, h)
+      val expected = (0L until 3L * w * h).map(p => (seed + p) % 256).sum
+      val m = MediaFormats.decodeBmp(b)
+      assert(m.contains(MediaFormats.BmpMeta(w, h, expected)),
+        s"w=$w h=$h: got $m, want pxSum=$expected")
+    }
+    // top-down storage (negative height in the header) decodes too —
+    // same dims, same order-independent sum
+    val b = MediaFormats.encodeBmp(5L, 3, 4)
+    val neg = b.clone()
+    val hBytes = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-4).array()
+    System.arraycopy(hBytes, 0, neg, 22, 4)
+    assert(MediaFormats.decodeBmp(neg) === MediaFormats.decodeBmp(b))
+  }
+
+  test("WAV round-trip: chunk walk, odd-size chunk padding, PCM16 sums exact") {
+    import graft.multimodal.MediaFormats
+    for ((ch, rate, nf, seed, junk) <- Seq(
+      (1, 8000, 40, 3L, false), (2, 16000, 99, 17L, true), (2, 24000, 1, 0L, false))) {
+      val b = MediaFormats.encodeWav(seed, ch, rate, nf, junk)
+      val expected = (0L until nf.toLong * ch)
+        .map(i => math.abs((seed + i) % 512 - 256)).sum
+      val m = MediaFormats.decodeWav(b)
+      assert(m.contains(MediaFormats.WavMeta(ch, rate, nf.toLong,
+        nf.toLong * 1000 / rate, expected)), s"ch=$ch rate=$rate nf=$nf: got $m")
+    }
+    // an odd-size foreign chunk carries a pad byte (RIFF word alignment)
+    // — a walker that forgets the pad misreads every later chunk id
+    val base = MediaFormats.encodeWav(9L, 1, 8000, 10, junkChunk = false)
+    val spliced = new Array[Byte](base.length + 12) // "ODD\0" + size 3 + 3 data + 1 pad
+    System.arraycopy(base, 0, spliced, 0, 36)
+    val odd = Array[Byte]('O', 'D', 'D', ' ', 3, 0, 0, 0, 1, 2, 3, 0)
+    System.arraycopy(odd, 0, spliced, 36, 12)
+    System.arraycopy(base, 36, spliced, 48, base.length - 36)
+    // fix the RIFF size field
+    val sz = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(spliced.length - 8).array()
+    System.arraycopy(sz, 0, spliced, 4, 4)
+    assert(MediaFormats.decodeWav(spliced) === MediaFormats.decodeWav(base))
+  }
+
+  test("real codec degrades per-row on corrupt real-format assets") {
+    import graft.multimodal.MediaFormats
+    val okBmp = MediaFormats.encodeBmp(1L, 4, 2)
+    val okWav = MediaFormats.encodeWav(2L, 2, 8000, 40)
+    val rows = Seq(
+      Row(1L, "image", okBmp, "image/bmp", Row(4, 2, null)),
+      Row(2L, "audio", okWav, "audio/wav", Row(null, null, 5L)),
+      Row(3L, "image", java.util.Arrays.copyOf(okBmp, 10), "image/bmp",
+        Row(null, null, null)),                     // truncated header
+      Row(4L, "image", "notanimageatall".getBytes("UTF-8"), "image/bmp",
+        Row(null, null, null)),                     // wrong magic
+      Row(5L, "audio", java.util.Arrays.copyOf(okWav, 40), "audio/wav",
+        Row(null, null, null)),                     // truncated chunk list
+      Row(6L, "image", null, null, Row(null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val out = Multimodal.extractFeatures(df, codec = MediaFormats.RealCodec, dims = 8)
+      .select("asset_id", "ok", "feature").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), if (r.isNullAt(2)) null else r.getSeq[Float](2)))
+      .toMap
+    assert(out(1)._1 && out(2)._1, "well-formed assets decode")
+    assert(!out(3)._1 && !out(4)._1 && !out(5)._1 && !out(6)._1,
+      "corrupt assets degrade to ok=false, not task failure")
+    assert(out(3)._2 == null && out(6)._2 == null)
+    // features come from the DECODED content: geometry in the lead slots
+    assert(out(1)._2(0) === 4f && out(1)._2(1) === 2f, "BMP features = width, height")
+    assert(out(2)._2(0) === 2f && out(2)._2(1) === 8f, "WAV features = channels, kHz")
+    assert(out(2)._2(2) === 0.005f, "WAV duration: 40 frames / 8000 Hz = 5 ms")
+  }
+
   test("frame sampling: uniform stride, exact byte ranges, bounded fan-out") {
     // 1000-byte "video" = 100 frames of 10 bytes; 25-byte one = 2 frames;
     // 5-byte one = 0 frames (dropped); null media dropped
