@@ -55,11 +55,41 @@ object Corpus {
       else df.localCheckpoint(eager)
   }
 
+  /** Small-graph floor for the fixpoint loops' partitioning: tiny pair
+    * graphs must not pay full-cluster task scheduling per round.
+    */
+  val MinLoopParts = 8
+  /** Memory-bound regime: target edges per fixpoint partition (~a few
+    * MB of (long,long) pairs per task — sized for task memory, not
+    * core count, so a billion-edge crawl graph gets thousands of
+    * partitions regardless of cluster width).
+    */
+  val LoopEdgesPerPartition = 250000L
+  /** Core-bound regime: below this many edges per task, scheduling
+    * overhead beats parallelism.
+    */
+  val MinLoopEdgesPerTask = 20000L
+
+  /** Fixpoint-loop parallelism from the OBSERVED edge count (the r9
+    * `loopParts = 8` constant was right for sf-scale pair graphs but a
+    * serial bottleneck for the billions-of-edges graph of a
+    * duplicate-heavy crawl). Two regimes: when the memory-safe
+    * partition count (`nEdges / LoopEdgesPerPartition`) exceeds the
+    * cluster's core count, use it — partitions must fit in task
+    * memory and more-tasks-than-cores just wave-schedules; otherwise
+    * use every core the edge count can keep busy
+    * (`nEdges / MinLoopEdgesPerTask`), floored at [[MinLoopParts]] so
+    * sf-scale graphs keep the cheap-scheduling behavior.
+    */
+  private[graft] def loopPartsFor(nEdges: Long, par: Int): Int = {
+    val bySize = nEdges / LoopEdgesPerPartition + 1
+    if (bySize >= par) bySize.toInt
+    else math.min(par.toLong,
+      math.max(MinLoopParts.toLong, nEdges / MinLoopEdgesPerTask + 1)).toInt
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // the pair graph is far smaller than the corpus that produced it;
-    // a handful of partitions keeps each fixpoint round's shuffles from
-    // paying 32-task scheduling overhead on near-empty partitions
-    val loopParts = 8
+    val sc = pairs.sparkSession.sparkContext
     // LOCAL-CHECKPOINT, not persist: each round's labels plan embeds the
     // previous round's, so with a mere persist the LOGICAL plan (which
     // the cache does not truncate) grows per round and every lblSum
@@ -71,11 +101,18 @@ object Corpus {
     // materializes the round, so each round costs ONE job, not two.
     // With sc.setCheckpointDir configured (cluster), rounds checkpoint
     // reliably instead — see TruncOps.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    //
+    // The raw edge set materializes EAGERLY first so its count — which
+    // sizes every round's partitioning via loopPartsFor — reads cached
+    // blocks, not a recompute of the candidate pipeline that produced
+    // the pairs; the one extra repartition job moves only the (small
+    // relative to the corpus) edge list.
+    val raw = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .repartition(loopParts, col("src"))
-      .truncated(false)
+      .truncated(true)
+    val loopParts = loopPartsFor(raw.count(), sc.defaultParallelism)
+    val edges = raw.repartition(loopParts, col("src")).truncated(false)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
       .truncated(false)
@@ -162,12 +199,16 @@ object Corpus {
     * configured (see TruncOps).
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val loopParts = 8
-    var edges = pairs
+    // edge-count-derived round partitioning — same two-regime sizing
+    // as connectedComponents (see loopPartsFor)
+    val raw = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .repartition(loopParts, col("u"))
+      .truncated(true)
+    val loopParts = loopPartsFor(raw.count(),
+      pairs.sparkSession.sparkContext.defaultParallelism)
+    var edges = raw.repartition(loopParts, col("u"))
       // EAGER: sym and the probe each reference the edge set twice; a
       // lazy checkpoint would let both consumers race to compute the
       // partitions before the cache fills (measured +0.5s vs eager)

@@ -186,6 +186,27 @@ object ScaleProbe {
         graft.operators.Dedup.d14ContainmentOn(uniqText)
           .write.format("noop").mode("overwrite").save()
       }
+      // 16: the connected-components fixpoint loops (d7 label-prop, d9
+      // star) over a synthetic pair graph ~2 edges/doc: families of 50
+      // plus an intra-family lattice (diameter ≤ ~4, so label-prop's
+      // round count stays constant across scales and the probe
+      // measures PER-ROUND parallelism — the loopPartsFor claim —
+      // rather than round-count growth)
+      def ccGraph(nd: Long) = {
+        val base = spark.range(nd)
+        base.select(col("id").as("a"), (col("id") - col("id") % 50).as("b"))
+          .union(base.select(col("id").as("a"),
+            (col("id") - col("id") % 50 + col("id") % 7).as("b")))
+          .filter(col("a") =!= col("b"))
+      }
+      val tCc = timeIf("cc") {
+        graft.operators.Corpus.connectedComponents(ccGraph(nDocs), "a", "b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tCcStar = timeIf("ccstar") {
+        graft.operators.Corpus.connectedComponentsStar(ccGraph(nDocs), "a", "b")
+          .write.format("noop").mode("overwrite").save()
+      }
       graft.operators.Dedup.releaseSlots()
       println(f"[scale] x$n%-3d docs=$nDocs%-8d vecs=$nVec%-8d " +
         f"minhash=$tMinhash%6.1fs (${nDocs / tMinhash}%8.0f docs/s)  " +
@@ -202,7 +223,9 @@ object ScaleProbe {
         f"d12=$tD12%6.1fs (${nVec / tD12}%8.0f vec/s)  " +
         f"t18=$tT18%5.1fs (${nDocs / tT18}%8.0f docs/s)  " +
         f"t19=$tT19%5.1fs (${nDocs / tT19}%8.0f docs/s)  " +
-        f"d14=$tD14%6.1fs (${nDocs / tD14}%8.0f docs/s)")
+        f"d14=$tD14%6.1fs (${nDocs / tD14}%8.0f docs/s)  " +
+        f"cc=$tCc%5.1fs (${nDocs / tCc}%8.0f docs/s)  " +
+        f"ccstar=$tCcStar%5.1fs (${nDocs / tCcStar}%8.0f docs/s)")
     }
     spark.stop()
   }

@@ -20,6 +20,26 @@ class CorpusSpec extends SparkSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("loopPartsFor: floor on tiny graphs, core-bound middle, memory-bound top") {
+    val par = 32
+    // sf-scale pair graphs keep the cheap-scheduling floor
+    assert(Corpus.loopPartsFor(0L, par) === Corpus.MinLoopParts)
+    assert(Corpus.loopPartsFor(10000L, par) === Corpus.MinLoopParts)
+    // core-bound regime: enough edges to keep every core busy uses
+    // them all, never more than the cluster width
+    assert(Corpus.loopPartsFor(1000000L, par) === par)
+    // memory-bound regime: a crawl-scale edge set sizes partitions for
+    // task memory, INDEPENDENT of core count — the r9 constant's
+    // serial-bottleneck failure mode
+    val big = Corpus.loopPartsFor(5000000000L, par)
+    assert(big === (5000000000L / Corpus.LoopEdgesPerPartition + 1).toInt)
+    assert(big > 10000)
+    // monotone in the edge count at a fixed cluster width
+    val seq = Seq(0L, 50000L, 500000L, 5000000L, 50000000L, 500000000L)
+      .map(Corpus.loopPartsFor(_, par))
+    assert(seq === seq.sorted)
+  }
+
   test("connectedComponents: empty pair graph converges to an empty result, no crash") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Corpus.connectedComponents(empty, "a", "b").count() === 0)
