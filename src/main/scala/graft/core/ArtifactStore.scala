@@ -276,6 +276,24 @@ object ArtifactStore {
     }
     victims.map(_.getPath).toSeq
   }
+
+  /** Standalone retention sweep for one dataset: run [[gcVersions]]
+    * over EVERY artifact dir whose name encodes dataset `d` (the
+    * `_<basename>_<abshash>_` segment [[artifactDir]] writes). Closes
+    * the lifecycle gap where GC ran only inside `compactTable` — an
+    * append-only artifact that never crosses the compaction threshold
+    * would otherwise accumulate superseded versions forever. Each
+    * artifact is swept under its own maintenance lock; the per-artifact
+    * retention contract is exactly [[gcVersions]]'s. Returns reclaimed
+    * version dirs per artifact name (empty seq = nothing eligible).
+    */
+  def vacuumAll(d: String, keep: Int = 2): Map[String, Seq[String]] = {
+    val marker = s"_${new java.io.File(d).getName}_${absHash(d)}_"
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains(marker))
+      .map(f => f.getName -> gcVersions(f.getPath, keep))
+      .toMap
+  }
 }
 
 /** The dataset whose artifacts the oracle SQL dump reads. Verify sets

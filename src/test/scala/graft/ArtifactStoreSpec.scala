@@ -194,6 +194,46 @@ class ArtifactStoreSpec extends AnyFunSuite {
       "reclaiming debris must not consume a published retention slot")
   }
 
+  test("vacuumAll sweeps every artifact of a dataset without a compaction") {
+    import java.nio.file.{Files, Paths}
+    val warehouse = Files.createTempDirectory("vacuum-wh").toString
+    val prev = sys.props.get("graft.warehouse")
+    sys.props("graft.warehouse") = warehouse
+    try {
+      def put(target: String, body: String): Unit = {
+        Files.createDirectories(Paths.get(target))
+        Files.writeString(Paths.get(target, "part-a"), body)
+      }
+      val dsA = "/tmp/vacuumall-ds-a"
+      val dsB = "/tmp/vacuumall-ds-b"
+      // two artifacts of dataset A, append-only (never compacted), and
+      // one artifact of dataset B that must stay untouched
+      val a1 = ArtifactStore.artifactDir("v10_assign", dsA, "t1")
+      val a2 = ArtifactStore.artifactDir("v12_codes", dsA, "t1")
+      val b1 = ArtifactStore.artifactDir("v10_assign", dsB, "t1")
+      val versions = Map(a1 -> 5, a2 -> 4, b1 -> 4).map { case (dir, n) =>
+        dir -> (1 to n).map { i =>
+          val v = ArtifactStore.publish(dir)(put(_, s"gen$i")); Thread.sleep(5); v
+        }
+      }
+      val swept = ArtifactStore.vacuumAll(dsA, keep = 2)
+      // both A artifacts swept: CURRENT + 2 newest others survive
+      assert(swept.size === 2)
+      assert(swept(Paths.get(a1).getFileName.toString).toSet ===
+        Set(versions(a1)(0), versions(a1)(1)))
+      assert(swept(Paths.get(a2).getFileName.toString).toSet ===
+        Set(versions(a2)(0)))
+      versions(a1).drop(2).foreach(v => assert(Files.isDirectory(Paths.get(v))))
+      // dataset B untouched — retention is per-dataset, not warehouse-wide
+      versions(b1).foreach(v => assert(Files.isDirectory(Paths.get(v))))
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.warehouse") = p
+        case None => sys.props.remove("graft.warehouse")
+      }
+    }
+  }
+
   test("maintenance lock excludes ANOTHER JVM for the duration of its hold") {
     val dir = freshDir()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
