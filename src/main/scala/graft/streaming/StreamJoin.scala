@@ -101,4 +101,27 @@ object StreamJoin {
       delayThreshold, maxDelay)
     restore(l.join(r, cond, "left_outer"), left, key)
   }
+
+  /** Full-outer variant of [[within]] — the reconciliation shape
+    * (ledger ⋈ ledger, sent ⋈ acked): unmatched rows surface from BOTH
+    * sides, each exactly once, with the other side's columns null,
+    * once its own state eviction proves no in-window partner can still
+    * arrive. The symmetric contract composes the two one-sided
+    * guarantees: a lone left row emits when the right watermark passes
+    * `leftTs + maxDelay`, a lone right row when the left watermark
+    * passes its `rightTs`. Same watermarks, same interval condition —
+    * state stays exactly as bounded as the inner form; only the
+    * emit-at-eviction behavior is added, on both sides.
+    */
+  def fullOuterWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      delayThreshold: String, maxDelay: String): DataFrame = {
+    val (l, r, cond) = prepared(left, right, key, leftTs, rightTs,
+      delayThreshold, maxDelay)
+    // unlike the one-sided variants, a right-only row carries its key
+    // ONLY in the suffixed column — coalesce before restore() drops it
+    val joined = l.join(r, cond, "full_outer")
+      .withColumn(key, coalesce(col(key), col(s"${key}_r")))
+    restore(joined, left, key)
+  }
 }

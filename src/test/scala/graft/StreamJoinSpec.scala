@@ -91,6 +91,53 @@ class StreamJoinSpec extends SparkSuite {
       "never-clicked impression must surface with null click columns")
   }
 
+  test("full-outer: unmatched rows surface from BOTH sides at eviction; late data on either side stays dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val sent = MemoryStream[(Long, java.sql.Timestamp)]
+    val acked = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamJoin.fullOuterWithin(
+      sent.toDF().toDF("msg_id", "sent_ts"),
+      acked.toDF().toDF("msg_id", "ack_ts"),
+      key = "msg_id", leftTs = "sent_ts", rightTs = "ack_ts",
+      delayThreshold = "5 minutes", maxDelay = "10 minutes")
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("reconcile_out").start()
+    try {
+      // 1 = matched; 2 = sent but never acked (lone LEFT);
+      // 5 = ack with no send (lone RIGHT — the reconciliation shape
+      // the one-sided variants cannot surface)
+      sent.addData((1L, t(0)), (2L, t(1)))
+      acked.addData((1L, t(4)), (5L, t(2)))
+      q.processAllAvailable()
+      // push both watermarks past every event + delay so both lone
+      // rows are provably unmatchable and must emit
+      sent.addData((99L, t(50)))
+      acked.addData((98L, t(50)))
+      q.processAllAvailable()
+      sent.addData((97L, t(80)))
+      acked.addData((96L, t(80)))
+      q.processAllAvailable()
+      // late data on EACH side, behind both watermarks: state is
+      // evicted — no new rows, no retro-match of msg 2
+      sent.addData((6L, t(3)))
+      acked.addData((2L, t(5)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("reconcile_out")
+      .filter("msg_id < 90") // watermark-filler rows are not under test
+      .select("msg_id", "sent_ts", "ack_ts").collect()
+      .map(r => r.getLong(0) -> (!r.isNullAt(1), !r.isNullAt(2))).toMap
+    assert(rows.get(1L) === Some((true, true)), "in-window ack must match")
+    assert(rows.get(2L) === Some((true, false)),
+      "never-acked send must surface with null ack columns")
+    assert(rows.get(5L) === Some((false, true)),
+      "ack without a send must surface with null send columns — and keep its key")
+    assert(!rows.contains(6L), "late left row behind both watermarks is dropped")
+    assert(rows.size === 3, s"each row exactly once; got $rows")
+  }
+
   test("streams sharing column names (both 'ts', common payload) join unambiguously") {
     implicit val sqlCtx = spark.sqlContext
     val reqs = MemoryStream[(Long, java.sql.Timestamp, String)]
