@@ -84,11 +84,10 @@ object MediaFormats {
     b
   }
 
-  /** Parse header + sum the pixel DATA bytes (unsigned, padding
-    * skipped, stride honored; negative height = top-down storage is
-    * accepted — sums are order-independent). None on any malformation.
+  /** Validated 24bpp BI_RGB header: (width, |height|, topDown,
+    * dataOffset, stride) — shared by decode and resize.
     */
-  def decodeBmp(b: Array[Byte]): Option[BmpMeta] = {
+  private def bmpHeader(b: Array[Byte]): Option[(Int, Int, Boolean, Int, Int)] = {
     if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val dataOffset = r32(b, 10)
     if (r32(b, 14) < 40) return None // BITMAPINFOHEADER or later
@@ -99,16 +98,65 @@ object MediaFormats {
     if (r16u(b, 28) != 24 || r32(b, 30) != 0) return None // 24bpp BI_RGB only
     val stride = bmpStride(width)
     if (dataOffset < 54 || dataOffset + stride.toLong * height > b.length) return None
-    var sum = 0L
-    var y = 0
-    while (y < height) {
-      val rowOff = (dataOffset + y.toLong * stride).toInt
-      var i = 0
-      while (i < 3 * width) { sum += (b(rowOff + i) & 0xff); i += 1 }
-      y += 1
-    }
-    Some(BmpMeta(width, height, sum))
+    Some((width, height, rawH < 0, dataOffset.toInt, stride))
   }
+
+  /** Parse header + sum the pixel DATA bytes (unsigned, padding
+    * skipped, stride honored; negative height = top-down storage is
+    * accepted — sums are order-independent). None on any malformation.
+    */
+  def decodeBmp(b: Array[Byte]): Option[BmpMeta] = bmpHeader(b).map {
+    case (width, height, _, dataOffset, stride) =>
+      var sum = 0L
+      var y = 0
+      while (y < height) {
+        val rowOff = dataOffset + y * stride
+        var i = 0
+        while (i < 3 * width) { sum += (b(rowOff + i) & 0xff); i += 1 }
+        y += 1
+      }
+      BmpMeta(width, height, sum)
+  }
+
+  /** Nearest-neighbor BMP resample: destination IMAGE pixel (ix, iy)
+    * takes source image pixel (⌊ix·sw/dw⌋, ⌊iy·sh/dh⌋). Sampling is in
+    * image coordinates — bottom-up sources index storage row
+    * `h−1−iy`, top-down sources index row `iy` — and the output is
+    * always canonical bottom-up with its own stride padding, so a
+    * resize can CHANGE the padding geometry (e.g. 4→2 wide: stride 12
+    * → 8) and the result is a fully valid BMP that [[decodeBmp]] round
+    * -trips. None on malformed input or non-positive target dims.
+    */
+  def resizeBmp(b: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] =
+    bmpHeader(b).filter(_ => dstW > 0 && dstH > 0).map {
+      case (sw, sh, topDown, dataOffset, srcStride) =>
+        val stride = bmpStride(dstW)
+        val size = 54 + stride * dstH
+        val out = new Array[Byte](size)
+        out(0) = 'B'; out(1) = 'M'
+        w32(out, 2, size.toLong); w32(out, 10, 54L)
+        w32(out, 14, 40L); w32(out, 18, dstW.toLong); w32(out, 22, dstH.toLong)
+        w16(out, 26, 1); w16(out, 28, 24); w32(out, 30, 0L)
+        w32(out, 34, (stride * dstH).toLong)
+        w32(out, 38, 2835L); w32(out, 42, 2835L)
+        var iy = 0
+        while (iy < dstH) {
+          val sy = iy.toLong * sh / dstH
+          val srcRow = dataOffset +
+            (if (topDown) sy else sh - 1 - sy).toInt * srcStride
+          val dstRow = 54 + (dstH - 1 - iy) * stride // bottom-up output
+          var ix = 0
+          while (ix < dstW) {
+            val sx = (ix.toLong * sw / dstW).toInt
+            out(dstRow + 3 * ix) = b(srcRow + 3 * sx)
+            out(dstRow + 3 * ix + 1) = b(srcRow + 3 * sx + 1)
+            out(dstRow + 3 * ix + 2) = b(srcRow + 3 * sx + 2)
+            ix += 1
+          }
+          iy += 1
+        }
+        out
+    }
 
   // -------------------------------------------------------------- WAV
 

@@ -118,6 +118,30 @@ object Multimodal {
         expr(s"substring(media, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
       .drop("j", "k")
 
+  /** Resize stage: per-row nearest-neighbor BMP resample
+    * ([[MediaFormats.resizeBmp]]), appending `(resize_ok, resized)` —
+    * the standard normalize-before-featurize pass of an image
+    * pipeline. Non-BMP, corrupt, and null assets degrade per-row
+    * (resize_ok=false, resized null), never per-task. Same scale shape
+    * as the other stages: a narrow map over the scan, media bytes
+    * never cross a shuffle, and the resized payload is strictly
+    * smaller than the source for downscales.
+    */
+  def resizeImages(assets: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    val outSchema = StructType(assets.schema.fields ++ Seq(
+      StructField("resize_ok", BooleanType, nullable = false),
+      StructField("resized", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val mediaIdx = assets.schema.fieldIndex("media")
+    assets.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = if (row.isNullAt(mediaIdx)) null else row.getAs[Array[Byte]](mediaIdx)
+        val rb = MediaFormats.resizeBmp(bytes, dstW, dstH)
+        Row.fromSeq(row.toSeq ++ Seq(rb.isDefined, rb.orNull))
+      }
+    }(enc)
+  }
+
   /** Metadata-level operators need no codec at all — pure columnar. */
   def metadataStats(assets: DataFrame): DataFrame =
     assets.groupBy("kind").agg(

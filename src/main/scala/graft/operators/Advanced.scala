@@ -450,6 +450,52 @@ object Advanced {
     }(enc).orderBy("asset_id")
   }
 
+  /** M4: REAL resize, oracle-checked — the normalize-before-featurize
+    * image stage over the same deterministic BMP generator as [[m3CodecMeta]]
+    * (even ids only; every 17th truncated → per-row corrupt
+    * degradation). Each asset is resized to (w/2, max(h/2,1)) by
+    * nearest-neighbor sampling in image coordinates
+    * ([[graft.multimodal.MediaFormats.resizeBmp]]) — which CHANGES the
+    * stride-padding geometry (e.g. 4-wide stride 12 → 2-wide stride 8)
+    * — and the resized file is then RE-DECODED, so the row attests a
+    * full encode→resize→decode round trip through a padded layout. The
+    * DuckDB oracle predicts the resized dimensions, byte size (stride
+    * arithmetic), and Σ resized pixel bytes (the nearest-neighbor
+    * source-index arithmetic, bottom-up rows) without seeing any
+    * bytes. Same scale shape as m3: one narrow map over the id scan,
+    * no media bytes in any shuffle.
+    */
+  val m4Resize: Relational.Q = (s, d) => {
+    import graft.multimodal.MediaFormats
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("dst_w", LongType, nullable = true),
+      StructField("dst_h", LongType, nullable = true),
+      StructField("resized_px_sum", LongType, nullable = true),
+      StructField("n_resized_bytes", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents(s, d).select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val q = id / 2
+          val sw = (4 * (1 + q % 4)).toInt
+          val sh = (2 + q % 3).toInt
+          val full = MediaFormats.encodeBmp(id, sw, sh)
+          val bytes =
+            if (id % 17 == 0) java.util.Arrays.copyOf(full, math.min(10, full.length))
+            else full
+          MediaFormats.resizeBmp(bytes, sw / 2, math.max(sh / 2, 1))
+            .flatMap(rb => MediaFormats.decodeBmp(rb).map(m =>
+              org.apache.spark.sql.Row(id, true, m.width.toLong, m.height.toLong,
+                m.pxSum, rb.length.toLong)))
+            .getOrElse(org.apache.spark.sql.Row(id, false, null, null, null, null))
+        }
+      }(enc).orderBy("asset_id")
+  }
+
   /** CDC MERGE: apply a change batch (updates / deletes / inserts) to a
     * base table in ONE full-outer join — the incremental-maintenance
     * primitive behind upsert sinks and slowly-changing tables. The
@@ -533,6 +579,7 @@ object Advanced {
     "q_m1_binary_meta" -> m1BinaryMeta,
     "q_m2_frame_sample" -> m2FrameSample,
     "q_m3_codec_meta" -> m3CodecMeta,
+    "q_m4_resize" -> m4Resize,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -778,5 +825,29 @@ object Advanced {
         |             ELSE 44 + (CASE WHEN junk THEN 12 ELSE 0 END) + nf*ch*2 END)::BIGINT
         |FROM aud
         |ORDER BY asset_id""".stripMargin,
+    // resized dims / byte size (stride arithmetic incl. the padding the
+    // downscale introduces) / Σ resized pixel bytes, all predicted from
+    // the generator + nearest-neighbor index arithmetic — the Spark
+    // side must encode, resize, and re-decode actual bytes to agree
+    "q_m4_resize" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS asset_id, doc_id // 2 AS q, doc_id % 17 = 0 AS corrupt
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |dims AS (
+        |  SELECT asset_id, corrupt,
+        |         4*(1 + q%4) AS sw, 2 + q%3 AS sh,
+        |         4*(1 + q%4) // 2 AS dw, greatest((2 + q%3) // 2, 1) AS dh
+        |  FROM ids)
+        |SELECT asset_id, NOT corrupt AS ok,
+        |       (CASE WHEN corrupt THEN NULL ELSE dw END)::BIGINT AS dst_w,
+        |       (CASE WHEN corrupt THEN NULL ELSE dh END)::BIGINT AS dst_h,
+        |       (CASE WHEN corrupt THEN NULL ELSE
+        |          list_aggregate(list_transform(range(0, 3*dw*dh), g ->
+        |            (asset_id
+        |             + 3*((sh-1 - (g//(3*dw))*sh//dh)*sw + ((g//3)%dw)*sw//dw)
+        |             + g%3) % 256), 'sum') END)::BIGINT AS resized_px_sum,
+        |       (CASE WHEN corrupt THEN NULL
+        |             ELSE 54 + ((3*dw+3)//4*4)*dh END)::BIGINT AS n_resized_bytes
+        |FROM dims ORDER BY asset_id""".stripMargin,
   )
 }

@@ -91,6 +91,62 @@ class MultimodalSpec extends SparkSuite {
     assert(MediaFormats.decodeWav(spliced) === MediaFormats.decodeWav(base))
   }
 
+  test("resize: exact nearest-neighbor pixels, padding geometry change, round-trip") {
+    import graft.multimodal.MediaFormats
+    // 2x2 source, seed 0 → data byte values = flat index p. Downscale
+    // to 1x1: the single dst image pixel samples src IMAGE (0,0) =
+    // bottom-up STORAGE row 1 → bytes p=6,7,8 (storage row stride 8:
+    // row 0 holds p=0..5 + 2 pad)
+    val src = MediaFormats.encodeBmp(0L, 2, 2)
+    val r1 = MediaFormats.resizeBmp(src, 1, 1).get
+    assert(MediaFormats.decodeBmp(r1).contains(MediaFormats.BmpMeta(1, 1, 6L + 7 + 8)),
+      "1x1 resample must take the image-origin pixel, not the storage-origin one")
+    // top-down source with identical image content resamples identically
+    val td = src.clone()
+    val hb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(hb, 0, td, 22, 4)
+    // (negating the height flips image orientation, so the sampled
+    // origin pixel becomes storage row 0 → bytes 0,1,2)
+    assert(MediaFormats.decodeBmp(MediaFormats.resizeBmp(td, 1, 1).get)
+      .contains(MediaFormats.BmpMeta(1, 1, 0L + 1 + 2)))
+    // stride geometry changes across the resize: 4-wide (stride 12, no
+    // pad) → 2-wide (stride 8, 2 pad bytes/row); result stays a valid
+    // round-trippable BMP of the predicted size
+    val wide = MediaFormats.encodeBmp(5L, 4, 4)
+    val r2 = MediaFormats.resizeBmp(wide, 2, 2).get
+    assert(r2.length === 54 + 8 * 2)
+    assert(MediaFormats.decodeBmp(r2).exists(m => m.width == 2 && m.height == 2))
+    // malformed input and bad targets are None, never a throw
+    assert(MediaFormats.resizeBmp(java.util.Arrays.copyOf(wide, 20), 2, 2).isEmpty)
+    assert(MediaFormats.resizeBmp(wide, 0, 2).isEmpty)
+    assert(MediaFormats.resizeBmp(null, 1, 1).isEmpty)
+  }
+
+  test("resizeImages stage degrades per-row; resized output feeds extractFeatures") {
+    import graft.multimodal.MediaFormats
+    val rows = Seq(
+      Row(1L, "image", MediaFormats.encodeBmp(3L, 8, 4), "image/bmp", Row(8, 4, null)),
+      Row(2L, "image", "garbage".getBytes("UTF-8"), "image/bmp", Row(null, null, null)),
+      Row(3L, "image", null, null, Row(null, null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.assetSchema)
+    val resized = Multimodal.resizeImages(df, 4, 2)
+    val byId = resized.select("asset_id", "resize_ok", "resized").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getAs[Array[Byte]](2))).toMap
+    assert(byId(1L)._1 && !byId(2L)._1 && !byId(3L)._1)
+    assert(byId(2L)._2 == null && byId(3L)._2 == null)
+    // the resized payload is a decodable BMP of the target geometry and
+    // chains into the real-codec featurizer
+    assert(MediaFormats.decodeBmp(byId(1L)._2).exists(m => m.width == 4 && m.height == 2))
+    val feat = Multimodal.extractFeatures(
+      resized.drop("media").withColumnRenamed("resized", "media"),
+      codec = MediaFormats.RealCodec, dims = 8)
+      .select("asset_id", "ok", "feature").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(feat === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("real codec degrades per-row on corrupt real-format assets") {
     import graft.multimodal.MediaFormats
     val okBmp = MediaFormats.encodeBmp(1L, 4, 2)
