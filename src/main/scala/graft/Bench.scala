@@ -151,7 +151,16 @@ object Bench {
     val CalibQuery = "q1_agg"
     val calib = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
     def calibrate(after: Int): Unit = {
-      val (w, _) = force(CalibQuery)
+      // min-of-2 per sample: a one-off GC/JIT event landing inside one
+      // calibration timing is the same single-event noise the re-run
+      // guard de-noises for real queries — as a single-shot sample it
+      // read as environment drift (two clean-box runs self-flagged on
+      // one 1.3 s outlier against a 0.3 s floor). SUSTAINED external
+      // pressure — the thing the sentinel exists to catch — slows BOTH
+      // back-to-back runs and still trips the >2x gate.
+      val (w1, _) = force(CalibQuery)
+      val (w2, _) = force(CalibQuery)
+      val w = Seq(w1, w2).filter(_ >= 0).minOption.getOrElse(-1.0)
       if (w >= 0) {
         val load = osBean.getSystemLoadAverage
         calib += ((after, w, load))
