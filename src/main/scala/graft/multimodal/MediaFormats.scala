@@ -237,6 +237,57 @@ object MediaFormats {
     Some(WavMeta(channels, rate, nFrames, nFrames * 1000L / rate, sum))
   }
 
+  /** Nearest-neighbor PCM16 resample to `dstRate`: destination frame
+    * `j` takes source frame `⌊j·srcFrames/dstFrames⌋` (all channels),
+    * with `dstFrames = ⌊srcFrames·dstRate/srcRate⌋` so wall-clock
+    * duration is preserved up to one frame — the normalize-sample-rate
+    * pass an audio training pipeline runs before featurization. The
+    * output is a canonical 44-byte-header WAV (foreign chunks from the
+    * source are parsed, then dropped) that [[decodeWav]] round-trips.
+    * None on malformed input, non-PCM16 content, or a non-positive
+    * target rate. Upsampling repeats frames (nearest), downsampling
+    * decimates; both are pure index arithmetic — oracle-predictable.
+    */
+  def resampleWav(b: Array[Byte], dstRate: Int): Option[Array[Byte]] = {
+    if (dstRate <= 0) return None
+    decodeWav(b).map { m =>
+      // re-locate the data chunk (decodeWav validated the walk)
+      var off = 12
+      var dataOff = -1; var dataSize = -1L
+      while (off + 8 <= b.length && dataOff < 0) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = r32(b, off + 4)
+        if (id == "data") { dataOff = off + 8; dataSize = size }
+        off = off + 8 + size.toInt + (size.toInt & 1)
+      }
+      val srcFrames = m.nFrames
+      val dstFrames = srcFrames * dstRate / m.sampleRate
+      val ch = m.channels
+      val dataBytes = (dstFrames * ch * 2).toInt
+      val out = new Array[Byte](44 + dataBytes)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      w32(out, 4, (out.length - 8).toLong)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      w32(out, 16, 16L)
+      w16(out, 20, 1); w16(out, 22, ch)
+      w32(out, 24, dstRate.toLong); w32(out, 28, (dstRate * ch * 2).toLong)
+      w16(out, 32, ch * 2); w16(out, 34, 16)
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      w32(out, 40, dataBytes.toLong)
+      var j = 0L
+      while (j < dstFrames) {
+        val sj = j * srcFrames / dstFrames
+        val srcP = dataOff + (sj * ch * 2).toInt
+        val dstP = 44 + (j * ch * 2).toInt
+        var c = 0
+        while (c < 2 * ch) { out(dstP + c) = b(srcP + c); c += 1 }
+        j += 1
+      }
+      out
+    }
+  }
+
   /** Real [[Multimodal.MediaCodec]]: dispatches on magic bytes, decodes
     * with the parsers above, and featurizes from the DECODED content —
     * geometry + normalized mean payload level — rather than from a

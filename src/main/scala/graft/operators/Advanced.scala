@@ -496,6 +496,51 @@ object Advanced {
       }(enc).orderBy("asset_id")
   }
 
+  /** M5: REAL audio resample, oracle-checked — the audio sibling of
+    * [[m4Resize]]: every odd-id WAV from the [[m3CodecMeta]] generator
+    * (rates 8/16/24 kHz, junk chunk every 5th — the resampler must
+    * chunk-walk) is nearest-neighbor-resampled to a common 8 kHz
+    * ([[graft.multimodal.MediaFormats.resampleWav]]) and RE-DECODED.
+    * The oracle predicts the resampled frame count (`nf // rate
+    * factor`), duration, byte size, and Σ |resampled sample| from the
+    * decimation index arithmetic alone. Every 17th asset truncated →
+    * per-row corrupt degradation. Same scale shape as m3/m4: one
+    * narrow map over the id scan, media bytes in no shuffle.
+    */
+  val m5ResampleAudio: Relational.Q = (s, d) => {
+    import graft.multimodal.MediaFormats
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("channels", LongType, nullable = true),
+      StructField("dst_rate", LongType, nullable = true),
+      StructField("dst_frames", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("amp_sum", LongType, nullable = true),
+      StructField("n_resampled_bytes", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    documents(s, d).select(col("doc_id")).filter(col("doc_id") % 2 === 1)
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val q = id / 2
+          val full = MediaFormats.encodeWav(id, (1 + q % 2).toInt,
+            (8000 * (1 + q % 3)).toInt, (40 + q % 60).toInt, junkChunk = q % 5 == 0)
+          val bytes =
+            if (id % 17 == 0) java.util.Arrays.copyOf(full, math.min(10, full.length))
+            else full
+          MediaFormats.resampleWav(bytes, 8000)
+            .flatMap(rb => MediaFormats.decodeWav(rb).map(m =>
+              org.apache.spark.sql.Row(id, true, m.channels.toLong,
+                m.sampleRate.toLong, m.nFrames, m.durationMs, m.ampSum,
+                rb.length.toLong)))
+            .getOrElse(org.apache.spark.sql.Row(id, false,
+              null, null, null, null, null, null))
+        }
+      }(enc).orderBy("asset_id")
+  }
+
   /** CDC MERGE: apply a change batch (updates / deletes / inserts) to a
     * base table in ONE full-outer join — the incremental-maintenance
     * primitive behind upsert sinks and slowly-changing tables. The
@@ -580,6 +625,7 @@ object Advanced {
     "q_m2_frame_sample" -> m2FrameSample,
     "q_m3_codec_meta" -> m3CodecMeta,
     "q_m4_resize" -> m4Resize,
+    "q_m5_resample_audio" -> m5ResampleAudio,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -849,5 +895,30 @@ object Advanced {
         |       (CASE WHEN corrupt THEN NULL
         |             ELSE 54 + ((3*dw+3)//4*4)*dh END)::BIGINT AS n_resized_bytes
         |FROM dims ORDER BY asset_id""".stripMargin,
+    // resampled frame count / duration / byte size / Σ |sample| all
+    // predicted from the nearest-neighbor decimation index arithmetic
+    // (dst frame j ← src frame j*nf//df, rates 8000k → 8000 so
+    // df = nf // k) — the Spark side must chunk-walk, decimate, and
+    // re-decode actual bytes to agree
+    "q_m5_resample_audio" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS asset_id, doc_id // 2 AS q, doc_id % 17 = 0 AS corrupt
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |aud AS (
+        |  SELECT asset_id, corrupt, 1 + q%2 AS ch, 1 + q%3 AS k,
+        |         40 + q%60 AS nf,
+        |         (40 + q%60) // (1 + q%3) AS df
+        |  FROM ids)
+        |SELECT asset_id, NOT corrupt AS ok,
+        |       (CASE WHEN corrupt THEN NULL ELSE ch END)::BIGINT AS channels,
+        |       (CASE WHEN corrupt THEN NULL ELSE 8000 END)::BIGINT AS dst_rate,
+        |       (CASE WHEN corrupt THEN NULL ELSE df END)::BIGINT AS dst_frames,
+        |       (CASE WHEN corrupt THEN NULL ELSE (df * 1000) // 8000 END)::BIGINT AS duration_ms,
+        |       (CASE WHEN corrupt THEN NULL ELSE
+        |          list_aggregate(list_transform(range(0, df*ch), g ->
+        |            abs((asset_id + (g//ch*nf//df)*ch + g%ch) % 512 - 256)), 'sum')
+        |        END)::BIGINT AS amp_sum,
+        |       (CASE WHEN corrupt THEN NULL ELSE 44 + df*ch*2 END)::BIGINT AS n_resampled_bytes
+        |FROM aud ORDER BY asset_id""".stripMargin,
   )
 }

@@ -147,6 +147,39 @@ class MultimodalSpec extends SparkSuite {
     assert(feat === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("resample: exact decimation, identity, upsample, chunk-walk, degenerate") {
+    import graft.multimodal.MediaFormats
+    // 2:1 downsample keeps every even source frame: seed 0, mono →
+    // sample values = flat index % 512 - 256; kept frames 0,2,4,...
+    val src = MediaFormats.encodeWav(0L, 1, 16000, 10)
+    val down = MediaFormats.resampleWav(src, 8000).get
+    val expect = (0 until 5).map(j => math.abs((2 * j) % 512 - 256).toLong).sum
+    assert(MediaFormats.decodeWav(down).contains(
+      MediaFormats.WavMeta(1, 8000, 5L, 5L * 1000 / 8000, expect)))
+    // identity resample preserves every sample
+    val same = MediaFormats.resampleWav(src, 16000).get
+    assert(MediaFormats.decodeWav(same).map(m => (m.nFrames, m.ampSum)) ===
+      MediaFormats.decodeWav(src).map(m => (m.nFrames, m.ampSum)))
+    // 2x upsample repeats frames (nearest): each source sample twice
+    val up = MediaFormats.resampleWav(src, 32000).get
+    val srcSum = MediaFormats.decodeWav(src).get.ampSum
+    assert(MediaFormats.decodeWav(up).exists(m =>
+      m.nFrames == 20L && m.ampSum == 2 * srcSum))
+    // a junk-chunk source is chunk-walked; the resampled output is
+    // canonical (44-byte header, foreign chunks dropped)
+    val junky = MediaFormats.encodeWav(7L, 2, 24000, 9, junkChunk = true)
+    val rj = MediaFormats.resampleWav(junky, 8000).get
+    assert(rj.length === 44 + 3 * 2 * 2, "9 frames @24k -> 3 @8k, stereo PCM16")
+    assert(MediaFormats.decodeWav(rj).exists(m => m.sampleRate == 8000 && m.nFrames == 3L))
+    // degenerate: heavier downsample than frames available → empty but
+    // valid audio; corrupt input and bad targets are None
+    assert(MediaFormats.decodeWav(
+      MediaFormats.resampleWav(MediaFormats.encodeWav(1L, 1, 24000, 2), 8000).get)
+      .exists(_.nFrames == 0L))
+    assert(MediaFormats.resampleWav(java.util.Arrays.copyOf(src, 20), 8000).isEmpty)
+    assert(MediaFormats.resampleWav(src, 0).isEmpty)
+  }
+
   test("real codec degrades per-row on corrupt real-format assets") {
     import graft.multimodal.MediaFormats
     val okBmp = MediaFormats.encodeBmp(1L, 4, 2)
