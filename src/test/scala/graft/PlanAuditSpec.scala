@@ -228,6 +228,19 @@ class PlanAuditSpec extends SparkSuite {
       s"frame sampling must not hash-shuffle asset data:\n${p.take(3000)}")
   }
 
+  test("m3/m4/m5 real codec: one narrow map over the id scan, media bytes in no shuffle") {
+    for ((name, q) <- Seq(
+      "m3" -> graft.operators.Advanced.m3CodecMeta,
+      "m4" -> graft.operators.Advanced.m4Resize,
+      "m5" -> graft.operators.Advanced.m5ResampleAudio)) {
+      val p = plan(q(spark, sf0001))
+      // generate+decode(+resize/resample) fuse into the row mapper —
+      // the only Exchange is the output ORDER BY's rangepartitioning
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not hash-shuffle media bytes:\n${p.take(3000)}")
+    }
+  }
+
   test("t19 temperature mix: map-side heap partials, broadcast targets, tiny scalar window") {
     val p = plan(graft.operators.TextAnalysis.t19TemperatureMix(spark, sf0001))
     assert(p.contains("partial_topk"),
