@@ -22,7 +22,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++ operators.Dedup.queries ++
       operators.Temporal.queries ++ operators.Advanced.queries ++
       operators.Indexed.queries ++ operators.Corpus.queries ++
-      operators.Bucketed.queries ++ operators.Layout.queries
+      operators.Bucketed.queries ++ operators.Layout.queries ++
+      operators.Hybrid.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++ operators.Dedup.oracleSql ++
       operators.Temporal.oracleSql ++ operators.Advanced.oracleSql ++
       operators.Indexed.oracleSql ++ operators.Corpus.oracleSql ++
-      operators.Bucketed.oracleSql ++ operators.Layout.oracleSql
+      operators.Bucketed.oracleSql ++ operators.Layout.oracleSql ++
+      operators.Hybrid.oracleSql
 }

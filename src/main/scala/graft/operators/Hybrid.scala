@@ -1,0 +1,299 @@
+package graft.operators
+
+import graft.core.Tables._
+import graft.functions.VectorFunctions.cosine
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Hybrid retrieval: lexical (BM25) ranking, lexical+vector fusion
+  * (reciprocal-rank fusion), and MMR diversification — the retrieval
+  * stack a vector-database user layers on top of pure ANN (the
+  * reference serves only the vector leg, `src/search.ts:10-45`; RAG
+  * deployments of it invariably bolt a lexical index next to it and
+  * fuse — this module is that missing half, Spark-native).
+  *
+  * Determinism contract (house style): every ranking signal that crosses
+  * the oracle boundary is integer arithmetic.
+  *  - BM25 is evaluated in exact rational form: with k1 = 1.2 and
+  *    b = 0.75, tf-part = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/A)
+  *    multiplied through by 20·A gives 44·A·tf / (20·A·tf + 6·A + 18·dl)
+  *    — all-integer once A (integer-truncated average doc length) is
+  *    fixed. Scaled ×1000 and floored (`div`), it is bit-identical in
+  *    Spark and DuckDB.
+  *  - idf uses the integer-quantized surrogate
+  *    1000·(N − df + 1) div (df + 1): strictly monotone decreasing in
+  *    df like ln((N−df+0.5)/(df+0.5)), which is all BM25's ordering
+  *    semantics need, without cross-engine `ln` ULP drift.
+  *  - RRF is quantized the same way: 10^6 div (C + rank).
+  *
+  * Scale notes (100 TB): BM25 is two scans by nature — one map-side-
+  * combined aggregate producing a single corpus-stats row (N, ΣdL, df
+  * per query term; in production maintained incrementally as corpus
+  * metadata, not recomputed per query), then a pure per-row scoring map
+  * over the tokenized docs feeding a TakeOrderedAndProject heap. The
+  * stats row re-enters the plan as a broadcast (1-row
+  * BroadcastNestedLoopJoin, not a shuffle). Nothing in the scoring pass
+  * shuffles; per-doc cost is O(dl) independent of corpus size. The A,
+  * dl, tf factors are per-document bounded, so the integer forms cannot
+  * overflow at any corpus size (no term multiplies two corpus-sized
+  * quantities).
+  */
+object Hybrid {
+
+  /** Fixed lexical query. "dup" is the one rare vocabulary term in the
+    * synthetic corpus (df ≈ 5%) — high idf; the other two are common
+    * (df ≈ 77%) so the query exercises both idf regimes.
+    */
+  val QueryTerms: Seq[String] = Seq("dup", "spark", "vector")
+
+  val Bm25TopK  = 15
+  /** Depth of each fused leg (lexical / vector) in h2. */
+  val RrfLegK   = 20
+  /** Classic RRF constant (Cormack et al. 2009). */
+  val RrfC      = 60
+  val RrfScale  = 1000000L
+  val RrfTopK   = 10
+  /** MMR: candidate pool, picks, and λ (relevance weight) in milli. */
+  val MmrCand        = 12
+  val MmrSelect      = 5
+  val MmrLambdaMilli = 700L
+
+  // ----------------------------------------------------------- lexical
+
+  /** Per-doc term stats: doc_id, dl, tf_<term>. The token array is
+    * materialized once in an intermediate projection (the t2 lesson:
+    * HOFs are codegen-fallback islands, so an inlined `tokens(text)`
+    * re-splits the full text per consuming expression).
+    */
+  private def perDoc(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val tfs = QueryTerms.map(q =>
+      size(filter(col("toks"), x => x === q)).cast("long").as(s"tf_$q"))
+    t.select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfs: _*)
+  }
+
+  /** Docs scored by integer-exact BM25 (see object scaladoc for the
+    * rational derivation). Two scans of `documents`: the stats aggregate
+    * and the scoring map — inherent to BM25 (global stats precede
+    * scoring); deliberately NOT cached (the tokens-wide blow-up costs
+    * more to materialize than the second tokenize, measured on t15).
+    */
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val pd = perDoc(s, d)
+    val dfAggs = QueryTerms.map(q =>
+      sum(when(col(s"tf_$q") > 0, 1L).otherwise(0L)).as(s"df_$q"))
+    val stats = pd.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").as("t_tokens") +: dfAggs): _*)
+    val contrib: Column = QueryTerms.map(q => expr(
+      s"""((1000 * (n_docs - df_$q + 1)) div (df_$q + 1))
+         | * ((44000 * adl * tf_$q) div (20 * adl * tf_$q + 6 * adl + 18 * dl))"""
+        .stripMargin.replaceAll("\n", " "))).reduce(_ + _)
+    pd.crossJoin(broadcast(stats)) // 1-row stats side: BNLJ, no shuffle
+      .withColumn("adl", expr("t_tokens div n_docs"))
+      .withColumn("bm25_scaled", contrib)
+  }
+
+  /** H1: BM25 top-k lexical search over `documents`.
+    * Output: doc_id, n_tokens, tf_<term>…, bm25_scaled (integer).
+    */
+  val h1Bm25Topk: Relational.Q = (s, d) =>
+    bm25Scored(s, d)
+      .filter(col("bm25_scaled") > 0)
+      .orderBy(col("bm25_scaled").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .select(col("doc_id") +: col("dl").as("n_tokens") +:
+        QueryTerms.map(q => col(s"tf_$q")) :+ col("bm25_scaled"): _*)
+
+  // ------------------------------------------------------------ fusion
+
+  /** H2: hybrid search — BM25 leg and cosine-kNN leg (same query
+    * document: terms above / embedding of `Knn.QueryId`), each ranked to
+    * depth `RrfLegK`, fused by quantized reciprocal-rank fusion
+    * `Σ 10^6 div (60 + rank)`. A doc found by only one leg scores with
+    * the legs it has (rank NULL on the other — the classic RRF
+    * semantics).
+    *
+    * Plan shape: each leg is a TakeOrderedAndProject (bounded heap, no
+    * global sort); the fusion is a union + hash-agg over ≤ 2·RrfLegK
+    * rows. The single-partition rank windows run AFTER the legs' top-k
+    * truncation, so they see ≤ RrfLegK rows — not a scale hazard.
+    */
+  val h2HybridRrf: Relational.Q = (s, d) => {
+    val lexW = Window.orderBy(col("bm25_scaled").desc, col("doc_id").asc)
+    val lex = bm25Scored(s, d)
+      .filter(col("bm25_scaled") > 0)
+      .orderBy(col("bm25_scaled").desc, col("doc_id").asc).limit(RrfLegK)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"),
+        lit(null).cast("long").as("vec_rank"))
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    val vecW = Window.orderBy(col("sim").desc, col("vec_id").asc)
+    val vec = embeddings(s, d)
+      .filter(col("vec_id") =!= Knn.QueryId)
+      .withColumn("sim", cosine(col("embedding"), q))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(RrfLegK)
+      .withColumn("vec_rank", row_number().over(vecW).cast("long"))
+      .select(col("vec_id").as("id"), lit(null).cast("long").as("lex_rank"),
+        col("vec_rank"))
+    lex.unionByName(vec)
+      .groupBy("id")
+      .agg(max("lex_rank").as("lex_rank"), max("vec_rank").as("vec_rank"))
+      .withColumn("rrf_scaled",
+        coalesce(expr(s"$RrfScale div ($RrfC + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfC + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf_scaled").desc, col("id").asc)
+      .limit(RrfTopK)
+      .select(col("id").as("doc_id"), col("lex_rank"), col("vec_rank"),
+        col("rrf_scaled"))
+  }
+
+  // ------------------------------------------------------------- MMR
+
+  /** H3: maximal-marginal-relevance rerank (Carbonell & Goldstein 1998)
+    * of the top-`MmrCand` cosine candidates: greedily pick
+    * `MmrSelect` docs maximizing λ·rel − (1−λ)·max-sim-to-selected,
+    * λ = 0.7, all signals quantized to milli integers
+    * (round(sim·1000) — same cross-engine double contract as the
+    * v-family's round(sim, 3) outputs).
+    *
+    * The candidate generation (corpus-wide cosine top-k) and the
+    * pairwise candidate-similarity matrix are distributed;
+    * the greedy selection itself runs on the driver over the collected
+    * candidates. Bounded collect rationale: |cand| ≤ MmrCand = 12 and
+    * |pairs| ≤ MmrCand·(MmrCand−1) = 132 BY CONSTRUCTION (the limits
+    * are in the plan, not the data), and MMR is inherently sequential —
+    * each pick conditions the next via the max-sim term, so there is no
+    * distributed formulation that is not a k-round driver loop anyway.
+    * At 100 TB nothing changes: the rerank always runs on the final
+    * top-C of a search, and C stays human-sized while the corpus grows.
+    */
+  val h3MmrRerank: Relational.Q = (s, d) => {
+    val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    val cand = embeddings(s, d)
+      .filter(col("vec_id") =!= Knn.QueryId)
+      .withColumn("sim", cosine(col("embedding"), q))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(MmrCand)
+      .select(col("vec_id").as("id"),
+        round(col("sim") * 1000, 0).cast("long").as("rel_m"),
+        col("embedding"))
+    val a = cand.select(col("id").as("a"), col("embedding").as("ea"))
+    val b = cand.select(col("id").as("b"), col("embedding").as("eb"))
+    val pairs = a.join(broadcast(b), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")) * 1000, 0).cast("long").as("s_m"))
+    val cs = cand.select("id", "rel_m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sim = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    var selected = Vector.empty[(Int, Long, Long)] // (rank, id, rel_m)
+    var remaining = cs.toList
+    for (k <- 1 to MmrSelect) {
+      val pick = remaining.map { case (id, rel) =>
+        val pen =
+          if (selected.isEmpty) 0L
+          else selected.map { case (_, sid, _) => sim((id, sid)) }.max
+        (id, rel, MmrLambdaMilli * rel - (1000 - MmrLambdaMilli) * pen)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected :+= ((k, pick._1, pick._2))
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    import s.implicits._
+    selected.toDF("mmr_rank", "doc_id", "rel_milli")
+      .select(col("mmr_rank").cast("long"), col("doc_id"), col("rel_milli"))
+      .orderBy("mmr_rank")
+  }
+
+  // ---------------------------------------------------------- registry
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_h1_bm25_topk" -> h1Bm25Topk,
+    "q_h2_hybrid_rrf" -> h2HybridRrf,
+    "q_h3_mmr_rerank" -> h3MmrRerank,
+  )
+
+  val oracleSql: Map[String, String] = {
+    val pdCte =
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |            FROM documents),
+         |pd AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+         |${QueryTerms.map(q => s"  len(list_filter(toks, t -> t = '$q'))::BIGINT AS tf_$q").mkString(",\n")}
+         |       FROM tok),
+         |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS t_tokens,
+         |${QueryTerms.map(q => s"  sum(CASE WHEN tf_$q > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$q").mkString(",\n")}
+         |       FROM pd),
+         |sc AS (SELECT doc_id, dl, ${QueryTerms.map(q => s"tf_$q").mkString(", ")},
+         |${QueryTerms.map(q =>
+            s"""  (((1000 * (n_docs - df_$q + 1)) // (df_$q + 1))
+               |   * ((44000 * adl * tf_$q) // (20 * adl * tf_$q + 6 * adl + 18 * dl)))"""
+              .stripMargin).mkString(" +\n")}
+         |         AS bm25_scaled
+         |       FROM pd CROSS JOIN (SELECT *, t_tokens // n_docs AS adl FROM st))"""
+        .stripMargin
+    val simCte =
+      s"""qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${Knn.QueryId}),
+         |sim AS (SELECT vec_id, sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))) AS sim
+         |        FROM (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS a,
+         |                     unnest(qv.qe)::DOUBLE AS b
+         |              FROM embeddings e CROSS JOIN qv
+         |              WHERE e.vec_id <> ${Knn.QueryId}) z
+         |        GROUP BY vec_id)""".stripMargin
+    // MMR oracle: the greedy loop unrolled as MmrSelect CTE steps (pure
+    // SQL, no recursion) over the candidate + pairwise-sim tables.
+    val mmrSteps = (2 to MmrSelect).map { k =>
+      s"""p$k AS (SELECT c.id, c.rel_m,
+         |        ${MmrLambdaMilli} * c.rel_m - ${1000 - MmrLambdaMilli} *
+         |          (SELECT max(p.s_m) FROM ps p
+         |           JOIN sel${k - 1} v ON p.a = c.id AND p.b = v.id) AS score
+         |        FROM cand c
+         |        WHERE c.id NOT IN (SELECT id FROM sel${k - 1})
+         |        ORDER BY score DESC, c.id ASC LIMIT 1),
+         |sel$k AS (SELECT id, rel_m, pick FROM sel${k - 1}
+         |          UNION ALL SELECT id, rel_m, $k AS pick FROM p$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    Map(
+      "q_h1_bm25_topk" ->
+        s"""$pdCte
+           |SELECT doc_id, dl AS n_tokens, ${QueryTerms.map(q => s"tf_$q").mkString(", ")}, bm25_scaled
+           |FROM sc WHERE bm25_scaled > 0
+           |ORDER BY bm25_scaled DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin,
+      "q_h2_hybrid_rrf" ->
+        s"""$pdCte,
+           |lex AS (SELECT doc_id AS id,
+           |               row_number() OVER (ORDER BY bm25_scaled DESC, doc_id ASC) AS lex_rank
+           |        FROM sc WHERE bm25_scaled > 0
+           |        ORDER BY bm25_scaled DESC, doc_id ASC LIMIT $RrfLegK),
+           |$simCte,
+           |vec AS (SELECT vec_id AS id,
+           |               row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS vec_rank
+           |        FROM sim ORDER BY sim DESC, vec_id ASC LIMIT $RrfLegK),
+           |f AS (SELECT coalesce(lex.id, vec.id) AS doc_id,
+           |             lex_rank::BIGINT AS lex_rank, vec_rank::BIGINT AS vec_rank,
+           |             coalesce($RrfScale // ($RrfC + lex_rank), 0)
+           |               + coalesce($RrfScale // ($RrfC + vec_rank), 0) AS rrf_scaled
+           |      FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+           |SELECT doc_id, lex_rank, vec_rank, rrf_scaled FROM f
+           |ORDER BY rrf_scaled DESC, doc_id ASC LIMIT $RrfTopK""".stripMargin,
+      "q_h3_mmr_rerank" ->
+        s"""WITH $simCte,
+           |cand AS (SELECT vec_id AS id, round(sim * 1000)::BIGINT AS rel_m, sim
+           |         FROM sim ORDER BY sim DESC, vec_id ASC LIMIT $MmrCand),
+           |ce AS (SELECT e.vec_id, e.embedding FROM embeddings e
+           |       JOIN cand c ON e.vec_id = c.id),
+           |ps AS (SELECT a, b,
+           |              round(sum(p*r) / (sqrt(sum(p*p)) * sqrt(sum(r*r))) * 1000)::BIGINT AS s_m
+           |       FROM (SELECT x.vec_id AS a, y.vec_id AS b,
+           |                    unnest(x.embedding)::DOUBLE AS p,
+           |                    unnest(y.embedding)::DOUBLE AS r
+           |             FROM ce x JOIN ce y ON x.vec_id <> y.vec_id) z
+           |       GROUP BY a, b),
+           |p1 AS (SELECT id, rel_m FROM cand ORDER BY rel_m DESC, id ASC LIMIT 1),
+           |sel1 AS (SELECT id, rel_m, 1 AS pick FROM p1),
+           |$mmrSteps
+           |SELECT pick::BIGINT AS mmr_rank, id AS doc_id, rel_m AS rel_milli
+           |FROM sel$MmrSelect ORDER BY pick""".stripMargin,
+    )
+  }
+}

@@ -56,7 +56,7 @@ object Knn {
   /** Fetch one embedding as a literal column (driver-side O(1) lookup —
     * the reference also embeds/holds the query vector driver-side).
     */
-  private[operators] def embeddingLit(s: SparkSession, d: String, id: Int): Column = {
+  private[graft] def embeddingLit(s: SparkSession, d: String, id: Int): Column = {
     val arr = embeddings(s, d).filter(col("vec_id") === id)
       .select("embedding").head().getSeq[Float](0)
     typedlit(arr)

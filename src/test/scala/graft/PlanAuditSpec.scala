@@ -274,6 +274,31 @@ class PlanAuditSpec extends SparkSuite {
       s"v20 missing/orphan counts must plan as real anti joins:\n${p20.take(3000)}")
   }
 
+  test("hybrid retrieval: bounded heaps, 1-row broadcast stats, no doc shuffle") {
+    // h1: the scoring pass is a pure map feeding a TakeOrderedAndProject
+    // heap; the corpus stats re-enter as a 1-row IdentityBroadcastMode
+    // BNLJ (NOT a shuffle); the only Exchange in the whole plan is the
+    // SinglePartition gather of the stats aggregate's partials — at
+    // 100 TB no document row ever hash-partitions.
+    val p1 = plan(graft.operators.Hybrid.h1Bm25Topk(spark, sf0001))
+    assert(p1.contains("TakeOrderedAndProject"),
+      s"BM25 top-k must be a bounded heap, not a global sort:\n${p1.take(3000)}")
+    assert(p1.contains("IdentityBroadcastMode"),
+      s"corpus stats must broadcast as the 1-row BNLJ side:\n${p1.take(3000)}")
+    assert(!p1.contains("Exchange hashpartitioning"),
+      s"no document row may hash-shuffle in the BM25 plan:\n${p1.take(3000)}")
+    // h2: BOTH legs truncate through their own heap before the rank
+    // windows ever run, so the single-partition windows see ≤ RrfLegK
+    // rows — the WindowExec single-partition warning is bounded by
+    // construction, not by data.
+    val p2 = plan(graft.operators.Hybrid.h2HybridRrf(spark, sf0001))
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p2).length
+    assert(heaps >= 3, // lex leg + vec leg + final fused top-k
+      s"both fusion legs and the final k must be bounded heaps (got $heaps):\n${p2.take(3000)}")
+    assert(!p2.contains("CartesianProduct"),
+      s"fusion must not plan a cartesian over data:\n${p2.take(3000)}")
+  }
+
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
     val out = tmpDir("plan-audit-ivf") + "/vectors"
     val e = HashingEmbedder(dims = 16)
