@@ -106,6 +106,79 @@ object Hybrid {
       .select(col("doc_id") +: col("dl").as("n_tokens") +:
         QueryTerms.map(q => col(s"tf_$q")) :+ col("bm25_scaled"): _*)
 
+  // --------------------------------------------- PRF query expansion
+
+  /** H4 geometry: candidate pool, feedback docs, expansion terms. */
+  val PrfCand   = 50
+  val PrfDocs   = 10
+  val PrfExpand = 3
+
+  /** H4: pseudo-relevance-feedback query expansion (RM3-shaped —
+    * Abdul-Jaleel et al., UMass TREC 2004): retrieve, mine the top
+    * `PrfDocs` feedback docs for the `PrfExpand` highest-Σtf terms not
+    * already in the query, then re-score the top-`PrfCand` candidate
+    * pool with base + half-weight expansion contributions (per-term
+    * `div 2` — kept per-term so the oracle mirrors the truncation
+    * exactly).
+    *
+    * Scale notes (100 TB): the two driver collects are plan-bounded,
+    * not data-bounded — ≤ PrfCand ids from a TakeOrderedAndProject
+    * heap and ≤ PrfExpand terms from the feedback-doc vocabulary; both
+    * re-enter the plan as literals, and the candidate/feedback
+    * re-scans PRUNE via pushed In() filters (asserted in
+    * PlanAuditSpec). The one extra full-corpus scan computes the
+    * expansion terms' df — the idf of a data-dependent term needs its
+    * corpus frequency; a production deployment serves this from the
+    * same incrementally-maintained corpus-stats metadata as BM25's
+    * N/ΣdL, so the scan is the honest cold-start cost, not a per-query
+    * one. Re-scoring touches ONLY the In()-pruned candidates.
+    */
+  val h4PrfExpand: Relational.Q = (s, d) => {
+    // pass 1 — candidate ids. Bounded collect rationale: ≤ PrfCand = 50
+    // rows BY CONSTRUCTION (the limit is in the plan); ordered, so the
+    // feedback set is the prefix.
+    val candIds = bm25Scored(s, d).filter(col("bm25_scaled") > 0)
+      .orderBy(col("bm25_scaled").desc, col("doc_id").asc).limit(PrfCand)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val prfIds = candIds.take(PrfDocs)
+    // expansion terms from the feedback docs (In()-pruned scan; the
+    // sort input is the ≤ PrfDocs-doc vocabulary). Bounded collect
+    // rationale: ≤ PrfExpand = 3 terms by the limit in the plan.
+    val expTerms = documents(s, d).filter(col("doc_id").isin(prfIds: _*))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0 && !col("term").isin(QueryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("tfsum"))
+      .orderBy(col("tfsum").desc, col("term").asc).limit(PrfExpand)
+      .collect().map(_.getString(0)).toSeq
+    val all = QueryTerms ++ expTerms
+    // per-doc dl + tf per term, indexed columns (expansion terms are
+    // data and make unsafe column names)
+    def pdIdx(src: DataFrame): DataFrame = {
+      val t = src.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val tfs = all.zipWithIndex.map { case (q, i) =>
+        size(filter(col("toks"), x => x === q)).cast("long").as(s"tf_$i") }
+      t.select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfs: _*)
+    }
+    val stats = pdIdx(documents(s, d)).agg(count(lit(1)).as("n_docs"),
+      (sum("dl").as("t_tokens") +:
+        all.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
+    def contrib(i: Int, den: Long): Column = expr(
+      s"(((1000 * (n_docs - df_$i + 1)) div (df_$i + 1))" +
+        s" * ((44000 * adl * tf_$i) div (20 * adl * tf_$i + 6 * adl + 18 * dl))) div $den")
+    val baseCol = QueryTerms.indices.map(contrib(_, 1L)).reduce(_ + _)
+    val boostCol =
+      if (expTerms.isEmpty) lit(0L)
+      else (QueryTerms.size until all.size).map(contrib(_, 2L)).reduce(_ + _)
+    pdIdx(documents(s, d).filter(col("doc_id").isin(candIds: _*)))
+      .crossJoin(broadcast(stats)) // 1-row stats: BNLJ, no shuffle
+      .withColumn("adl", expr("t_tokens div n_docs"))
+      .withColumn("base_scaled", baseCol)
+      .withColumn("boost_scaled", boostCol)
+      .withColumn("bm25x_scaled", col("base_scaled") + col("boost_scaled"))
+      .orderBy(col("bm25x_scaled").desc, col("doc_id").asc).limit(Bm25TopK)
+      .select("doc_id", "base_scaled", "boost_scaled", "bm25x_scaled")
+  }
+
   // ------------------------------------------------------------ fusion
 
   /** H2: hybrid search — BM25 leg and cosine-kNN leg (same query
@@ -211,6 +284,7 @@ object Hybrid {
     "q_h1_bm25_topk" -> h1Bm25Topk,
     "q_h2_hybrid_rrf" -> h2HybridRrf,
     "q_h3_mmr_rerank" -> h3MmrRerank,
+    "q_h4_prf_expand" -> h4PrfExpand,
   )
 
   val oracleSql: Map[String, String] = {
@@ -253,7 +327,45 @@ object Hybrid {
          |          UNION ALL SELECT id, rel_m, $k AS pick FROM p$k)"""
         .stripMargin
     }.mkString(",\n")
+    // h4's expansion pipeline in SQL: candidate pool → feedback-doc
+    // term mining → corpus df of the mined terms → half-weight
+    // contributions, all in the same integer-rational arithmetic.
+    val prfSql =
+      s"""$pdCte,
+         |cand AS (SELECT doc_id, bm25_scaled FROM sc WHERE bm25_scaled > 0
+         |         ORDER BY bm25_scaled DESC, doc_id ASC LIMIT $PrfCand),
+         |prf AS (SELECT doc_id FROM cand
+         |        ORDER BY bm25_scaled DESC, doc_id ASC LIMIT $PrfDocs),
+         |pt AS (SELECT unnest(t.toks) AS term FROM tok t
+         |       JOIN prf p ON t.doc_id = p.doc_id),
+         |expt AS (SELECT term FROM pt
+         |         WHERE len(term) > 0
+         |           AND term NOT IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+         |         GROUP BY term ORDER BY count(*) DESC, term ASC LIMIT $PrfExpand),
+         |ct AS (SELECT z.doc_id, z.term, count(*)::BIGINT AS tf
+         |       FROM (SELECT t.doc_id, unnest(t.toks) AS term FROM tok t
+         |             JOIN cand c ON t.doc_id = c.doc_id) z
+         |       JOIN expt e ON e.term = z.term GROUP BY z.doc_id, z.term),
+         |dfe AS (SELECT e.term, count(DISTINCT z.doc_id)::BIGINT AS dfv
+         |        FROM (SELECT t.doc_id, unnest(t.toks) AS term FROM tok t) z
+         |        JOIN expt e ON e.term = z.term GROUP BY e.term),
+         |boost AS (SELECT ct.doc_id,
+         |            sum((((1000 * (st.n_docs - dfe.dfv + 1)) // (dfe.dfv + 1))
+         |                 * ((44000 * a.adl * ct.tf)
+         |                    // (20 * a.adl * ct.tf + 6 * a.adl + 18 * pd.dl))) // 2
+         |            )::BIGINT AS boost_scaled
+         |          FROM ct JOIN dfe ON dfe.term = ct.term
+         |               JOIN pd ON pd.doc_id = ct.doc_id
+         |               CROSS JOIN st
+         |               CROSS JOIN (SELECT t_tokens // n_docs AS adl FROM st) a
+         |          GROUP BY ct.doc_id)
+         |SELECT c.doc_id, c.bm25_scaled AS base_scaled,
+         |       coalesce(b.boost_scaled, 0)::BIGINT AS boost_scaled,
+         |       (c.bm25_scaled + coalesce(b.boost_scaled, 0))::BIGINT AS bm25x_scaled
+         |FROM cand c LEFT JOIN boost b ON b.doc_id = c.doc_id
+         |ORDER BY bm25x_scaled DESC, c.doc_id ASC LIMIT $Bm25TopK""".stripMargin
     Map(
+      "q_h4_prf_expand" -> prfSql,
       "q_h1_bm25_topk" ->
         s"""$pdCte
            |SELECT doc_id, dl AS n_tokens, ${QueryTerms.map(q => s"tf_$q").mkString(", ")}, bm25_scaled

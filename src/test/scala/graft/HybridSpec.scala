@@ -47,6 +47,48 @@ class HybridSpec extends SparkSuite {
       "first term must be rare (high-idf regime)")
   }
 
+  test("PRF expansion re-derived end-to-end in Scala") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val n = docs.size.toLong
+    val dl = docs.map { case (id, t) => id -> t.length.toLong }
+    val adl = dl.values.sum / n
+    def dfOf(term: String): Long = docs.values.count(_.contains(term)).toLong
+    def contrib(id: Long, term: String, den: Long): Long = {
+      val tf = docs(id).count(_ == term).toLong
+      val df = dfOf(term)
+      val idf = (1000L * (n - df + 1)) / (df + 1)
+      (idf * ((44000L * adl * tf) / (20L * adl * tf + 6L * adl + 18L * dl(id)))) / den
+    }
+    def base(id: Long): Long = Hybrid.QueryTerms.map(contrib(id, _, 1L)).sum
+
+    val cand = docs.keys.toSeq.map(id => (id, base(id))).filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }.take(Hybrid.PrfCand)
+    val prf = cand.take(Hybrid.PrfDocs).map(_._1)
+    val expTerms = prf.flatMap(docs(_))
+      .filter(t => t.nonEmpty && !Hybrid.QueryTerms.contains(t))
+      .groupBy(identity).map { case (t, xs) => (t, xs.size) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(Hybrid.PrfExpand).map(_._1)
+    assert(expTerms.size === Hybrid.PrfExpand, "fixture must yield a full expansion set")
+    val expected = cand.map { case (id, b) =>
+      val boost = expTerms.map(contrib(id, _, 2L)).sum
+      (id, b, boost, b + boost)
+    }.sortBy { case (id, _, _, x) => (-x, id) }.take(Hybrid.Bm25TopK)
+
+    val got = Hybrid.h4PrfExpand(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // non-vacuity: expansion contributes, and it genuinely reorders the
+    // candidate pool (the top-15 prefix may coincide; the pool may not)
+    assert(got.exists(_._3 > 0), "some candidate must gain boost")
+    val full = cand.map { case (id, b) =>
+      (id, b, b + expTerms.map(contrib(id, _, 2L)).sum) }
+    val byBase = full.sortBy { case (id, b, _) => (-b, id) }.map(_._1)
+    val byExp  = full.sortBy { case (id, _, x) => (-x, id) }.map(_._1)
+    assert(byBase !== byExp, "expansion must reorder the candidate pool")
+  }
+
   test("RRF fusion re-derived from the legs' own rankings") {
     // lexical leg from the (already-verified) BM25 column
     val lex = Hybrid.bm25Scored(spark, sf0001)

@@ -297,6 +297,16 @@ class PlanAuditSpec extends SparkSuite {
       s"both fusion legs and the final k must be bounded heaps (got $heaps):\n${p2.take(3000)}")
     assert(!p2.contains("CartesianProduct"),
       s"fusion must not plan a cartesian over data:\n${p2.take(3000)}")
+    // h4: the returned (re-scoring) plan touches only the In()-pruned
+    // candidate scan — the candidate ids must reach the parquet scan as
+    // a pushed In filter, stats broadcast as in h1, and nothing
+    // hash-partitions.
+    val p4 = plan(graft.operators.Hybrid.h4PrfExpand(spark, sf0001))
+    assert(p4.contains("PushedFilters: [In(doc_id"),
+      s"candidate re-scan must prune via a pushed In filter:\n${p4.take(3000)}")
+    assert(p4.contains("IdentityBroadcastMode") &&
+      !p4.contains("Exchange hashpartitioning"),
+      s"re-score must broadcast stats and never hash-shuffle:\n${p4.take(3000)}")
   }
 
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
