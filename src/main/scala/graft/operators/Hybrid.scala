@@ -80,19 +80,25 @@ object Hybrid {
     * scoring); deliberately NOT cached (the tokens-wide blow-up costs
     * more to materialize than the second tokenize, measured on t15).
     */
+  /** The summed integer-rational BM25 contribution over `QueryTerms` —
+    * expects `n_docs`, `df_<q>`, `adl`, `tf_<q>`, `dl` columns in
+    * scope. Shared by the scan path (h1/h2/h4) and the stored-index
+    * serving path (h5) so the two can never drift.
+    */
+  private def bm25Contrib: Column = QueryTerms.map(q => expr(
+    s"""((1000 * (n_docs - df_$q + 1)) div (df_$q + 1))
+       | * ((44000 * adl * tf_$q) div (20 * adl * tf_$q + 6 * adl + 18 * dl))"""
+      .stripMargin.replaceAll("\n", " "))).reduce(_ + _)
+
   private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val pd = perDoc(s, d)
     val dfAggs = QueryTerms.map(q =>
       sum(when(col(s"tf_$q") > 0, 1L).otherwise(0L)).as(s"df_$q"))
     val stats = pd.agg(count(lit(1)).as("n_docs"),
       (sum("dl").as("t_tokens") +: dfAggs): _*)
-    val contrib: Column = QueryTerms.map(q => expr(
-      s"""((1000 * (n_docs - df_$q + 1)) div (df_$q + 1))
-         | * ((44000 * adl * tf_$q) div (20 * adl * tf_$q + 6 * adl + 18 * dl))"""
-        .stripMargin.replaceAll("\n", " "))).reduce(_ + _)
     pd.crossJoin(broadcast(stats)) // 1-row stats side: BNLJ, no shuffle
       .withColumn("adl", expr("t_tokens div n_docs"))
-      .withColumn("bm25_scaled", contrib)
+      .withColumn("bm25_scaled", bm25Contrib)
   }
 
   /** H1: BM25 top-k lexical search over `documents`.
@@ -105,6 +111,92 @@ object Hybrid {
       .limit(Bm25TopK)
       .select(col("doc_id") +: col("dl").as("n_tokens") +:
         QueryTerms.map(q => col(s"tf_$q")) :+ col("bm25_scaled"): _*)
+
+  // ---------------------------------------------------- lexical index
+
+  /** Postings partition-bucket count. At 100 TB this scales with
+    * vocabulary/corpus size (target file-size-bound buckets); the plan
+    * shape — partition prune on bucket, row-group stats prune on term —
+    * is unchanged.
+    */
+  val LexBuckets = 8
+  private val LexTag = s"l1b$LexBuckets"
+
+  /** Build-once inverted lexical index in the versioned warehouse (the
+    * [[Indexed.ensureIndex]] discipline): `postings/` holds one row per
+    * (term, doc) — (term, doc_id, tf, dl), dl DENORMALIZED so serving
+    * never joins a doc-stats table — laid out as `bucket =
+    * pmod(xxhash64(term), B)` directory partitions sorted by term
+    * within, so a query's terms prune whole directories AND row groups.
+    * `meta/` holds the 1-row corpus stats (n_docs, t_tokens) captured
+    * at build time. The build's one shuffle is the map-side-combined
+    * groupBy((term, doc_id)) of the exploded tokens — inherent to
+    * inverted-index construction and linear in corpus tokens.
+    */
+  def ensureLexIndex(s: SparkSession, d: String): String = synchronized {
+    graft.core.ArtifactStore.ensure(
+      graft.core.ArtifactStore.artifactDir("lex_postings", d, LexTag)) { target =>
+      val pd = documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      pd.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(LexBuckets.toLong)).cast("int"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "term", "doc_id")
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$target/postings")
+      pd.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("dl").cast("long").as("t_tokens"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$target/meta")
+    }
+  }
+
+  /** H5: BM25 top-k SERVED from the stored inverted index — output
+    * identical to [[h1Bm25Topk]] (the oracle recomputes from raw
+    * documents, so index build + serving are both under the hash
+    * check). This is the 100 TB path for lexical search: the corpus is
+    * never scanned at query time — the pruned postings read touches
+    * only Σ df(q) rows (partition prune on the term buckets + pushed
+    * In(term) row-group prune, both asserted in PlanAuditSpec), the
+    * per-term df re-derives from the pruned read itself (≤ |q| rows,
+    * broadcast back), and the one hash shuffle is the per-doc pivot of
+    * MATCHED postings only, map-side combined.
+    */
+  val h5Bm25Indexed: Relational.Q = (s, d) => {
+    val root = ensureLexIndex(s, d)
+    // bucket ids for the query terms, computed with the engine's own
+    // hash so build and probe can never drift. Bounded collect
+    // rationale: one row, |QueryTerms| ints.
+    val bRow = s.range(1).select(QueryTerms.zipWithIndex.map { case (t, i) =>
+      pmod(xxhash64(lit(t)), lit(LexBuckets.toLong)).cast("int").as(s"b_$i") }: _*)
+      .head()
+    val buckets = QueryTerms.indices.map(bRow.getInt).distinct
+    val pruned = s.read.parquet(s"$root/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(QueryTerms: _*))
+    // per-term df from the pruned read (postings are unique per
+    // (term, doc) so count = df), pivoted to the 1-row stats shape
+    val dfCols = QueryTerms.map(q =>
+      coalesce(sum(when(col("term") === q, col("dfv"))), lit(0L)).as(s"df_$q"))
+    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("dfv"))
+      .agg(dfCols.head, dfCols.tail: _*)
+    val stats = s.read.parquet(s"$root/meta").crossJoin(dfs)
+    val tfCols = QueryTerms.map(q =>
+      coalesce(sum(when(col("term") === q, col("tf"))), lit(0L)).as(s"tf_$q"))
+    val perDocTf = pruned.groupBy("doc_id")
+      .agg(max("dl").as("dl"), tfCols: _*)
+    perDocTf.crossJoin(broadcast(stats)) // 1-row stats: BNLJ, no shuffle
+      .withColumn("adl", expr("t_tokens div n_docs"))
+      .withColumn("bm25_scaled", bm25Contrib)
+      .filter(col("bm25_scaled") > 0)
+      .orderBy(col("bm25_scaled").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .select(col("doc_id") +: col("dl").as("n_tokens") +:
+        QueryTerms.map(q => col(s"tf_$q")) :+ col("bm25_scaled"): _*)
+  }
 
   // --------------------------------------------- PRF query expansion
 
@@ -285,6 +377,7 @@ object Hybrid {
     "q_h2_hybrid_rrf" -> h2HybridRrf,
     "q_h3_mmr_rerank" -> h3MmrRerank,
     "q_h4_prf_expand" -> h4PrfExpand,
+    "q_h5_bm25_indexed" -> h5Bm25Indexed,
   )
 
   val oracleSql: Map[String, String] = {
@@ -364,13 +457,18 @@ object Hybrid {
          |       (c.bm25_scaled + coalesce(b.boost_scaled, 0))::BIGINT AS bm25x_scaled
          |FROM cand c LEFT JOIN boost b ON b.doc_id = c.doc_id
          |ORDER BY bm25x_scaled DESC, c.doc_id ASC LIMIT $Bm25TopK""".stripMargin
+    // h1 and h5 share one oracle: h5 must reproduce the scan-path
+    // result exactly from the stored index, so the raw-docs recompute
+    // checks build AND serving.
+    val bm25Sql =
+      s"""$pdCte
+         |SELECT doc_id, dl AS n_tokens, ${QueryTerms.map(q => s"tf_$q").mkString(", ")}, bm25_scaled
+         |FROM sc WHERE bm25_scaled > 0
+         |ORDER BY bm25_scaled DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
     Map(
       "q_h4_prf_expand" -> prfSql,
-      "q_h1_bm25_topk" ->
-        s"""$pdCte
-           |SELECT doc_id, dl AS n_tokens, ${QueryTerms.map(q => s"tf_$q").mkString(", ")}, bm25_scaled
-           |FROM sc WHERE bm25_scaled > 0
-           |ORDER BY bm25_scaled DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin,
+      "q_h1_bm25_topk" -> bm25Sql,
+      "q_h5_bm25_indexed" -> bm25Sql,
       "q_h2_hybrid_rrf" ->
         s"""$pdCte,
            |lex AS (SELECT doc_id AS id,

@@ -47,6 +47,19 @@ class HybridSpec extends SparkSuite {
       "first term must be rare (high-idf regime)")
   }
 
+  test("indexed BM25 serving equals the scan path, row for row") {
+    // h5 answers from the stored postings artifact; h1 from the corpus
+    // scan. Identical output (schema AND values) is the build+serving
+    // correctness statement — the already-proven h1 arithmetic carries
+    // over to the index path.
+    val a = Hybrid.h1Bm25Topk(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = Hybrid.h5Bm25Indexed(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty)
+    assert(b === a)
+    assert(Hybrid.h1Bm25Topk(spark, sf0001).columns.toSeq ===
+      Hybrid.h5Bm25Indexed(spark, sf0001).columns.toSeq)
+  }
+
   test("PRF expansion re-derived end-to-end in Scala") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()

@@ -307,6 +307,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(p4.contains("IdentityBroadcastMode") &&
       !p4.contains("Exchange hashpartitioning"),
       s"re-score must broadcast stats and never hash-shuffle:\n${p4.take(3000)}")
+    // h5: index SERVING never scans the corpus — the postings reads
+    // prune whole bucket directories (PartitionFilters) and row groups
+    // (pushed In(term)); the one data shuffle is the per-doc pivot of
+    // MATCHED postings, with map-side partials.
+    val p5 = plan(graft.operators.Hybrid.h5Bm25Indexed(spark, sf0001))
+    assert(!p5.contains("documents.parquet"),
+      s"indexed serving must not scan the corpus:\n${p5.take(3000)}")
+    assert(p5.contains("PartitionFilters: [bucket") &&
+      p5.contains("PushedFilters: [In(term"),
+      s"postings reads must prune buckets and terms:\n${p5.take(3000)}")
+    assert(p5.contains("partial_max(dl"),
+      s"per-doc pivot must run map-side partials:\n${p5.take(3000)}")
   }
 
   test("IVF layout: cluster partition pruning + dist0 stats pushdown") {
