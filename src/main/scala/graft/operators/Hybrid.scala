@@ -133,26 +133,103 @@ object Hybrid {
     * groupBy((term, doc_id)) of the exploded tokens — inherent to
     * inverted-index construction and linear in corpus tokens.
     */
+  /** (doc_id, toks, dl) for an arbitrary documents-shaped frame. */
+  private def docTokens(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+  /** Postings rows for a tokenized batch, in the index layout. */
+  private def postingsOf(pd: DataFrame): DataFrame = pd
+    .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    .filter(length(col("term")) > 0)
+    .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    .withColumn("bucket",
+      pmod(xxhash64(col("term")), lit(LexBuckets.toLong)).cast("int"))
+
+  private def writePostings(p: DataFrame, dir: String, mode: String): Unit = p
+    .repartition(col("bucket"))
+    .sortWithinPartitions("bucket", "term", "doc_id")
+    .write.partitionBy("bucket").mode(mode).parquet(dir)
+
   def ensureLexIndex(s: SparkSession, d: String): String = synchronized {
     graft.core.ArtifactStore.ensure(
       graft.core.ArtifactStore.artifactDir("lex_postings", d, LexTag)) { target =>
-      val pd = documents(s, d)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast("long").as("dl"))
-      pd.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(length(col("term")) > 0)
-        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-        .withColumn("bucket",
-          pmod(xxhash64(col("term")), lit(LexBuckets.toLong)).cast("int"))
-        .repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "term", "doc_id")
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$target/postings")
+      val pd = docTokens(documents(s, d))
+      writePostings(postingsOf(pd), s"$target/postings", "overwrite")
       pd.agg(count(lit(1)).cast("long").as("n_docs"),
           sum("dl").cast("long").as("t_tokens"))
         .coalesce(1).write.mode("overwrite").parquet(s"$target/meta")
     }
+  }
+
+  /** Total postings data files across the bucket dirs — the
+    * append-fragmentation measure that triggers auto-compaction.
+    */
+  private def lexFileCount(postingsDir: String): Int =
+    Option(new java.io.File(postingsDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(b => Option(b.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+      .sum
+
+  /** Auto-compaction threshold (files across all buckets). */
+  val LexCompactFiles: Int = 4 * LexBuckets
+
+  /** Incremental index maintenance: append the postings of a batch of
+    * NEW documents (caller contract, as for the ANN appends: the batch's
+    * doc_ids are not already indexed — the upsert path's anti-join
+    * guarantees it upstream). The append is a PUBLISH
+    * ([[graft.core.ArtifactStore.appendVersion]]): live postings carry
+    * forward as hard links, the delta's bucket files land beside them,
+    * and the 1-row stats are REPLACED with (old + delta) counters — a
+    * reader resolves the old or the new index, never a mix, and the
+    * delta shuffles only the BATCH's tokens, never re-touching the
+    * indexed corpus. Each delta file is term-sorted so row-group
+    * pruning stays sharp; repeated appends fragment the bucket dirs and
+    * auto-compact past [[LexCompactFiles]] files (the Indexed-family
+    * ingest discipline).
+    */
+  def appendLexIndex(s: SparkSession, d: String, newDocs: DataFrame): String = synchronized {
+    ensureLexIndex(s, d)
+    val adir = graft.core.ArtifactStore.artifactDir("lex_postings", d, LexTag)
+    graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      val live = graft.core.ArtifactStore.current(adir).get
+      val pd = docTokens(newDocs)
+      val old = s.read.parquet(s"$live/meta").head()
+      val add = pd.agg(count(lit(1)).cast("long"), sum("dl").cast("long")).head()
+      val nDocs = old.getLong(0) + add.getLong(0)
+      val tToks = old.getLong(1) + (if (add.isNullAt(1)) 0L else add.getLong(1))
+      graft.core.ArtifactStore.appendVersion(adir) { target =>
+        writePostings(postingsOf(pd), s"$target/postings", "append")
+        import s.implicits._
+        Seq((nDocs, tToks)).toDF("n_docs", "t_tokens")
+          .coalesce(1).write.mode("overwrite").parquet(s"$target/meta")
+      }
+    }
+    val live = graft.core.ArtifactStore.current(adir).get
+    if (lexFileCount(s"$live/postings") > LexCompactFiles) compactLexIndex(s, d)
+    else live
+  }
+
+  /** Rewrite the postings back to one term-sorted file run per bucket
+    * and reclaim superseded versions past the reader-retention window
+    * (the compactTable discipline; separate lock scope — the OS file
+    * lock is not reentrant).
+    */
+  def compactLexIndex(s: SparkSession, d: String): String = synchronized {
+    val adir = graft.core.ArtifactStore.artifactDir("lex_postings", d, LexTag)
+    val compacted = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      val cur = graft.core.ArtifactStore.current(adir).getOrElse(
+        throw new IllegalStateException(s"nothing to compact: lex_postings for $d"))
+      val posts = s.read.parquet(s"$cur/postings")
+      val meta = s.read.parquet(s"$cur/meta")
+      graft.core.ArtifactStore.publish(adir) { target =>
+        writePostings(posts, s"$target/postings", "overwrite")
+        meta.coalesce(1).write.mode("overwrite").parquet(s"$target/meta")
+      }
+    }
+    graft.core.ArtifactStore.gcVersions(adir)
+    compacted
   }
 
   /** H5: BM25 top-k SERVED from the stored inverted index — output
