@@ -402,7 +402,70 @@ object TextAnalysis {
       .orderBy("shard", "pos")
   }
 
+  /** T20 sketch capacity. The fixture's bigram vocabulary (~920 at
+    * every SF) exceeds it, so the Misra-Gries decrement/merge paths run
+    * for real; the exactness attestation below never assumes otherwise.
+    */
+  val HHSketchM = 896
+  val HHTopK = 20
+
+  /** T20: EXACT top-k heavy hitters at bounded state — the 100 TB
+    * replacement for t5/t7's full-vocabulary groupBy (whose shuffle is
+    * the distinct-term set: billions of typo/url tokens on web text).
+    * Two passes over the corpus, constant shuffle width:
+    *
+    *   1. [[graft.functions.MisraGries]] sketch (m counters/partition
+    *      reach the shuffle) + the exact stream length n.
+    *   2. Exact re-count of ONLY the ≤m surviving candidates, top-k by
+    *      (count DESC, term ASC).
+    *
+    * The output attests its own exactness: `provably_exact` is
+    * kth_cnt·(m+1) > n, which with the MG invariant (a non-candidate's
+    * true count is ≤ n/(m+1)) proves no excluded term could displace
+    * row k. The DuckDB oracle recomputes the SAME top-k and attestation
+    * from a plain exact groupBy, so a sketch bug that drops a true
+    * heavy hitter hash-mismatches — the gate never trusts the theory.
+    *
+    * Terms are bigrams (t7's construction) — the vocabulary/BPE-merge
+    * candidate stage of a training pipeline, and a term space larger
+    * than the sketch so the bound does real work.
+    */
+  val t20HeavyHitters: Relational.Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    // toks materialized ONCE per pass (t2's lesson: HOF islands are
+    // codegen-fallback, so inlining tokens() into both slice() args
+    // re-splits the text twice per row)
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val bg = zip_with(slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val terms = documents(s, d).select(tokens(col("text")).as("toks"))
+      .select(explode(bg).as("term"))
+    // One row: the sketch's ≤HHSketchM survivors + exact n. Driver-side
+    // size is bounded by the aggregate's capacity (the plan), not the
+    // data — the candidate list re-enters pass 2 as an In() literal.
+    val pass1 = terms.agg(
+      graft.functions.MisraGries.sketch(col("term"), HHSketchM).as("cand"),
+      count(lit(1)).as("n_total")).head()
+    val cands = pass1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cand")
+      .map(_.getString(0)).toSeq
+    val nTotal = pass1.getAs[Long]("n_total")
+    val whole = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    terms.filter(col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(HHTopK)
+      // both windows run over the ≤HHTopK surviving rows, post-limit
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+      .withColumn("n_total", lit(nTotal))
+      .withColumn("provably_exact",
+        min(col("cnt")).over(whole) * (HHSketchM + 1) > lit(nTotal))
+      .select("rank", "term", "cnt", "n_total", "provably_exact")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_t20_heavy_hitters" -> t20HeavyHitters,
     "q_t17_shard_manifest" -> t17ShardManifest,
     "q_t16_quota_sample" -> t16QuotaSample,
     "q_t13_domain_mix" -> t13DomainMix,
@@ -435,6 +498,24 @@ object TextAnalysis {
       s"CASE $whens ELSE 'und' END"
     }
     Map(
+      // t20: the oracle is the EXACT full groupBy top-k (t7's bigram
+      // construction) + the same kth·(m+1) > n attestation arithmetic —
+      // it never sees the sketch, so candidate-set bugs hash-mismatch
+      "q_t20_heavy_hitters" ->
+        s"""WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+           |             FROM documents),
+           |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+           |              i -> w[i::INT] || ' ' || w[(i+1)::INT])) AS term FROM tok),
+           |tot AS (SELECT count(*)::BIGINT AS n_total FROM bg),
+           |c AS (SELECT term, count(*)::BIGINT AS cnt FROM bg GROUP BY term),
+           |top AS (SELECT term, cnt,
+           |               row_number() OVER (ORDER BY cnt DESC, term ASC)::BIGINT AS rank
+           |        FROM c ORDER BY cnt DESC, term ASC LIMIT $HHTopK)
+           |SELECT rank, term, cnt,
+           |       (SELECT n_total FROM tot) AS n_total,
+           |       ((SELECT min(cnt) FROM top) * ${HHSketchM + 1}
+           |          > (SELECT n_total FROM tot)) AS provably_exact
+           |FROM top ORDER BY rank""".stripMargin,
       // t18: same window/stride arithmetic; unnest(range(...)) is the
       // per-doc chunk fan-out, list_slice the (inclusive-end) window
       "q_t18_chunk" ->

@@ -336,4 +336,32 @@ class PlanAuditSpec extends SparkSuite {
     val rp = plan(t.filter(col("dist0") > 1.0 && col("dist0") < 1.2))
     assert(rp.contains("PushedFilters: [IsNotNull(dist0), GreaterThan(dist0"), rp)
   }
+
+  test("t20 heavy hitters: sketch runs map-side partials; recount shuffles only candidates") {
+    import graft.operators.TextAnalysis
+    // pass 1 (built inline — t20 consumes it via a 1-row head()): the
+    // Misra-Gries aggregate must plan PARTIAL mode below the exchange,
+    // so each partition ships m counters, never its token multiset.
+    val toks = TextAnalysis.tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bg = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    val p1 = plan(spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(bg).as("term"))
+      .agg(graft.functions.MisraGries.sketch(col("term"), TextAnalysis.HHSketchM)))
+    assert(p1.contains("partial_misra_gries"),
+      s"sketch must aggregate map-side before the gather:\n${p1.take(3000)}")
+    // pass 2 (the returned plan): candidate membership is a pushed-down
+    // set filter under a partial count — the exchange carries at most
+    // one partial count per candidate per partition, never raw tokens —
+    // and the top-k is a bounded heap.
+    val p2 = plan(TextAnalysis.t20HeavyHitters(spark, sf0001))
+    assert(p2.contains("partial_count"),
+      s"recount must run map-side partials:\n${p2.take(3000)}")
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not a global sort:\n${p2.take(3000)}")
+    assert(!p2.contains("misra_gries"),
+      s"the served plan must be sketch-free (exact recount only):\n${p2.take(3000)}")
+    assert(!p2.contains("CartesianProduct"), p2.take(3000))
+  }
 }
