@@ -120,7 +120,10 @@ object Hybrid {
     * is unchanged.
     */
   val LexBuckets = 8
-  private val LexTag = s"l1b$LexBuckets"
+  // l2: postings gained the positions array (phrase serving). The tag
+  // names the layout — bumping it publishes fresh artifact dirs instead
+  // of corrupting l1 readers (warehouse artifacts persist across runs).
+  private val LexTag = s"l2b$LexBuckets"
 
   /** Build-once inverted lexical index in the versioned warehouse (the
     * [[Indexed.ensureIndex]] discipline): `postings/` holds one row per
@@ -138,11 +141,17 @@ object Hybrid {
     .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
 
-  /** Postings rows for a tokenized batch, in the index layout. */
+  /** Postings rows for a tokenized batch, in the index layout.
+    * `positions` are the 1-based token indexes of the term in the doc
+    * (the POSITIONAL half of the index: phrase/adjacency queries
+    * intersect them with zero corpus access); `tf` stays denormalized
+    * so frequency serving (h5) never touches the arrays.
+    */
   private def postingsOf(pd: DataFrame): DataFrame = pd
-    .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+    .select(col("doc_id"), col("dl"), posexplode(col("toks")).as(Seq("p0", "term")))
     .filter(length(col("term")) > 0)
-    .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"),
+      sort_array(collect_list(col("p0") + 1)).as("positions"))
     .withColumn("bucket",
       pmod(xxhash64(col("term")), lit(LexBuckets.toLong)).cast("int"))
 
@@ -273,6 +282,56 @@ object Hybrid {
       .limit(Bm25TopK)
       .select(col("doc_id") +: col("dl").as("n_tokens") +:
         QueryTerms.map(q => col(s"tf_$q")) :+ col("bm25_scaled"): _*)
+  }
+
+  // ------------------------------------------------- phrase serving
+
+  /** H6 phrase and result size. A fixed 2-term phrase from the corpus
+    * vocabulary; the chain below handles any length.
+    */
+  val PhraseTerms: Seq[String] = Seq("big", "data")
+  val PhraseTopK = 10
+
+  /** H6: exact phrase search SERVED from the positional index — zero
+    * corpus access. The phrase's terms prune the postings read (bucket
+    * PartitionFilters + pushed In(term), as h5); the per-doc pivot of
+    * the ≤|phrase| matched postings is the one hash shuffle; adjacency
+    * is a fold of `array_intersect(transform(acc, +1), positions(tᵢ))`
+    * — after step i the array holds the positions of tᵢ completing a
+    * t₁..tᵢ run, so the final size is the exact occurrence count and
+    * `min − (p−1)` the first start. Output: top-k docs by
+    * (n_occ DESC, doc_id ASC) with the 1-based first start position.
+    *
+    * 100 TB: work is Σ df(phrase terms) postings rows — independent of
+    * corpus size for selective phrases — and the arrays stay inside the
+    * per-doc row (never re-exploded). The DuckDB oracle recomputes from
+    * RAW text (a sliding-window scan), so tokenizer, position encoding,
+    * delta appends, and the intersect chain are all under one hash.
+    */
+  val h6PhraseIndexed: Relational.Q = (s, d) => {
+    val root = ensureLexIndex(s, d)
+    // engine-hash bucket ids for the phrase terms (h5's discipline).
+    // Bounded collect rationale: one row, |PhraseTerms| ints.
+    val bRow = s.range(1).select(PhraseTerms.zipWithIndex.map { case (t, i) =>
+      pmod(xxhash64(lit(t)), lit(LexBuckets.toLong)).cast("int").as(s"b_$i") }: _*)
+      .head()
+    val buckets = PhraseTerms.indices.map(bRow.getInt).distinct
+    val pruned = s.read.parquet(s"$root/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(PhraseTerms: _*))
+    val pivots = PhraseTerms.zipWithIndex.map { case (t, i) =>
+      first(when(col("term") === t, col("positions")), ignoreNulls = true).as(s"p_$i") }
+    val perDoc = pruned.groupBy("doc_id").agg(pivots.head, pivots.tail: _*)
+    val present = PhraseTerms.indices.map(i => col(s"p_$i").isNotNull).reduce(_ && _)
+    val chain = PhraseTerms.indices.tail.foldLeft(col("p_0")) { (acc, i) =>
+      array_intersect(transform(acc, _ + 1), col(s"p_$i")) }
+    perDoc.filter(present)
+      .withColumn("hits", chain)
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"),
+        size(col("hits")).cast("long").as("n_occ"),
+        (array_min(col("hits")) - (PhraseTerms.size - 1)).cast("long").as("first_pos"))
+      .orderBy(col("n_occ").desc, col("doc_id").asc)
+      .limit(PhraseTopK)
   }
 
   // --------------------------------------------- PRF query expansion
@@ -455,6 +514,7 @@ object Hybrid {
     "q_h3_mmr_rerank" -> h3MmrRerank,
     "q_h4_prf_expand" -> h4PrfExpand,
     "q_h5_bm25_indexed" -> h5Bm25Indexed,
+    "q_h6_phrase_indexed" -> h6PhraseIndexed,
   )
 
   val oracleSql: Map[String, String] = {
@@ -542,10 +602,27 @@ object Hybrid {
          |SELECT doc_id, dl AS n_tokens, ${QueryTerms.map(q => s"tf_$q").mkString(", ")}, bm25_scaled
          |FROM sc WHERE bm25_scaled > 0
          |ORDER BY bm25_scaled DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+    // h6: the oracle slides a window over the RAW token sequence (it
+    // never sees postings or positions), so the positional index's
+    // build, appends, and intersect chain are all under the hash
+    val phraseSql = {
+      val p = PhraseTerms.size
+      val conds = PhraseTerms.zipWithIndex
+        .map { case (t, i) => s"t[i + $i] = '$t'" }.mkString(" AND ")
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+         |             FROM documents),
+         |m AS (SELECT doc_id,
+         |             list_filter(range(1, len(t) - ${p - 2}), i -> $conds) AS starts
+         |      FROM tok)
+         |SELECT doc_id, len(starts)::BIGINT AS n_occ, starts[1]::BIGINT AS first_pos
+         |FROM m WHERE len(starts) > 0
+         |ORDER BY n_occ DESC, doc_id ASC LIMIT $PhraseTopK""".stripMargin
+    }
     Map(
       "q_h4_prf_expand" -> prfSql,
       "q_h1_bm25_topk" -> bm25Sql,
       "q_h5_bm25_indexed" -> bm25Sql,
+      "q_h6_phrase_indexed" -> phraseSql,
       "q_h2_hybrid_rrf" ->
         s"""$pdCte,
            |lex AS (SELECT doc_id AS id,
