@@ -286,12 +286,24 @@ object ArtifactStore {
     * artifact is swept under its own maintenance lock; the per-artifact
     * retention contract is exactly [[gcVersions]]'s. Returns reclaimed
     * version dirs per artifact name (empty seq = nothing eligible).
+    *
+    * Same-process safety: `FileChannel.lock` is not reentrant across
+    * threads of one JVM — if another thread is inside a maintenance op
+    * on one of the swept artifacts (Indexed/Hybrid hold their own
+    * object monitors, not this store's), the lock attempt throws
+    * `OverlappingFileLockException` instead of blocking. That artifact
+    * is SKIPPED (empty seq): the in-flight op's own compaction/GC
+    * covers it, and the next sweep retries.
     */
   def vacuumAll(d: String, keep: Int = 2): Map[String, Seq[String]] = {
     val marker = s"_${new java.io.File(d).getName}_${absHash(d)}_"
     Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains(marker))
-      .map(f => f.getName -> gcVersions(f.getPath, keep))
+      .map { f =>
+        f.getName -> (try gcVersions(f.getPath, keep) catch {
+          case _: java.nio.channels.OverlappingFileLockException => Seq.empty[String]
+        })
+      }
       .toMap
   }
 }

@@ -223,6 +223,10 @@ object MediaFormats {
         rate = r32i(b, body + 4)
         blockAlign = r16u(b, body + 12)
       } else if (id == "data") {
+        // Duplicate `data` chunks are malformed and AMBIGUOUS: reject
+        // rather than pick one, so every consumer (decode, resample)
+        // agrees by construction on which bytes are the stream.
+        if (dataOff >= 0) return None
         dataOff = body; dataSize = size
       }
       off = body + size.toInt + (size.toInt & 1) // odd chunks pad to even

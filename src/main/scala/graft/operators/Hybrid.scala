@@ -206,8 +206,13 @@ object Hybrid {
       val pd = docTokens(newDocs)
       val old = s.read.parquet(s"$live/meta").head()
       val add = pd.agg(count(lit(1)).cast("long"), sum("dl").cast("long")).head()
+      // BOTH sides need the sum-over-zero-rows null guard: an index
+      // built over an EMPTY corpus stores t_tokens = NULL (sum of no
+      // dl), so the first delta append onto it must coalesce the BASE
+      // row exactly as it already coalesces the delta row.
       val nDocs = old.getLong(0) + add.getLong(0)
-      val tToks = old.getLong(1) + (if (add.isNullAt(1)) 0L else add.getLong(1))
+      val tToks = (if (old.isNullAt(1)) 0L else old.getLong(1)) +
+        (if (add.isNullAt(1)) 0L else add.getLong(1))
       graft.core.ArtifactStore.appendVersion(adir) { target =>
         writePostings(postingsOf(pd), s"$target/postings", "append")
         import s.implicits._
@@ -216,25 +221,37 @@ object Hybrid {
       }
     }
     val live = graft.core.ArtifactStore.current(adir).get
-    if (lexFileCount(s"$live/postings") > LexCompactFiles) compactLexIndex(s, d)
+    // The threshold probe runs OUTSIDE the maintenance lock (the OS
+    // file lock is not reentrant), so two appending processes can both
+    // observe an over-threshold count; onlyIfFragmented re-checks the
+    // LIVE count inside compaction's own lock, so the loser no-ops
+    // instead of re-compacting an already-compacted index.
+    if (lexFileCount(s"$live/postings") > LexCompactFiles)
+      compactLexIndex(s, d, onlyIfFragmented = true)
     else live
   }
 
   /** Rewrite the postings back to one term-sorted file run per bucket
     * and reclaim superseded versions past the reader-retention window
     * (the compactTable discipline; separate lock scope — the OS file
-    * lock is not reentrant).
+    * lock is not reentrant). With `onlyIfFragmented` (the auto-compact
+    * path) the live file count is RE-CHECKED under the lock and the
+    * compaction no-ops if a concurrent process already collapsed it.
     */
-  def compactLexIndex(s: SparkSession, d: String): String = synchronized {
+  def compactLexIndex(s: SparkSession, d: String,
+      onlyIfFragmented: Boolean = false): String = synchronized {
     val adir = graft.core.ArtifactStore.artifactDir("lex_postings", d, LexTag)
     val compacted = graft.core.ArtifactStore.withMaintenanceLock(adir) {
       val cur = graft.core.ArtifactStore.current(adir).getOrElse(
         throw new IllegalStateException(s"nothing to compact: lex_postings for $d"))
-      val posts = s.read.parquet(s"$cur/postings")
-      val meta = s.read.parquet(s"$cur/meta")
-      graft.core.ArtifactStore.publish(adir) { target =>
-        writePostings(posts, s"$target/postings", "overwrite")
-        meta.coalesce(1).write.mode("overwrite").parquet(s"$target/meta")
+      if (onlyIfFragmented && lexFileCount(s"$cur/postings") <= LexCompactFiles) cur
+      else {
+        val posts = s.read.parquet(s"$cur/postings")
+        val meta = s.read.parquet(s"$cur/meta")
+        graft.core.ArtifactStore.publish(adir) { target =>
+          writePostings(posts, s"$target/postings", "overwrite")
+          meta.coalesce(1).write.mode("overwrite").parquet(s"$target/meta")
+        }
       }
     }
     graft.core.ArtifactStore.gcVersions(adir)

@@ -234,6 +234,50 @@ class ArtifactStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuumAll skips (not throws) an artifact whose lock a sibling thread holds") {
+    import java.nio.file.{Files, Paths}
+    val warehouse = Files.createTempDirectory("vacuum-skip-wh").toString
+    val prev = sys.props.get("graft.warehouse")
+    sys.props("graft.warehouse") = warehouse
+    try {
+      def put(target: String, body: String): Unit = {
+        Files.createDirectories(Paths.get(target))
+        Files.writeString(Paths.get(target, "part-a"), body)
+      }
+      val ds = "/tmp/vacuumall-ds-held"
+      val locked = ArtifactStore.artifactDir("v10_assign", ds, "t1")
+      val free = ArtifactStore.artifactDir("v12_codes", ds, "t1")
+      for (dir <- Seq(locked, free); i <- 1 to 4) {
+        ArtifactStore.publish(dir)(put(_, s"gen$i")); Thread.sleep(5)
+      }
+      // a sibling thread inside a maintenance op on `locked` — the OS
+      // file lock is JVM-wide and NOT reentrant, so the sweep's lock
+      // attempt raises OverlappingFileLockException there
+      val acquired = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => ArtifactStore.withMaintenanceLock(locked) {
+        acquired.countDown(); release.await()
+      })
+      holder.start()
+      assert(acquired.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      try {
+        val swept = ArtifactStore.vacuumAll(ds, keep = 2)
+        val lockedName = Paths.get(locked).getFileName.toString
+        val freeName = Paths.get(free).getFileName.toString
+        assert(swept(lockedName).isEmpty, "held artifact must be skipped")
+        assert(swept(freeName).nonEmpty, "unheld sibling must still be swept")
+      } finally { release.countDown(); holder.join() }
+      // the next sweep (lock released) reclaims what the first skipped
+      assert(ArtifactStore.vacuumAll(ds, keep = 2)
+        .apply(Paths.get(locked).getFileName.toString).nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.warehouse") = p
+        case None => sys.props.remove("graft.warehouse")
+      }
+    }
+  }
+
   test("maintenance lock excludes ANOTHER JVM for the duration of its hold") {
     val dir = freshDir()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))

@@ -53,6 +53,28 @@ class LexIndexSpec extends SparkSuite {
     assert(Hybrid.h5Bm25Indexed(spark, base).collect().map(_.toSeq).toSeq === a)
   }
 
+  test("first delta append onto an EMPTY-corpus index (NULL t_tokens) accumulates") {
+    val base = tmpDir("lexidx-empty")
+    val full = spark.read.parquet(s"$sf0001/documents.parquet")
+    // zero rows, real schema: sum(dl) over no rows stores t_tokens = NULL
+    full.filter(col("doc_id") < 0).write.parquet(s"$base/documents.parquet")
+    val v0 = Hybrid.ensureLexIndex(spark, base)
+    val m0 = spark.read.parquet(s"$v0/meta").head()
+    assert(m0.getLong(0) === 0L)
+    assert(m0.isNullAt(1), "fixture must hit the NULL base-stats case")
+
+    val delta = full.filter(col("doc_id") < 250)
+    val v1 = Hybrid.appendLexIndex(spark, base, delta) // NPE'd before the base-side guard
+    val fullDir = tmpDir("lexidx-empty-full")
+    delta.write.parquet(s"$fullDir/documents.parquet")
+    val vf = Hybrid.ensureLexIndex(spark, fullDir)
+    val (m1, mf) = (spark.read.parquet(s"$v1/meta").head(),
+      spark.read.parquet(s"$vf/meta").head())
+    assert((m1.getLong(0), m1.getLong(1)) === (mf.getLong(0), mf.getLong(1)),
+      "append onto the empty index must equal a one-shot build's counters")
+    assert(postingsSet(s"$v1/postings") === postingsSet(s"$vf/postings"))
+  }
+
   test("trickle appends fragment the buckets and auto-compact at the threshold") {
     val base = tmpDir("lexidx-trickle")
     val full = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -89,6 +89,19 @@ class MultimodalSpec extends SparkSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(spliced.length - 8).array()
     System.arraycopy(sz, 0, spliced, 4, 4)
     assert(MediaFormats.decodeWav(spliced) === MediaFormats.decodeWav(base))
+    // DUPLICATE data chunks are ambiguous (which bytes are the stream?)
+    // — both the decode walk and the resample walk must agree, so the
+    // format layer rejects the file outright instead of letting the
+    // two consumers pick different chunks
+    val twoData = new Array[Byte](base.length + 12)
+    System.arraycopy(base, 0, twoData, 0, base.length)
+    val extra = Array[Byte]('d', 'a', 't', 'a', 4, 0, 0, 0, 1, 2, 3, 4)
+    System.arraycopy(extra, 0, twoData, base.length, 12)
+    val sz2 = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(twoData.length - 8).array()
+    System.arraycopy(sz2, 0, twoData, 4, 4)
+    assert(MediaFormats.decodeWav(twoData).isEmpty)
+    assert(MediaFormats.resampleWav(twoData, 8000).isEmpty)
   }
 
   test("resize: exact nearest-neighbor pixels, padding geometry change, round-trip") {
