@@ -23,7 +23,7 @@ object SparkEntry {
       operators.Temporal.queries ++ operators.Advanced.queries ++
       operators.Indexed.queries ++ operators.Corpus.queries ++
       operators.Bucketed.queries ++ operators.Layout.queries ++
-      operators.Hybrid.queries
+      operators.Hybrid.queries ++ operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       operators.Temporal.oracleSql ++ operators.Advanced.oracleSql ++
       operators.Indexed.oracleSql ++ operators.Corpus.oracleSql ++
       operators.Bucketed.oracleSql ++ operators.Layout.oracleSql ++
-      operators.Hybrid.oracleSql
+      operators.Hybrid.oracleSql ++ operators.Graph.oracleSql
 }

@@ -49,7 +49,7 @@ object Corpus {
     * executor-local blocks, the fast single-JVM test/bench path.
     * `CorpusSpec` drives the loop both ways.
     */
-  private implicit class TruncOps(private val df: DataFrame) {
+  private[graft] implicit class TruncOps(private val df: DataFrame) {
     def truncated(eager: Boolean): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
       else df.localCheckpoint(eager)

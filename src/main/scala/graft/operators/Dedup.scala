@@ -509,6 +509,39 @@ object Dedup {
     "q_d14_containment" -> d14Containment,
   )
 
+  /** Shared oracle CTE: the SRP-LSH candidate pairs (bucket tables,
+    * bucket-size cap, distinct same-bucket join) exactly as
+    * [[d5EmbedNearDup]] computes them — d5 verifies the pairs with
+    * cosine; the graph family ([[Graph]]) scores them with the
+    * quantized integer dot. Ends with CTEs `e(vec_id, ed)` and
+    * `cand(id_a, id_b)`.
+    */
+  private[operators] lazy val srpCandCte: String = {
+    def lst(v: Seq[Float]): String = v.map(_.toInt).mkString("[", ",", "]")
+    val tableRows = (0 until SrpTables).map { t =>
+      val bkt = (0 until SrpBits).map { j =>
+        s"(CASE WHEN list_inner_product(ed, ${lst(SrpProj(t)(j))}::DOUBLE[]) > 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bkt AS bkt FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+       |buckets_all AS (
+       |  $tableRows
+       |),
+       |buckets AS (
+       |  SELECT vec_id, tbl, bkt FROM (
+       |    SELECT vec_id, tbl, bkt, count(*) OVER (PARTITION BY tbl, bkt) AS bsz
+       |    FROM buckets_all
+       |  ) WHERE bsz <= $MaxBucket
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |)""".stripMargin
+  }
+
   // Shared oracle CTEs: tokenization + shingling identical to the Scala
   // side (DuckDB list indexing is 1-based like Spark element_at).
   private[operators] val shingleCte =
@@ -639,37 +672,14 @@ object Dedup {
          |)
          |SELECT doc_a, doc_b, round(jac, 3) AS jac FROM j
          |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
-    "q_d5_dedup_embedding" -> {
-      def lst(v: Seq[Float]): String = v.map(_.toInt).mkString("[", ",", "]")
-      val tableRows = (0 until SrpTables).map { t =>
-        val bkt = (0 until SrpBits).map { j =>
-          s"(CASE WHEN list_inner_product(ed, ${lst(SrpProj(t)(j))}::DOUBLE[]) > 0" +
-            s" THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"SELECT vec_id, $t AS tbl, $bkt AS bkt FROM e"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-         |buckets_all AS (
-         |  $tableRows
-         |),
-         |buckets AS (
-         |  SELECT vec_id, tbl, bkt FROM (
-         |    SELECT vec_id, tbl, bkt, count(*) OVER (PARTITION BY tbl, bkt) AS bsz
-         |    FROM buckets_all
-         |  ) WHERE bsz <= $MaxBucket
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
-         |),
+    "q_d5_dedup_embedding" ->
+      s"""$srpCandCte,
          |v AS (
          |  SELECT c.id_a, c.id_b, list_cosine_similarity(x.ed, y.ed) AS sim
          |  FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
          |)
          |SELECT id_a, id_b, round(sim, 3) AS sim FROM v
-         |WHERE sim >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin
-    },
+         |WHERE sim >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
     "q_d14_containment" ->
       s"""$shingleCte,
          |post AS (

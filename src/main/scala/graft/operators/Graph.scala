@@ -1,0 +1,303 @@
+package graft.operators
+
+import graft.core.Tables._
+import graft.operators.Corpus.TruncOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Graph analytics over the embedding similarity graph — the corpus-
+  * structure family a training-data pipeline runs AFTER near-dup
+  * detection: centrality (which documents are the hubs of embedding
+  * space — template/boilerplate families concentrate there), local
+  * clustering (how clique-ish is the neighborhood structure), and the
+  * k-NN graph itself as an auditable artifact.
+  *
+  * The graph is built the only way that survives 100 TB: candidate
+  * pairs come from the SAME sign-random-projection LSH buckets as d5
+  * ([[Dedup.SrpProj]] — bucket equi-join, bucket-size capped, never a
+  * cartesian; asserted in PlanAuditSpec), and each node keeps its
+  * [[GraphTopG]] strongest candidates. The reference computes exactly
+  * this neighborhood for ONE query at serve time
+  * (`src/search.ts:42-52` — per-candidate distance + sort + slice);
+  * the graph family materializes it for EVERY node as one distributed
+  * plan, which is what centrality/structure analytics need as input.
+  *
+  * Cross-engine determinism: edge weights are the integer dot product
+  * of 1024-quantized embedding elements. Element quantization is
+  * `floor(x·1024)` — the float→double widening is exact, multiplying
+  * by a power of two only shifts the exponent (exact), and `floor` is
+  * exact, so the quantized values, their products, and their int64
+  * sums are bit-identical in any engine; no float comparison anywhere
+  * downstream of the (d5-shared, measured-identical) bucket signs.
+  * PageRank then runs in pure integer arithmetic: ranks are scaled to
+  * a total mass of [[PrScale]], every division is an integral `div`
+  * on non-negative values (truncation == floor — no cross-engine
+  * division-semantics risk), so after [[PrIters]] fixed iterations
+  * both engines hold bit-identical rank integers.
+  */
+object Graph {
+
+  /** Out-degree of the k-NN graph: each node keeps its GraphTopG
+    * strongest LSH candidates. Small relative to the per-node
+    * candidate bound ([[Dedup.MaxBucket]]·[[Dedup.SrpTables]]) so the
+    * per-node top-G selection is a bounded-input window.
+    */
+  val GraphTopG = 4
+
+  /** Fixed-point element quantizer scale (power of two: the double
+    * multiply is exact for every float input).
+    */
+  val QuantScale = 1024L
+
+  /** PageRank: fixed iteration count (the oracle unrolls exactly this
+    * many), damping 85/100, total integer mass scale, reported top-N.
+    * Eight iterations is past the point where the top of the ranking
+    * is stable on a G=4 graph (damping^8 ≈ 0.27 residual mass churn
+    * affects low-order digits only; the ORDER of the reported head
+    * stops changing after ~5 rounds on the test corpus).
+    */
+  val PrIters = 8
+  val PrScale = 1000000000000L
+  val PrTopN = 25
+
+  /** Quantized integer dot product over two float-array columns —
+    * codegen'd HOF pipeline (zip_with + aggregate), bit-exact in both
+    * engines (see object doc).
+    */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * lit(QuantScale)) *
+          floor(y.cast("double") * lit(QuantScale))),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Directed k-NN graph edges over an (vec_id, embedding) frame:
+    * (src, dst, w, rk) where dst is one of src's [[GraphTopG]]
+    * strongest SRP-LSH candidates by quantized dot product `w`
+    * (ties → smaller dst). Nodes whose buckets yield no candidates
+    * have no out-edges (isolated in the graph; they keep base rank in
+    * PageRank).
+    *
+    * Scale shape: bucket build is one fused-kernel map over the
+    * vectors; the candidate self-join keys on (table, bucket) with the
+    * d5 bucket-size cap, so Σ bucket² is bounded; the per-src
+    * top-G window's input is ≤ MaxBucket·SrpTables rows per node BY
+    * CONSTRUCTION (not by data luck) — no stratum-wide sort anywhere.
+    * At 100 TB this is the standard kNN-graph-by-LSH build; raising
+    * SrpBits keeps bucket sizes file-group sized as the corpus grows.
+    */
+  def knnGraphEdgesOn(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    val ids = e.select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val buckets = Dedup.cacheSlot("graph-srp-buckets", ids.select(col("vec_id"),
+        posexplode(graft.functions.SrpKernel.srpBuckets(
+          col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "bkt")))
+      .filter(col("bsz") <= Dedup.MaxBucket)
+      .drop("bsz"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(ids.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(ids.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+      .select(col("id_a"), col("id_b"), intDot(col("e_a"), col("e_b")).as("w"))
+    val sym = scored.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .union(scored.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+    sym
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rk") <= GraphTopG)
+  }
+
+  /** Integer PageRank over (nodes(vec_id), edges(src, dst)) — full
+    * rank table, one row per node. Formulation (mirrored EXACTLY by
+    * the unrolled oracle): rank₀ = PrScale div N; each round,
+    * rank'(v) = base + (85 · Σ_{u→v} (rank(u) div outdeg(u))) div 100
+    * with base = (15 · rank₀) div 100. Dangling mass (nodes without
+    * out-edges) is dropped, not redistributed — total mass decays
+    * slightly per round, which cancels in the RANKING and keeps the
+    * per-round arithmetic one keyed join + one keyed aggregate.
+    *
+    * Scale shape: the Corpus fixpoint discipline — the edge list
+    * (with denormalized out-degree) materializes once, every round is
+    * a src-keyed join + dst-keyed map-side-combined sum, lineage is
+    * truncated per round (reliable checkpoint on a cluster), and
+    * partitioning derives from the OBSERVED edge count
+    * ([[Corpus.loopPartsFor]]) — a billions-of-edges graph gets
+    * task-memory-sized partitions regardless of cluster width. Unlike
+    * the CC loops there is no convergence probe: the iteration count
+    * is part of the operator's contract (the oracle unrolls it), so
+    * rounds are fixed and the loop runs zero driver-side data reads.
+    */
+  def pageRankOn(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val s = nodes.sparkSession
+    val ed = edges.select(col("src"), col("dst"))
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .truncated(true)
+    val loopParts = Corpus.loopPartsFor(ed.count(), s.sparkContext.defaultParallelism)
+    val e = ed.repartition(loopParts, col("src")).truncated(false)
+    val nd = nodes.select(col("vec_id")).truncated(true)
+    // single driver-side scalar: the node COUNT sizes the integer mass
+    // constants baked into every round's expressions (the oracle bakes
+    // the same constants from count(*)) — one long, not data
+    val n = nd.count()
+    val r0 = PrScale / n
+    val base = 15L * r0 / 100L
+    var ranks = nd.select(col("vec_id"), lit(r0).as("rank"))
+      .repartition(loopParts, col("vec_id")).truncated(false)
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(ranks, e("src") === ranks("vec_id"))
+        .select(col("dst"), expr("rank div od").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc_"))
+      ranks = nd.join(contrib, nd("vec_id") === contrib("dst"), "left")
+        .select(nd("vec_id"),
+          (lit(base) + expr("(85 * coalesce(sc_, 0L)) div 100")).as("rank"))
+        .repartition(loopParts, col("vec_id"))
+        .truncated(false)
+    }
+    ranks
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** G1: the k-NN graph edge list itself — the auditable artifact the
+    * rest of the family consumes (and the corpus-curation analogue of
+    * shipping an ANN index's neighbor lists for QA).
+    */
+  val g1KnnGraph: Relational.Q = (s, d) =>
+    knnGraphEdgesOn(embeddings(s, d))
+      .select(col("src"), col("dst"), col("w"), col("rk").cast("long").as("rk"))
+      .orderBy("src", "rk")
+
+  /** G2: PageRank centrality over the k-NN graph — embedding-space hub
+    * detection (boilerplate/template families pull rank from their
+    * whole neighborhood). Top-[[PrTopN]] by final integer rank.
+    */
+  val g2PageRank: Relational.Q = (s, d) => {
+    val edges = knnGraphEdgesOn(embeddings(s, d))
+    pageRankOn(embeddings(s, d).select("vec_id"), edges)
+      .orderBy(col("rank").desc, col("vec_id").asc)
+      .limit(PrTopN)
+  }
+
+  /** G3: triangle census of the undirected k-NN graph — one-row
+    * corpus-structure audit: edge/wedge/triangle counts and the global
+    * closure ratio in ppm ((3·triangles·10⁶) div wedges). High closure
+    * = clique-ish duplicate families; low = thin chains (template
+    * drift). All joins key on node ids; the triangle join's two hops
+    * are equi-joins on the a<b edge table (each triangle counted once
+    * via a<b<c ordering).
+    */
+  val g3Triangles: Relational.Q = (s, d) => {
+    val edges = knnGraphEdgesOn(embeddings(s, d))
+    val und = Dedup.cacheSlot("graph-und-edges", edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = embeddings(s, d).agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    // all four sides are 1-row aggregates: BNLJ composition, no shuffle
+    nodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("(3000000 * n_triangles) div n_wedges")).otherwise(0L)
+          .as("closure_ppm"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "q_g1_knn_graph" -> g1KnnGraph,
+    "q_g2_pagerank" -> g2PageRank,
+    "q_g3_triangles" -> g3Triangles,
+  )
+
+  // ------------------------------------------------------------- oracle
+
+  /** Quantized integer dot in DuckDB — same floor(x·1024) element
+    * quantization as [[intDot]] (see object doc for why this is
+    * bit-exact cross-engine).
+    */
+  private def sqlIntDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> " +
+      s"floor($a[i::INT] * $QuantScale)::BIGINT * floor($b[i::INT] * $QuantScale)::BIGINT))::BIGINT"
+
+  /** Shared edges CTE: d5's SRP candidate CTE + quantized scoring +
+    * per-src top-G. Ends with `edges(src, dst, w, rk)`.
+    */
+  private lazy val edgesCte: String =
+    s"""${Dedup.srpCandCte},
+       |scored AS (
+       |  SELECT c.id_a, c.id_b, ${sqlIntDot("x.ed", "y.ed")} AS w
+       |  FROM cand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+       |),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst, w FROM scored
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst, w FROM scored
+       |),
+       |ranked AS (
+       |  SELECT src, dst, w,
+       |         row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+       |  FROM sym
+       |),
+       |edges AS (SELECT src, dst, w, rk FROM ranked WHERE rk <= $GraphTopG)""".stripMargin
+
+  private lazy val pagerankSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id, (SELECT base FROM c0) + (85 * coalesce(s.sc, 0::BIGINT)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e2.dst, sum(r.rank // e2.od)::BIGINT AS sc
+         |    FROM ed2 e2 JOIN r${k - 1} r ON e2.src = r.id GROUP BY e2.dst
+         |  ) s ON n.id = s.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |od AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+       |ed2 AS (SELECT e3.src, e3.dst, o.od FROM edges e3 JOIN od o USING (src)),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |c0 AS (SELECT ($PrScale // count(*))::BIGINT AS r0,
+       |              ((15 * ($PrScale // count(*))) // 100)::BIGINT AS base
+       |       FROM embeddings),
+       |r0 AS (SELECT id, (SELECT r0 FROM c0) AS rank FROM nodes),
+       |$iters
+       |SELECT id AS vec_id, rank FROM r$PrIters
+       |ORDER BY rank DESC, vec_id ASC LIMIT $PrTopN""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_g1_knn_graph" ->
+      s"""$edgesCte
+         |SELECT src, dst, w, rk::BIGINT AS rk FROM edges ORDER BY src, rk""".stripMargin,
+    "q_g2_pagerank" -> pagerankSql,
+    "q_g3_triangles" ->
+      s"""$edgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+         |deg AS (SELECT v, count(*)::BIGINT AS dg
+         |        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) z
+         |        GROUP BY v),
+         |wed AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS n_wedges FROM deg),
+         |tri AS (SELECT count(*)::BIGINT AS n_triangles
+         |        FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_nodes,
+         |       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+         |       (SELECT n_wedges FROM wed) AS n_wedges,
+         |       (SELECT n_triangles FROM tri) AS n_triangles,
+         |       CASE WHEN (SELECT n_wedges FROM wed) > 0
+         |            THEN (3000000 * (SELECT n_triangles FROM tri)) // (SELECT n_wedges FROM wed)
+         |            ELSE 0 END AS closure_ppm""".stripMargin,
+  )
+}
