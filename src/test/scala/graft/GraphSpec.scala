@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics family: integer-dot exactness, kNN-graph contract
+  * (bounded out-degree, dense ranks, symmetry of the candidate set),
+  * integer PageRank semantics on known graphs, triangle-census
+  * identities, and the no-cartesian scale contract.
+  */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("intDot: quantized integer dot product matches hand arithmetic") {
+    // floor(x*1024) per element, then exact int64 products/sums —
+    // values chosen to exercise negatives (floor != truncate) and
+    // non-representable decimals (0.1f widens exactly to double)
+    val df = Seq((Array(0.5f, -0.25f, 0.1f), Array(1.0f, 0.5f, -0.3f)))
+      .toDF("a", "b")
+    val got = df.select(Graph.intDot(col("a"), col("b")).as("w"))
+      .head().getLong(0)
+    val q = (x: Float) => math.floor(x.toDouble * 1024).toLong
+    val exp = q(0.5f) * q(1.0f) + q(-0.25f) * q(0.5f) + q(0.1f) * q(-0.3f)
+    assert(got === exp)
+  }
+
+  test("knnGraphEdges: bounded out-degree, dense ranks, descending weights, no self-loops") {
+    val edges = Graph.knnGraphEdgesOn(
+        graft.core.Tables.embeddings(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    Dedup.releaseSlots()
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (s, d, _, _) => s != d }, "self-loop")
+    for ((_, out) <- edges.groupBy(_._1)) {
+      assert(out.length <= Graph.GraphTopG)
+      // ranks are dense 1..k and weights non-increasing in rank order
+      val byRk = out.sortBy(_._4)
+      assert(byRk.map(_._4).toSeq === (1 to out.length))
+      val ws = byRk.map(_._3)
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("pageRank: symmetric 2-cycle ranks equal; star center out-ranks leaves; isolated node holds base") {
+    // graph: 1<->2 (cycle), star 10->{11,12,13} plus back-edges
+    // 11->10, 12->10, 13->10, and isolated node 99
+    val nodes = Seq(1L, 2L, 10L, 11L, 12L, 13L, 99L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (2L, 1L),
+        (10L, 11L), (10L, 12L), (10L, 13L),
+        (11L, 10L), (12L, 10L), (13L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.pageRankOn(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 7L
+    val r0 = Graph.PrScale / n
+    val base = 15L * r0 / 100L
+    // the 2-cycle is internally symmetric: both nodes always equal
+    assert(got(1L) === got(2L))
+    // leaves are symmetric too
+    assert(got(11L) === got(12L) && got(12L) === got(13L))
+    // the star center receives THREE whole ranks per round, each leaf
+    // a third of one: center must dominate
+    assert(got(10L) > got(11L))
+    // no in-edges → every round after the first is exactly base
+    assert(got(99L) === base)
+    // fixed-iteration determinism: a second run is bit-identical
+    val again = Graph.pageRankOn(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("pageRank: one round on a known graph matches the unrolled formula") {
+    // single-iteration hand check of the EXACT integer recurrence on
+    // 1->3, 2->3, 3->1 with n=3 (verifies div/damping placement, the
+    // part a symmetric fixture can't distinguish)
+    val nodes = Seq(1L, 2L, 3L).toDF("vec_id")
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r0 = Graph.PrScale / 3L
+    val base = 15L * r0 / 100L
+    var r = Map(1L -> r0, 2L -> r0, 3L -> r0)
+    for (_ <- 1 to Graph.PrIters) {
+      val c3 = r(1L) / 1 + r(2L) / 1 // outdeg 1 each
+      val c1 = r(3L) / 1
+      r = Map(1L -> (base + 85L * c1 / 100L),
+        2L -> base,
+        3L -> (base + 85L * c3 / 100L))
+    }
+    val got = Graph.pageRankOn(nodes, edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === r)
+  }
+
+  test("triangle census: identities hold on the real corpus") {
+    val row = Graph.g3Triangles(spark, sf0001).head()
+    Dedup.releaseSlots()
+    val (nodes, edges, wedges, tris, ppm) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(nodes === 500L)
+    // undirected edge bound: each node emits ≤ TopG directed edges
+    assert(edges <= nodes * Graph.GraphTopG)
+    // every triangle closes exactly 3 wedges
+    assert(wedges >= 3 * tris)
+    assert(ppm === (if (wedges > 0) 3000000L * tris / wedges else 0L))
+  }
+
+  test("graph plans: no cartesian product anywhere in the family") {
+    for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank")) {
+      val p = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${p.take(2000)}")
+      Dedup.releaseSlots()
+    }
+  }
+}
