@@ -102,16 +102,22 @@ object Graph {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val scored = cand
+    // scored is consumed twice (the sym union mirrors every pair) and
+    // the whole edge list is consumed twice more by pageRankOn's
+    // out-degree denormalization — without these two slots the
+    // LSH+score pipeline executed up to 4x per query (measured 7-10 s
+    // per graph query at sf0.1; ~2 s after). Both frames are ~pairs-
+    // sized (Σ bucket² capped), far smaller than the corpus.
+    val scored = Dedup.cacheSlot("graph-scored", cand
       .join(ids.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
       .join(ids.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
-      .select(col("id_a"), col("id_b"), intDot(col("e_a"), col("e_b")).as("w"))
+      .select(col("id_a"), col("id_b"), intDot(col("e_a"), col("e_b")).as("w")))
     val sym = scored.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
       .union(scored.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
-    sym
+    Dedup.cacheSlot("graph-edges", sym
       .withColumn("rk", row_number().over(
         Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)))
-      .filter(col("rk") <= GraphTopG)
+      .filter(col("rk") <= GraphTopG))
   }
 
   /** Integer PageRank over (nodes(vec_id), edges(src, dst)) — full
