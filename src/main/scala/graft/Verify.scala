@@ -18,8 +18,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's
-      // vectorized reader rejects; read as Long (nanos since epoch).
+      // if events.parquet carries INT64 TIMESTAMP(NANOS) (older driver
+      // revisions), read it as Long; Tables.events normalizes either
+      // physical encoding to the Long-nanos contract.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -30,7 +30,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  /** The engine-wide contract is `ts: Long` nanoseconds since epoch
+    * (every temporal operator does integer day/µs arithmetic on it and
+    * the DuckDB oracles mirror that via `epoch_us(ts)`). The parquet
+    * has carried two physical encodings across driver revisions —
+    * INT64 TIMESTAMP(NANOS) (already a Long under the sessions'
+    * `nanosAsLong` conf) and TIMESTAMP(MICROS) (reads as
+    * timestamp_ntz) — so the scan normalizes by dtype: the ntz case
+    * converts wall-clock → instant in the session timezone, which
+    * every session in this repo pins to UTC, exactly how DuckDB's
+    * `epoch_us` interprets the same naive timestamp.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -8,10 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Temporal / event-stream operators: as-of join, sessionization, range
   * join, and JSON-property extraction over the `events` table.
   *
-  * `events.ts` is read as Long nanoseconds (see Verify/Bench session
-  * config: `spark.sql.legacy.parquet.nanosAsLong`). The oracle-checked
-  * queries truncate to MICROSECONDS (`ts div 1000`, exact integer
-  * division) for every ordering and comparison: DuckDB timestamps are
+  * `events.ts` arrives as Long nanoseconds — [[graft.core.Tables.events]]
+  * normalizes whatever the parquet physically carries (INT64 nanos or
+  * TIMESTAMP(MICROS)) to that contract. The oracle-checked queries
+  * truncate to MICROSECONDS (`ts div 1000`, exact integer division)
+  * for every ordering and comparison: DuckDB timestamps are
   * µs-precision, so computing on raw nanos would resolve sub-µs ties
   * differently than the oracle.
   */

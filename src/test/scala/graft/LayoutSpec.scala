@@ -30,7 +30,7 @@ class LayoutSpec extends SparkSuite {
   test("z-ordered files prune on BOTH dims; x-ordered only on x") {
     val zPath = tmpDir("zorder") + "/z"
     val xPath = tmpDir("zorder") + "/x"
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val ev = graft.core.Tables.events(spark, sf0001)
     Layout.writeZOrdered(ev, zPath, nFiles = 16)
     Layout.writeXOrdered(ev, xPath, nFiles = 16)
     // mean per-file min/max span on each dim — exactly what parquet
