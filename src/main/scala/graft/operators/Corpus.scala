@@ -341,6 +341,73 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------- d15: KMV corpus overlap
+
+  /** Sketch size for [[d15OverlapKmv]]. 256 gives the classic
+    * ~1/sqrt(k) ≈ 6% relative error on the Jaccard estimate — enough
+    * to rank crawl-snapshot pairs by overlap, tiny enough that the
+    * whole inter-corpus comparison state is two 2 KB arrays.
+    */
+  val KmvK = 256
+
+  /** D15: corpus-overlap estimation between the train (t6 md5 buckets
+    * 0-7) and held-out (8-9) splits from two KMV sketches over the
+    * shingle-hash space — the "how much do these two crawls overlap"
+    * planner question answered WITHOUT joining the corpora.
+    *
+    * Estimator (Beyer et al. 2007): with S_A, S_B the k smallest
+    * distinct shingle hashes per side and τ the k smallest of
+    * S_A ∪ S_B, Jaccard ≈ |τ ∩ S_A ∩ S_B| / |τ|. Every step is
+    * integer/set arithmetic on a deterministic md5-derived hash, so
+    * the estimate itself — not just its accuracy band — is
+    * bit-identical cross-engine and hash-checkable.
+    *
+    * Scale shape: the sketch path is ONE pass over each side's
+    * shingles through [[graft.functions.KmvSketch]] (bounded state,
+    * map-side partials, no shuffle of the hash space) + k-row array
+    * arithmetic on the driver-side-free 2-row frame. The exact
+    * |A∩B| / |A∪B| columns are the TEST-SCALE verification of the
+    * estimator (the d4-verifies-d2 pattern): they cost a distinct
+    * hash shuffle and are what the sketch replaces at 100 TB — a
+    * production caller uses [[KmvSketch.kmv]] alone.
+    */
+  val d15OverlapKmv: Relational.Q = (s, d) => {
+    val ex = Dedup.cacheSlot("kmv-shingle-hashes", documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(
+        (Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8).as("is_a"),
+        explode(Dedup.shingles(col("text"))).as("g"))
+      .select(col("is_a"), Dedup.baseHash(col("g")).as("h")))
+    // sketch path: one bounded-state aggregation per side, no distinct
+    val sk = ex.groupBy("is_a")
+      .agg(graft.functions.KmvSketch.kmv(col("h"), KmvK).as("sk"))
+    val ska = sk.filter(col("is_a")).select(col("sk").as("sk_a"))
+    val skb = sk.filter(!col("is_a")).select(col("sk").as("sk_b"))
+    // exact path (verification columns): distinct (side, h) pairs, one
+    // hash shuffle — the cost the sketch avoids
+    val p = Dedup.cacheSlot("kmv-distinct-pairs", ex.distinct())
+    val sides = p.groupBy("h").agg(count(lit(1)).as("ns"))
+    val exact = sides.agg(
+      count(lit(1)).as("n_union"),
+      sum(when(col("ns") === 2, 1L).otherwise(0L)).as("n_inter"))
+    // all three frames are 1-row: BNLJ composition, then pure array math
+    ska.crossJoin(skb).crossJoin(exact)
+      .select(
+        expr(s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $KmvK)")
+          .as("tau"),
+        col("sk_a"), col("sk_b"), col("n_inter"), col("n_union"))
+      .select(
+        size(col("tau")).cast("long").as("k_eff"),
+        expr("size(filter(tau, x -> array_contains(sk_a, x) AND array_contains(sk_b, x)))")
+          .cast("long").as("n_both"),
+        col("n_inter"), col("n_union"))
+      .select(col("k_eff"), col("n_both"),
+        expr("n_both * 1000000L div k_eff").as("jacc_kmv_ppm"),
+        col("n_inter"), col("n_union"),
+        expr("n_inter * 1000000L div n_union").as("jacc_exact_ppm"))
+      .withColumn("err_ppm", abs(col("jacc_kmv_ppm") - col("jacc_exact_ppm")))
+  }
+
   // ------------------------------------------------------- t11: tf-idf
 
   val TfidfTopK = 3
@@ -564,6 +631,7 @@ object Corpus {
     "q_t15_repetition" -> t15Repetition,
     "q_d11_fuzzy_edit" -> d11FuzzyEdit,
     "q_d13_leakage" -> d13Leakage,
+    "q_d15_overlap_kmv" -> d15OverlapKmv,
   )
 
   /** Transitive closure to the minimum reachable id via recursive CTE —
@@ -593,6 +661,35 @@ object Corpus {
   val oracleSql: Map[String, String] = Map(
     "q_d7_dedup_clusters" -> ccOracle,
     "q_d9_cc_bigstar" -> ccOracle,
+    // d15: the sketch is a pure function of the distinct-hash set (k
+    // smallest), so SQL min-k reproduces the Scala bounded-heap
+    // aggregate bit-for-bit
+    "q_d15_overlap_kmv" ->
+      s"""${Dedup.shingleCte},
+         |ex AS (
+         |  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 10 < 8 AS is_a,
+         |         ('0x' || substr(md5(g), 1, 7))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(gs) AS g FROM sh) z
+         |),
+         |p AS (SELECT DISTINCT is_a, h FROM ex),
+         |ska AS (SELECT h FROM p WHERE is_a ORDER BY h LIMIT $KmvK),
+         |skb AS (SELECT h FROM p WHERE NOT is_a ORDER BY h LIMIT $KmvK),
+         |tau AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb) u
+         |        ORDER BY h LIMIT $KmvK),
+         |nboth AS (SELECT count(*)::BIGINT AS n_both FROM tau
+         |          WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+         |keff AS (SELECT count(*)::BIGINT AS k_eff FROM tau),
+         |exact AS (
+         |  SELECT count(*)::BIGINT AS n_union,
+         |         sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END)::BIGINT AS n_inter
+         |  FROM (SELECT h, count(*) AS ns FROM p GROUP BY h) q
+         |)
+         |SELECT k_eff, n_both,
+         |       (n_both * 1000000) // k_eff AS jacc_kmv_ppm,
+         |       n_inter, n_union,
+         |       (n_inter * 1000000) // n_union AS jacc_exact_ppm,
+         |       abs((n_both * 1000000) // k_eff - (n_inter * 1000000) // n_union) AS err_ppm
+         |FROM keff, nboth, exact""".stripMargin,
     // d13: same shingle CTE; the test side semi-joins the distinct
     // train shingle set (t6's md5 split buckets decide membership)
     "q_d13_leakage" ->

@@ -72,22 +72,13 @@ object Graph {
           floor(y.cast("double") * lit(QuantScale))),
       lit(0L), (acc, v) => acc + v)
 
-  /** Directed k-NN graph edges over an (vec_id, embedding) frame:
-    * (src, dst, w, rk) where dst is one of src's [[GraphTopG]]
-    * strongest SRP-LSH candidates by quantized dot product `w`
-    * (ties → smaller dst). Nodes whose buckets yield no candidates
-    * have no out-edges (isolated in the graph; they keep base rank in
-    * PageRank).
-    *
-    * Scale shape: bucket build is one fused-kernel map over the
-    * vectors; the candidate self-join keys on (table, bucket) with the
-    * d5 bucket-size cap, so Σ bucket² is bounded; the per-src
-    * top-G window's input is ≤ MaxBucket·SrpTables rows per node BY
-    * CONSTRUCTION (not by data luck) — no stratum-wide sort anywhere.
-    * At 100 TB this is the standard kNN-graph-by-LSH build; raising
-    * SrpBits keeps bucket sizes file-group sized as the corpus grows.
+  /** Scored LSH candidate pairs over an (vec_id, embedding) frame:
+    * (id_a, id_b, w) with id_a < id_b, one row per distinct capped-
+    * bucket co-occurrence, w the quantized integer dot product. The
+    * shared first stage of the whole graph family ([[knnGraphEdgesOn]]
+    * keeps each node's top-G; [[g4Kcore]] thresholds on w instead).
     */
-  def knnGraphEdgesOn(e: DataFrame): DataFrame = {
+  def scoredPairsOn(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     val ids = e.select(col("vec_id"), col("embedding"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -108,10 +99,29 @@ object Graph {
     // LSH+score pipeline executed up to 4x per query (measured 7-10 s
     // per graph query at sf0.1; ~2 s after). Both frames are ~pairs-
     // sized (Σ bucket² capped), far smaller than the corpus.
-    val scored = Dedup.cacheSlot("graph-scored", cand
+    Dedup.cacheSlot("graph-scored", cand
       .join(ids.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
       .join(ids.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
       .select(col("id_a"), col("id_b"), intDot(col("e_a"), col("e_b")).as("w")))
+  }
+
+  /** Directed k-NN graph edges over an (vec_id, embedding) frame:
+    * (src, dst, w, rk) where dst is one of src's [[GraphTopG]]
+    * strongest SRP-LSH candidates by quantized dot product `w`
+    * (ties → smaller dst). Nodes whose buckets yield no candidates
+    * have no out-edges (isolated in the graph; they keep base rank in
+    * PageRank).
+    *
+    * Scale shape: bucket build is one fused-kernel map over the
+    * vectors; the candidate self-join keys on (table, bucket) with the
+    * d5 bucket-size cap, so Σ bucket² is bounded; the per-src
+    * top-G window's input is ≤ MaxBucket·SrpTables rows per node BY
+    * CONSTRUCTION (not by data luck) — no stratum-wide sort anywhere.
+    * At 100 TB this is the standard kNN-graph-by-LSH build; raising
+    * SrpBits keeps bucket sizes file-group sized as the corpus grows.
+    */
+  def knnGraphEdgesOn(e: DataFrame): DataFrame = {
+    val scored = scoredPairsOn(e)
     val sym = scored.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
       .union(scored.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
     Dedup.cacheSlot("graph-edges", sym
@@ -223,10 +233,88 @@ object Graph {
           .as("closure_ppm"))
   }
 
+  /** k-core parameters for [[g4Kcore]]. The core runs on the
+    * THRESHOLDED similarity graph (every capped-bucket pair with
+    * w ≥ [[CoreWmin]]) rather than the top-G kNN graph: top-G makes
+    * near-regular degrees (the whole graph is its own G-core and the
+    * (G+1)-core is empty — measured exactly that on this corpus), so
+    * the peel only discriminates on a graph whose degrees come from
+    * the DATA (how many strong-enough neighbors a node really has),
+    * not from the selection cap. The fixed iteration count is part of
+    * the operator contract (the oracle unrolls exactly CoreIters
+    * rounds, like PageRank); the output's `converged` column attests —
+    * in both engines, from the data — that the peel reached its
+    * fixpoint within the budget, so a graph needing more rounds fails
+    * loudly in the hash compare rather than silently shipping a
+    * non-core. Measured peel depth on the test corpora: ≤ 4 rounds.
+    */
+  val CoreK = 3
+  val CoreWmin = 200000L
+  val CoreIters = 8
+
+  /** k-core of an undirected edge set (a < b, distinct): repeatedly
+    * drop nodes with degree < [[CoreK]] and the edges touching them,
+    * [[CoreIters]] fixed rounds. Returns one row per surviving node:
+    * (vec_id, deg, converged) with deg its degree inside the core.
+    *
+    * The k-core is the corpus-curation lens on the kNN graph that
+    * PageRank (global mass) and triangles (one global scalar) miss:
+    * the maximal subgraph where EVERY member keeps ≥ k strong
+    * neighbors — dense template/boilerplate families survive the
+    * peel, thin chains of coincidental similarity do not.
+    *
+    * Scale shape: the Corpus fixpoint discipline — each round is one
+    * degree aggregation + two semi-joins, all keyed on node ids,
+    * lineage truncated per round, partitioning derived from the
+    * observed edge count; no driver-side data reads anywhere (the
+    * convergence bit is computed IN the plan from the last two edge
+    * frames, not polled per round like the open-ended CC loops).
+    */
+  def kcoreOn(edges: DataFrame, k: Int = CoreK): DataFrame = {
+    val s = edges.sparkSession
+    val und0 = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().truncated(true)
+    val loopParts = Corpus.loopPartsFor(und0.count(), s.sparkContext.defaultParallelism)
+    var e = und0.repartition(loopParts, col("a")).truncated(false)
+    var ePrev = e
+    for (_ <- 1 to CoreIters) {
+      ePrev = e
+      val kept = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+      e = e.join(kept.select(col("v").as("a")), "a")
+        .join(kept.select(col("v").as("b")), "b")
+        .select(col("a"), col("b"))
+        .repartition(loopParts, col("a")).truncated(false)
+    }
+    // unchanged edge count across the final round == nothing was
+    // peeled == fixpoint (the restriction only ever removes edges)
+    val conv = e.agg(count(lit(1)).as("n_final"))
+      .crossJoin(ePrev.agg(count(lit(1)).as("n_prev")))
+      .select((col("n_final") === col("n_prev")).as("converged"))
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .crossJoin(conv)
+      .select(col("v").as("vec_id"), col("deg"), col("converged"))
+  }
+
+  /** G4: k-core members of the thresholded similarity graph — the
+    * dense-family detector: nodes that keep ≥ [[CoreK]] neighbors of
+    * weight ≥ [[CoreWmin]] after everything that can't is peeled away.
+    */
+  val g4Kcore: Relational.Q = (s, d) =>
+    kcoreOn(scoredPairsOn(embeddings(s, d))
+      .filter(col("w") >= CoreWmin)
+      .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .orderBy("vec_id")
+
   val queries: Map[String, Relational.Q] = Map(
     "q_g1_knn_graph" -> g1KnnGraph,
     "q_g2_pagerank" -> g2PageRank,
     "q_g3_triangles" -> g3Triangles,
+    "q_g4_kcore" -> g4Kcore,
   )
 
   // ------------------------------------------------------------- oracle
@@ -283,7 +371,30 @@ object Graph {
        |ORDER BY rank DESC, vec_id ASC LIMIT $PrTopN""".stripMargin
   }
 
+  private lazy val kcoreSql: String = {
+    val rounds = (1 to CoreIters).map { k =>
+      // MATERIALIZED: each round references the previous one four
+      // times (degree union + two membership probes) — inlined CTEs
+      // would expand 4^CoreIters copies of the base scan
+      s"""n$k AS MATERIALIZED (SELECT v FROM (
+         |  SELECT v, count(*) AS dg
+         |  FROM (SELECT a AS v FROM e${k - 1} UNION ALL SELECT b AS v FROM e${k - 1}) u
+         |  GROUP BY v) q WHERE dg >= $CoreK),
+         |e$k AS MATERIALIZED (SELECT a, b FROM e${k - 1}
+         |  WHERE a IN (SELECT v FROM n$k) AND b IN (SELECT v FROM n$k))""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM scored WHERE w >= $CoreWmin),
+       |$rounds
+       |SELECT v AS vec_id, count(*)::BIGINT AS deg,
+       |       (SELECT count(*) FROM e$CoreIters) = (SELECT count(*) FROM e${CoreIters - 1})
+       |         AS converged
+       |FROM (SELECT a AS v FROM e$CoreIters UNION ALL SELECT b AS v FROM e$CoreIters) u
+       |GROUP BY v ORDER BY vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_g4_kcore" -> kcoreSql,
     "q_g1_knn_graph" ->
       s"""$edgesCte
          |SELECT src, dst, w, rk::BIGINT AS rk FROM edges ORDER BY src, rk""".stripMargin,

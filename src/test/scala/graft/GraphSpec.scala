@@ -103,6 +103,38 @@ class GraphSpec extends SparkSuite {
     assert(ppm === (if (wedges > 0) 3000000L * tris / wedges else 0L))
   }
 
+  test("kcore: peel keeps exactly the dense part of clique+chain") {
+    // 6-clique (every degree 5) with a 4-node chain hanging off node 0:
+    // the 3-core peels the chain (degrees ≤ 2 cascade away) and keeps
+    // the clique with its internal degrees intact
+    val clique = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = Seq((0L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (clique ++ chain).toDF("src", "dst")
+    val got = Graph.kcoreOn(edges, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).sorted === (0L to 5L).toArray)
+    assert(got.forall(_._2 === 5L)) // chain edge at node 0 is gone
+    assert(got.forall(_._3)) // converged
+  }
+
+  test("kcore: a tree has no 3-core; a too-deep peel reports non-convergence") {
+    val tree = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L)).toDF("src", "dst")
+    assert(Graph.kcoreOn(tree, k = 3).count() === 0L)
+    // 2-core peel of a 20-node path strips one node per end per round:
+    // needs ~9 rounds, so the CoreIters=8 budget must SAY it fell short
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = Graph.kcoreOn(path, k = 2).collect()
+    assert(r.nonEmpty && r.forall(!_.getBoolean(2)), "expected converged=false")
+  }
+
+  test("kcore on the corpus: non-vacuous peel, core degrees honor k, converged") {
+    val rows = SparkEntry.queries("q_g4_kcore")(spark, sf0001).collect()
+    Dedup.releaseSlots()
+    assert(rows.nonEmpty && rows.length < 500) // somebody survives, somebody peels
+    assert(rows.forall(_.getLong(1) >= Graph.CoreK))
+    assert(rows.forall(_.getBoolean(2)))
+  }
+
   test("graph plans: no cartesian product anywhere in the family") {
     for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank")) {
       val p = SparkEntry.queries(name)(spark, sf0001)
