@@ -499,7 +499,101 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------- d16: stored signature index, ingest-time dedup
+
+  /** Directory-partition bucket count for the stored band-signature
+    * index (file-size-bound at scale, like [[Hybrid.LexBuckets]]).
+    */
+  val SigBuckets = 8
+  private val SigTag = s"s1b$SigBuckets"
+
+  /** MinHash band rows (doc_id, band, bh) for a documents-shaped frame
+    * — the d2 signature formulation verbatim (same kernel, same
+    * empty-shingle exclusion), so stored and recomputed signatures can
+    * never drift.
+    */
+  private def bandRowsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), shingles(col("text")).as("gs"))
+    .filter(size(col("gs")) > 0)
+    .select(col("doc_id"),
+      posexplode(graft.functions.TextHashKernels.minhashBands(
+        col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
+
+  /** Build-once band-signature index over the CORPUS split (t6 md5
+    * buckets 0-7) in the versioned warehouse: one row per (doc_id,
+    * band, band-hash), directory-partitioned by a hash bucket of `bh`
+    * and sorted by (band, bh) within — so an ingest batch's probe join
+    * co-locates on the band-hash key and row-group stats stay sharp.
+    * This is the d2 signature table PERSISTED: the artifact a real
+    * dedup deployment maintains so each incoming increment is checked
+    * against the holdings without re-tokenizing, re-hashing, or even
+    * scanning the indexed corpus text (only verified CANDIDATES get
+    * their text hydrated).
+    */
+  def ensureSigIndex(s: SparkSession, d: String): String = synchronized {
+    graft.core.ArtifactStore.ensure(
+      graft.core.ArtifactStore.artifactDir("minhash_bands", d, SigTag)) { target =>
+      val corpus = documents(s, d)
+        .filter(baseHash(col("doc_id").cast("string")) % 10 < 8)
+      bandRowsOf(corpus)
+        .withColumn("bucket", pmod(xxhash64(col("bh")), lit(SigBuckets.toLong)).cast("int"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("bucket", "band", "bh")
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/bands")
+    }
+  }
+
+  /** D16: ingest-time near-dup check — the incoming batch (t6 md5
+    * bucket 9) against the stored corpus signature index, WITHOUT
+    * scanning the corpus. The d2 semantics restricted to batch×corpus
+    * pairs: candidates share ≥1 band bucket, verification is true
+    * Jaccard ≥ [[JaccardThreshold]] on the exact shingle sets.
+    *
+    * Scale shape: the batch side computes signatures for ITS OWN docs
+    * only (one fused-kernel pass); the stored side is read back, df-
+    * capped at [[MaxBucket]] per (band, bh) — the posting-list
+    * boilerplate cap, computed over the stable stored corpus — and
+    * joined on the band-hash key, so candidates are bounded by
+    * |batch|·Bands·MaxBucket (linear in the batch, independent of
+    * corpus size). Only candidate corpus docs are hydrated for the
+    * verify join. The batch side needs no cap: each of its band rows
+    * meets a ≤MaxBucket stored bucket by construction.
+    */
+  val d16IncrementalNearDup: Relational.Q = (s, d) => {
+    val idx = ensureSigIndex(s, d)
+    val corpb = s.read.parquet(s"$idx/bands")
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= MaxBucket)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+    val bsh = cacheSlot("sig-batch-shingles", documents(s, d)
+      .filter(baseHash(col("doc_id").cast("string")) % 10 === 9)
+      .select(col("doc_id"), shingles(col("text")).as("gs"))
+      .filter(size(col("gs")) > 0))
+    val batchb = bsh
+      .select(col("doc_id").as("batch_id"),
+        posexplode(graft.functions.TextHashKernels.minhashBands(
+          col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
+    val cand = batchb.join(corpb, Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    // hydrate ONLY candidate corpus docs for exact verification
+    val csh = documents(s, d)
+      .join(cand.select(col("corpus_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("corpus_id"), shingles(col("text")).as("gs_b"))
+    cand
+      .join(bsh.select(col("doc_id").as("batch_id"), col("gs").as("gs_a")), "batch_id")
+      .join(csh, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("jac"), 3).as("jac"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "q_d16_incremental_neardup" -> d16IncrementalNearDup,
     "q_d1_dedup_exact" -> d1Exact,
     "q_d2_dedup_minhash_lsh" -> d2MinhashLsh,
     "q_d3_dedup_simhash" -> d3Simhash,
@@ -632,6 +726,41 @@ object Dedup {
       s"""$d2VerifiedCte
          |SELECT doc_a, doc_b, round(jac, 3) AS jac FROM verified
          |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
+    // d16: the d2 band formulation recomputed from raw text (the
+    // stored index is the thing under test — the oracle never reads
+    // it), restricted to batch(b=9) × corpus(b<8) pairs with the df
+    // cap on the CORPUS side only (see the Scala scaladoc)
+    "q_d16_incremental_neardup" ->
+      s"""$d2VerifiedCte,
+         |sideof AS (
+         |  SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT % 10 AS sb
+         |  FROM sh
+         |),
+         |corpb AS (
+         |  SELECT doc_id, band, bh FROM (
+         |    SELECT ba.doc_id, ba.band, ba.bh,
+         |           count(*) OVER (PARTITION BY ba.band, ba.bh) AS bsz
+         |    FROM buckets_all ba JOIN sideof so USING (doc_id) WHERE so.sb < 8
+         |  ) z WHERE bsz <= $MaxBucket
+         |),
+         |batchb AS (
+         |  SELECT ba.doc_id, ba.band, ba.bh
+         |  FROM buckets_all ba JOIN sideof so USING (doc_id) WHERE so.sb = 9
+         |),
+         |cand16 AS (
+         |  SELECT DISTINCT bb.doc_id AS batch_id, cb.doc_id AS corpus_id
+         |  FROM batchb bb JOIN corpb cb ON bb.band = cb.band AND bb.bh = cb.bh
+         |),
+         |ver16 AS (
+         |  SELECT c.batch_id, c.corpus_id,
+         |         len(list_intersect(x.gs, y.gs))::DOUBLE
+         |           / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))) AS jac
+         |  FROM cand16 c
+         |  JOIN sh x ON x.doc_id = c.batch_id
+         |  JOIN sh y ON y.doc_id = c.corpus_id
+         |)
+         |SELECT batch_id, corpus_id, round(jac, 3) AS jac FROM ver16
+         |WHERE jac >= $JaccardThreshold ORDER BY batch_id, corpus_id""".stripMargin,
     "q_d3_dedup_simhash" ->
       s"""$simhashCte
          |SELECT doc_id, simhash FROM simsig ORDER BY doc_id""".stripMargin,

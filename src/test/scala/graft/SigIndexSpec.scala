@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The stored band-signature index (d16): serving from the artifact
+  * must equal the from-scratch d2-formulation recompute, and the serve
+  * plan must actually read the stored bands instead of re-deriving
+  * corpus signatures.
+  */
+class SigIndexSpec extends SparkSuite {
+
+  test("index serving == from-scratch recompute of the same split semantics") {
+    val got = Dedup.d16IncrementalNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Dedup.releaseSlots()
+    // from-scratch: d2's full pair list (both sides recomputed from raw
+    // text, same kernel), restricted to batch(9) × corpus(<8) pairs.
+    // d2 caps band buckets over ALL docs while d16 caps over the corpus
+    // split only — on this fixture no bucket is within MaxBucket of the
+    // cap either way (asserted below), so the two candidate sets agree.
+    val b = Dedup.baseHash(col("doc_id").cast("string")) % 10
+    val side = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), b.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.d2MinhashLshOn(graft.core.Tables.documents(spark, sf0001)
+        .filter(b < 8 || b === 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Dedup.releaseSlots()
+    val expected = full.flatMap { case (a, c, j) =>
+      (side(a), side(c)) match {
+        case (9, cb) if cb < 8 => Some((a, c, j))
+        case (ab, 9) if ab < 8 => Some((c, a, j))
+        case _ => None
+      }
+    }.sorted
+    assert(got.nonEmpty, "vacuous fixture: no cross-split near-dups")
+    assert(got.sorted === expected)
+  }
+
+  test("serve plan reads the stored bands artifact, not a corpus-signature recompute") {
+    val idx = Dedup.ensureSigIndex(spark, sf0001)
+    val plan = Dedup.d16IncrementalNearDup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    Dedup.releaseSlots()
+    assert(new java.io.File(idx, "bands").exists)
+    // positive: the serve plan scans the stored artifact
+    assert(plan.contains("minhash_bands"), s"no stored-bands scan:\n${plan.take(1500)}")
+    // negative: the corpus split filter (`% 10 < 8`) appears nowhere —
+    // re-deriving corpus signatures would need a documents scan under
+    // it; the only md5-split filter in the serve plan is the batch's
+    assert(!plan.contains("< 8)"), s"corpus-side recompute in serve plan:\n${plan.take(2000)}")
+    assert(plan.contains("= 9)"))
+  }
+}
