@@ -543,6 +543,71 @@ object Dedup {
     }
   }
 
+  /** Append-fragmentation threshold for the band index's bucket dirs
+    * (the [[graft.operators.Hybrid]] lex-index discipline).
+    */
+  val SigCompactFiles = 24
+
+  private def sigFileCount(bandsDir: String): Int =
+    Option(new java.io.File(bandsDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(b => Option(b.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet")))
+      .sum
+
+  /** Delta-append a new batch's band signatures onto the live index —
+    * a publish ([[graft.core.ArtifactStore.appendVersion]]: hard-link
+    * carry-forward + atomic pointer flip), shuffling only the BATCH's
+    * band rows. Auto-compacts past [[SigCompactFiles]] fragment files;
+    * the threshold probe runs outside the maintenance lock (not
+    * reentrant) and `onlyIfFragmented` re-checks under compaction's own
+    * lock, so a concurrent loser no-ops.
+    *
+    * This is the other half of the d16 ingest story: the increment is
+    * near-dup-CHECKED against the index (d16), then its signatures
+    * JOIN the index — each step touching only batch-sized data.
+    */
+  def appendSigIndex(s: SparkSession, d: String, newDocs: DataFrame): String = synchronized {
+    ensureSigIndex(s, d)
+    val adir = graft.core.ArtifactStore.artifactDir("minhash_bands", d, SigTag)
+    graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      graft.core.ArtifactStore.appendVersion(adir) { target =>
+        bandRowsOf(newDocs)
+          .withColumn("bucket", pmod(xxhash64(col("bh")), lit(SigBuckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .sortWithinPartitions("bucket", "band", "bh")
+          .write.partitionBy("bucket").mode("append").parquet(s"$target/bands")
+      }
+    }
+    val live = graft.core.ArtifactStore.current(adir).get
+    if (sigFileCount(s"$live/bands") > SigCompactFiles)
+      compactSigIndex(s, d, onlyIfFragmented = true)
+    else live
+  }
+
+  /** Rewrite the bands back to one sorted file run per bucket and
+    * reclaim superseded versions past the reader-retention window.
+    */
+  def compactSigIndex(s: SparkSession, d: String,
+      onlyIfFragmented: Boolean = false): String = synchronized {
+    val adir = graft.core.ArtifactStore.artifactDir("minhash_bands", d, SigTag)
+    val compacted = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      val cur = graft.core.ArtifactStore.current(adir).getOrElse(
+        throw new IllegalStateException(s"nothing to compact: minhash_bands for $d"))
+      if (onlyIfFragmented && sigFileCount(s"$cur/bands") <= SigCompactFiles) cur
+      else {
+        val bands = s.read.parquet(s"$cur/bands")
+        graft.core.ArtifactStore.publish(adir) { target =>
+          bands.repartition(col("bucket"))
+            .sortWithinPartitions("bucket", "band", "bh")
+            .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/bands")
+        }
+      }
+    }
+    graft.core.ArtifactStore.gcVersions(adir)
+    compacted
+  }
+
   /** D16: ingest-time near-dup check — the incoming batch (t6 md5
     * bucket 9) against the stored corpus signature index, WITHOUT
     * scanning the corpus. The d2 semantics restricted to batch×corpus

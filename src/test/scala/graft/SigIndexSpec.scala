@@ -38,6 +38,49 @@ class SigIndexSpec extends SparkSuite {
     assert(got.sorted === expected)
   }
 
+  private def bandSet(dir: String): Set[(Long, Int, String)] =
+    spark.read.parquet(dir).select("doc_id", "band", "bh")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  test("sig-index lifecycle: delta append == one-shot build; snapshots immutable; trickle ingest auto-compacts") {
+    val full = graft.core.Tables.documents(spark, sf0001)
+      .filter(Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8)
+    val base = tmpDir("sigidx")
+    full.filter(col("doc_id") < 100).write.parquet(s"$base/documents.parquet")
+    val v0 = Dedup.ensureSigIndex(spark, base)
+    val baseBands = bandSet(s"$v0/bands")
+    assert(baseBands.nonEmpty)
+
+    // snapshot isolation: probe right after the first append — later
+    // appends may auto-compact, whose gc legitimately reclaims v0 once
+    // it leaves the reader-retention window
+    var live = Dedup.appendSigIndex(spark, base,
+      full.filter(col("doc_id") >= 100 && col("doc_id") < 180))
+    assert(live !== v0)
+    assert(bandSet(s"$v0/bands") === baseBands, "pre-append snapshot mutated")
+    // trickle ingest: four more batch appends; fragmentation must stay
+    // bounded by the auto-compaction threshold
+    for (lo <- 180L to 420L by 80L)
+      live = Dedup.appendSigIndex(spark, base,
+        full.filter(col("doc_id") >= lo && col("doc_id") < lo + 80))
+
+    val fullDir = tmpDir("sigidx-full")
+    full.write.parquet(s"$fullDir/documents.parquet")
+    val vf = Dedup.ensureSigIndex(spark, fullDir)
+    assert(bandSet(s"$live/bands") === bandSet(s"$vf/bands"),
+      "grown index must equal the one-shot build")
+
+    val frags = Option(new java.io.File(s"$live/bands").listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(b => b.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
+    assert(frags <= Dedup.SigCompactFiles,
+      s"trickle ingest left $frags fragment files (> ${Dedup.SigCompactFiles})")
+
+    // explicit compaction: new version, same band set
+    val vc = Dedup.compactSigIndex(spark, base)
+    assert(bandSet(s"$vc/bands") === bandSet(s"$vf/bands"))
+  }
+
   test("serve plan reads the stored bands artifact, not a corpus-signature recompute") {
     val idx = Dedup.ensureSigIndex(spark, sf0001)
     val plan = Dedup.d16IncrementalNearDup(spark, sf0001)
