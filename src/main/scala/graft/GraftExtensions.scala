@@ -35,5 +35,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[graft.functions.SimHash32].getName, null, "simhash32"),
       (args: Seq[Expression]) => graft.functions.SimHash32(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, null, "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        // k must be a foldable positive integer — this is an index-time
+        // sketch parameter, not a per-row value
+        val k = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int if i > 0 => i
+            case other => throw new IllegalArgumentException(
+              s"kmv_sketch k must be a positive INT literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "kmv_sketch k must be a literal")
+        }
+        graft.functions.KmvSketchAgg(args(0), k)
+      }))
   }
 }

@@ -38,4 +38,16 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("array"))
   }
+
+  test("kmv_sketch aggregate callable from spark.sql") {
+    sparkExt.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb2")
+    val got = sparkExt.sql(
+      "SELECT kmv_sketch(vec_id, 8) AS sk FROM emb2").head().getSeq[Long](0)
+    assert(got === (0L until 8L))
+    val err = intercept[Exception] {
+      sparkExt.sql("SELECT kmv_sketch(vec_id, vec_id) FROM emb2").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
 }

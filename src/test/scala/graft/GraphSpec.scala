@@ -136,7 +136,7 @@ class GraphSpec extends SparkSuite {
   }
 
   test("graph plans: no cartesian product anywhere in the family") {
-    for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank")) {
+    for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles", "q_g4_kcore")) {
       val p = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
