@@ -250,6 +250,11 @@ object Graph {
     */
   val CoreK = 3
   val CoreWmin = 200000L
+  /** g5's community threshold — higher than [[CoreWmin]]: at the
+    * k-core's threshold the graph is one giant component (measured),
+    * while at 350k the census sees real families at every test scale.
+    */
+  val CommWmin = 350000L
   val CoreIters = 8
 
   /** k-core of an undirected edge set (a < b, distinct): repeatedly
@@ -310,11 +315,47 @@ object Graph {
       .select(col("id_a").as("src"), col("id_b").as("dst")))
       .orderBy("vec_id")
 
+  /** G5: community census of the thresholded similarity graph — one
+    * row per connected component: canonical label (min node id), node
+    * count, internal edge count, and density in ppm
+    * (2·edges·10⁶ div nodes·(nodes−1)). The per-family audit view of
+    * the same structure d7 assigns doc-by-doc: density ≈ 10⁶ means a
+    * clique (a mutual near-dup family — safe to keep one), low density
+    * means a chain of coincidental similarity (review before deleting).
+    *
+    * Scale shape: the component labels come from
+    * [[Corpus.connectedComponents]] (min-label fixpoint, per-round
+    * lineage truncation, observed-edge-count partitioning); the census
+    * is then one keyed aggregate per side joined on the label. Every
+    * edge is internal by construction (its endpoints share a
+    * component), so the edge census is a single id_a→label join.
+    */
+  val g5Communities: Relational.Q = (s, d) => {
+    val edges = Dedup.cacheSlot("g5-edges", scoredPairsOn(embeddings(s, d))
+      .filter(col("w") >= CommWmin)
+      .select(col("id_a"), col("id_b")))
+    // star contraction, NOT min-label propagation: thresholded
+    // similarity components can be long chains (measured min-node
+    // eccentricity 34 at sf0.1 — past the label-prop round cap);
+    // large-star/small-star converges in O(log^2 n) rounds on any
+    // diameter (the d9 machinery)
+    val cc = Corpus.connectedComponentsStar(edges, "id_a", "id_b")
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
+    val ecount = edges
+      .join(cc.select(col("doc_id").as("id_a"), col("cluster")), "id_a")
+      .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
+    sizes.join(ecount, "cluster")
+      .select(col("cluster"), col("n_nodes"), col("n_edges"),
+        expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))").as("density_ppm"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "q_g1_knn_graph" -> g1KnnGraph,
     "q_g2_pagerank" -> g2PageRank,
     "q_g3_triangles" -> g3Triangles,
     "q_g4_kcore" -> g4Kcore,
+    "q_g5_communities" -> g5Communities,
   )
 
   // ------------------------------------------------------------- oracle
@@ -393,7 +434,35 @@ object Graph {
        |GROUP BY v ORDER BY vec_id""".stripMargin
   }
 
+  /** Transitive closure to the minimum reachable id (the ccOracle
+    * shape) over the thresholded scored edges, then the two censuses.
+    */
+  private lazy val communitiesSql: String = {
+    val base = edgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$base,
+       |sel AS (SELECT id_a, id_b FROM scored WHERE w >= $CommWmin),
+       |edges2 AS (
+       |  SELECT id_a AS src, id_b AS dst FROM sel
+       |  UNION SELECT id_b, id_a FROM sel
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges2
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges2 e ON r.dst = e.src
+       |),
+       |lab AS (SELECT src AS id, least(src, min(dst)) AS cluster FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster, count(*)::BIGINT AS n_nodes FROM lab GROUP BY cluster),
+       |ec AS (
+       |  SELECT l.cluster, count(*)::BIGINT AS n_edges
+       |  FROM sel s JOIN lab l ON s.id_a = l.id GROUP BY l.cluster
+       |)
+       |SELECT z.cluster, z.n_nodes, ec.n_edges,
+       |       (2000000 * ec.n_edges) // (z.n_nodes * (z.n_nodes - 1)) AS density_ppm
+       |FROM sizes z JOIN ec USING (cluster) ORDER BY cluster""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_g5_communities" -> communitiesSql,
     "q_g4_kcore" -> kcoreSql,
     "q_g1_knn_graph" ->
       s"""$edgesCte
