@@ -402,9 +402,14 @@ object Corpus {
           .cast("long").as("n_both"),
         col("n_inter"), col("n_union"))
       .select(col("k_eff"), col("n_both"),
-        expr("n_both * 1000000L div k_eff").as("jacc_kmv_ppm"),
+        // zero-guards: an empty split (k_eff or n_union = 0) must
+        // yield 0, not a NULL-vs-division-error divergence between the
+        // engines' integer-division semantics
+        expr("CASE WHEN k_eff > 0 THEN n_both * 1000000L div k_eff ELSE 0L END")
+          .as("jacc_kmv_ppm"),
         col("n_inter"), col("n_union"),
-        expr("n_inter * 1000000L div n_union").as("jacc_exact_ppm"))
+        expr("CASE WHEN n_union > 0 THEN n_inter * 1000000L div n_union ELSE 0L END")
+          .as("jacc_exact_ppm"))
       .withColumn("err_ppm", abs(col("jacc_kmv_ppm") - col("jacc_exact_ppm")))
   }
 
@@ -685,10 +690,11 @@ object Corpus {
          |  FROM (SELECT h, count(*) AS ns FROM p GROUP BY h) q
          |)
          |SELECT k_eff, n_both,
-         |       (n_both * 1000000) // k_eff AS jacc_kmv_ppm,
+         |       CASE WHEN k_eff > 0 THEN (n_both * 1000000) // k_eff ELSE 0 END AS jacc_kmv_ppm,
          |       n_inter, n_union,
-         |       (n_inter * 1000000) // n_union AS jacc_exact_ppm,
-         |       abs((n_both * 1000000) // k_eff - (n_inter * 1000000) // n_union) AS err_ppm
+         |       CASE WHEN n_union > 0 THEN (n_inter * 1000000) // n_union ELSE 0 END AS jacc_exact_ppm,
+         |       abs(CASE WHEN k_eff > 0 THEN (n_both * 1000000) // k_eff ELSE 0 END
+         |           - CASE WHEN n_union > 0 THEN (n_inter * 1000000) // n_union ELSE 0 END) AS err_ppm
          |FROM keff, nboth, exact""".stripMargin,
     // d13: same shingle CTE; the test side semi-joins the distinct
     // train shingle set (t6's md5 split buckets decide membership)
