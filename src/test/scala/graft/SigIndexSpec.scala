@@ -81,6 +81,17 @@ class SigIndexSpec extends SparkSuite {
     assert(bandSet(s"$vc/bands") === bandSet(s"$vf/bands"))
   }
 
+  test("empty ingest batch: no candidates, no crash, empty result") {
+    // fixture with corpus-split docs only — the batch split (b = 9) is
+    // empty, so the probe join must yield an empty frame, not an error
+    val base = tmpDir("sigidx-nobatch")
+    graft.core.Tables.documents(spark, sf0001)
+      .filter(Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8)
+      .limit(100).write.parquet(s"$base/documents.parquet")
+    assert(Dedup.d16IncrementalNearDup(spark, base).count() === 0L)
+    Dedup.releaseSlots()
+  }
+
   test("serve plan reads the stored bands artifact, not a corpus-signature recompute") {
     val idx = Dedup.ensureSigIndex(spark, sf0001)
     val plan = Dedup.d16IncrementalNearDup(spark, sf0001)
