@@ -624,15 +624,24 @@ object Dedup {
     * verify join. The batch side needs no cap: each of its band rows
     * meets a ≤MaxBucket stored bucket by construction.
     */
-  val d16IncrementalNearDup: Relational.Q = (s, d) => {
+  /** Near-dup matches of an arbitrary (doc_id, text) batch against the
+    * LIVE stored signature index of dataset `d` (built over the corpus
+    * split if absent): (batch_id, corpus_id, jac) for every verified
+    * pair, unordered. `corpusText` supplies (doc_id, text) for
+    * candidate hydration and must cover every doc_id the index holds
+    * (for the base index that is the corpus split of `documents`; a
+    * streaming ingester unions its accepted store — see
+    * [[graft.streaming.StreamingNearDup]]).
+    */
+  def probeSigIndex(s: SparkSession, d: String, batchDocs: DataFrame,
+      corpusText: DataFrame): DataFrame = {
     val idx = ensureSigIndex(s, d)
     val corpb = s.read.parquet(s"$idx/bands")
       .withColumn("bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bsz") <= MaxBucket)
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
-    val bsh = cacheSlot("sig-batch-shingles", documents(s, d)
-      .filter(baseHash(col("doc_id").cast("string")) % 10 === 9)
+    val bsh = cacheSlot("sig-batch-shingles", batchDocs
       .select(col("doc_id"), shingles(col("text")).as("gs"))
       .filter(size(col("gs")) > 0))
     val batchb = bsh
@@ -643,7 +652,7 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
     // hydrate ONLY candidate corpus docs for exact verification
-    val csh = documents(s, d)
+    val csh = corpusText
       .join(cand.select(col("corpus_id").as("doc_id")).distinct(), "doc_id")
       .select(col("doc_id").as("corpus_id"), shingles(col("text")).as("gs_b"))
     cand
@@ -654,8 +663,14 @@ object Dedup {
         col("inter") / (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("batch_id"), col("corpus_id"), round(col("jac"), 3).as("jac"))
-      .orderBy("batch_id", "corpus_id")
   }
+
+  val d16IncrementalNearDup: Relational.Q = (s, d) =>
+    probeSigIndex(s, d,
+      documents(s, d)
+        .filter(baseHash(col("doc_id").cast("string")) % 10 === 9),
+      documents(s, d))
+      .orderBy("batch_id", "corpus_id")
 
   val queries: Map[String, Relational.Q] = Map(
     "q_d16_incremental_neardup" -> d16IncrementalNearDup,

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming corpus ingestion with near-dup rejection — the d16 probe
+  * and the signature-index lifecycle driven from Structured Streaming.
+  * Each micro-batch of (doc_id, text) documents is:
+  *
+  *  1. id-anti-joined against the ACCEPTED STORE (the S4 idempotence
+  *     ledger — a re-delivered batch is a no-op);
+  *  2. near-dup-probed against the LIVE band-signature index
+  *     ([[Dedup.probeSigIndex]]: batch-only signature compute, the
+  *     corpus is never scanned);
+  *  3. split — verified matches land in the QUARANTINE log with the
+  *     corpus doc they duplicate and the verified Jaccard; survivors
+  *     append to the accepted store and delta-publish their signatures
+  *     into the index ([[Dedup.appendSigIndex]]), so the NEXT batch is
+  *     checked against them too.
+  *
+  * Consistency contract across the three effects (none of which share
+  * a transaction):
+  *  - accepted store: exactly-once — it IS the ledger the anti-join
+  *    reads, so a retry cannot re-append.
+  *  - signature index: eventually exactly-once — the crash window
+  *    between store-append and index-publish is closed by a per-batch
+  *    RECONCILE: ledger docs missing from the index (one distinct
+  *    projection of the stored bands) are re-appended before the new
+  *    batch probes. Idempotent, self-healing, and cheap at this meta
+  *    scale; a production deployment records a doc-id manifest in each
+  *    index version's publish to make the missing-set lookup O(1).
+  *  - quarantine log: at-least-once — a crash between quarantine-
+  *    append and store-append replays the batch and can duplicate
+  *    quarantine rows; the log is keyed (batch_id, corpus_id), so
+  *    readers dedup on read. Rejection evidence is an audit trail,
+  *    not a ledger.
+  *
+  * Known limitation (documented, deliberate): docs WITHIN one batch
+  * are not checked against each other — intra-batch dedup is the batch
+  * d1/d2 job's role before ingestion; this operator's contract is
+  * batch-vs-corpus.
+  */
+object StreamingNearDup {
+
+  /** Wire a file-source stream of document parquet into
+    * [[ingestBatch]]. The caller owns trigger/termination.
+    */
+  def start(spark: SparkSession, datasetDir: String, srcDir: String,
+      acceptedDir: String, rejectedDir: String, checkpointDir: String,
+      schema: StructType): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(spark, datasetDir, acceptedDir, rejectedDir, batch)
+      }
+      .start()
+
+  private def readIfExists(s: SparkSession, dir: String): Option[DataFrame] =
+    try Some(s.read.parquet(dir))
+    catch {
+      case e: AnalysisException
+          if Option(e.getCondition).contains("PATH_NOT_FOUND") => None
+    }
+
+  /** One ingest step (also the crash-recovery unit — the spec drives
+    * it directly to simulate failure windows).
+    */
+  def ingestBatch(s: SparkSession, d: String, acceptedDir: String,
+      rejectedDir: String, batchRaw: DataFrame): Unit = {
+    val ledger = readIfExists(s, acceptedDir)
+    // reconcile FIRST: heal any accepted docs whose index publish was
+    // lost to a crash, so this batch probes against a complete index
+    val idx = Dedup.ensureSigIndex(s, d)
+    ledger.foreach { acc =>
+      val indexed = s.read.parquet(s"$idx/bands").select("doc_id").distinct()
+      val unindexed = acc.join(indexed, Seq("doc_id"), "left_anti")
+      if (!unindexed.isEmpty) Dedup.appendSigIndex(s, d, unindexed)
+    }
+    // S4 idempotence: drop docs the ledger already holds. Persisted —
+    // consumed by the probe, the accepted anti-join, and both writes.
+    val fresh = (ledger match {
+      case Some(acc) =>
+        batchRaw.join(acc.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => batchRaw
+    }).persist()
+    try {
+      if (fresh.isEmpty) return
+      // hydration text = base corpus split + everything accepted so far
+      val baseText = graft.core.Tables.documents(s, d)
+        .filter(Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8)
+        .select(col("doc_id"), col("text"))
+      val corpusText = ledger match {
+        case Some(acc) => baseText.unionByName(acc.select("doc_id", "text"))
+        case None => baseText
+      }
+      val matches = Dedup
+        .probeSigIndex(s, d, fresh.select("doc_id", "text"), corpusText)
+        .persist()
+      val dupIds = matches.select(col("batch_id").as("doc_id")).distinct()
+      val accepted = fresh.join(dupIds, Seq("doc_id"), "left_anti").persist()
+      // effect order carries the consistency contract (object doc):
+      // quarantine (at-least-once) → ledger (exactly-once) → index
+      // (healed by the next batch's reconcile if we die before it)
+      matches.write.mode(SaveMode.Append).parquet(rejectedDir)
+      accepted.write.mode(SaveMode.Append).parquet(acceptedDir)
+      if (!accepted.isEmpty) Dedup.appendSigIndex(s, d, accepted)
+      matches.unpersist()
+      accepted.unpersist()
+    } finally {
+      fresh.unpersist()
+      Dedup.releaseSlots()
+    }
+  }
+}

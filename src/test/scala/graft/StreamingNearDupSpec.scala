@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.functions._
+
+/** Streaming ingestion with near-dup rejection: corpus dups are
+  * quarantined, survivors grow the index (so later waves are checked
+  * against earlier accepted docs), re-delivery is a no-op, and the
+  * store-appended-but-index-lost crash window self-heals.
+  */
+class StreamingNearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Fixture: a dataset dir whose corpus split (md5 bucket < 8) seeds
+    * the index; returns (datasetDir, a corpus doc's (id, text)).
+    */
+  private def freshDataset(): (String, (Long, String)) = {
+    val d = tmpDir("snd")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .filter(Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8)
+      .limit(200)
+    docs.write.parquet(s"$d/documents.parquet")
+    val seed = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").head()
+    (d, (seed.getLong(0), seed.getString(1)))
+  }
+
+  private def ids(dir: String, idCol: String = "doc_id"): Set[Long] =
+    try spark.read.parquet(dir).select(idCol).collect().map(_.getLong(0)).toSet
+    catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+
+  test("end-to-end stream: dup quarantined, novel accepted, index grows across waves, re-delivery no-ops") {
+    val (d, (dupId, dupText)) = freshDataset()
+    val (src, acc, rej, chk) =
+      (tmpDir("snd-src"), tmpDir("snd-acc") + "/a", tmpDir("snd-rej") + "/r", tmpDir("snd-chk"))
+    val novel1 = "graft streaming ingest wave one has plainly novel vocabulary " +
+      "no shingle of this sentence occurs in the synthetic corpus at all " +
+      "because zebras quietly juggle amethyst typewriters under moonlight"
+    val novel2 = "completely different second wave text where flamingos " +
+      "architect porcelain submarines beneath turquoise glaciers daily " +
+      "while narwhals compose binary sonnets about forgotten umbrellas"
+    val schema = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text")).schema
+
+    // wave 1: one near-dup of a corpus doc (id shifted), one novel doc
+    Seq((900001L, dupText), (900002L, novel1)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q = StreamingNearDup.start(spark, d, src, acc, rej, chk, schema)
+    q.processAllAvailable()
+
+    assert(ids(acc) === Set(900002L), "novel doc accepted, dup rejected")
+    val rej1 = spark.read.parquet(rej)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rej1.map(_._1).toSet === Set(900001L))
+    // the exact copy must be matched at jac 1.0; further rows are the
+    // corpus doc's own pre-existing near-dups — legitimate matches
+    assert(rej1.contains((900001L, dupId, 1.0)),
+      s"quarantine must name the duplicated corpus doc: ${rej1.toSeq}")
+    assert(rej1.forall(_._3 >= Dedup.JaccardThreshold))
+
+    // wave 2: a near-dup of WAVE 1's accepted doc (proves the index
+    // grew mid-stream) plus another novel doc
+    Seq((900003L, novel1), (900004L, novel2)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(ids(acc) === Set(900002L, 900004L),
+      "wave-2 dup of a wave-1 accepted doc must be rejected")
+    assert(ids(rej, "batch_id").contains(900003L))
+
+    // re-delivery (fresh checkpoint, same source): ledger no-ops it
+    val q2 = StreamingNearDup.start(spark, d, src, acc, rej, chk + "2", schema)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(ids(acc) === Set(900002L, 900004L), "re-delivery must not re-append")
+    assert(spark.read.parquet(acc).count() === 2L, "no duplicate ledger rows")
+  }
+
+  test("crash window between ledger append and index publish self-heals on the next batch") {
+    val (d, _) = freshDataset()
+    val (acc, rej) = (tmpDir("snd-heal-acc") + "/a", tmpDir("snd-heal-rej") + "/r")
+    val novel = "heal window text with its own unmistakable vocabulary " +
+      "wherein cartographers laminate recursive daydreams onto fog " +
+      "and librarians alphabetize thunder by its apology letters"
+
+    // simulate the crash: the doc reaches the LEDGER but its index
+    // publish was lost (written directly, bypassing ingestBatch)
+    Dedup.ensureSigIndex(spark, d)
+    Seq((910001L, novel)).toDF("doc_id", "text")
+      .write.mode("append").parquet(acc)
+
+    // next batch: a near-dup of the ledger-only doc. Without the
+    // reconcile it would be ACCEPTED (its dup's signatures are not in
+    // the index); the reconcile re-publishes them first.
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq((910002L, novel)).toDF("doc_id", "text"))
+    assert(ids(acc) === Set(910001L), "near-dup of healed doc must be rejected")
+    assert(ids(rej, "batch_id") === Set(910002L))
+  }
+}
