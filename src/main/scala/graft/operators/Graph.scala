@@ -179,6 +179,53 @@ object Graph {
     ranks
   }
 
+  /** Personalized-PageRank seed set: vec_id < PprSeedMax (mirrors the
+    * d8/d13 convention of a small benchmark prefix). Total teleport
+    * mass PrScale is split over the seeds; non-seeds start (and
+    * teleport) at zero.
+    */
+  val PprSeedMax = 25L
+
+  /** Personalized PageRank (seeded teleport): like [[pageRankOn]] but
+    * the base term exists only on seed nodes — rank₀ = PrScale div |S|
+    * on seeds else 0; each round rank'(v) = seedBase(v) +
+    * (85 · Σ_{u→v} (rank(u) div outdeg(u))) div 100 with seedBase =
+    * (15 · (PrScale div |S|)) div 100 on seeds else 0. Measures what
+    * the similarity graph pulls toward the seed set — the corpus-
+    * exploration probe ("which documents live in this benchmark's
+    * neighborhood") that global PageRank's uniform teleport washes
+    * out. Same integer-exactness and scale shape as [[pageRankOn]];
+    * the one extra driver scalar is the seed COUNT.
+    */
+  def pprOn(nodes: DataFrame, edges: DataFrame, isSeed: Column): DataFrame = {
+    val s = nodes.sparkSession
+    val ed = edges.select(col("src"), col("dst"))
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .truncated(true)
+    val loopParts = Corpus.loopPartsFor(ed.count(), s.sparkContext.defaultParallelism)
+    val e = ed.repartition(loopParts, col("src")).truncated(false)
+    val nd = nodes.select(col("vec_id"), isSeed.as("seed")).truncated(true)
+    val nSeeds = nd.filter(col("seed")).count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val r0 = PrScale / nSeeds
+    val base = 15L * r0 / 100L
+    var ranks = nd
+      .select(col("vec_id"), when(col("seed"), r0).otherwise(0L).as("rank"))
+      .repartition(loopParts, col("vec_id")).truncated(false)
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(ranks, e("src") === ranks("vec_id"))
+        .select(col("dst"), expr("rank div od").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc_"))
+      ranks = nd.join(contrib, nd("vec_id") === contrib("dst"), "left")
+        .select(nd("vec_id"),
+          (when(nd("seed"), base).otherwise(0L) +
+            expr("(85 * coalesce(sc_, 0L)) div 100")).as("rank"))
+        .repartition(loopParts, col("vec_id"))
+        .truncated(false)
+    }
+    ranks
+  }
+
   // ------------------------------------------------------------ queries
 
   /** G1: the k-NN graph edge list itself — the auditable artifact the
@@ -370,7 +417,24 @@ object Graph {
     "q_g3_triangles" -> g3Triangles,
     "q_g4_kcore" -> g4Kcore,
     "q_g5_communities" -> g5Communities,
+    "q_g6_ppr" -> g6Ppr,
   )
+
+  /** G6: personalized PageRank from the benchmark-prefix seed set —
+    * the top-[[PrTopN]] NON-SEED nodes by propagated integer rank
+    * (ties → smaller id): the benchmark's similarity neighborhood
+    * ranked by pull. Seeds are excluded from the report — they hold
+    * the teleport mass by construction (measured: they'd fill 23-24
+    * of the top 25) and the question this operator answers is what
+    * lies NEAR them.
+    */
+  lazy val g6Ppr: Relational.Q = (s, d) => {
+    val edges = knnGraphEdgesOn(embeddings(s, d))
+    pprOn(embeddings(s, d).select("vec_id"), edges, col("vec_id") < PprSeedMax)
+      .filter(col("vec_id") >= PprSeedMax)
+      .orderBy(col("rank").desc, col("vec_id").asc)
+      .limit(PrTopN)
+  }
 
   // ------------------------------------------------------------- oracle
 
@@ -475,7 +539,34 @@ object Graph {
        |FROM sizes z JOIN ec USING (cluster) ORDER BY cluster""".stripMargin
   }
 
+  private lazy val pprSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""p$k AS (
+         |  SELECT n.id,
+         |         (CASE WHEN n.id < $PprSeedMax THEN (SELECT base FROM c0) ELSE 0 END)
+         |           + (85 * coalesce(s.sc, 0::BIGINT)) // 100 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e2.dst, sum(r.rank // e2.od)::BIGINT AS sc
+         |    FROM ed2 e2 JOIN p${k - 1} r ON e2.src = r.id GROUP BY e2.dst
+         |  ) s ON n.id = s.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |od AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY src),
+       |ed2 AS (SELECT e3.src, e3.dst, o.od FROM edges e3 JOIN od o USING (src)),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |c0 AS (SELECT ($PrScale // count(*))::BIGINT AS r0,
+       |              ((15 * ($PrScale // count(*))) // 100)::BIGINT AS base
+       |       FROM nodes WHERE id < $PprSeedMax),
+       |p0 AS (SELECT id, CASE WHEN id < $PprSeedMax THEN (SELECT r0 FROM c0)
+       |                       ELSE 0::BIGINT END AS rank FROM nodes),
+       |$iters
+       |SELECT id AS vec_id, rank FROM p$PrIters WHERE id >= $PprSeedMax
+       |ORDER BY rank DESC, vec_id ASC LIMIT $PrTopN""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_g6_ppr" -> pprSql,
     "q_g5_communities" -> communitiesSql,
     "q_g4_kcore" -> kcoreSql,
     "q_g1_knn_graph" ->

@@ -135,6 +135,23 @@ class GraphSpec extends SparkSuite {
     assert(rows.forall(_.getBoolean(2)))
   }
 
+  test("pprOn: mass stays in the seed's component; empty seed set fails loudly") {
+    // two components: seed-bearing triangle 0-1-2 and disjoint pair 10-11
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L), (0L, 2L),
+        (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L).toDF("vec_id")
+    val r = Graph.pprOn(nodes, edges, col("vec_id") === 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) === 0L && r(11L) === 0L, "disconnected component must hold zero mass")
+    assert(r(0L) > r(1L) && r(0L) > r(2L), "seed keeps the teleport mass")
+    assert(r(1L) > 0L && r(2L) > 0L, "neighbors receive propagated mass")
+    assert(r(1L) === r(2L), "symmetric neighbors rank equally")
+    val err = intercept[IllegalArgumentException] {
+      Graph.pprOn(nodes, edges, lit(false))
+    }
+    assert(err.getMessage.contains("seed"))
+  }
+
   test("graph plans: no cartesian product anywhere in the family") {
     for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles", "q_g4_kcore")) {
       val p = SparkEntry.queries(name)(spark, sf0001)
