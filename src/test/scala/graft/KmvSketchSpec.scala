@@ -48,6 +48,14 @@ class KmvSketchSpec extends SparkSuite {
     assert(plan.contains("partial_kmv_sketch"), plan)
   }
 
+  test("q_d15's sketch path carries partial aggregation in the real plan") {
+    val plan = graft.operators.Corpus.d15OverlapKmv(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    graft.operators.Dedup.releaseSlots()
+    assert(plan.contains("partial_kmv_sketch"),
+      s"d15 must partial-aggregate the sketch map-side:\n${plan.take(1500)}")
+  }
+
   test("KMV Jaccard estimator is exact once the union fits in k") {
     // |A∪B| = 30 ≤ k = 64 → τ is the whole union and the estimator
     // degenerates to exact Jaccard: |A∩B| / |A∪B| = 10/30
