@@ -226,6 +226,79 @@ object Graph {
     ranks
   }
 
+  /** Graph-ANN serving parameters: beam width, hop budget, reported
+    * k, greedy entry node, and the query (a corpus vector, so the
+    * result must rediscover it — a built-in sanity anchor).
+    */
+  val GannBeam = 12
+  val GannHops = 10
+  val GannTopK = 10
+  val GannEntry = 0L
+  val GannQueryId = 1L
+
+  /** Graph-based ANN serving: greedy beam search over the stored kNN
+    * graph (the NSW/HNSW-layer-0 search, Malkov & Yashunin 2016) —
+    * the OTHER way to serve similarity queries from this module's
+    * artifact, complementing the IVF family's partition pruning.
+    * From [[GannEntry]], each hop expands the current beam's out-
+    * neighbors, scores ONLY those nodes (integer dot vs the query —
+    * no corpus-wide scoring pass anywhere in the plan), keeps the
+    * best [[GannBeam]] as the next beam, and accumulates the visited
+    * set. Output: the top [[GannTopK]] visited nodes by score, each
+    * row carrying `visited_n` — the audit that the walk touched a
+    * bounded neighborhood (≤ 1 + hops·beam·G nodes BY CONSTRUCTION),
+    * not the corpus; the efficiency claim is part of the hashed
+    * result, the d15/docReads discipline.
+    *
+    * Determinism: scores are the bit-exact quantized [[intDot]]; every
+    * beam/report selection breaks ties (score DESC, vec_id ASC). The
+    * per-hop top-B window is a single global sort of ≤ beam·(G+1)
+    * rows — bounded by construction, so the unpartitioned window is a
+    * driver-light shuffle of a few dozen rows, not a stratum sort.
+    */
+  def graphAnnOn(e: DataFrame, edges: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    val qv = e.filter(col("vec_id") === GannQueryId)
+      .select(col("embedding").as("qv"))
+    def scoreOf(ids: DataFrame): DataFrame = ids
+      .join(e, "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), intDot(col("embedding"), col("qv")).as("sc"))
+    val ed = edges.select(col("src"), col("dst")).truncated(true)
+    var beam = scoreOf(e.filter(col("vec_id") === GannEntry).select("vec_id"))
+      .truncated(true)
+    var visited = beam
+    for (_ <- 1 to GannHops) {
+      val nbr = scoreOf(beam.join(ed, beam("vec_id") === ed("src"))
+        .select(col("dst").as("vec_id")).distinct())
+        .truncated(true)
+      val pool = beam.union(nbr)
+        .groupBy("vec_id").agg(max("sc").as("sc")) // dedup; sc is per-node
+      beam = pool
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("sc").desc, col("vec_id").asc)))
+        .filter(col("rk") <= GannBeam).drop("rk")
+        .truncated(true)
+      visited = visited.union(nbr)
+    }
+    val vis = visited.groupBy("vec_id").agg(max("sc").as("sc")).truncated(true)
+    val audit = vis.agg(count(lit(1)).as("visited_n"))
+    vis.withColumn("rk", row_number().over(
+        Window.orderBy(col("sc").desc, col("vec_id").asc)))
+      .filter(col("rk") <= GannTopK)
+      .crossJoin(audit)
+      .select(col("vec_id"), col("sc"), col("rk").cast("long").as("rk"),
+        col("visited_n"))
+  }
+
+  /** G7: serve one similarity query from the kNN-graph artifact by
+    * greedy beam search.
+    */
+  lazy val g7GraphAnn: Relational.Q = (s, d) => {
+    val emb = embeddings(s, d)
+    graphAnnOn(emb, knnGraphEdgesOn(emb)).orderBy("rk")
+  }
+
   // ------------------------------------------------------------ queries
 
   /** G1: the k-NN graph edge list itself — the auditable artifact the
@@ -418,6 +491,7 @@ object Graph {
     "q_g4_kcore" -> g4Kcore,
     "q_g5_communities" -> g5Communities,
     "q_g6_ppr" -> g6Ppr,
+    "q_g7_graph_ann" -> g7GraphAnn,
   )
 
   /** G6: personalized PageRank from the benchmark-prefix seed set —
@@ -565,7 +639,47 @@ object Graph {
        |ORDER BY rank DESC, vec_id ASC LIMIT $PrTopN""".stripMargin
   }
 
+  /** The beam search unrolled: MATERIALIZED per hop (each hop's beam
+    * feeds the neighbor expansion, the pool union, and the visited
+    * union — inlining would multiply the base scan per hop).
+    */
+  private lazy val graphAnnSql: String = {
+    val dot = sqlIntDot("x.ed", "q.qv")
+    val hops = (1 to GannHops).map { k =>
+      s"""nb$k AS MATERIALIZED (
+         |  SELECT x.vec_id, $dot AS sc
+         |  FROM (SELECT DISTINCT ed3.dst AS vec_id
+         |        FROM edges ed3 JOIN b${k - 1} ON ed3.src = b${k - 1}.vec_id) dd
+         |  JOIN e x ON x.vec_id = dd.vec_id, q
+         |),
+         |b$k AS MATERIALIZED (
+         |  SELECT vec_id, sc FROM (
+         |    SELECT vec_id, sc, row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rn
+         |    FROM (SELECT DISTINCT vec_id, sc FROM
+         |            (SELECT * FROM b${k - 1} UNION ALL SELECT * FROM nb$k) u$k) p$k
+         |  ) z$k WHERE rn <= $GannBeam
+         |)""".stripMargin
+    }.mkString(",\n")
+    val visUnion = (1 to GannHops).map(k => s"SELECT * FROM nb$k").mkString(" UNION ALL ")
+    s"""$edgesCte,
+       |q AS (SELECT ed AS qv FROM e WHERE vec_id = $GannQueryId),
+       |b0 AS MATERIALIZED (
+       |  SELECT x.vec_id, $dot AS sc FROM e x, q WHERE x.vec_id = $GannEntry
+       |),
+       |$hops,
+       |vis AS MATERIALIZED (
+       |  SELECT DISTINCT vec_id, sc FROM (SELECT * FROM b0 UNION ALL $visUnion) w
+       |)
+       |SELECT vec_id, sc, rn::BIGINT AS rk,
+       |       (SELECT count(*) FROM vis)::BIGINT AS visited_n
+       |FROM (SELECT vec_id, sc,
+       |             row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rn
+       |      FROM vis) f
+       |WHERE rn <= $GannTopK ORDER BY rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_g7_graph_ann" -> graphAnnSql,
     "q_g6_ppr" -> pprSql,
     "q_g5_communities" -> communitiesSql,
     "q_g4_kcore" -> kcoreSql,

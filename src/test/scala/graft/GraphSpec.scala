@@ -152,8 +152,24 @@ class GraphSpec extends SparkSuite {
     assert(err.getMessage.contains("seed"))
   }
 
+  test("graph ANN: finds the in-corpus query at rank 1, touches a bounded neighborhood") {
+    val rows = SparkEntry.queries("q_g7_graph_ann")(spark, sf0001).collect()
+    Dedup.releaseSlots()
+    assert(rows.length === Graph.GannTopK)
+    // the query IS a corpus vector: its own node must win with the
+    // self-dot score (the strongest possible integer dot)
+    assert(rows.head.getLong(0) === Graph.GannQueryId)
+    assert(rows.map(_.getLong(1)).max === rows.head.getLong(1))
+    val visited = rows.head.getLong(3)
+    val bound = 1L + Graph.GannHops.toLong * Graph.GannBeam * Graph.GraphTopG
+    assert(visited <= bound, s"visited $visited breaches the construction bound $bound")
+    assert(visited < 500L, s"walk touched the whole corpus: $visited")
+    assert(rows.forall(_.getLong(3) === visited), "audit column must be constant")
+  }
+
   test("graph plans: no cartesian product anywhere in the family") {
-    for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles", "q_g4_kcore")) {
+    for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles", "q_g4_kcore",
+        "q_g6_ppr", "q_g7_graph_ann")) {
       val p = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
