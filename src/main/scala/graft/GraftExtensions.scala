@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[graft.functions.KmvSketchAgg].getName, null, "kmv_sketch"),
       (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"kmv_sketch expects exactly 2 arguments (hash column, k), got ${args.length}")
         // k must be a foldable positive integer — this is an index-time
         // sketch parameter, not a per-row value
         val k = args(1) match {

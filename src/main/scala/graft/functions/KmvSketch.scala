@@ -47,6 +47,7 @@ object KmvSketch {
   * no-op once the candidate is ≥ the current kth-smallest.
   */
 final class KmvState(val k: Int) {
+  require(k > 0, s"kmv sketch size k must be positive, got $k")
   val set = new java.util.TreeSet[java.lang.Long]()
   def add(v: Long): Unit = {
     if (set.size() < k) set.add(v)
@@ -57,6 +58,8 @@ final class KmvState(val k: Int) {
 case class KmvSketchAgg(h: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KmvState] {
+
+  require(k > 0, s"kmv_sketch k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(h)
   override def nullable: Boolean = false

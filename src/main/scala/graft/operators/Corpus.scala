@@ -378,11 +378,14 @@ object Corpus {
         (Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8).as("is_a"),
         explode(Dedup.shingles(col("text"))).as("g"))
       .select(col("is_a"), Dedup.baseHash(col("g")).as("h")))
-    // sketch path: one bounded-state aggregation per side, no distinct
-    val sk = ex.groupBy("is_a")
-      .agg(graft.functions.KmvSketch.kmv(col("h"), KmvK).as("sk"))
-    val ska = sk.filter(col("is_a")).select(col("sk").as("sk_a"))
-    val skb = sk.filter(!col("is_a")).select(col("sk").as("sk_b"))
+    // sketch path: ONE groupless bounded-state aggregation computing
+    // both sides' sketches via null-gated inputs (the aggregate skips
+    // nulls) — always exactly 1 row, so an empty split degrades to an
+    // empty array rather than an empty FRAME (which would zero out the
+    // whole crossJoin chain and diverge from the oracle's scalar CTEs)
+    val sk = ex.agg(
+      graft.functions.KmvSketch.kmv(when(col("is_a"), col("h")), KmvK).as("sk_a"),
+      graft.functions.KmvSketch.kmv(when(!col("is_a"), col("h")), KmvK).as("sk_b"))
     // exact path (verification columns): distinct (side, h) pairs, one
     // hash shuffle — the cost the sketch avoids
     val p = Dedup.cacheSlot("kmv-distinct-pairs", ex.distinct())
@@ -390,8 +393,8 @@ object Corpus {
     val exact = sides.agg(
       count(lit(1)).as("n_union"),
       sum(when(col("ns") === 2, 1L).otherwise(0L)).as("n_inter"))
-    // all three frames are 1-row: BNLJ composition, then pure array math
-    ska.crossJoin(skb).crossJoin(exact)
+    // both frames are 1-row: BNLJ composition, then pure array math
+    sk.crossJoin(exact)
       .select(
         expr(s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $KmvK)")
           .as("tau"),

@@ -665,6 +665,53 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), round(col("jac"), 3).as("jac"))
   }
 
+  /** Verified near-dup losers WITHIN one (doc_id, text) batch — the
+    * intra-batch complement of [[probeSigIndex]], closing the window
+    * where a burst of duplicates arriving in the same micro-batch all
+    * pass the batch-vs-corpus probe. Semantics are the d2 min-id
+    * cluster rule: a doc LOSES iff it has a verified match
+    * (Jaccard ≥ [[JaccardThreshold]]) with a smaller doc_id in the
+    * batch; output one row per loser, `(batch_id = loser, corpus_id =
+    * its smallest verified smaller-id match, jac)` — the direct
+    * duplicate evidence, even when that winner itself lost to an even
+    * smaller doc (the quarantine log is an audit trail; recording the
+    * verified pair beats pointing at a transitive survivor).
+    *
+    * Scale shape: everything is batch-sized — one fused-kernel
+    * signature pass, a band self-join capped at [[MaxBucket]] per
+    * (band, bh) bucket, candidates ≤ |batch|·Bands·MaxBucket; the
+    * corpus is never touched.
+    */
+  private[graft] def intraBatchMatches(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val bands = sh.select(col("doc_id"),
+      posexplode(graft.functions.TextHashKernels.minhashBands(
+        col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= MaxBucket)
+      .select("doc_id", "band", "bh")
+    val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / (size(col("gs_a")) + size(col("gs_b")) - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      // smallest winner per loser, carrying THAT pair's jac (struct
+      // min orders by id_a first — deterministic)
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("id_a"), col("jac"))).as("w"))
+      .select(col("id_b").as("batch_id"), col("w.id_a").as("corpus_id"),
+        round(col("w.jac"), 3).as("jac"))
+  }
+
   val d16IncrementalNearDup: Relational.Q = (s, d) =>
     probeSigIndex(s, d,
       documents(s, d)

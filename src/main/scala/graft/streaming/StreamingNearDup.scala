@@ -15,33 +15,45 @@ import org.apache.spark.sql.types.StructType
   *  2. near-dup-probed against the LIVE band-signature index
   *     ([[Dedup.probeSigIndex]]: batch-only signature compute, the
   *     corpus is never scanned);
-  *  3. split — verified matches land in the QUARANTINE log with the
-  *     corpus doc they duplicate and the verified Jaccard; survivors
-  *     append to the accepted store and delta-publish their signatures
-  *     into the index ([[Dedup.appendSigIndex]]), so the NEXT batch is
-  *     checked against them too.
+  *  3. checked against ITSELF ([[Dedup.intraBatchMatches]]: a
+  *     batch-sized band self-join) so a same-batch burst of duplicates
+  *     — a crawler re-fetch landing in one micro-batch — admits only
+  *     the smallest-id representative of each near-dup cluster;
+  *  4. split — verified matches land in the QUARANTINE log with the
+  *     doc they duplicate (a corpus doc, or the same-batch winner) and
+  *     the verified Jaccard; survivors append to the accepted store
+  *     and delta-publish their signatures into the index
+  *     ([[Dedup.appendSigIndex]]), so the NEXT batch is checked
+  *     against them too.
   *
   * Consistency contract across the three effects (none of which share
   * a transaction):
   *  - accepted store: exactly-once — it IS the ledger the anti-join
-  *    reads, so a retry cannot re-append.
+  *    reads, so a retry cannot re-append. The batch's acceptance
+  *    DECISION is frozen durably (written to a staging dir and read
+  *    back) BEFORE the ledger mutates: the decision's lineage
+  *    anti-joins the pre-append ledger, so a cache-loss recompute
+  *    after the append (executor loss on a real cluster) must not be
+  *    able to re-derive it against the just-mutated ledger and
+  *    silently empty the frame mid-effect-chain.
   *  - signature index: eventually exactly-once — the crash window
   *    between store-append and index-publish is closed by a per-batch
   *    RECONCILE: ledger docs missing from the index (one distinct
   *    projection of the stored bands) are re-appended before the new
-  *    batch probes. Idempotent, self-healing, and cheap at this meta
-  *    scale; a production deployment records a doc-id manifest in each
-  *    index version's publish to make the missing-set lookup O(1).
+  *    batch probes. Only docs that can PRODUCE band rows count as
+  *    missing — a shingle-less doc (under 3 tokens) is accepted into
+  *    the ledger but by construction can never appear in the index,
+  *    and re-appending it every batch would publish an unbounded
+  *    stream of no-op index versions instead of converging.
+  *    Idempotent, self-healing, and cheap at this meta scale; a
+  *    production deployment records a doc-id manifest in each index
+  *    version's publish to make the missing-set lookup O(1).
   *  - quarantine log: at-least-once — a crash between quarantine-
   *    append and store-append replays the batch and can duplicate
   *    quarantine rows; the log is keyed (batch_id, corpus_id), so
   *    readers dedup on read. Rejection evidence is an audit trail,
-  *    not a ledger.
-  *
-  * Known limitation (documented, deliberate): docs WITHIN one batch
-  * are not checked against each other — intra-batch dedup is the batch
-  * d1/d2 job's role before ingestion; this operator's contract is
-  * batch-vs-corpus.
+  *    not a ledger (an intra-batch loser's recorded winner may itself
+  *    have lost to a smaller doc — the pair is the evidence).
   */
 object StreamingNearDup {
 
@@ -66,6 +78,14 @@ object StreamingNearDup {
           if Option(e.getCondition).contains("PATH_NOT_FOUND") => None
     }
 
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** One ingest step (also the crash-recovery unit — the spec drives
     * it directly to simulate failure windows).
     */
@@ -73,11 +93,14 @@ object StreamingNearDup {
       rejectedDir: String, batchRaw: DataFrame): Unit = {
     val ledger = readIfExists(s, acceptedDir)
     // reconcile FIRST: heal any accepted docs whose index publish was
-    // lost to a crash, so this batch probes against a complete index
+    // lost to a crash, so this batch probes against a complete index.
+    // Shingle-less docs are excluded — they can never produce band
+    // rows, so treating them as "unindexed" would re-publish forever.
     val idx = Dedup.ensureSigIndex(s, d)
     ledger.foreach { acc =>
       val indexed = s.read.parquet(s"$idx/bands").select("doc_id").distinct()
       val unindexed = acc.join(indexed, Seq("doc_id"), "left_anti")
+        .filter(size(Dedup.shingles(col("text"))) > 0)
       if (!unindexed.isEmpty) Dedup.appendSigIndex(s, d, unindexed)
     }
     // S4 idempotence: drop docs the ledger already holds. Persisted —
@@ -101,14 +124,35 @@ object StreamingNearDup {
         .probeSigIndex(s, d, fresh.select("doc_id", "text"), corpusText)
         .persist()
       val dupIds = matches.select(col("batch_id").as("doc_id")).distinct()
-      val accepted = fresh.join(dupIds, Seq("doc_id"), "left_anti").persist()
+      val corpusSurvivors = fresh.join(dupIds, Seq("doc_id"), "left_anti")
+      // intra-batch pass over the corpus survivors: same-batch
+      // near-dup clusters keep their smallest doc_id only
+      val intra = Dedup
+        .intraBatchMatches(corpusSurvivors.select("doc_id", "text"))
+        .persist()
+      val accepted = corpusSurvivors
+        .join(intra.select(col("batch_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .persist()
       // effect order carries the consistency contract (object doc):
-      // quarantine (at-least-once) → ledger (exactly-once) → index
-      // (healed by the next batch's reconcile if we die before it)
-      matches.write.mode(SaveMode.Append).parquet(rejectedDir)
-      accepted.write.mode(SaveMode.Append).parquet(acceptedDir)
-      if (!accepted.isEmpty) Dedup.appendSigIndex(s, d, accepted)
+      // quarantine (at-least-once) → durable decision staging →
+      // ledger (exactly-once) → index (healed by the next batch's
+      // reconcile if we die before it)
+      matches.unionByName(intra).write.mode(SaveMode.Append).parquet(rejectedDir)
+      if (!accepted.isEmpty) {
+        // freeze the decision durably BEFORE the ledger append: the
+        // re-read staging frame's lineage is the staged files alone,
+        // so a post-append recompute cannot anti-join the mutated
+        // ledger (cache retention is an optimization, not a crutch)
+        val staging = acceptedDir + ".staging-" + java.util.UUID.randomUUID()
+        try {
+          accepted.write.mode(SaveMode.Overwrite).parquet(staging)
+          val frozen = s.read.parquet(staging)
+          frozen.write.mode(SaveMode.Append).parquet(acceptedDir)
+          Dedup.appendSigIndex(s, d, frozen)
+        } finally rmDir(staging)
+      }
       matches.unpersist()
+      intra.unpersist()
       accepted.unpersist()
     } finally {
       fresh.unpersist()

@@ -32,14 +32,18 @@ object GraphScaleProbe {
       df.write.format("noop").mode("overwrite").save()
 
     for (n <- scales) {
-      // deterministic per-replica perturbation: flip the sign of one
-      // coordinate chosen by the replica index — preserves norms and
-      // neighborhood STATISTICS while decorrelating bucket signs
+      // deterministic per-replica perturbation: every replica but the
+      // source (__rep = 0) flips the sign of one replica-chosen
+      // coordinate — preserves norms and neighborhood STATISTICS while
+      // decorrelating bucket signs. Every replica must be distinct: an
+      // unperturbed copy shares every LSH bucket with its source, so
+      // buckets blow past MaxBucket and the probe measures the cap,
+      // not the operator.
       val e0 = Tables.embeddings(spark, d)
       val e = e0.crossJoin(spark.range(n).select(col("id").as("__rep")))
         .withColumn("vec_id", col("vec_id") * n + col("__rep"))
         .withColumn("embedding",
-          expr("transform(embedding, (x, i) -> CASE WHEN i = CAST(__rep % 64 AS INT) AND __rep % 2 = 1 THEN -x ELSE x END)"))
+          expr("transform(embedding, (x, i) -> CASE WHEN __rep > 0 AND i = CAST(__rep % 64 AS INT) THEN -x ELSE x END)"))
         .drop("__rep")
         .persist()
       val nv = e.count()

@@ -49,5 +49,22 @@ class GraftExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       sparkExt.sql("SELECT kmv_sketch(vec_id, vec_id) FROM emb2").collect()
     }
     assert(err.getMessage.toLowerCase.contains("literal"))
+    // wrong arity fails with a clear message, not IndexOutOfBounds
+    val arity = intercept[Exception] {
+      sparkExt.sql("SELECT kmv_sketch(vec_id) FROM emb2").collect()
+    }
+    assert(arity.getMessage.contains("2 arguments"), arity.getMessage)
+    // non-positive k fails loudly at construction from BOTH entry
+    // points (SQL builder and direct Scala API), not with a
+    // NoSuchElementException on the first row
+    val kz = intercept[Exception] {
+      sparkExt.sql("SELECT kmv_sketch(vec_id, 0) FROM emb2").collect()
+    }
+    assert(kz.getMessage.toLowerCase.contains("positive"), kz.getMessage)
+    val kzApi = intercept[IllegalArgumentException] {
+      graft.functions.KmvSketch.kmv(
+        org.apache.spark.sql.functions.col("vec_id"), 0)
+    }
+    assert(kzApi.getMessage.toLowerCase.contains("positive"), kzApi.getMessage)
   }
 }

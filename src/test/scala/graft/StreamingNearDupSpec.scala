@@ -78,6 +78,59 @@ class StreamingNearDupSpec extends SparkSuite {
     assert(spark.read.parquet(acc).count() === 2L, "no duplicate ledger rows")
   }
 
+  test("intra-batch near-dup burst admits only the smallest-id doc") {
+    val (d, _) = freshDataset()
+    val (acc, rej) = (tmpDir("snd-intra-acc") + "/a", tmpDir("snd-intra-rej") + "/r")
+    val novel = "intra batch burst text with thoroughly invented vocabulary " +
+      "wherein obsidian metronomes rehearse citrus algebra at dawn " +
+      "and velvet lighthouses negotiate with punctual avalanches"
+    // one micro-batch containing its own near-dup pair (exact copy)
+    // plus an unrelated novel doc — both copies pass the corpus probe,
+    // so without the intra-batch pass both would land
+    val novel2 = "unrelated survivor doc where chrome origami referees " +
+      "adjudicate disputes between marzipan satellites and dew"
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq((930002L, novel), (930001L, novel), (930005L, novel2))
+        .toDF("doc_id", "text"))
+    assert(ids(acc) === Set(930001L, 930005L),
+      "smallest-id copy and the unrelated doc accepted, the other copy rejected")
+    val rejRows = spark.read.parquet(rej)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rejRows.toSet === Set((930002L, 930001L, 1.0)),
+      s"loser quarantined with the same-batch winner's id: ${rejRows.toSeq}")
+    // the accepted copy is in the index: a later delivery of the same
+    // text is now a corpus-style dup
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq((930003L, novel)).toDF("doc_id", "text"))
+    assert(!ids(acc).contains(930003L))
+  }
+
+  test("reconcile converges: a shingle-less accepted doc does not churn index versions") {
+    val (d, _) = freshDataset()
+    val (acc, rej) = (tmpDir("snd-conv-acc") + "/a", tmpDir("snd-conv-rej") + "/r")
+    // under 3 tokens → zero shingles: accepted into the ledger but by
+    // construction can never appear in the band index
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq((920001L, "tiny doc")).toDF("doc_id", "text"))
+    assert(ids(acc) === Set(920001L), "shingle-less doc is accepted")
+    val adir = Option(new java.io.File(graft.core.ArtifactStore.root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith("minhash_bands_" + new java.io.File(d).getName))
+      .map(_.getPath).head
+    val v0 = graft.core.ArtifactStore.current(adir)
+    // two re-delivered (no-op) batches: the reconcile must NOT treat
+    // the shingle-less ledger doc as unindexed and re-publish forever
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq((920001L, "tiny doc")).toDF("doc_id", "text"))
+    val v1 = graft.core.ArtifactStore.current(adir)
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq((920001L, "tiny doc")).toDF("doc_id", "text"))
+    val v2 = graft.core.ArtifactStore.current(adir)
+    assert(v1 === v0 && v2 === v0,
+      s"index version must be stable across no-op batches: $v0 / $v1 / $v2")
+  }
+
   test("crash window between ledger append and index publish self-heals on the next batch") {
     val (d, _) = freshDataset()
     val (acc, rej) = (tmpDir("snd-heal-acc") + "/a", tmpDir("snd-heal-rej") + "/r")
