@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The stored kNN-graph artifact lifecycle: build-once, delta append
+  * (append ≡ one-shot rebuild), compaction idempotence, and serve-plan
+  * purity (the g-family reads stored parquet — no SRP kernel, no
+  * scoring pass in any serve plan).
+  */
+class GraphIndexSpec extends SparkSuite {
+
+  /** Fixture: dataset dir whose embeddings are a vec_id-split subset
+    * of sf0.001; returns (dir, heldOutVectors).
+    */
+  private def splitDataset(): (String, DataFrame) = {
+    val d = tmpDir("gix")
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    full.filter(col("vec_id") % 10 =!= 0).write.parquet(s"$d/embeddings.parquet")
+    (d, full.filter(col("vec_id") % 10 === 0).select("vec_id", "embedding"))
+  }
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Long, Int)] =
+    df.select(col("src"), col("dst"), col("w"), col("rk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("id_a"), col("id_b"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("append ≡ one-shot rebuild for edges and pairs") {
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureKnnGraph(spark, d)
+    // the delta lands through the bounded append path (re-rank
+    // affected srcs only), then must equal a from-scratch build over
+    // the union corpus
+    Graph.appendKnnGraph(spark, d, heldOut, base)
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    val wantEdges = edgeSet(Graph.knnGraphEdgesOn(full))
+    val gotEdges = edgeSet(Graph.storedEdges(spark, d))
+    Dedup.releaseSlots()
+    assert(gotEdges === wantEdges,
+      s"stored edges after append must equal a one-shot rebuild " +
+        s"(got ${gotEdges.size}, want ${wantEdges.size}; " +
+        s"missing ${(wantEdges -- gotEdges).take(5)}, " +
+        s"extra ${(gotEdges -- wantEdges).take(5)})")
+    val wantPairs = pairSet(Graph.scoredPairsOn(full)
+      .filter(col("w") >= Graph.CoreWmin))
+    val gotPairs = pairSet(Graph.storedPairs(spark, d))
+    Dedup.releaseSlots()
+    assert(gotPairs === wantPairs, "stored pairs after append must equal rebuild")
+    // compaction rewrites layout, never content
+    Graph.compactKnnGraph(spark, d)
+    assert(edgeSet(Graph.storedEdges(spark, d)) === wantEdges)
+    assert(pairSet(Graph.storedPairs(spark, d)) === wantPairs)
+  }
+
+  test("serve plans read the stored artifact — no SRP kernel, no pair scoring") {
+    val d = sf0001
+    Graph.ensureKnnGraph(spark, d)
+    // every g-query's executed plan must be free of the build
+    // pipeline's signatures: the SRP bucketing kernel and the
+    // quantized-dot scoring aggregate run at BUILD time only
+    for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles",
+        "q_g4_kcore", "q_g5_communities", "q_g6_ppr", "q_g7_graph_ann")) {
+      val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString()
+      assert(!p.contains("srp_buckets"),
+        s"$name must serve from the stored graph, not rebuild buckets:\n${p.take(2000)}")
+      Dedup.releaseSlots()
+    }
+    // g7 still scores beam CANDIDATES against the query vector (that
+    // is serving, not building) — but g1, the raw edge read, must be
+    // a pure scan with no scoring aggregate at all
+    val p1 = SparkEntry.queries("q_g1_knn_graph")(spark, d)
+      .queryExecution.executedPlan.toString()
+    assert(!p1.toLowerCase.contains("zip_with"),
+      s"g1 must not re-score edges:\n${p1.take(2000)}")
+  }
+
+  test("append is bounded: candidates come from the routing table, not a corpus pair scan") {
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureKnnGraph(spark, d)
+    // a one-vector delta must not rebuild the graph: its new pair
+    // count is ≤ SrpTables·MaxBucket, and stored edges for
+    // unaffected srcs are byte-identical (their partitions were
+    // carried forward as hard links, not rewritten)
+    val one = heldOut.orderBy("vec_id").limit(1)
+    val oneId = one.collect().head.getLong(0)
+    val before = edgeSet(Graph.storedEdges(spark, d))
+    Graph.appendKnnGraph(spark, d, one, base)
+    val after = edgeSet(Graph.storedEdges(spark, d))
+    // blast radius: srcs whose edge rows changed = the new node plus
+    // its bucket cohabitants — a small fraction of the graph, never a
+    // bulk rewrite
+    val changedSrcs = ((before -- after) ++ (after -- before)).map(_._1)
+    val allSrcs = before.map(_._1)
+    assert(changedSrcs.size <= allSrcs.size / 10 + 1,
+      s"one-vector append touched ${changedSrcs.size} of ${allSrcs.size} srcs")
+    assert(after.exists(_._1 == oneId),
+      "appended vector should gain out-edges (it has same-corpus candidates)")
+  }
+}
