@@ -687,12 +687,15 @@ object Graph {
     * Scale shape: the Corpus fixpoint discipline — each round is one
     * degree aggregation + two semi-joins, all keyed on node ids,
     * lineage truncated per round, partitioning derived from the
-    * observed edge count. Each round EAGERLY materializes and probes
-    * the (cached) edge count — the restriction only ever removes
-    * edges, so an unchanged count is the fixpoint and every remaining
-    * round would be an identity: the loop stops peeling then (rounds
-    * 5-8 on a ≤4-round graph cost ~0.3-0.4 s of pure checkpoint/
-    * scheduling each, measured at sf0.1). The result — including the
+    * observed edge count. Each round's checkpoint is LAZY and the
+    * convergence count is the job that materializes it — one job per
+    * round, not an eager-checkpoint job plus a count job (the CC
+    * loop's lblSum discipline; GraphIndexSpec asserts the job budget
+    * with a listener). The restriction only ever removes edges, so an
+    * unchanged count is the fixpoint and every remaining round would
+    * be an identity: the loop stops peeling then (rounds 5-8 on a
+    * ≤4-round graph cost ~0.3-0.4 s of pure checkpoint/scheduling
+    * each, measured at sf0.1). The result — including the
     * `converged` bit, which compares the LAST executed round against
     * its predecessor — is exactly the fixed-CoreIters unroll the
     * oracle computes.
@@ -704,7 +707,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .distinct().truncated(true)
     val loopParts = Corpus.loopPartsFor(und0.count(), s.sparkContext.defaultParallelism)
-    var e = und0.repartition(loopParts, col("a")).truncated(true)
+    var e = und0.repartition(loopParts, col("a")).truncated(false)
     var ePrev = e
     var nPrev = e.count()
     var rounds = 0
@@ -717,7 +720,7 @@ object Graph {
       e = e.join(kept.select(col("v").as("a")), "a")
         .join(kept.select(col("v").as("b")), "b")
         .select(col("a"), col("b"))
-        .repartition(loopParts, col("a")).truncated(true)
+        .repartition(loopParts, col("a")).truncated(false)
       val n = e.count()
       fixed = n == nPrev
       nPrev = n

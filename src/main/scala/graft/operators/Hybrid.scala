@@ -160,6 +160,21 @@ object Hybrid {
     .sortWithinPartitions("bucket", "term", "doc_id")
     .write.partitionBy("bucket").mode(mode).parquet(dir)
 
+  /** Engine-hash bucket id of a term, evaluated DRIVER-SIDE via the
+    * same Catalyst expression (`xxhash64`, seed 42) the stored layout
+    * is written with — so build and probe still cannot drift, but a
+    * serve no longer pays a one-row Spark job just to hash a handful
+    * of query-term literals (one scheduler round-trip per query in the
+    * hot serving path). Equivalence with the in-plan hash is asserted
+    * in HybridSpec.
+    */
+  private[graft] def termBucket(t: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(t)), 42L)
+      .eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, LexBuckets.toLong).toInt
+  }
+
   def ensureLexIndex(s: SparkSession, d: String): String = synchronized {
     graft.core.ArtifactStore.ensure(
       graft.core.ArtifactStore.artifactDir("lex_postings", d, LexTag)) { target =>
@@ -271,13 +286,9 @@ object Hybrid {
     */
   val h5Bm25Indexed: Relational.Q = (s, d) => {
     val root = ensureLexIndex(s, d)
-    // bucket ids for the query terms, computed with the engine's own
-    // hash so build and probe can never drift. Bounded collect
-    // rationale: one row, |QueryTerms| ints.
-    val bRow = s.range(1).select(QueryTerms.zipWithIndex.map { case (t, i) =>
-      pmod(xxhash64(lit(t)), lit(LexBuckets.toLong)).cast("int").as(s"b_$i") }: _*)
-      .head()
-    val buckets = QueryTerms.indices.map(bRow.getInt).distinct
+    // bucket ids for the query terms, driver-evaluated with the
+    // engine's own hash expression ([[termBucket]]) — no per-serve job
+    val buckets = QueryTerms.map(termBucket).distinct
     val pruned = s.read.parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(QueryTerms: _*))
     // per-term df from the pruned read (postings are unique per
@@ -327,12 +338,9 @@ object Hybrid {
     */
   val h6PhraseIndexed: Relational.Q = (s, d) => {
     val root = ensureLexIndex(s, d)
-    // engine-hash bucket ids for the phrase terms (h5's discipline).
-    // Bounded collect rationale: one row, |PhraseTerms| ints.
-    val bRow = s.range(1).select(PhraseTerms.zipWithIndex.map { case (t, i) =>
-      pmod(xxhash64(lit(t)), lit(LexBuckets.toLong)).cast("int").as(s"b_$i") }: _*)
-      .head()
-    val buckets = PhraseTerms.indices.map(bRow.getInt).distinct
+    // engine-hash bucket ids for the phrase terms (h5's discipline):
+    // driver-evaluated via [[termBucket]], no per-serve job
+    val buckets = PhraseTerms.map(termBucket).distinct
     val pruned = s.read.parquet(s"$root/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(PhraseTerms: _*))
     val pivots = PhraseTerms.zipWithIndex.map { case (t, i) =>

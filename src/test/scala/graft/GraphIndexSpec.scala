@@ -80,6 +80,46 @@ class GraphIndexSpec extends SparkSuite {
       s"g1 must not re-score edges:\n${p1.take(2000)}")
   }
 
+  test("k-core peel costs one job per round (lazy checkpoint, count materializes)") {
+    import spark.implicits._
+    // path graph a-b-c-d with k=2 peels in 3 counted rounds:
+    // {ab,bc,cd} → {bc} → {} → {} (fixpoint detected)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // count LOOP actions (checkpoint/count call sites) — broadcast
+        // exchanges run as separate thread-pool jobs in any variant of
+        // the loop and would drown the signal
+        if (j.stageInfos.exists(si =>
+            si.name.contains("Graph.scala") || si.name.contains("Corpus.scala")))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE materializes every exchange as its own job, decoupling job
+    // count from action count — switch it off so one action == one job
+    // and the budget assertion measures the LOOP's actions
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val core = Graph.kcoreOn(edges)
+      // listener delivery is async; the loop's own jobs are done here
+      Thread.sleep(1000)
+      // loop-action budget: eager base truncation + its count + ONE
+      // materializing count per round (3 rounds here) = 5. The old
+      // eager-per-round form paid a separate checkpoint job per round
+      // on top (8 for the same peel).
+      assert(jobs.get() <= 5,
+        s"k-core loop ran ${jobs.get()} loop-action jobs for a 3-round " +
+          "peel — expected one job per round plus the base materialization")
+      assert(core.collect().isEmpty, "a path graph has no 2-core")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("append is bounded: candidates come from the routing table, not a corpus pair scan") {
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)

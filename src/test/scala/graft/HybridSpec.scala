@@ -60,6 +60,19 @@ class HybridSpec extends SparkSuite {
       Hybrid.h5Bm25Indexed(spark, sf0001).columns.toSeq)
   }
 
+  test("driver-side term bucket equals the in-plan hash the layout is written with") {
+    // the serve path routes query terms to postings partitions via a
+    // driver-evaluated xxhash64; if it ever drifted from the hash the
+    // WRITER uses (postingsOf's in-plan pmod(xxhash64(term), B)), a
+    // query would silently prune away its own term's partition
+    val terms = (Hybrid.QueryTerms ++ Hybrid.PhraseTerms).distinct
+    val row = spark.range(1).select(terms.zipWithIndex.map { case (t, i) =>
+      pmod(xxhash64(lit(t)), lit(Hybrid.LexBuckets.toLong)).cast("int").as(s"b_$i")
+    }: _*).head()
+    for ((t, i) <- terms.zipWithIndex)
+      assert(Hybrid.termBucket(t) === row.getInt(i), s"bucket drift for term '$t'")
+  }
+
   test("PRF expansion re-derived end-to-end in Scala") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
