@@ -49,6 +49,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * same build each publish a complete version and the later pointer
   * flip wins — wasted work, never a torn read.
   */
+/** Outcome of a [[ArtifactStore.vacuumAll]] sweep: version dirs
+  * reclaimed per swept artifact, and artifacts the sweep could NOT
+  * inspect because a same-JVM maintenance op held their lock — an
+  * empty reclaim list means "retention satisfied", a skip means
+  * "retry next sweep"; conflating the two hid wedged artifacts.
+  */
+final case class VacuumReport(reclaimed: Map[String, Seq[String]],
+    skipped: Seq[String])
+
 object ArtifactStore {
 
   def root: String = new java.io.File(
@@ -292,19 +301,23 @@ object ArtifactStore {
     * on one of the swept artifacts (Indexed/Hybrid hold their own
     * object monitors, not this store's), the lock attempt throws
     * `OverlappingFileLockException` instead of blocking. That artifact
-    * is SKIPPED (empty seq): the in-flight op's own compaction/GC
-    * covers it, and the next sweep retries.
+    * is SKIPPED — and reported as such in [[VacuumReport.skipped]], so
+    * a caller can tell "nothing to reclaim" from "couldn't look": the
+    * in-flight op's own compaction/GC covers it, and the next sweep
+    * retries.
     */
-  def vacuumAll(d: String, keep: Int = 2): Map[String, Seq[String]] = {
+  def vacuumAll(d: String, keep: Int = 2): VacuumReport = {
     val marker = s"_${new java.io.File(d).getName}_${absHash(d)}_"
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+    val results = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.contains(marker))
       .map { f =>
-        f.getName -> (try gcVersions(f.getPath, keep) catch {
-          case _: java.nio.channels.OverlappingFileLockException => Seq.empty[String]
+        f.getName -> (try Right(gcVersions(f.getPath, keep)) catch {
+          case _: java.nio.channels.OverlappingFileLockException => Left(())
         })
       }
-      .toMap
+    VacuumReport(
+      reclaimed = results.collect { case (n, Right(v)) => n -> v }.toMap,
+      skipped = results.collect { case (n, Left(_)) => n }.toSeq)
   }
 }
 

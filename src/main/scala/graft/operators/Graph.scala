@@ -597,6 +597,69 @@ object Graph {
   lazy val g7GraphAnn: Relational.Q = (s, d) =>
     graphAnnOn(embeddings(s, d), storedEdges(s, d)).orderBy("rk")
 
+  /** g8's query set: the benchmark-prefix ids (the d8/d13/g6 "first N"
+    * convention), each served its own beam.
+    */
+  val GannBatchQ = 8L
+
+  /** Batch graph-ANN serving: [[graphAnnOn]]'s beam search for N query
+    * vectors in ONE shared-hop plan — what a serving audit (and the
+    * v8/v17 batch-kNN family) actually runs: every hop expands ALL
+    * beams' neighbors in one join, scores each (query, node) pair once
+    * against a BROADCAST Q-row query-vector table, and selects each
+    * beam's next top-B with a window PARTITIONED BY query id — per-hop
+    * window input ≤ Q·beam·(G+1) rows by construction, and (unlike the
+    * single-query g7, whose tiny global window is single-partition by
+    * nature) the per-qid partitioning parallelizes across the batch.
+    * Output: per query, the top-[[GannTopK]] visited nodes with the
+    * per-query `visited_n` touch-bound attestation riding the hashed
+    * result (the g7/d15 docReads discipline).
+    */
+  def graphAnnBatchOn(e: DataFrame, edges: DataFrame,
+      isQuery: Column): DataFrame = {
+    val qv = e.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def scoreOf(ids: DataFrame): DataFrame = ids // (qid, vec_id)
+      .join(e, "vec_id")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("vec_id"),
+        intDot(col("embedding"), col("qv")).as("sc"))
+    val ed = edges.select(col("src"), col("dst")).truncated(true)
+    var beam = scoreOf(qv.select(col("qid"))
+        .withColumn("vec_id", lit(GannEntry)))
+      .truncated(true)
+    var visited = beam
+    for (_ <- 1 to GannHops) {
+      val nbr = scoreOf(beam.join(ed, beam("vec_id") === ed("src"))
+        .select(col("qid"), col("dst").as("vec_id")).distinct())
+        .truncated(true)
+      val pool = beam.union(nbr)
+        .groupBy("qid", "vec_id").agg(max("sc").as("sc"))
+      beam = pool
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
+        .filter(col("rk") <= GannBeam).drop("rk")
+        .truncated(true)
+      visited = visited.union(nbr)
+    }
+    val vis = visited.groupBy("qid", "vec_id").agg(max("sc").as("sc")).truncated(true)
+    val audit = vis.groupBy("qid").agg(count(lit(1)).as("visited_n"))
+    vis.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
+      .filter(col("rk") <= GannTopK)
+      .join(audit, "qid")
+      .select(col("qid"), col("vec_id"), col("sc"),
+        col("rk").cast("long").as("rk"), col("visited_n"))
+  }
+
+  /** G8: batch graph-ANN — [[GannBatchQ]] queries, one shared-hop
+    * beam-search plan over the stored graph.
+    */
+  lazy val g8GraphAnnBatch: Relational.Q = (s, d) =>
+    graphAnnBatchOn(embeddings(s, d), storedEdges(s, d),
+      col("vec_id") < GannBatchQ)
+      .orderBy("qid", "rk")
+
   // ------------------------------------------------------------ queries
 
   /** G1: the k-NN graph edge list itself — the auditable artifact the
@@ -791,6 +854,7 @@ object Graph {
     "q_g5_communities" -> g5Communities,
     "q_g6_ppr" -> g6Ppr,
     "q_g7_graph_ann" -> g7GraphAnn,
+    "q_g8_graph_ann_batch" -> g8GraphAnnBatch,
   )
 
   /** G6: personalized PageRank from the benchmark-prefix seed set —
@@ -977,7 +1041,50 @@ object Graph {
        |WHERE rn <= $GannTopK ORDER BY rk""".stripMargin
   }
 
+  /** The batch beam search unrolled — [[graphAnnSql]] with the query
+    * id carried through every hop and all windows PARTITION BY qid.
+    */
+  private lazy val graphAnnBatchSql: String = {
+    val dot = sqlIntDot("x.ed", "q.qv")
+    val hops = (1 to GannHops).map { k =>
+      s"""nb$k AS MATERIALIZED (
+         |  SELECT dd.qid, x.vec_id, $dot AS sc
+         |  FROM (SELECT DISTINCT b.qid, ed3.dst AS vec_id
+         |        FROM edges ed3 JOIN b${k - 1} b ON ed3.src = b.vec_id) dd
+         |  JOIN e x ON x.vec_id = dd.vec_id
+         |  JOIN q ON q.qid = dd.qid
+         |),
+         |b$k AS MATERIALIZED (
+         |  SELECT qid, vec_id, sc FROM (
+         |    SELECT qid, vec_id, sc,
+         |           row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id ASC) AS rn
+         |    FROM (SELECT DISTINCT qid, vec_id, sc FROM
+         |            (SELECT * FROM b${k - 1} UNION ALL SELECT * FROM nb$k) u$k) p$k
+         |  ) z$k WHERE rn <= $GannBeam
+         |)""".stripMargin
+    }.mkString(",\n")
+    val visUnion = (1 to GannHops).map(k => s"SELECT * FROM nb$k").mkString(" UNION ALL ")
+    s"""$edgesCte,
+       |q AS (SELECT vec_id AS qid, ed AS qv FROM e WHERE vec_id < $GannBatchQ),
+       |b0 AS MATERIALIZED (
+       |  SELECT q.qid, x.vec_id, $dot AS sc FROM e x, q WHERE x.vec_id = $GannEntry
+       |),
+       |$hops,
+       |vis AS MATERIALIZED (
+       |  SELECT DISTINCT qid, vec_id, sc
+       |  FROM (SELECT * FROM b0 UNION ALL $visUnion) w
+       |),
+       |va AS (SELECT qid, count(*)::BIGINT AS visited_n FROM vis GROUP BY qid)
+       |SELECT f.qid, f.vec_id, f.sc, f.rn::BIGINT AS rk, va.visited_n
+       |FROM (SELECT qid, vec_id, sc,
+       |             row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id ASC) AS rn
+       |      FROM vis) f
+       |JOIN va ON va.qid = f.qid
+       |WHERE f.rn <= $GannTopK ORDER BY f.qid, rk""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_g8_graph_ann_batch" -> graphAnnBatchSql,
     "q_g7_graph_ann" -> graphAnnSql,
     "q_g6_ppr" -> pprSql,
     "q_g5_communities" -> communitiesSql,

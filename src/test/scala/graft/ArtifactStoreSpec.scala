@@ -218,10 +218,11 @@ class ArtifactStoreSpec extends AnyFunSuite {
       }
       val swept = ArtifactStore.vacuumAll(dsA, keep = 2)
       // both A artifacts swept: CURRENT + 2 newest others survive
-      assert(swept.size === 2)
-      assert(swept(Paths.get(a1).getFileName.toString).toSet ===
+      assert(swept.reclaimed.size === 2)
+      assert(swept.skipped.isEmpty)
+      assert(swept.reclaimed(Paths.get(a1).getFileName.toString).toSet ===
         Set(versions(a1)(0), versions(a1)(1)))
-      assert(swept(Paths.get(a2).getFileName.toString).toSet ===
+      assert(swept.reclaimed(Paths.get(a2).getFileName.toString).toSet ===
         Set(versions(a2)(0)))
       versions(a1).drop(2).foreach(v => assert(Files.isDirectory(Paths.get(v))))
       // dataset B untouched — retention is per-dataset, not warehouse-wide
@@ -264,12 +265,16 @@ class ArtifactStoreSpec extends AnyFunSuite {
         val swept = ArtifactStore.vacuumAll(ds, keep = 2)
         val lockedName = Paths.get(locked).getFileName.toString
         val freeName = Paths.get(free).getFileName.toString
-        assert(swept(lockedName).isEmpty, "held artifact must be skipped")
-        assert(swept(freeName).nonEmpty, "unheld sibling must still be swept")
+        // the skip is OBSERVABLE: the held artifact is reported in
+        // `skipped` (not silently mapped to an empty reclaim list)
+        assert(swept.skipped === Seq(lockedName))
+        assert(!swept.reclaimed.contains(lockedName))
+        assert(swept.reclaimed(freeName).nonEmpty, "unheld sibling must still be swept")
       } finally { release.countDown(); holder.join() }
       // the next sweep (lock released) reclaims what the first skipped
-      assert(ArtifactStore.vacuumAll(ds, keep = 2)
-        .apply(Paths.get(locked).getFileName.toString).nonEmpty)
+      val again = ArtifactStore.vacuumAll(ds, keep = 2)
+      assert(again.skipped.isEmpty)
+      assert(again.reclaimed(Paths.get(locked).getFileName.toString).nonEmpty)
     } finally {
       prev match {
         case Some(p) => sys.props("graft.warehouse") = p
