@@ -122,7 +122,8 @@ object Bench {
     for (n <- Seq("q_v9_indexed_range", "q_v10_ivf_kmeans", "q_v12_pq_adc",
         "q_v13_sq8", "q_v14_ivfpq", "q_v16_filtered_ivf", "q_v17_batch_ivfpq",
         "q_v18_ivfadc_residual", "q_d12_semdedup", "q_d16_incremental_neardup",
-        "q_j6_bucketed_join", "q_z2_zorder_serve") if names.contains(n);
+        "q_j6_bucketed_join", "q_z2_zorder_serve", "q_g1_knn_graph",
+        "q_h5_bm25_indexed") if names.contains(n);
          fn <- SparkEntry.queries.get(n))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
