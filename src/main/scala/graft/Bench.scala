@@ -123,7 +123,7 @@ object Bench {
         "q_v13_sq8", "q_v14_ivfpq", "q_v16_filtered_ivf", "q_v17_batch_ivfpq",
         "q_v18_ivfadc_residual", "q_d12_semdedup", "q_d16_incremental_neardup",
         "q_j6_bucketed_join", "q_z2_zorder_serve", "q_g1_knn_graph",
-        "q_h5_bm25_indexed") if names.contains(n);
+        "q_g2_pagerank", "q_h5_bm25_indexed") if names.contains(n);
          fn <- SparkEntry.queries.get(n))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

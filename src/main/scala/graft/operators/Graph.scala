@@ -526,6 +526,85 @@ object Graph {
     compacted
   }
 
+  // ------------------------------------- stored analytics (graph_stats)
+
+  /** Derived-analytics artifact over the stored graph: the PageRank,
+    * personalized-PageRank, k-core, and community-census TABLES
+    * materialized once per graph version and served by g2/g4/g5/g6 as
+    * plain sorted reads — the same argument that stored the graph
+    * itself: at 100 TB centrality/structure analytics are pipeline
+    * outputs consumed many times, not per-query fixpoint loops (each
+    * was ~2-6 s of pure loop scheduling per query at sf0.1 even on
+    * the stored edges).
+    *
+    * Freshness: the version dir records the kNN-graph version it was
+    * computed from (`GRAPH_VERSION`); [[ensureGraphStats]] re-publishes
+    * when the live graph version differs (an [[appendKnnGraph]] or
+    * compaction flips it), so a stale stats table can never serve.
+    * Correctness: every consumer query's DuckDB oracle recomputes the
+    * analytic from raw parquet, so the stored tables sit under the
+    * same hash gate as live computation.
+    */
+  def ensureGraphStats(s: SparkSession, d: String): String = synchronized {
+    val graphDir = ensureKnnGraph(s, d)
+    val gv = new java.io.File(graphDir).getName
+    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag)
+    def stampOf(ver: String): Option[String] =
+      try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(ver, "GRAPH_VERSION")).trim)
+      catch { case _: Throwable => None }
+    graft.core.ArtifactStore.current(adir) match {
+      case Some(cur) if stampOf(cur).contains(gv) => cur
+      case _ =>
+        val out = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+          graft.core.ArtifactStore.current(adir) match {
+            case Some(cur) if stampOf(cur).contains(gv) => cur // lost race, fresh
+            case _ =>
+              graft.core.ArtifactStore.publish(adir) { target =>
+                val edges = s.read.parquet(s"$graphDir/edges")
+                  .select("src", "dst", "w", "rk")
+                val pairs = s.read.parquet(s"$graphDir/pairs")
+                  .select("id_a", "id_b", "w")
+                // node set from the artifact's own routing table
+                // (every vector has its SrpTables bucket rows), NOT
+                // the dataset's embeddings — after an append the
+                // graph holds vectors the base table doesn't
+                val nodes = s.read.parquet(s"$graphDir/buckets")
+                  .select("vec_id").distinct()
+                pageRankOn(nodes, edges)
+                  .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
+                  .write.mode("overwrite").parquet(s"$target/pagerank")
+                pprOn(nodes, edges, col("vec_id") < PprSeedMax)
+                  .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
+                  .write.mode("overwrite").parquet(s"$target/ppr")
+                kcoreOn(pairs.filter(col("w") >= CoreWmin)
+                    .select(col("id_a").as("src"), col("id_b").as("dst")))
+                  .repartition(1).sortWithinPartitions("vec_id")
+                  .write.mode("overwrite").parquet(s"$target/kcore")
+                val commEdges = Dedup.cacheSlot("gstats-comm-edges",
+                  pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
+                val cc = Corpus.connectedComponentsStar(commEdges, "id_a", "id_b")
+                val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
+                val ecount = commEdges
+                  .join(cc.select(col("doc_id").as("id_a"), col("cluster")), "id_a")
+                  .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
+                sizes.join(ecount, "cluster")
+                  .select(col("cluster"), col("n_nodes"), col("n_edges"),
+                    expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))")
+                      .as("density_ppm"))
+                  .repartition(1).sortWithinPartitions("cluster")
+                  .write.mode("overwrite").parquet(s"$target/communities")
+                java.nio.file.Files.writeString(
+                  java.nio.file.Paths.get(target, "GRAPH_VERSION"), gv)
+                ()
+              }
+          }
+        }
+        graft.core.ArtifactStore.gcVersions(adir)
+        out
+    }
+  }
+
   /** Graph-ANN serving parameters: beam width, hop budget, reported
     * k, greedy entry node, and the query (a corpus vector, so the
     * result must rediscover it — a built-in sanity anchor).
@@ -673,13 +752,15 @@ object Graph {
 
   /** G2: PageRank centrality over the k-NN graph — embedding-space hub
     * detection (boilerplate/template families pull rank from their
-    * whole neighborhood). Top-[[PrTopN]] by final integer rank.
+    * whole neighborhood). Top-[[PrTopN]] by final integer rank, served
+    * from the [[ensureGraphStats]] table (computed by [[pageRankOn]]
+    * once per graph version).
     */
-  val g2PageRank: Relational.Q = (s, d) => {
-    pageRankOn(embeddings(s, d).select("vec_id"), storedEdges(s, d))
+  val g2PageRank: Relational.Q = (s, d) =>
+    s.read.parquet(s"${ensureGraphStats(s, d)}/pagerank")
+      .select("vec_id", "rank")
       .orderBy(col("rank").desc, col("vec_id").asc)
       .limit(PrTopN)
-  }
 
   /** G3: triangle census of the undirected k-NN graph — one-row
     * corpus-structure audit: edge/wedge/triangle counts and the global
@@ -804,11 +885,12 @@ object Graph {
   /** G4: k-core members of the thresholded similarity graph — the
     * dense-family detector: nodes that keep ≥ [[CoreK]] neighbors of
     * weight ≥ [[CoreWmin]] after everything that can't is peeled away.
+    * Served from the [[ensureGraphStats]] table ([[kcoreOn]] runs once
+    * per graph version).
     */
   val g4Kcore: Relational.Q = (s, d) =>
-    kcoreOn(storedPairs(s, d)
-      .filter(col("w") >= CoreWmin)
-      .select(col("id_a").as("src"), col("id_b").as("dst")))
+    s.read.parquet(s"${ensureGraphStats(s, d)}/kcore")
+      .select("vec_id", "deg", "converged")
       .orderBy("vec_id")
 
   /** G5: community census of the thresholded similarity graph — one
@@ -825,26 +907,16 @@ object Graph {
     * is then one keyed aggregate per side joined on the label. Every
     * edge is internal by construction (its endpoints share a
     * component), so the edge census is a single id_a→label join.
+    * Served from the [[ensureGraphStats]] table (star-contraction CC
+    * + censuses run once per graph version — thresholded similarity
+    * components can be long chains, measured min-node eccentricity 34
+    * at sf0.1, past the label-prop round cap; large-star/small-star
+    * converges in O(log²n) rounds on any diameter).
     */
-  val g5Communities: Relational.Q = (s, d) => {
-    val edges = Dedup.cacheSlot("g5-edges", storedPairs(s, d)
-      .filter(col("w") >= CommWmin)
-      .select(col("id_a"), col("id_b")))
-    // star contraction, NOT min-label propagation: thresholded
-    // similarity components can be long chains (measured min-node
-    // eccentricity 34 at sf0.1 — past the label-prop round cap);
-    // large-star/small-star converges in O(log^2 n) rounds on any
-    // diameter (the d9 machinery)
-    val cc = Corpus.connectedComponentsStar(edges, "id_a", "id_b")
-    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
-    val ecount = edges
-      .join(cc.select(col("doc_id").as("id_a"), col("cluster")), "id_a")
-      .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
-    sizes.join(ecount, "cluster")
-      .select(col("cluster"), col("n_nodes"), col("n_edges"),
-        expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))").as("density_ppm"))
+  val g5Communities: Relational.Q = (s, d) =>
+    s.read.parquet(s"${ensureGraphStats(s, d)}/communities")
+      .select("cluster", "n_nodes", "n_edges", "density_ppm")
       .orderBy("cluster")
-  }
 
   val queries: Map[String, Relational.Q] = Map(
     "q_g1_knn_graph" -> g1KnnGraph,
@@ -865,13 +937,12 @@ object Graph {
     * of the top 25) and the question this operator answers is what
     * lies NEAR them.
     */
-  lazy val g6Ppr: Relational.Q = (s, d) => {
-    pprOn(embeddings(s, d).select("vec_id"), storedEdges(s, d),
-      col("vec_id") < PprSeedMax)
+  lazy val g6Ppr: Relational.Q = (s, d) =>
+    s.read.parquet(s"${ensureGraphStats(s, d)}/ppr")
+      .select("vec_id", "rank")
       .filter(col("vec_id") >= PprSeedMax)
       .orderBy(col("rank").desc, col("vec_id").asc)
       .limit(PrTopN)
-  }
 
   // ------------------------------------------------------------- oracle
 

@@ -81,6 +81,28 @@ class GraphIndexSpec extends SparkSuite {
       s"g1 must not re-score edges:\n${p1.take(2000)}")
   }
 
+  test("graph_stats is version-stamped: an append invalidates and the rebuilt tables match live computation") {
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    val stats0 = Graph.ensureGraphStats(spark, d)
+    // fresh call with an unchanged graph: same version dir, no rebuild
+    assert(Graph.ensureGraphStats(spark, d) === stats0)
+    Graph.appendKnnGraph(spark, d, heldOut, base)
+    val stats1 = Graph.ensureGraphStats(spark, d)
+    assert(stats1 !== stats0,
+      "an appended graph must invalidate the stats version")
+    // the rebuilt pagerank table equals a live computation over the
+    // full corpus (append ≡ rebuild already proven for the edges)
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    val want = Graph.pageRankOn(full.select("vec_id"),
+        Graph.knnGraphEdgesOn(full))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseSlots()
+    val got = spark.read.parquet(s"$stats1/pagerank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "stored pagerank must equal live computation")
+  }
+
   test("k-core peel costs one job per round (lazy checkpoint, count materializes)") {
     import spark.implicits._
     // path graph a-b-c-d with k=2 peels in 3 counted rounds:
