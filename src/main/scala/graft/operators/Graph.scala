@@ -332,10 +332,16 @@ object Graph {
     s.read.parquet(s"${ensureKnnGraph(s, d)}/pairs")
       .select("id_a", "id_b", "w")
 
-  /** Append-fragmentation threshold (files across the version's data
-    * dirs) past which [[appendKnnGraph]] auto-compacts.
+  /** Append-fragmentation trigger: auto-compact when the version's
+    * data-file count exceeds 2x the expected POST-COMPACT layout
+    * (edges partitions + pairs parallelism + bucket tables + bsizes).
+    * A fixed constant is wrong here — the freshly-built layout itself
+    * scales with the session's parallelism, and a threshold below it
+    * would make every append pay a compaction that cannot shrink
+    * anything.
     */
-  val GraphCompactFiles = 48
+  private def graphCompactTrigger(s: SparkSession): Int =
+    2 * (EdgeBuckets + s.sparkContext.defaultParallelism + Dedup.SrpTables + 1)
 
   private def graphFileCount(versionDir: String): Int = {
     def cnt(f: java.io.File): Int =
@@ -487,7 +493,7 @@ object Graph {
       }
     }
     val live = graft.core.ArtifactStore.current(adir).get
-    if (graphFileCount(live) > GraphCompactFiles)
+    if (graphFileCount(live) > graphCompactTrigger(s))
       compactKnnGraph(s, d, onlyIfFragmented = true)
     else out
   }
@@ -502,7 +508,7 @@ object Graph {
     val compacted = graft.core.ArtifactStore.withMaintenanceLock(adir) {
       val cur = graft.core.ArtifactStore.current(adir).getOrElse(
         throw new IllegalStateException(s"nothing to compact: knn_graph for $d"))
-      if (onlyIfFragmented && graphFileCount(cur) <= GraphCompactFiles) cur
+      if (onlyIfFragmented && graphFileCount(cur) <= graphCompactTrigger(s)) cur
       else {
         val b = s.read.parquet(s"$cur/buckets")
         val sz = s.read.parquet(s"$cur/bsizes")
