@@ -554,7 +554,10 @@ object Graph {
   def ensureGraphStats(s: SparkSession, d: String): String = synchronized {
     val graphDir = ensureKnnGraph(s, d)
     val gv = new java.io.File(graphDir).getName
-    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag)
+    // "-s2": the stats LAYOUT version (s2 added triangles/) — a new
+    // table must not be looked up in a stamp-fresh artifact of the
+    // older layout
+    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag + "-s2")
     def stampOf(ver: String): Option[String] =
       try Some(java.nio.file.Files.readString(
         java.nio.file.Paths.get(ver, "GRAPH_VERSION")).trim)
@@ -600,6 +603,31 @@ object Graph {
                       .as("density_ppm"))
                   .repartition(1).sortWithinPartitions("cluster")
                   .write.mode("overwrite").parquet(s"$target/communities")
+                // triangle census (the g3 formulation verbatim over
+                // the stored edges; node census from the routing set)
+                val und = Dedup.cacheSlot("gstats-und-edges", edges
+                  .select(least(col("src"), col("dst")).as("a"),
+                    greatest(col("src"), col("dst")).as("b"))
+                  .distinct())
+                val deg = und.select(col("a").as("v"))
+                  .union(und.select(col("b").as("v")))
+                  .groupBy("v").agg(count(lit(1)).as("dg"))
+                val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+                val tri = und.as("e1")
+                  .join(und.as("e2"), col("e1.b") === col("e2.a"))
+                  .join(und.as("e3"),
+                    col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+                  .agg(count(lit(1)).as("n_triangles"))
+                val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+                val nEdges = und.agg(count(lit(1)).as("n_edges"))
+                nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+                  .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+                    col("n_triangles"),
+                    when(col("n_wedges") > 0,
+                      expr("(3000000 * n_triangles) div n_wedges")).otherwise(0L)
+                      .as("closure_ppm"))
+                  .coalesce(1)
+                  .write.mode("overwrite").parquet(s"$target/triangles")
                 java.nio.file.Files.writeString(
                   java.nio.file.Paths.get(target, "GRAPH_VERSION"), gv)
                 ()
@@ -774,30 +802,13 @@ object Graph {
     * = clique-ish duplicate families; low = thin chains (template
     * drift). All joins key on node ids; the triangle join's two hops
     * are equi-joins on the a<b edge table (each triangle counted once
-    * via a<b<c ordering).
+    * via a<b<c ordering). Served from the [[ensureGraphStats]] table
+    * (census computed once per graph version).
     */
-  val g3Triangles: Relational.Q = (s, d) => {
-    val und = Dedup.cacheSlot("graph-und-edges", storedEdges(s, d)
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct())
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("dg"))
-    val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .join(und.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val nodes = embeddings(s, d).agg(count(lit(1)).as("n_nodes"))
-    val nEdges = und.agg(count(lit(1)).as("n_edges"))
-    // all four sides are 1-row aggregates: BNLJ composition, no shuffle
-    nodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        when(col("n_wedges") > 0,
-          expr("(3000000 * n_triangles) div n_wedges")).otherwise(0L)
-          .as("closure_ppm"))
-  }
+  val g3Triangles: Relational.Q = (s, d) =>
+    s.read.parquet(s"${ensureGraphStats(s, d)}/triangles")
+      .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_ppm")
+
 
   /** k-core parameters for [[g4Kcore]]. The core runs on the
     * THRESHOLDED similarity graph (every capped-bucket pair with
