@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.operators.Graph
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming VECTOR ingestion that maintains the stored kNN-graph
+  * artifact — the vector-side sibling of [[StreamingNearDup]] (text →
+  * signature index) and the streaming ANN code-table refresh: each
+  * micro-batch of (vec_id, embedding) rows is
+  *
+  *  1. id-anti-joined against the ACCEPTED STORE (the S4 idempotence
+  *     ledger — a re-delivered batch is a no-op);
+  *  2. landed in the ledger (decision staged durably first — the
+  *     [[StreamingNearDup]] staging discipline);
+  *  3. delta-appended into the graph via [[Graph.appendKnnGraph]] —
+  *     candidates from the stored routing table, affected-node-only
+  *     re-rank — so the next analytics rebuild
+  *     ([[Graph.ensureGraphStats]], invalidated by the append's
+  *     version flip) sees the new vectors without a corpus rebuild.
+  *
+  * Effect order is LEDGER FIRST, unlike the signature index: the band
+  * index's append is a pure row-insert (re-appending the same doc's
+  * bands is redundant but harmless), while [[Graph.appendKnnGraph]] is
+  * NOT idempotent — a re-run would duplicate routing rows and pair
+  * rows and double-count bucket occupancy. The ledger is therefore
+  * the gate: a vector enters the graph only after it is durably
+  * accepted, and the crash window (ledger append succeeded, graph
+  * append lost) is closed by a per-batch RECONCILE — ledger ids
+  * missing from the graph's own routing table (one distinct
+  * projection) are re-appended before the new batch lands. The
+  * routing table doubles as the graph's doc-id manifest, so the
+  * missing-set lookup is exactly the membership scan the sig-index
+  * reconcile wishes it had (`StreamingNearDup` object doc).
+  */
+object StreamingGraphIngest {
+
+  /** Wire a file-source stream of embedding parquet into
+    * [[ingestBatch]]. The caller owns trigger/termination.
+    */
+  def start(spark: SparkSession, datasetDir: String, srcDir: String,
+      acceptedDir: String, checkpointDir: String,
+      schema: StructType): StreamingQuery =
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(spark, datasetDir, acceptedDir, batch)
+      }
+      .start()
+
+  private def readIfExists(s: SparkSession, dir: String): Option[DataFrame] =
+    try Some(s.read.parquet(dir))
+    catch {
+      case e: AnalysisException
+          if Option(e.getCondition).contains("PATH_NOT_FOUND") => None
+    }
+
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Corpus frame the graph append hydrates old-side candidates from:
+    * the base embeddings table plus everything accepted so far (the
+    * [[StreamingNearDup]] corpusText convention).
+    */
+  private def corpusOf(s: SparkSession, d: String,
+      ledger: Option[DataFrame]): DataFrame = {
+    val base = graft.core.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    ledger match {
+      case Some(acc) => base.unionByName(acc.select("vec_id", "embedding"))
+      case None => base
+    }
+  }
+
+  /** One ingest step (also the crash-recovery unit — the spec drives
+    * it directly to simulate failure windows).
+    */
+  def ingestBatch(s: SparkSession, d: String, acceptedDir: String,
+      batchRaw: DataFrame): Unit = {
+    val ledger = readIfExists(s, acceptedDir)
+    // reconcile FIRST: heal accepted vectors whose graph append was
+    // lost to a crash, so this batch's candidates see them. The
+    // routing table IS the graph's membership manifest.
+    val graphDir = Graph.ensureKnnGraph(s, d)
+    ledger.foreach { acc =>
+      val inGraph = s.read.parquet(s"$graphDir/buckets")
+        .select("vec_id").distinct()
+      val missing = acc.select("vec_id", "embedding")
+        .join(inGraph, Seq("vec_id"), "left_anti")
+      if (!missing.isEmpty)
+        Graph.appendKnnGraph(s, d, missing,
+          corpusOf(s, d, ledger).join(missing, Seq("vec_id"), "left_anti"))
+    }
+    // S4 idempotence: drop vectors the ledger already holds
+    val fresh = (ledger match {
+      case Some(acc) =>
+        batchRaw.join(acc.select("vec_id"), Seq("vec_id"), "left_anti")
+      case None => batchRaw
+    }).select(col("vec_id"), col("embedding")).persist()
+    try {
+      if (fresh.isEmpty) return
+      // durable decision staging BEFORE the ledger append (the
+      // self-read-write discipline), then LEDGER before GRAPH: the
+      // graph append is not idempotent, so acceptance must gate it
+      val staging = acceptedDir + ".staging-" + java.util.UUID.randomUUID()
+      try {
+        fresh.write.mode(SaveMode.Overwrite).parquet(staging)
+        val frozen = s.read.parquet(staging)
+        frozen.write.mode(SaveMode.Append).parquet(acceptedDir)
+        // corpus for the graph append: re-read the ledger AFTER the
+        // append (it is stable for the rest of the batch) and exclude
+        // the batch ids — NOT the pre-append frame, whose lineage
+        // reads the just-mutated directory and could double-count the
+        // batch on a cache-loss recompute (the self-read-write
+        // hazard; a duplicate id in the hydration frame would
+        // duplicate candidate rows and corrupt the top-G re-rank)
+        val corpus = corpusOf(s, d, readIfExists(s, acceptedDir))
+          .join(frozen.select("vec_id"), Seq("vec_id"), "left_anti")
+        Graph.appendKnnGraph(s, d, frozen, corpus)
+      } finally rmDir(staging)
+    } finally {
+      fresh.unpersist()
+      graft.operators.Dedup.releaseSlots()
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import graft.streaming.StreamingGraphIngest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming vector ingestion maintaining the stored kNN graph:
+  * accepted waves grow the graph to the one-shot-rebuild state,
+  * re-delivery is a no-op (the graph append is NOT idempotent — the
+  * ledger gates it), the ledger-appended-but-graph-lost crash window
+  * self-heals via the routing-table reconcile, and the analytics
+  * artifact invalidates on append.
+  */
+class StreamingGraphIngestSpec extends SparkSuite {
+
+  /** Fixture: dataset dir holding 80% of sf0.001 embeddings; returns
+    * (dir, the two held-out waves).
+    */
+  private def freshDataset(): (String, DataFrame, DataFrame) = {
+    val d = tmpDir("sgi")
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    full.filter(col("vec_id") % 10 < 8).write.parquet(s"$d/embeddings.parquet")
+    (d,
+      full.filter(col("vec_id") % 10 === 8).select("vec_id", "embedding"),
+      full.filter(col("vec_id") % 10 === 9).select("vec_id", "embedding"))
+  }
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Long, Int)] =
+    df.select(col("src"), col("dst"), col("w"), col("rk").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+  test("waves grow the graph to the rebuild state; re-delivery no-ops; stats invalidate") {
+    val (d, wave1, wave2) = freshDataset()
+    val acc = tmpDir("sgi-acc") + "/a"
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+
+    StreamingGraphIngest.ingestBatch(spark, d, acc, wave1)
+    val statsAfter1 = Graph.ensureGraphStats(spark, d)
+    StreamingGraphIngest.ingestBatch(spark, d, acc, wave2)
+    // graph after both waves == one-shot build over the full corpus
+    val got = edgeSet(Graph.storedEdges(spark, d))
+    val want = edgeSet(Graph.knnGraphEdgesOn(full))
+    Dedup.releaseSlots()
+    assert(got === want,
+      s"streamed graph must equal rebuild (got ${got.size}, want ${want.size})")
+    // analytics invalidated by the wave-2 append
+    val statsAfter2 = Graph.ensureGraphStats(spark, d)
+    assert(statsAfter2 !== statsAfter1,
+      "graph append must invalidate the stats version")
+    // re-delivery of both waves: ledger no-ops them — the non-idempotent
+    // graph append must not run (version pointer unchanged)
+    val verBefore = Graph.ensureKnnGraph(spark, d)
+    StreamingGraphIngest.ingestBatch(spark, d, acc,
+      wave1.unionByName(wave2))
+    assert(Graph.ensureKnnGraph(spark, d) === verBefore,
+      "re-delivered batch must not publish a new graph version")
+    assert(edgeSet(Graph.storedEdges(spark, d)) === want)
+    assert(spark.read.parquet(acc).count() ===
+      wave1.count() + wave2.count(), "no duplicate ledger rows")
+  }
+
+  test("ledger-appended-but-graph-lost crash window heals via the routing-table reconcile") {
+    val (d, wave1, _) = freshDataset()
+    val acc = tmpDir("sgi-heal-acc") + "/a"
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 10 < 9)
+    // simulate the crash: the wave reaches the LEDGER but its graph
+    // append was lost (written directly, bypassing ingestBatch)
+    Graph.ensureKnnGraph(spark, d)
+    wave1.write.mode("append").parquet(acc)
+    // next batch (empty) triggers the reconcile alone
+    StreamingGraphIngest.ingestBatch(spark, d, acc, wave1.limit(0))
+    val got = edgeSet(Graph.storedEdges(spark, d))
+    val want = edgeSet(Graph.knnGraphEdgesOn(full))
+    Dedup.releaseSlots()
+    assert(got === want, "reconcile must land the ledger-only vectors")
+  }
+}
