@@ -11,8 +11,11 @@ import org.apache.spark.sql.types.StructType
   * signature index) and the streaming ANN code-table refresh: each
   * micro-batch of (vec_id, embedding) rows is
   *
-  *  1. id-anti-joined against the ACCEPTED STORE (the S4 idempotence
-  *     ledger — a re-delivered batch is a no-op);
+  *  1. id-anti-joined against BOTH the ACCEPTED STORE (the S4
+  *     idempotence ledger — a re-delivered batch is a no-op) and the
+  *     graph's own routing-table membership (a base-table id replayed
+  *     upstream, or an id collision, must not reach the
+  *     non-idempotent graph append);
   *  2. landed in the ledger (decision staged durably first — the
   *     [[StreamingNearDup]] staging discipline);
   *  3. delta-appended into the graph via [[Graph.appendKnnGraph]] —
@@ -99,12 +102,28 @@ object StreamingGraphIngest {
         Graph.appendKnnGraph(s, d, missing,
           corpusOf(s, d, ledger).join(missing, Seq("vec_id"), "left_anti"))
     }
-    // S4 idempotence: drop vectors the ledger already holds
+    // S4 idempotence, TWO gates. The ledger gate alone is not enough:
+    // a batch id already present in the GRAPH but not the ledger — a
+    // base-table id replayed upstream, or an id collision — would pass
+    // the ledger anti-join and run the non-idempotent
+    // [[Graph.appendKnnGraph]] on an id the graph already holds
+    // (duplicate routing rows, double-counted bucket occupancy,
+    // duplicate candidate rows corrupting the top-G re-rank). So the
+    // batch is also anti-joined against the graph's own membership
+    // manifest — the routing table, re-resolved AFTER the reconcile
+    // above so a just-healed id counts as present. A graph-member id
+    // is dropped entirely (not ledgered either: ledgering it would
+    // duplicate its vector in the corpus hydration frame and re-arm
+    // the reconcile into appending it twice).
+    val inGraph = s.read
+      .parquet(s"${Graph.ensureKnnGraph(s, d)}/buckets")
+      .select("vec_id").distinct()
     val fresh = (ledger match {
       case Some(acc) =>
         batchRaw.join(acc.select("vec_id"), Seq("vec_id"), "left_anti")
       case None => batchRaw
-    }).select(col("vec_id"), col("embedding")).persist()
+    }).join(inGraph, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding")).persist()
     try {
       if (fresh.isEmpty) return
       // durable decision staging BEFORE the ledger append (the

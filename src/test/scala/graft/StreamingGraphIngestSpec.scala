@@ -61,6 +61,36 @@ class StreamingGraphIngestSpec extends SparkSuite {
       wave1.count() + wave2.count(), "no duplicate ledger rows")
   }
 
+  test("ids the graph already holds are dropped by the membership gate, not re-appended") {
+    val (d, wave1, _) = freshDataset()
+    val acc = tmpDir("sgi-gate-acc") + "/a"
+    // a replayed batch of BASE-table ids (present in the graph, never
+    // in the ledger) must not reach the non-idempotent graph append
+    val baseReplay = graft.core.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").limit(5)
+    Graph.ensureKnnGraph(spark, d)
+    val verBefore = Graph.ensureKnnGraph(spark, d)
+    StreamingGraphIngest.ingestBatch(spark, d, acc, baseReplay)
+    assert(Graph.ensureKnnGraph(spark, d) === verBefore,
+      "a base-id replay must not publish a new graph version")
+    assert(spark.read.parquet(s"$verBefore/buckets")
+      .groupBy("vec_id").count().filter(col("count") > Dedup.SrpTables).isEmpty,
+      "no vec_id may hold duplicate routing rows")
+    // a MIXED batch: the base-id rows are dropped, the new rows land —
+    // and the dropped ids are not ledgered (ledgering a graph-member
+    // id would duplicate it in the corpus hydration frame)
+    StreamingGraphIngest.ingestBatch(spark, d, acc,
+      baseReplay.unionByName(wave1))
+    assert(spark.read.parquet(acc).count() === wave1.count(),
+      "only the genuinely-new rows may enter the ledger")
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 10 < 9)
+    val got = edgeSet(Graph.storedEdges(spark, d))
+    val want = edgeSet(Graph.knnGraphEdgesOn(full))
+    Dedup.releaseSlots()
+    assert(got === want, "the mixed batch's new rows must land exactly once")
+  }
+
   test("ledger-appended-but-graph-lost crash window heals via the routing-table reconcile") {
     val (d, wave1, _) = freshDataset()
     val acc = tmpDir("sgi-heal-acc") + "/a"
