@@ -359,7 +359,19 @@ object Bench {
       // prefer the best CLEAN comparable run; if every comparable run
       // self-flagged, still take the min-total one — last-run-wins is
       // the failure mode being removed
-      (if (clean.nonEmpty) clean else all).minBy(_._1)._3
+      val pool = if (clean.nonEmpty) clean else all
+      val pick = pool.minBy(_._1)._3
+      // the min of N noisy samples is biased below the true value —
+      // the record therefore carries the selection size and the pool
+      // MEDIAN, so a reader can see how far the headline sits from the
+      // central tendency of identical-code runs (history lines never
+      // carry these fields, so the injection is collision-free)
+      val med = {
+        val xs = pool.map(_._1).sorted
+        xs(xs.size / 2)
+      }
+      pick.stripSuffix("}") +
+        s""","selected_from":${pool.size},"median_comparable":${r3(med)}}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchFile0), canonical + "\n")

@@ -51,12 +51,24 @@ object Tables {
         // copy: the per-query `unix_micros(cast)` column taxed every
         // events query ~1.15-1.3x AND hid `ts` from parquet pushdown
         // (a filter on a computed column cannot reach the scan). The
-        // layout tag carries the source file's (size, mtime) so a
-        // driver-side regeneration of events.parquet — which has
-        // changed encodings across rounds before — invalidates the
-        // copy instead of silently serving stale rows.
+        // layout tag digests the source's PART FILES (name, size,
+        // mtime of every data file, recursively) so a driver-side
+        // regeneration of events.parquet — which has changed encodings
+        // across rounds before — invalidates the copy instead of
+        // silently serving stale rows. Top-level File.length()/
+        // lastModified() alone is wrong for a parquet DIRECTORY: an
+        // in-place rewrite of a same-named part file changes neither.
         val src = new java.io.File(s"$d/events.parquet")
-        val tag = s"n1_${src.length()}_${src.lastModified()}"
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def fold(f: java.io.File): Unit =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty)
+              .sortBy(_.getName).foreach(fold)
+          else
+            md.update(s"${f.getName}:${f.length()}:${f.lastModified()};"
+              .getBytes("UTF-8"))
+        fold(src)
+        val tag = "n2_" + md.digest().take(6).map("%02x".format(_)).mkString
         val dir = ArtifactStore.ensure(
           ArtifactStore.artifactDir("events_norm", d, tag)) { target =>
           raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)

@@ -427,10 +427,15 @@ object Graph {
             .write.mode("overwrite").parquet(s"$target/delta_scored")
           val scored = s.read.parquet(s"$target/delta_scored")
           try {
+            // delta pair files keep the table's sorted-by-w layout
+            // (one sorted run per append) so the CoreWmin/CommWmin
+            // threshold filters' row-group pruning stays effective on
+            // an append-heavy artifact, not only post-compaction
             scored
               .select(least(col("u"), col("v2")).as("id_a"),
                 greatest(col("u"), col("v2")).as("id_b"), col("w"))
               .filter(col("w") >= CoreWmin)
+              .sortWithinPartitions(col("w").desc, col("id_a").asc)
               .write.mode(SaveMode.Append).parquet(s"$target/pairs")
             newB.repartition(col("tbl")).sortWithinPartitions("tbl", "bkt", "vec_id")
               .write.mode(SaveMode.Append).parquet(s"$target/buckets")
