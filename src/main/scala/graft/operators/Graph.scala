@@ -242,6 +242,16 @@ object Graph {
     */
   val EdgeBuckets = 16
 
+  /** Cap-crossing rebuild budget: when the cumulative count of buckets
+    * whose occupancy crossed [[Dedup.MaxBucket]] during appends exceeds
+    * this fraction of the POPULATED buckets, the append triggers a full
+    * rebuild (fresh version, exactness restored). A fraction, not an
+    * absolute count: at 100 TB the populated-bucket count grows with
+    * the corpus and a fixed constant would either thrash small graphs
+    * or never fire on large ones.
+    */
+  val CrossedRebuildFrac = 0.01
+
   /** Artifact layout tag: every constant baked into the stored tables
     * (graph out-degree, quantizer, pair-table floor, edge partition
     * count, SRP geometry) — a changed constant lands in a NEW artifact
@@ -271,6 +281,40 @@ object Graph {
     rm(new java.io.File(path))
   }
 
+  // --------------------------------------------- graph version metadata
+
+  private def readMetaLong(versionDir: String, name: String): Long =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get(versionDir, name)).trim.toLong
+    catch { case _: Throwable => 0L }
+
+  private def writeMetaLong(versionDir: String, name: String, v: Long): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(versionDir, name), v.toString)
+
+  /** CONTENT generation of a stored-graph version: bumped by every
+    * content mutation ([[appendKnnGraph]], a cap-staleness rebuild),
+    * carried UNCHANGED through [[compactKnnGraph]] — compaction is a
+    * layout rewrite serving identical content, so consumers keyed on
+    * the generation (the stats artifact) survive it without a
+    * rebuild, where the old version-dir-name stamp thrashed them.
+    * Stored as a dotfile so [[graft.core.ArtifactStore.appendVersion]]'s
+    * hard-link carry-forward skips it: every mutation writes its own
+    * (a linked meta file would alias the previous version's inode and
+    * an in-place rewrite would corrupt history).
+    */
+  def graphGen(versionDir: String): Long = readMetaLong(versionDir, ".gen")
+
+  /** Cumulative count of buckets whose occupancy CROSSED
+    * [[Dedup.MaxBucket]] during appends since the last full (re)build —
+    * each crossing bucket keeps old×old pairs a rebuild would drop
+    * (the documented append-exactness caveat), so this counter is the
+    * observable measure of that staleness. Reset to 0 by a full
+    * (re)build; carried through compaction.
+    */
+  def graphCrossedBuckets(versionDir: String): Long =
+    readMetaLong(versionDir, ".crossed")
+
   /** Build-once kNN graph artifact in the versioned warehouse — the
     * family's "auditable artifact" actually MATERIALIZED, so g1/g2/g3/
     * g6/g7 serve centrality/structure/ANN from stored parquet instead
@@ -297,28 +341,41 @@ object Graph {
     * via [[appendKnnGraph]], compaction + version GC via
     * [[compactKnnGraph]] / `vacuumAll`.
     */
+  /** One full build of the four graph tables from a (vec_id,
+    * embedding) frame into a version dir — shared by the build-once
+    * path ([[ensureKnnGraph]], gen 0) and the cap-staleness rebuild
+    * ([[appendKnnGraph]]'s trigger, gen+1). Writes the version's
+    * content meta: its generation and a zeroed crossed-bucket counter
+    * (a fresh build has no append staleness by definition).
+    */
+  private def writeGraphTables(s: SparkSession, vecs: DataFrame,
+      target: String, gen: Long): Unit = {
+    bucketRowsOf(vecs)
+      .repartition(col("tbl")).sortWithinPartitions("tbl", "bkt", "vec_id")
+      .write.mode("overwrite").parquet(s"$target/buckets")
+    s.read.parquet(s"$target/buckets")
+      .groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
+      .coalesce(1).sortWithinPartitions("tbl", "bkt")
+      .write.mode("overwrite").parquet(s"$target/bsizes")
+    // one scored pass feeds both tables (the slot caches it)
+    val scored = scoredPairsOn(vecs)
+    edgesFromScored(scored)
+      .withColumn("bucket", edgeBucketOf(col("src")))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "src", "rk")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/edges")
+    scored.filter(col("w") >= CoreWmin)
+      .repartition(s.sparkContext.defaultParallelism)
+      .sortWithinPartitions(col("w").desc, col("id_a").asc)
+      .write.mode("overwrite").parquet(s"$target/pairs")
+    writeMetaLong(target, ".gen", gen)
+    writeMetaLong(target, ".crossed", 0L)
+  }
+
   def ensureKnnGraph(s: SparkSession, d: String): String = synchronized {
     graft.core.ArtifactStore.ensure(
       graft.core.ArtifactStore.artifactDir("knn_graph", d, GraphTag)) { target =>
-      val e = embeddings(s, d)
-      bucketRowsOf(e)
-        .repartition(col("tbl")).sortWithinPartitions("tbl", "bkt", "vec_id")
-        .write.mode("overwrite").parquet(s"$target/buckets")
-      s.read.parquet(s"$target/buckets")
-        .groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
-        .coalesce(1).sortWithinPartitions("tbl", "bkt")
-        .write.mode("overwrite").parquet(s"$target/bsizes")
-      // one scored pass feeds both tables (the slot caches it)
-      val scored = scoredPairsOn(e)
-      edgesFromScored(scored)
-        .withColumn("bucket", edgeBucketOf(col("src")))
-        .repartition(col("bucket"))
-        .sortWithinPartitions("bucket", "src", "rk")
-        .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/edges")
-      scored.filter(col("w") >= CoreWmin)
-        .repartition(s.sparkContext.defaultParallelism)
-        .sortWithinPartitions(col("w").desc, col("id_a").asc)
-        .write.mode("overwrite").parquet(s"$target/pairs")
+      writeGraphTables(s, embeddings(s, d), target, gen = 0L)
     }
   }
 
@@ -383,18 +440,43 @@ object Graph {
     * the delta lands. A crossing bucket's old×old pairs would be
     * dropped by a rebuild but persist in the stored tables until the
     * next full rebuild — the standard LSH-index staleness, bounded by
-    * the cap itself and healed by rebuilding into a fresh artifact.
+    * the cap itself. That staleness is now OBSERVABLE and SELF-HEALING:
+    * every append counts the buckets that crossed (old occupancy in
+    * [2, MaxBucket] — i.e. the build generated their old×old pairs —
+    * and old+new past the cap), accumulates the count in the version
+    * meta ([[graphCrossedBuckets]]), and when the cumulative crossings
+    * exceed `rebuildCrossedFrac` of the populated buckets the append
+    * triggers a full rebuild into a fresh version (generation bumped,
+    * counter reset) — restoring exactness without an operator in the
+    * loop. Each append also bumps the content generation
+    * ([[graphGen]]) that the stats artifact keys its freshness on.
     */
   def appendKnnGraph(s: SparkSession, d: String, newVecs: DataFrame,
-      corpusVecs: DataFrame): String = synchronized {
+      corpusVecs: DataFrame,
+      rebuildCrossedFrac: Double = CrossedRebuildFrac): String = synchronized {
     ensureKnnGraph(s, d)
     val adir = graft.core.ArtifactStore.artifactDir("knn_graph", d, GraphTag)
     val out = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      val prev = graft.core.ArtifactStore.current(adir).get
+      val prevGen = graphGen(prev)
+      val prevCrossed = graphCrossedBuckets(prev)
       graft.core.ArtifactStore.appendVersion(adir) { target =>
         val nv = newVecs.select(col("vec_id"), col("embedding")).persist()
         val newB = bucketRowsOf(nv).persist()
         try {
           val newCnt = newB.groupBy("tbl", "bkt").agg(count(lit(1)).as("nn"))
+          // cap-crossing staleness witness: buckets whose OLD occupancy
+          // generated old×old pairs at build time (2 ≤ n ≤ MaxBucket)
+          // and whose total now exceeds the cap — a rebuild would drop
+          // those pairs; the append keeps them. One bounded driver
+          // scalar (an aggregate over the bsizes-joined delta keys).
+          val crossedNow = newCnt
+            .join(s.read.parquet(s"$target/bsizes"), Seq("tbl", "bkt"), "left")
+            .filter(coalesce(col("n"), lit(0L)).between(2L, Dedup.MaxBucket.toLong) &&
+              col("nn") + coalesce(col("n"), lit(0L)) > Dedup.MaxBucket)
+            .count()
+          writeMetaLong(target, ".gen", prevGen + 1)
+          writeMetaLong(target, ".crossed", prevCrossed + crossedNow)
           val keptKeys = newCnt
             .join(s.read.parquet(s"$target/bsizes"), Seq("tbl", "bkt"), "left")
             .filter(col("nn") + coalesce(col("n"), lit(0L)) <= Dedup.MaxBucket)
@@ -498,7 +580,24 @@ object Graph {
       }
     }
     val live = graft.core.ArtifactStore.current(adir).get
-    if (graphFileCount(live) > graphCompactTrigger(s))
+    val crossed = graphCrossedBuckets(live)
+    val populated = s.read.parquet(s"$live/bsizes").count()
+    if (crossed > rebuildCrossedFrac * populated) {
+      // cumulative cap-crossing staleness past the budget: rebuild the
+      // whole artifact from the live corpus (what the append path has
+      // been maintaining incrementally), restoring append ≡ rebuild
+      // exactness. Runs AFTER the append lock releases (gcVersions
+      // takes the same file lock; a nested same-JVM FileLock throws).
+      val allVecs = corpusVecs.select(col("vec_id"), col("embedding"))
+        .unionByName(newVecs.select(col("vec_id"), col("embedding")))
+      val rebuilt = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+        graft.core.ArtifactStore.publish(adir) { target =>
+          writeGraphTables(s, allVecs, target, gen = graphGen(live) + 1)
+        }
+      }
+      graft.core.ArtifactStore.gcVersions(adir)
+      rebuilt
+    } else if (graphFileCount(live) > graphCompactTrigger(s))
       compactKnnGraph(s, d, onlyIfFragmented = true)
     else out
   }
@@ -530,6 +629,11 @@ object Graph {
           pr.repartition(s.sparkContext.defaultParallelism)
             .sortWithinPartitions(col("w").desc, col("id_a").asc)
             .write.mode("overwrite").parquet(s"$target/pairs")
+          // compaction serves IDENTICAL content: generation and the
+          // crossed-bucket staleness counter carry through unchanged,
+          // so gen-keyed consumers (the stats artifact) don't rebuild
+          writeMetaLong(target, ".gen", graphGen(cur))
+          writeMetaLong(target, ".crossed", graphCrossedBuckets(cur))
         }
       }
     }
@@ -548,31 +652,46 @@ object Graph {
     * was ~2-6 s of pure loop scheduling per query at sf0.1 even on
     * the stored edges).
     *
-    * Freshness: the version dir records the kNN-graph version it was
-    * computed from (`GRAPH_VERSION`); [[ensureGraphStats]] re-publishes
-    * when the live graph version differs (an [[appendKnnGraph]] or
-    * compaction flips it), so a stale stats table can never serve.
+    * Freshness is keyed on the graph's CONTENT GENERATION
+    * ([[graphGen]]), not its version-dir name: the version dir records
+    * the generation it was computed from (`GRAPH_GEN`), an append's
+    * gen bump invalidates, and a COMPACTION — identical content, new
+    * dir — does not (the dir-name stamp thrashed a full six-table
+    * rebuild per compaction). `maxLagGen` is the STALENESS POLICY for
+    * continuous-ingest consumers: serve the stamped version while the
+    * live graph is at most that many content generations ahead,
+    * rebuild only past the budget — so a live
+    * [[graft.streaming.StreamingGraphIngest]] stream (one gen bump per
+    * micro-batch) amortizes the six-table rebuild across `maxLagGen`
+    * batches instead of paying it per batch. The default 0 is strict:
+    * a stale stats table can never serve a registered query.
     * Correctness: every consumer query's DuckDB oracle recomputes the
     * analytic from raw parquet, so the stored tables sit under the
     * same hash gate as live computation.
     */
-  def ensureGraphStats(s: SparkSession, d: String): String = synchronized {
+  def ensureGraphStats(s: SparkSession, d: String,
+      maxLagGen: Long = 0L): String = synchronized {
     val graphDir = ensureKnnGraph(s, d)
-    val gv = new java.io.File(graphDir).getName
+    val gv = graphGen(graphDir)
     // "-s2": the stats LAYOUT version (s2 added triangles/) — a new
     // table must not be looked up in a stamp-fresh artifact of the
     // older layout
     val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag + "-s2")
-    def stampOf(ver: String): Option[String] =
+    def stampOf(ver: String): Option[Long] =
       try Some(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(ver, "GRAPH_VERSION")).trim)
+        java.nio.file.Paths.get(ver, "GRAPH_GEN")).trim.toLong)
       catch { case _: Throwable => None }
+    // within policy ⟺ stamped gen in [gv - maxLagGen, gv]: a FUTURE
+    // stamp (a vacuumed-and-rebuilt graph artifact restarting its
+    // generations) is stale, never "fresh enough"
+    def freshEnough(ver: String): Boolean =
+      stampOf(ver).exists(gs => gs <= gv && gv - gs <= maxLagGen)
     graft.core.ArtifactStore.current(adir) match {
-      case Some(cur) if stampOf(cur).contains(gv) => cur
+      case Some(cur) if freshEnough(cur) => cur
       case _ =>
         val out = graft.core.ArtifactStore.withMaintenanceLock(adir) {
           graft.core.ArtifactStore.current(adir) match {
-            case Some(cur) if stampOf(cur).contains(gv) => cur // lost race, fresh
+            case Some(cur) if freshEnough(cur) => cur // lost race, fresh
             case _ =>
               graft.core.ArtifactStore.publish(adir) { target =>
                 val edges = s.read.parquet(s"$graphDir/edges")
@@ -634,7 +753,7 @@ object Graph {
                   .coalesce(1)
                   .write.mode("overwrite").parquet(s"$target/triangles")
                 java.nio.file.Files.writeString(
-                  java.nio.file.Paths.get(target, "GRAPH_VERSION"), gv)
+                  java.nio.file.Paths.get(target, "GRAPH_GEN"), gv.toString)
                 ()
               }
           }

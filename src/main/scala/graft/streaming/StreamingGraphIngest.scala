@@ -42,15 +42,28 @@ object StreamingGraphIngest {
 
   /** Wire a file-source stream of embedding parquet into
     * [[ingestBatch]]. The caller owns trigger/termination.
+    *
+    * `statsMaxLag`: when set, each batch also keeps the derived
+    * analytics artifact within that staleness budget — every graph
+    * append bumps the content generation, and
+    * [[Graph.ensureGraphStats]] with a lag budget rebuilds the six
+    * stats tables only once the live graph is more than `statsMaxLag`
+    * generations ahead of the stamped version. This amortizes the
+    * full-analytics recompute across N micro-batches instead of
+    * paying it on the first analytic read after EVERY batch (the
+    * rebuild-per-consumer thrash the stored graph itself eliminated
+    * one layer down). None (the default) leaves stats maintenance to
+    * the consumers' own freshness policy.
     */
   def start(spark: SparkSession, datasetDir: String, srcDir: String,
       acceptedDir: String, checkpointDir: String,
-      schema: StructType): StreamingQuery =
+      schema: StructType, statsMaxLag: Option[Long] = None): StreamingQuery =
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(spark, datasetDir, acceptedDir, batch)
+        statsMaxLag.foreach(lag => Graph.ensureGraphStats(spark, datasetDir, lag))
       }
       .start()
 

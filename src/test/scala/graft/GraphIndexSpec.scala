@@ -103,6 +103,68 @@ class GraphIndexSpec extends SparkSuite {
     assert(got === want, "stored pagerank must equal live computation")
   }
 
+  test("compaction carries the content generation — stats serve without a rebuild") {
+    val d = sf0001
+    Graph.ensureKnnGraph(spark, d)
+    val stats0 = Graph.ensureGraphStats(spark, d)
+    val genBefore = Graph.graphGen(Graph.ensureKnnGraph(spark, d))
+    Graph.compactKnnGraph(spark, d)
+    assert(Graph.graphGen(Graph.ensureKnnGraph(spark, d)) === genBefore,
+      "compaction serves identical content: the generation must not move")
+    assert(Graph.ensureGraphStats(spark, d) === stats0,
+      "a layout-only rewrite must not thrash the six-table stats rebuild")
+  }
+
+  test("cap-crossing staleness is counted in the version meta and heals via the triggered rebuild") {
+    // tiny corpus with one DUPLICATED embedding, so the duplicate's 12
+    // SRP buckets hold ≥2 members (the build generated their old×old
+    // pairs) — the precondition for a crossing to create staleness
+    val d = tmpDir("gxc")
+    val fifty = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(50)
+    val emb0 = fifty.limit(1).select(col("embedding"))
+    fifty.unionByName(
+        spark.range(1).select(lit(1000000L).as("vec_id")).crossJoin(emb0))
+      .write.parquet(s"$d/embeddings.parquet")
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureKnnGraph(spark, d)
+    // delta of MaxBucket-1 copies of the duplicated embedding pushes
+    // every one of its SrpTables buckets across the cap (old ≥ 2,
+    // old+new > MaxBucket). Trigger disabled (frac 1.0) so the COUNTER
+    // itself is observable on the appended version.
+    val dups = spark.range((Dedup.MaxBucket - 1).toLong)
+      .select((col("id") + 2000000L).as("vec_id")).crossJoin(emb0)
+    Graph.appendKnnGraph(spark, d, dups, base, rebuildCrossedFrac = 1.0)
+    val live1 = Graph.ensureKnnGraph(spark, d)
+    assert(Graph.graphCrossedBuckets(live1) === Dedup.SrpTables.toLong,
+      "every SRP table's bucket of the duplicated signature must count as crossed")
+    assert(Graph.graphGen(live1) === 1L, "the append must bump the generation")
+    // a second, non-crossing append: the CUMULATIVE counter now exceeds
+    // the default budget (12 crossings > 1% of populated buckets) and
+    // the self-healing rebuild fires — generation bumped past the
+    // append's, counter reset, exactness restored
+    val extra = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .orderBy(col("vec_id").desc).limit(1)
+    val out = Graph.appendKnnGraph(spark, d, extra, base.unionByName(dups))
+    assert(Graph.graphGen(out) === 3L,
+      "append (gen 2) then triggered rebuild (gen 3)")
+    assert(Graph.graphCrossedBuckets(out) === 0L,
+      "a full rebuild resets the staleness counter")
+    val union = base.unionByName(dups).unionByName(extra)
+    val wantEdges = edgeSet(Graph.knnGraphEdgesOn(union))
+    val gotEdges = edgeSet(Graph.storedEdges(spark, d))
+    Dedup.releaseSlots()
+    assert(gotEdges === wantEdges,
+      "the triggered rebuild must restore append ≡ rebuild exactness")
+    val wantPairs = pairSet(Graph.scoredPairsOn(union)
+      .filter(col("w") >= Graph.CoreWmin))
+    val gotPairs = pairSet(Graph.storedPairs(spark, d))
+    Dedup.releaseSlots()
+    assert(gotPairs === wantPairs,
+      "rebuilt pairs must equal a one-shot build (stale old×old pairs dropped)")
+  }
+
   test("k-core peel costs one job per round (lazy checkpoint, count materializes)") {
     import spark.implicits._
     // path graph a-b-c-d with k=2 peels in 3 counted rounds:

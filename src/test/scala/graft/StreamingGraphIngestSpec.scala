@@ -61,6 +61,34 @@ class StreamingGraphIngestSpec extends SparkSuite {
       wave1.count() + wave2.count(), "no duplicate ledger rows")
   }
 
+  test("multi-batch ingest under the stats staleness policy pays at most one rebuild") {
+    val (d, wave1, wave2) = freshDataset()
+    val acc = tmpDir("sgi-lag-acc") + "/a"
+    val w2a = wave2.filter(col("vec_id") % 20 === 9)
+    val w2b = wave2.filter(col("vec_id") % 20 === 19)
+    val stats0 = Graph.ensureGraphStats(spark, d) // strict build at gen 0
+    for (w <- Seq(wave1, w2a, w2b)) {
+      StreamingGraphIngest.ingestBatch(spark, d, acc, w)
+      // a policied read between batches serves the stamped version —
+      // the six-table rebuild is NOT paid per micro-batch
+      assert(Graph.ensureGraphStats(spark, d, maxLagGen = 8) === stats0,
+        "a read within the lag budget must serve the stamped stats version")
+    }
+    // convergence: one strict rebuild, then stable
+    val stats1 = Graph.ensureGraphStats(spark, d)
+    assert(stats1 !== stats0, "a strict read past the appends must rebuild")
+    assert(Graph.ensureGraphStats(spark, d) === stats1,
+      "a second strict read must serve the fresh version")
+    // the rebuilt pagerank equals a live computation over the full corpus
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    val want = Graph.pageRankOn(full.select("vec_id"), Graph.knnGraphEdgesOn(full))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseSlots()
+    val got = spark.read.parquet(s"$stats1/pagerank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "stored pagerank must equal live computation")
+  }
+
   test("ids the graph already holds are dropped by the membership gate, not re-appended") {
     val (d, wave1, _) = freshDataset()
     val acc = tmpDir("sgi-gate-acc") + "/a"
