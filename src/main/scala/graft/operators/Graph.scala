@@ -259,14 +259,16 @@ object Graph {
     */
   // lazy: CoreWmin is declared further down the object body — an
   // eager val here would read its pre-initialization 0 into the tag
+  // "dv": the edge layout carrying the dst vector (serve-side score
+  // denormalization) — a layout change, so a new artifact dir
   private lazy val GraphTag =
-    s"g${GraphTopG}q${QuantScale}w${CoreWmin}b${EdgeBuckets}s${Dedup.SrpTables}x${Dedup.SrpBits}"
+    s"g${GraphTopG}q${QuantScale}w${CoreWmin}b${EdgeBuckets}s${Dedup.SrpTables}x${Dedup.SrpBits}dv"
 
   /** SRP bucket assignments (vec_id, tbl, bkt) of a vector frame —
     * uncapped (the [[Dedup.MaxBucket]] cap is a PAIR-GENERATION rule
     * evaluated against current sizes, not a property of membership).
     */
-  private def bucketRowsOf(vecs: DataFrame): DataFrame = vecs
+  private[graft] def bucketRowsOf(vecs: DataFrame): DataFrame = vecs
     .select(col("vec_id"), posexplode(graft.functions.SrpKernel.srpBuckets(
       col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
 
@@ -322,9 +324,13 @@ object Graph {
     * that rebuild is a full corpus pass per query). Four tables per
     * version:
     *
-    *  - `edges/`   (src, dst, w, rk) — per-node top-[[GraphTopG]]
+    *  - `edges/`   (src, dst, w, rk, dvec) — per-node top-[[GraphTopG]]
     *    neighbors, directory-partitioned by a hash bucket of src so an
-    *    append rewrites only affected partitions;
+    *    append rewrites only affected partitions. `dvec` is the DST
+    *    node's embedding, denormalized onto its in-edges (the HNSW
+    *    trade: vectors live with adjacency), so graph-ANN serving
+    *    scores each hop from the pruned edge partitions alone — no
+    *    corpus table anywhere in the hop loop;
     *  - `pairs/`   (id_a, id_b, w) — every capped-bucket scored pair
     *    at or above the analytics floor [[CoreWmin]] (g4's and g5's
     *    thresholds), sorted by w so threshold filters prune row
@@ -360,9 +366,12 @@ object Graph {
     // one scored pass feeds both tables (the slot caches it)
     val scored = scoredPairsOn(vecs)
     edgesFromScored(scored)
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("dvec")),
+        "dst")
       .withColumn("bucket", edgeBucketOf(col("src")))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "src", "rk")
+      .select("src", "dst", "w", "rk", "dvec", "bucket")
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/edges")
     scored.filter(col("w") >= CoreWmin)
       .repartition(s.sparkContext.defaultParallelism)
@@ -383,6 +392,16 @@ object Graph {
   def storedEdges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${ensureKnnGraph(s, d)}/edges")
       .select("src", "dst", "w", "rk")
+
+  /** Stored edge table WITH its src-hash directory-partition column
+    * and the denormalized dst vector (src, dst, w, rk, dvec, bucket)
+    * — the graph-ANN hop loop filters on `bucket` so each hop reads
+    * only the partitions its beams occupy, and scores `dvec` against
+    * the query without touching any corpus table.
+    */
+  def storedEdgesPartitioned(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureKnnGraph(s, d)}/edges")
+      .select("src", "dst", "w", "rk", "dvec", "bucket")
 
   /** Live stored scored-pair table (id_a, id_b, w ≥ [[CoreWmin]]). */
   def storedPairs(s: SparkSession, d: String): DataFrame =
@@ -532,9 +551,15 @@ object Graph {
                 (coalesce(col("n"), lit(0L)) + coalesce(col("nn"), lit(0L))).as("n"))
               .coalesce(1).sortWithinPartitions("tbl", "bkt")
               .write.mode("overwrite").parquet(s"$target/bsizes_new")
-            // edges: re-rank affected srcs, swap only their partitions
+            // edges: re-rank affected srcs, swap only their partitions.
+            // Delta edges pick up the dst vector (the stored layout's
+            // denormalized `dvec`) from the same union frame the
+            // scoring join read; surviving stored edges keep theirs.
             val sym = scored.select(col("u").as("src"), col("v2").as("dst"), col("w"))
               .union(scored.select(col("v2").as("src"), col("u").as("dst"), col("w")))
+              .join(allVecs.select(col("vec_id").as("dst"),
+                col("embedding").as("dvec")), "dst")
+              .select("src", "dst", "w", "dvec")
               .persist()
             val affected = sym.select("src").distinct().persist()
             // ≤ EdgeBuckets distinct ints — bounded driver collect
@@ -543,7 +568,8 @@ object Graph {
             if (affBuckets.nonEmpty) {
               val oldPart = s.read.parquet(s"$target/edges")
                 .filter(col("bucket").isin(affBuckets.map(Integer.valueOf): _*))
-              val rer = oldPart.join(affected, Seq("src")).select("src", "dst", "w")
+              val rer = oldPart.join(affected, Seq("src"))
+                .select("src", "dst", "w", "dvec")
                 .unionByName(sym)
                 .withColumn("rk", row_number().over(
                   Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)))
@@ -551,11 +577,12 @@ object Graph {
               // materialize the replacement partitions BEFORE touching
               // the directories they were computed from
               oldPart.join(affected, Seq("src"), "left_anti")
-                .select("src", "dst", "w", "rk")
-                .unionByName(rer.select("src", "dst", "w", "rk"))
+                .select("src", "dst", "w", "rk", "dvec")
+                .unionByName(rer.select("src", "dst", "w", "rk", "dvec"))
                 .withColumn("bucket", edgeBucketOf(col("src")))
                 .repartition(col("bucket"))
                 .sortWithinPartitions("bucket", "src", "rk")
+                .select("src", "dst", "w", "rk", "dvec", "bucket")
                 .write.partitionBy("bucket").mode("overwrite")
                 .parquet(s"$target/edges_new")
             }
@@ -763,137 +790,249 @@ object Graph {
     }
   }
 
-  /** Graph-ANN serving parameters: beam width, hop budget, reported
-    * k, greedy entry node, and the query (a corpus vector, so the
+  /** Graph-ANN serving parameters: beam width, hop BUDGET (the loop
+    * exits at its fixpoint, the budget is the hard ceiling the oracle
+    * unrolls to), reported k, and the query (a corpus vector, so the
     * result must rediscover it — a built-in sanity anchor).
     */
   val GannBeam = 12
   val GannHops = 10
   val GannTopK = 10
-  val GannEntry = 0L
   val GannQueryId = 1L
 
-  /** Graph-based ANN serving: greedy beam search over the stored kNN
-    * graph (the NSW/HNSW-layer-0 search, Malkov & Yashunin 2016) —
-    * the OTHER way to serve similarity queries from this module's
-    * artifact, complementing the IVF family's partition pruning.
-    * From [[GannEntry]], each hop expands the current beam's out-
-    * neighbors, scores ONLY those nodes (integer dot vs the query —
-    * no corpus-wide scoring pass anywhere in the plan), keeps the
-    * best [[GannBeam]] as the next beam, and accumulates the visited
-    * set. Output: the top [[GannTopK]] visited nodes by score, each
-    * row carrying `visited_n` — the audit that the walk touched a
-    * bounded neighborhood (≤ 1 + hops·beam·G nodes BY CONSTRUCTION),
-    * not the corpus; the efficiency claim is part of the hashed
-    * result, the d15/docReads discipline.
-    *
-    * Determinism: scores are the bit-exact quantized [[intDot]]; every
-    * beam/report selection breaks ties (score DESC, vec_id ASC). The
-    * per-hop top-B window is a single global sort of ≤ beam·(G+1)
-    * rows — bounded by construction, so the unpartitioned window is a
-    * driver-light shuffle of a few dozen rows, not a stratum sort.
+  /** Live stored routing table (vec_id, tbl, bkt) — uncapped
+    * membership, the cap is read from [[storedBucketSizes]].
     */
-  def graphAnnOn(e: DataFrame, edges: DataFrame): DataFrame = {
-    val s = e.sparkSession
-    val qv = e.filter(col("vec_id") === GannQueryId)
-      .select(col("embedding").as("qv"))
-    def scoreOf(ids: DataFrame): DataFrame = ids
-      .join(e, "vec_id")
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"), intDot(col("embedding"), col("qv")).as("sc"))
-    val ed = edges.select(col("src"), col("dst")).truncated(true)
-    var beam = scoreOf(e.filter(col("vec_id") === GannEntry).select("vec_id"))
-      .truncated(true)
-    var visited = beam
-    for (_ <- 1 to GannHops) {
-      val nbr = scoreOf(beam.join(ed, beam("vec_id") === ed("src"))
-        .select(col("dst").as("vec_id")).distinct())
-        .truncated(true)
-      val pool = beam.union(nbr)
-        .groupBy("vec_id").agg(max("sc").as("sc")) // dedup; sc is per-node
-      beam = pool
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("sc").desc, col("vec_id").asc)))
-        .filter(col("rk") <= GannBeam).drop("rk")
-        .truncated(true)
-      visited = visited.union(nbr)
+  def storedBuckets(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureKnnGraph(s, d)}/buckets")
+      .select("vec_id", "tbl", "bkt")
+
+  /** Live stored bucket-occupancy table (tbl, bkt, n). */
+  def storedBucketSizes(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureKnnGraph(s, d)}/bsizes")
+      .select("tbl", "bkt", "n")
+
+  /** Seeded beam-search entries: for each query, the smallest vec_id
+    * sharing a CAPPED LSH bucket with it (occupancy ≤
+    * [[Dedup.MaxBucket]] — the same pair-generation cap the build
+    * applies), excluding the query's own id; fallback, the smallest
+    * vec_id in the routing table. Returns qid → seed.
+    *
+    * Why seeded: a fixed global entry node is both a recall cliff
+    * (a query far from the entry exhausts the hop budget before its
+    * neighborhood) and a hot partition at scale (every concurrent
+    * query's hop 0 reads the same node's edges); seeding inside the
+    * query's own LSH bucket starts the walk one hash lookup from the
+    * answer and spreads batch load across buckets. Nothing extra to
+    * maintain on append — the routing table IS the append-maintained
+    * membership.
+    *
+    * Execution is two id-pushdown lookups against the routing table
+    * (the query's own bucket keys, then their cohabitants), each
+    * collecting ≤ Q·SrpTables·MaxBucket rows BY CONSTRUCTION; the
+    * global-min fallback job runs only for queries whose every bucket
+    * is empty-of-peers or capped out (rare — and the only
+    * full-routing-scan in the serve path when it does).
+    *
+    * The query's own bucket keys come from its stored routing rows
+    * (the corpus-query convention of this family); an external query
+    * vector would hash with the same [[graft.functions.SrpKernel]] to
+    * the same keys — the serve plan stays kernel-free either way for
+    * stored queries, which is what GraphIndexSpec pins.
+    */
+  private[graft] def seededEntries(qids: Seq[Long], routing: DataFrame,
+      bsizes: DataFrame): Map[Long, Long] = {
+    // composite bucket key, exact: bkt < 2^SrpBits by construction
+    def keyCol(t: Column, b: Column): Column =
+      t.cast("long") * (1L << Dedup.SrpBits) + b
+    val qb = routing.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keys = qb.map(_._2).distinct.toSeq
+    val capped = bsizes
+      .filter(keyCol(col("tbl"), col("bkt")).isin(keys: _*) &&
+        col("n") <= Dedup.MaxBucket.toLong)
+      .select(keyCol(col("tbl"), col("bkt")).as("key"))
+      .collect().map(_.getLong(0)).toSet
+    val cohab = routing
+      .filter(keyCol(col("tbl"), col("bkt")).isin(capped.toSeq: _*))
+      .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeded = qids.flatMap { q =>
+      val peers = qb.collect { case (v, key) if v == q => key }
+        .flatMap(k => cohab.getOrElse(k, Array.empty[Long]))
+        .filter(_ != q)
+      if (peers.isEmpty) None else Some(q -> peers.min)
+    }.toMap
+    if (seeded.size == qids.size) seeded
+    else {
+      val fb = routing.agg(min("vec_id")).collect().head.getLong(0)
+      seeded ++ qids.filterNot(seeded.contains).map(_ -> fb)
     }
-    val vis = visited.groupBy("vec_id").agg(max("sc").as("sc")).truncated(true)
-    val audit = vis.agg(count(lit(1)).as("visited_n"))
-    vis.withColumn("rk", row_number().over(
-        Window.orderBy(col("sc").desc, col("vec_id").asc)))
-      .filter(col("rk") <= GannTopK)
-      .crossJoin(audit)
-      .select(col("vec_id"), col("sc"), col("rk").cast("long").as("rk"),
-        col("visited_n"))
   }
+
+  /** Graph-based ANN serving: greedy beam search over the stored kNN
+    * graph (the NSW/HNSW-layer-0 search, Malkov & Yashunin 2016) for
+    * ONE query — [[graphAnnBatchOn]] with a single-query batch, qid
+    * dropped. Output: the top [[GannTopK]] visited nodes by score,
+    * each row carrying the `visited_n` touch-bound attestation
+    * (≤ 1 + hops·beam·G nodes BY CONSTRUCTION — the walk scores beam
+    * candidates only, never the corpus) and `hops_n`, the number of
+    * hop-rounds the walk actually executed before its fixpoint
+    * (≤ [[GannHops]]).
+    */
+  def graphAnnOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
+      bsizes: DataFrame): DataFrame =
+    graphAnnBatchOn(e, edges, routing, bsizes,
+      col("vec_id") === GannQueryId)
+      .drop("qid")
 
   /** G7: serve one similarity query from the kNN-graph artifact by
     * greedy beam search.
     */
   lazy val g7GraphAnn: Relational.Q = (s, d) =>
-    graphAnnOn(embeddings(s, d), storedEdges(s, d)).orderBy("rk")
+    graphAnnOn(embeddings(s, d), storedEdgesPartitioned(s, d),
+      storedBuckets(s, d), storedBucketSizes(s, d)).orderBy("rk")
 
   /** g8's query set: the benchmark-prefix ids (the d8/d13/g6 "first N"
     * convention), each served its own beam.
     */
   val GannBatchQ = 8L
 
-  /** Batch graph-ANN serving: [[graphAnnOn]]'s beam search for N query
-    * vectors in ONE shared-hop plan — what a serving audit (and the
-    * v8/v17 batch-kNN family) actually runs: every hop expands ALL
-    * beams' neighbors in one join, scores each (query, node) pair once
-    * against a BROADCAST Q-row query-vector table, and selects each
-    * beam's next top-B with a window PARTITIONED BY query id — per-hop
-    * window input ≤ Q·beam·(G+1) rows by construction, and (unlike the
-    * single-query g7, whose tiny global window is single-partition by
-    * nature) the per-qid partitioning parallelizes across the batch.
+  /** Batch graph-ANN serving: greedy beam search for N query vectors,
+    * DRIVER-PACED with every data-proportional read in Spark.
+    *
+    * A graph walk is a sequential pointer-chase: hop k's reads depend
+    * on hop k-1's results, so SOMETHING must sync per hop. Earlier
+    * rounds synced on per-hop checkpoints of distributed beam frames
+    * — but the beam is ≤ Q·[[GannBeam]] rows BY CONSTRUCTION
+    * (independent of corpus size), so those frames were 12-96 rows
+    * shuffled through 3-5 scheduled stages per hop: pure scheduling
+    * tax (~0.5 s/hop at sf0.1, >90% of the family's serve cost). This
+    * loop instead holds the bounded search STATE (beams, visited
+    * scores — ≤ Q·(1 + hops·beam·G) ≈ 4k rows of 3 longs at the g8
+    * defaults) on the driver, the coordinator role every NSW serving
+    * system gives it, and runs ONE Spark job per hop: the (qid, src)
+    * beam pairs broadcast against the stored edge table with its
+    * partitions PRUNED to the beams' src-hash buckets (the serve-side
+    * payoff of the artifact's directory layout), each expanded edge
+    * scored on the spot — the layout's denormalized `dvec` against
+    * the BROADCAST Q-row query-vector table via the same codegen
+    * [[intDot]] kernel as every other distance in the engine. Scores
+    * are never computed on the driver, and no corpus table appears in
+    * the hop loop at all: at 100 TB a hop reads exactly the ≤ Q·B
+    * edge partitions the beams occupy.
+    *
+    * Each beam starts at its query's [[seededEntries]] seed and hops
+    * until ITS OWN fixpoint: a beam whose top-B survives a round
+    * unchanged can never change again (the next pool is a function of
+    * the beam alone), so the query leaves the expansion set — the
+    * kcoreOn convergence discipline, per qid. `hops_n` is the round
+    * on which the beam was confirmed unchanged (or [[GannHops]] if
+    * the budget ran out). The oracle recomputes both attestations
+    * from its fully-unrolled per-round beam signatures (count, Σsc,
+    * Σvec_id — signature equality ⟺ beam-set equality, because the
+    * new beam's score multiset majorizes the old elementwise and ties
+    * resolve to per-class minimum ids), so the engine's early exit
+    * and touch bound are verified, not trusted.
+    *
     * Output: per query, the top-[[GannTopK]] visited nodes with the
-    * per-query `visited_n` touch-bound attestation riding the hashed
-    * result (the g7/d15 docReads discipline).
+    * per-query `visited_n` touch-bound and `hops_n` executed-hop
+    * attestations riding the hashed result (the d15 docReads
+    * discipline); the final selection runs in-plan over the visited
+    * score set. Determinism: bit-exact integer scores, every
+    * selection tie-broken (score DESC, vec_id ASC).
     */
-  def graphAnnBatchOn(e: DataFrame, edges: DataFrame,
-      isQuery: Column): DataFrame = {
+  def graphAnnBatchOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
+      bsizes: DataFrame, isQuery: Column): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    // materialized once (lazily, by the seed-scoring job); every hop
+    // job rereads the Q-row checkpoint, not the corpus
     val qv = e.filter(isQuery)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    def scoreOf(ids: DataFrame): DataFrame = ids // (qid, vec_id)
-      .join(e, "vec_id")
-      .join(broadcast(qv), "qid")
-      .select(col("qid"), col("vec_id"),
-        intDot(col("embedding"), col("qv")).as("sc"))
-    val ed = edges.select(col("src"), col("dst")).truncated(true)
-    var beam = scoreOf(qv.select(col("qid"))
-        .withColumn("vec_id", lit(GannEntry)))
-      .truncated(true)
-    var visited = beam
-    for (_ <- 1 to GannHops) {
-      val nbr = scoreOf(beam.join(ed, beam("vec_id") === ed("src"))
-        .select(col("qid"), col("dst").as("vec_id")).distinct())
-        .truncated(true)
-      val pool = beam.union(nbr)
-        .groupBy("qid", "vec_id").agg(max("sc").as("sc"))
-      beam = pool
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
-        .filter(col("rk") <= GannBeam).drop("rk")
-        .truncated(true)
-      visited = visited.union(nbr)
+      .truncated(false)
+    val edSel = edges.select(col("src"), col("dst"), col("dvec"),
+      (if (edges.columns.contains("bucket")) col("bucket")
+       else edgeBucketOf(col("src"))).as("bucket"))
+    val qids = qv.select("qid").collect().map(_.getLong(0)).toSeq.sorted
+    val seeds = seededEntries(qids, routing, bsizes)
+    // driver-held search state — every structure bounded by
+    // Q·(1 + hops·beam·G), never corpus-proportional
+    val visitedSc = collection.mutable.Map.empty[(Long, Long), Long]
+    val nodeBkt = collection.mutable.Map.empty[Long, Int]
+    var beams = Map.empty[Long, Set[(Long, Long)]]
+    // seed scoring: the one embeddings lookup of the serve path — an
+    // id-pushdown point fetch (row-group pruned on a sorted table)
+    val seedIds = seeds.values.toSeq.distinct
+    for (r <- seeds.toSeq.toDF("qid", "vec_id")
+        .join(e.filter(col("vec_id").isin(seedIds: _*)), "vec_id")
+        .join(broadcast(qv), "qid")
+        .select(col("qid"), col("vec_id"),
+          intDot(col("embedding"), col("qv")).as("sc"),
+          edgeBucketOf(col("vec_id")).cast("int").as("ebkt"))
+        .collect()) {
+      val (qid, vid, sc, bkt) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      visitedSc((qid, vid)) = sc
+      nodeBkt(vid) = bkt
+      beams += qid -> (beams.getOrElse(qid, Set.empty) + ((vid, sc)))
     }
-    val vis = visited.groupBy("qid", "vec_id").agg(max("sc").as("sc")).truncated(true)
-    val audit = vis.groupBy("qid").agg(count(lit(1)).as("visited_n"))
-    vis.withColumn("rk", row_number().over(
+    var active = beams.keySet
+    var hopsOf = Map.empty[Long, Long]
+    var k = 0
+    while (k < GannHops && active.nonEmpty) {
+      k += 1
+      val pairs = active.toSeq.flatMap(q => beams(q).map(x => (q, x._1)))
+      val bkts = pairs.map(p => nodeBkt(p._2)).distinct
+      // the hop job: partition-pruned expand + score, one pass
+      val scored = pairs.toDF("qid", "src")
+        .join(edSel.filter(col("bucket").isin(bkts.map(Integer.valueOf): _*)),
+          "src")
+        .join(broadcast(qv), "qid")
+        .select(col("qid"), col("src"), col("dst"),
+          intDot(col("dvec"), col("qv")).as("sc"),
+          edgeBucketOf(col("dst")).cast("int").as("ebkt"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      val byQid = scored.groupBy(_._1)
+      val stillActive = collection.mutable.Set.empty[Long]
+      for (qid <- active) {
+        val hop = byQid.getOrElse(qid, Array.empty)
+        for ((_, _, dst, sc, bkt) <- hop) {
+          visitedSc((qid, dst)) = sc
+          nodeBkt(dst) = bkt
+        }
+        val pool = beams(qid) ++ hop.map { case (_, _, dst, sc, _) => (dst, sc) }
+        val next = pool.toSeq.sortBy { case (vid, sc) => (-sc, vid) }
+          .take(GannBeam).toSet
+        if (next == beams(qid)) hopsOf += qid -> k.toLong
+        else { beams += qid -> next; stillActive += qid; () }
+      }
+      active = stillActive.toSet
+    }
+    hopsOf ++= active.map(_ -> GannHops.toLong)
+    // final selection in-plan over the attested visited score set
+    val visDf = visitedSc.toSeq.map { case ((qid, vid), sc) => (qid, vid, sc) }
+      .sorted.toDF("qid", "vec_id", "sc")
+    val audit = visDf.groupBy("qid").agg(count(lit(1)).as("visited_n"))
+    val hopsDf = hopsOf.toSeq.sorted.toDF("qid", "hops_n")
+    visDf.withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
       .filter(col("rk") <= GannTopK)
       .join(audit, "qid")
+      .join(broadcast(hopsDf), "qid")
       .select(col("qid"), col("vec_id"), col("sc"),
-        col("rk").cast("long").as("rk"), col("visited_n"))
+        col("rk").cast("long").as("rk"), col("visited_n"), col("hops_n"))
   }
 
   /** G8: batch graph-ANN — [[GannBatchQ]] queries, one shared-hop
-    * beam-search plan over the stored graph.
+    * beam-search loop over the stored graph (each hop's single
+    * expand-and-score job serves the whole batch).
     */
   lazy val g8GraphAnnBatch: Relational.Q = (s, d) =>
-    graphAnnBatchOn(embeddings(s, d), storedEdges(s, d),
+    graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
+      storedBuckets(s, d), storedBucketSizes(s, d),
       col("vec_id") < GannBatchQ)
       .orderBy("qid", "rk")
 
@@ -1216,7 +1355,16 @@ object Graph {
 
   /** The beam search unrolled: MATERIALIZED per hop (each hop's beam
     * feeds the neighbor expansion, the pool union, and the visited
-    * union — inlining would multiply the base scan per hop).
+    * union — inlining would multiply the base scan per hop). The
+    * seeded entry mirrors [[seededEntries]]: min co-bucketed vec_id
+    * in a CAPPED bucket (the `buckets` CTE is the capped routing),
+    * excluding the query, falling back to the global routing min.
+    * `hops_n` is recomputed from per-round beam signatures — the
+    * first round whose (count, Σsc, Σvec_id) matches its predecessor
+    * (signature equality ⟺ beam-set equality, see [[beamSigs]]) —
+    * so the engine's early exit is verified, not trusted: an unroll
+    * past the fixpoint leaves every later signature equal and min(k)
+    * still names the convergence round.
     */
   private lazy val graphAnnSql: String = {
     val dot = sqlIntDot("x.ed", "q.qv")
@@ -1235,18 +1383,42 @@ object Graph {
          |  ) z$k WHERE rn <= $GannBeam
          |)""".stripMargin
     }.mkString(",\n")
+    val sigs = (0 to GannHops).map { k =>
+      s"""sg$k AS (SELECT count(*)::BIGINT AS c,
+         |  coalesce(sum(sc), 0)::BIGINT AS ssc,
+         |  coalesce(sum(vec_id), 0)::BIGINT AS svid FROM b$k)""".stripMargin
+    }.mkString(",\n")
+    val cnv = (1 to GannHops).map { k =>
+      s"SELECT $k AS k FROM sg$k a, sg${k - 1} b " +
+        s"WHERE a.c = b.c AND a.ssc = b.ssc AND a.svid = b.svid"
+    }.mkString("\n  UNION ALL\n  ")
     val visUnion = (1 to GannHops).map(k => s"SELECT * FROM nb$k").mkString(" UNION ALL ")
     s"""$edgesCte,
        |q AS (SELECT ed AS qv FROM e WHERE vec_id = $GannQueryId),
+       |ent AS (
+       |  SELECT coalesce(
+       |    (SELECT min(r.vec_id) FROM buckets r
+       |     JOIN (SELECT tbl, bkt FROM buckets_all WHERE vec_id = $GannQueryId) qb
+       |       ON r.tbl = qb.tbl AND r.bkt = qb.bkt
+       |     WHERE r.vec_id <> $GannQueryId),
+       |    (SELECT min(vec_id) FROM buckets_all)) AS entry
+       |),
        |b0 AS MATERIALIZED (
-       |  SELECT x.vec_id, $dot AS sc FROM e x, q WHERE x.vec_id = $GannEntry
+       |  SELECT x.vec_id, $dot AS sc
+       |  FROM ent JOIN e x ON x.vec_id = ent.entry CROSS JOIN q
        |),
        |$hops,
+       |$sigs,
+       |cnv AS (
+       |  $cnv
+       |),
+       |hn AS (SELECT coalesce(min(k), $GannHops)::BIGINT AS hops_n FROM cnv),
        |vis AS MATERIALIZED (
        |  SELECT DISTINCT vec_id, sc FROM (SELECT * FROM b0 UNION ALL $visUnion) w
        |)
        |SELECT vec_id, sc, rn::BIGINT AS rk,
-       |       (SELECT count(*) FROM vis)::BIGINT AS visited_n
+       |       (SELECT count(*) FROM vis)::BIGINT AS visited_n,
+       |       (SELECT hops_n FROM hn) AS hops_n
        |FROM (SELECT vec_id, sc,
        |             row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rn
        |      FROM vis) f
@@ -1254,7 +1426,9 @@ object Graph {
   }
 
   /** The batch beam search unrolled — [[graphAnnSql]] with the query
-    * id carried through every hop and all windows PARTITION BY qid.
+    * id carried through every hop, all windows PARTITION BY qid, and
+    * the entry seed, beam signatures, and convergence round computed
+    * PER QUERY.
     */
   private lazy val graphAnnBatchSql: String = {
     val dot = sqlIntDot("x.ed", "q.qv")
@@ -1275,23 +1449,53 @@ object Graph {
          |  ) z$k WHERE rn <= $GannBeam
          |)""".stripMargin
     }.mkString(",\n")
+    val sigs = (0 to GannHops).map { k =>
+      s"""sg$k AS (SELECT qid, count(*)::BIGINT AS c,
+         |  sum(sc)::BIGINT AS ssc, sum(vec_id)::BIGINT AS svid
+         |  FROM b$k GROUP BY qid)""".stripMargin
+    }.mkString(",\n")
+    val cnv = (1 to GannHops).map { k =>
+      s"SELECT a.qid, $k AS k FROM sg$k a JOIN sg${k - 1} b ON a.qid = b.qid " +
+        s"AND a.c = b.c AND a.ssc = b.ssc AND a.svid = b.svid"
+    }.mkString("\n  UNION ALL\n  ")
     val visUnion = (1 to GannHops).map(k => s"SELECT * FROM nb$k").mkString(" UNION ALL ")
     s"""$edgesCte,
        |q AS (SELECT vec_id AS qid, ed AS qv FROM e WHERE vec_id < $GannBatchQ),
+       |ent0 AS (
+       |  SELECT qb.qid, min(r.vec_id) AS seed
+       |  FROM (SELECT vec_id AS qid, tbl, bkt FROM buckets_all
+       |        WHERE vec_id < $GannBatchQ) qb
+       |  JOIN buckets r ON r.tbl = qb.tbl AND r.bkt = qb.bkt
+       |   AND r.vec_id <> qb.qid
+       |  GROUP BY qb.qid
+       |),
+       |ent AS (
+       |  SELECT q.qid,
+       |         coalesce(e0.seed, (SELECT min(vec_id) FROM buckets_all)) AS entry
+       |  FROM q LEFT JOIN ent0 e0 ON e0.qid = q.qid
+       |),
        |b0 AS MATERIALIZED (
-       |  SELECT q.qid, x.vec_id, $dot AS sc FROM e x, q WHERE x.vec_id = $GannEntry
+       |  SELECT ent.qid, x.vec_id, $dot AS sc
+       |  FROM ent JOIN e x ON x.vec_id = ent.entry JOIN q ON q.qid = ent.qid
        |),
        |$hops,
+       |$sigs,
+       |cnv AS (
+       |  $cnv
+       |),
+       |hn AS (SELECT q.qid, coalesce(min(c2.k), $GannHops)::BIGINT AS hops_n
+       |       FROM q LEFT JOIN cnv c2 ON c2.qid = q.qid GROUP BY q.qid),
        |vis AS MATERIALIZED (
        |  SELECT DISTINCT qid, vec_id, sc
        |  FROM (SELECT * FROM b0 UNION ALL $visUnion) w
        |),
        |va AS (SELECT qid, count(*)::BIGINT AS visited_n FROM vis GROUP BY qid)
-       |SELECT f.qid, f.vec_id, f.sc, f.rn::BIGINT AS rk, va.visited_n
+       |SELECT f.qid, f.vec_id, f.sc, f.rn::BIGINT AS rk, va.visited_n, hn.hops_n
        |FROM (SELECT qid, vec_id, sc,
        |             row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id ASC) AS rn
        |      FROM vis) f
        |JOIN va ON va.qid = f.qid
+       |JOIN hn ON hn.qid = f.qid
        |WHERE f.rn <= $GannTopK ORDER BY f.qid, rk""".stripMargin
   }
 

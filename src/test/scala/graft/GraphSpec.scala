@@ -165,6 +165,50 @@ class GraphSpec extends SparkSuite {
     assert(visited <= bound, s"visited $visited breaches the construction bound $bound")
     assert(visited < 500L, s"walk touched the whole corpus: $visited")
     assert(rows.forall(_.getLong(3) === visited), "audit column must be constant")
+    // hop attestation: on this 500-node corpus the beam tail genuinely
+    // churns to the budget (measured — each round still swaps in a
+    // marginally better node), so hops_n = the full budget here; the
+    // constructed-graph test below and the sf0.1 serve (hops_n 7-8)
+    // prove the early exit fires when the fixpoint is real
+    val hops = rows.head.getLong(4)
+    assert(hops >= 1L && hops <= Graph.GannHops.toLong)
+    assert(rows.forall(_.getLong(4) === hops), "hop attestation must be constant")
+  }
+
+  test("graph ANN: seeded entry starts in the query's capped bucket; beam stops at its fixpoint") {
+    import spark.implicits._
+    // 4 nodes; query 1 shares bucket (0,7) with 2 and 3; node 0 is
+    // bucket-isolated from the query. Edges connect only 2<->3 and
+    // carry the stored layout's denormalized dst vector.
+    val e = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0f, 0.9f)), (3L, Array(0.1f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val routing = Seq((0L, 0, 3L), (1L, 0, 7L), (2L, 0, 7L), (3L, 0, 7L))
+      .toDF("vec_id", "tbl", "bkt")
+    val bsizes = Seq((0, 3L, 1L), (0, 7L, 3L)).toDF("tbl", "bkt", "n")
+    val edges = Seq(
+      (2L, 3L, 0L, 1, Array(0.1f, 0.8f)), (3L, 2L, 0L, 1, Array(0f, 0.9f)))
+      .toDF("src", "dst", "w", "rk", "dvec")
+    val out = Graph.graphAnnBatchOn(e, edges, routing, bsizes,
+      col("vec_id") === 1L).collect()
+    // entry = min co-bucketed id excluding the query = 2; the walk
+    // reaches 3 on hop 1 and confirms the fixpoint on hop 2 — never
+    // node 0 (the un-co-bucketed one), never the 10-round budget
+    assert(out.map(_.getLong(1)).toSet === Set(2L, 3L))
+    assert(out.forall(_.getLong(4) === 2L), "visited = seed + its neighbor")
+    assert(out.forall(_.getLong(5) === 2L),
+      s"expected fixpoint on hop 2, got ${out.map(_.getLong(5)).toSet}")
+    // a query co-bucketed with nobody falls back to the global
+    // routing minimum as its seed
+    val out0 = Graph.graphAnnBatchOn(e, edges,
+      Seq((0L, 0, 3L), (1L, 0, 7L)).toDF("vec_id", "tbl", "bkt"),
+      Seq((0, 3L, 1L), (0, 7L, 1L)).toDF("tbl", "bkt", "n"),
+      col("vec_id") === 1L).collect()
+    assert(out0.map(_.getLong(1)).toSet === Set(0L),
+      "isolated query must seed at the global routing min (node 0)")
+    assert(out0.forall(_.getLong(5) === 1L),
+      "an edgeless seed is its own fixpoint on hop 1")
   }
 
   test("graph plans: no cartesian product anywhere in the family") {
