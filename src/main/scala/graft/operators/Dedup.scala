@@ -505,7 +505,8 @@ object Dedup {
     * index (file-size-bound at scale, like [[Hybrid.LexBuckets]]).
     */
   val SigBuckets = 8
-  private val SigTag = s"s1b$SigBuckets"
+  // "s2": the layout with the per-version doc-id manifest (`docs/`)
+  private val SigTag = s"s2b$SigBuckets"
 
   /** MinHash band rows (doc_id, band, bh) for a documents-shaped frame
     * — the d2 signature formulation verbatim (same kernel, same
@@ -540,8 +541,22 @@ object Dedup {
         .repartition(col("bucket"))
         .sortWithinPartitions("bucket", "band", "bh")
         .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/bands")
+      // doc-id manifest: every doc this version has INDEXED — including
+      // shingle-less docs, which produce zero band rows but are known.
+      // Membership questions (the streaming reconcile) read this, not a
+      // distinct-projection of the band rows, so "indexed" and "has
+      // shingles" stay separate concepts.
+      corpus.select(col("doc_id")).distinct()
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$target/docs")
     }
   }
+
+  /** The live index version's doc-id MANIFEST — one row per indexed
+    * doc (`doc_id`), maintained by every build/append/compact.
+    */
+  def sigIndexManifest(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensureSigIndex(s, d)}/docs")
 
   /** Append-fragmentation threshold for the band index's bucket dirs
     * (the [[graft.operators.Hybrid]] lex-index discipline).
@@ -577,6 +592,9 @@ object Dedup {
           .repartition(col("bucket"))
           .sortWithinPartitions("bucket", "band", "bh")
           .write.partitionBy("bucket").mode("append").parquet(s"$target/bands")
+        newDocs.select(col("doc_id")).distinct()
+          .coalesce(1).sortWithinPartitions("doc_id")
+          .write.mode("append").parquet(s"$target/docs")
       }
     }
     val live = graft.core.ArtifactStore.current(adir).get
@@ -597,10 +615,14 @@ object Dedup {
       if (onlyIfFragmented && sigFileCount(s"$cur/bands") <= SigCompactFiles) cur
       else {
         val bands = s.read.parquet(s"$cur/bands")
+        val docs = s.read.parquet(s"$cur/docs")
         graft.core.ArtifactStore.publish(adir) { target =>
           bands.repartition(col("bucket"))
             .sortWithinPartitions("bucket", "band", "bh")
             .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/bands")
+          docs.distinct()
+            .coalesce(1).sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(s"$target/docs")
         }
       }
     }

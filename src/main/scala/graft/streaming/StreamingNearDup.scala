@@ -38,16 +38,15 @@ import org.apache.spark.sql.types.StructType
   *    silently empty the frame mid-effect-chain.
   *  - signature index: eventually exactly-once — the crash window
   *    between store-append and index-publish is closed by a per-batch
-  *    RECONCILE: ledger docs missing from the index (one distinct
-  *    projection of the stored bands) are re-appended before the new
-  *    batch probes. Only docs that can PRODUCE band rows count as
-  *    missing — a shingle-less doc (under 3 tokens) is accepted into
-  *    the ledger but by construction can never appear in the index,
-  *    and re-appending it every batch would publish an unbounded
-  *    stream of no-op index versions instead of converging.
-  *    Idempotent, self-healing, and cheap at this meta scale; a
-  *    production deployment records a doc-id manifest in each index
-  *    version's publish to make the missing-set lookup O(1).
+  *    RECONCILE against the index version's doc-id MANIFEST
+  *    ([[Dedup.sigIndexManifest]]): ledger docs missing from the
+  *    manifest are re-appended before the new batch probes. The
+  *    manifest records every INDEXED doc — including shingle-less
+  *    docs (under 3 tokens), which produce zero band rows but are
+  *    known — so membership is a first-class fact rather than a
+  *    distinct-projection of the band rows, and a shingle-less doc
+  *    heals exactly once instead of either churning no-op index
+  *    versions forever or needing a band-derived special case.
   *  - quarantine log: at-least-once — a crash between quarantine-
   *    append and store-append replays the batch and can duplicate
   *    quarantine rows; the log is keyed (batch_id, corpus_id), so
@@ -94,13 +93,12 @@ object StreamingNearDup {
     val ledger = readIfExists(s, acceptedDir)
     // reconcile FIRST: heal any accepted docs whose index publish was
     // lost to a crash, so this batch probes against a complete index.
-    // Shingle-less docs are excluded — they can never produce band
-    // rows, so treating them as "unindexed" would re-publish forever.
-    val idx = Dedup.ensureSigIndex(s, d)
+    // Membership comes from the index's doc-id manifest, so a
+    // shingle-less doc (zero band rows by construction) heals once
+    // and then counts as indexed.
     ledger.foreach { acc =>
-      val indexed = s.read.parquet(s"$idx/bands").select("doc_id").distinct()
-      val unindexed = acc.join(indexed, Seq("doc_id"), "left_anti")
-        .filter(size(Dedup.shingles(col("text"))) > 0)
+      val unindexed = acc.join(Dedup.sigIndexManifest(s, d).select("doc_id"),
+        Seq("doc_id"), "left_anti")
       if (!unindexed.isEmpty) Dedup.appendSigIndex(s, d, unindexed)
     }
     // S4 idempotence: drop docs the ledger already holds. Persisted —

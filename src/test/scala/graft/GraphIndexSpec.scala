@@ -165,6 +165,48 @@ class GraphIndexSpec extends SparkSuite {
       "rebuilt pairs must equal a one-shot build (stale old×old pairs dropped)")
   }
 
+  test("graph_stats participates in version GC and vacuum: stale versions reclaimed, lock skip observable") {
+    import java.nio.file.{Files, Paths}
+    // tiny corpus so the six-table stats rebuild is cheap per version
+    val d = tmpDir("gstgc")
+    val forty = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(40)
+    forty.write.parquet(s"$d/embeddings.parquet")
+    val extras = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").orderBy(col("vec_id").desc).limit(3)
+      .collect()
+    var versions = List(Graph.ensureGraphStats(spark, d))
+    var corpus = graft.core.Tables.embeddings(spark, d)
+    import spark.implicits._
+    for (r <- extras) {
+      val one = Seq((r.getLong(0), r.getSeq[Float](1).toArray))
+        .toDF("vec_id", "embedding")
+      Graph.appendKnnGraph(spark, d, one, corpus)
+      corpus = corpus.unionByName(one)
+      versions :+= Graph.ensureGraphStats(spark, d)
+    }
+    Dedup.releaseSlots()
+    assert(versions.distinct.size === 4, "each generation gets its own stats version")
+    // ensureGraphStats runs gcVersions after each publish (keep = 2):
+    // with four versions the oldest must be reclaimed, current intact
+    assert(!Files.isDirectory(Paths.get(versions.head)),
+      s"stale stats version ${versions.head} must be GC'd")
+    assert(Files.isDirectory(Paths.get(versions.last)))
+    // vacuum-skip observability: with the stats artifact's maintenance
+    // lock held, a dataset sweep reports the artifact as SKIPPED
+    // (couldn't look) instead of throwing or silently omitting it
+    val adir = Paths.get(versions.last).getParent.toString
+    val rep = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      graft.core.ArtifactStore.vacuumAll(d)
+    }
+    assert(rep.skipped.contains(Paths.get(adir).getFileName.toString),
+      s"locked stats artifact must be reported skipped: $rep")
+    // and an unlocked sweep covers it without error (nothing eligible
+    // beyond retention — reclaimed entry present, possibly empty)
+    val rep2 = graft.core.ArtifactStore.vacuumAll(d)
+    assert(rep2.reclaimed.contains(Paths.get(adir).getFileName.toString))
+  }
+
   test("k-core peel costs one job per round (lazy checkpoint, count materializes)") {
     import spark.implicits._
     // path graph a-b-c-d with k=2 peels in 3 counted rounds:

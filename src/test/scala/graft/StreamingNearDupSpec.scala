@@ -129,6 +129,23 @@ class StreamingNearDupSpec extends SparkSuite {
     val v2 = graft.core.ArtifactStore.current(adir)
     assert(v1 === v0 && v2 === v0,
       s"index version must be stable across no-op batches: $v0 / $v1 / $v2")
+    // crash window on a SHINGLE-LESS doc: it reaches the ledger but its
+    // index publish is lost. The manifest-based reconcile heals it in
+    // exactly ONE append (no band-derived special case needed — the
+    // manifest records it even though it contributes zero band rows),
+    // then converges: later batches leave the version alone.
+    Seq((920002L, "another tiny")).toDF("doc_id", "text")
+      .write.mode("append").parquet(acc)
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    val v3 = graft.core.ArtifactStore.current(adir)
+    assert(v3 !== v0, "the healing reconcile publishes one new version")
+    assert(ids(s"${v3.get}/docs", "doc_id").contains(920002L),
+      "healed shingle-less doc lands in the manifest")
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(graft.core.ArtifactStore.current(adir) === v3,
+      "post-heal batches must not churn further versions")
   }
 
   test("crash window between ledger append and index publish self-heals on the next batch") {
