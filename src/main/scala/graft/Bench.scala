@@ -119,11 +119,24 @@ object Bench {
     // selected: run once untimed so their timed run measures the
     // serve-many path, not the one-time batch build that amortizes
     // across every later query.
+    //
+    // The last three are not build-once but JIT-warm-in outliers: the
+    // r12 verdict flagged d16/d11/d15 as swinging 1.5-3x across
+    // same-code rounds, and VarianceProbe attributed it — per-rep
+    // process-CPU on identical plans falls monotonically (d16
+    // 10.9 -> 2.6 s, d11 46 -> 24 s, d15 22 -> 15 s over ~6 reps,
+    // GC ≈ 0) — to C2 compilation of the suite's largest generated
+    // kernel classes (fused shingle+minhash, banded Levenshtein,
+    // KMV), so a single timed first-run sits at a session-history-
+    // dependent point on that warm-in curve. One untimed rep moves
+    // the timed sample to (near) steady state, like every other
+    // query whose shape the flagship warm-up happens to cover.
     for (n <- Seq("q_v9_indexed_range", "q_v10_ivf_kmeans", "q_v12_pq_adc",
         "q_v13_sq8", "q_v14_ivfpq", "q_v16_filtered_ivf", "q_v17_batch_ivfpq",
         "q_v18_ivfadc_residual", "q_d12_semdedup", "q_d16_incremental_neardup",
         "q_j6_bucketed_join", "q_z2_zorder_serve", "q_g1_knn_graph",
-        "q_g2_pagerank", "q_h5_bm25_indexed") if names.contains(n);
+        "q_g2_pagerank", "q_h5_bm25_indexed",
+        "q_d11_fuzzy_edit", "q_d15_overlap_kmv") if names.contains(n);
          fn <- SparkEntry.queries.get(n))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
