@@ -827,27 +827,32 @@ object Graph {
     * maintain on append — the routing table IS the append-maintained
     * membership.
     *
-    * Execution is two id-pushdown lookups against the routing table
-    * (the query's own bucket keys, then their cohabitants), each
-    * collecting ≤ Q·SrpTables·MaxBucket rows BY CONSTRUCTION; the
-    * global-min fallback job runs only for queries whose every bucket
-    * is empty-of-peers or capped out (rare — and the only
-    * full-routing-scan in the serve path when it does).
-    *
-    * The query's own bucket keys come from its stored routing rows
-    * (the corpus-query convention of this family); an external query
-    * vector would hash with the same [[graft.functions.SrpKernel]] to
-    * the same keys — the serve plan stays kernel-free either way for
-    * stored queries, which is what GraphIndexSpec pins.
+    * The query's bucket keys come from hashing ITS VECTOR with the
+    * same [[graft.functions.SrpKernel]] the build used — O(Q) kernel
+    * rows over the checkpointed query table, never a routing lookup
+    * (an external query has no routing row to look up; a corpus query
+    * hashes to exactly its stored rows, so the two conventions
+    * coincide). The cohabitant fetch is then a (tbl, bkt)-key
+    * pushdown against the routing table — its SORT order — so row
+    * groups prune at scale; it collects ≤ Q·SrpTables·MaxBucket rows
+    * BY CONSTRUCTION. The global-min fallback job runs only for
+    * queries whose every bucket is empty-of-peers or capped out
+    * (rare — and the only full-routing-scan in the serve path when it
+    * does). GraphIndexSpec's kernel-free assertion on the served
+    * frame still holds: the kernel here touches Q query rows, never
+    * the corpus.
     */
-  private[graft] def seededEntries(qids: Seq[Long], routing: DataFrame,
+  private[graft] def seededEntries(qv: DataFrame, routing: DataFrame,
       bsizes: DataFrame): Map[Long, Long] = {
     // composite bucket key, exact: bkt < 2^SrpBits by construction
     def keyCol(t: Column, b: Column): Column =
       t.cast("long") * (1L << Dedup.SrpBits) + b
-    val qb = routing.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
+    val qb = qv.select(col("qid"),
+        posexplode(graft.functions.SrpKernel.srpBuckets(
+          col("qv"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
+      .select(col("qid"), keyCol(col("tbl"), col("bkt")).as("key"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val qids = qb.map(_._1).distinct.toSeq
     val keys = qb.map(_._2).distinct.toSeq
     val capped = bsizes
       .filter(keyCol(col("tbl"), col("bkt")).isin(keys: _*) &&
@@ -956,8 +961,7 @@ object Graph {
     val edSel = edges.select(col("src"), col("dst"), col("dvec"),
       (if (edges.columns.contains("bucket")) col("bucket")
        else edgeBucketOf(col("src"))).as("bucket"))
-    val qids = qv.select("qid").collect().map(_.getLong(0)).toSeq.sorted
-    val seeds = seededEntries(qids, routing, bsizes)
+    val seeds = seededEntries(qv, routing, bsizes)
     // driver-held search state — every structure bounded by
     // Q·(1 + hops·beam·G), never corpus-proportional
     val visitedSc = collection.mutable.Map.empty[(Long, Long), Long]

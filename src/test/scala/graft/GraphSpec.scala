@@ -177,33 +177,38 @@ class GraphSpec extends SparkSuite {
 
   test("graph ANN: seeded entry starts in the query's capped bucket; beam stops at its fixpoint") {
     import spark.implicits._
-    // 4 nodes; query 1 shares bucket (0,7) with 2 and 3; node 0 is
-    // bucket-isolated from the query. Edges connect only 2<->3 and
-    // carry the stored layout's denormalized dst vector.
-    val e = Seq(
-      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
-      (2L, Array(0f, 0.9f)), (3L, Array(0.1f, 0.8f)))
-      .toDF("vec_id", "embedding")
-    val routing = Seq((0L, 0, 3L), (1L, 0, 7L), (2L, 0, 7L), (3L, 0, 7L))
-      .toDF("vec_id", "tbl", "bkt")
-    val bsizes = Seq((0, 3L, 1L), (0, 7L, 3L)).toDF("tbl", "bkt", "n")
-    val edges = Seq(
-      (2L, 3L, 0L, 1, Array(0.1f, 0.8f)), (3L, 2L, 0L, 1, Array(0f, 0.9f)))
+    // Nodes 1 (the query), 2, 3 share ONE embedding — the real SRP
+    // kernel hashes them into the same bucket in every table. Node 0
+    // carries the NEGATED vector: every projection dot flips sign, so
+    // its bucket bits are the complement of the query's in every
+    // table — provably never co-bucketed. Edges connect only 2<->3
+    // and carry the stored layout's denormalized dst vector.
+    val v = Array.fill(64)(0.1f)
+    val nv = v.map(-_)
+    val e = Seq((0L, nv), (1L, v), (2L, v), (3L, v)).toDF("vec_id", "embedding")
+    // the routing table holds the INDEXED nodes (not the query — the
+    // external-query serve path; a corpus query hashes identically)
+    def routingOf(ids: Long*) =
+      Graph.bucketRowsOf(e.filter(col("vec_id").isin(ids.map(Long.box): _*)))
+    def sizesOf(r: org.apache.spark.sql.DataFrame) =
+      r.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
+    val routing = routingOf(0L, 2L, 3L)
+    val edges = Seq((2L, 3L, 0L, 1, v), (3L, 2L, 0L, 1, v))
       .toDF("src", "dst", "w", "rk", "dvec")
-    val out = Graph.graphAnnBatchOn(e, edges, routing, bsizes,
+    val out = Graph.graphAnnBatchOn(e, edges, routing, sizesOf(routing),
       col("vec_id") === 1L).collect()
     // entry = min co-bucketed id excluding the query = 2; the walk
     // reaches 3 on hop 1 and confirms the fixpoint on hop 2 — never
-    // node 0 (the un-co-bucketed one), never the 10-round budget
+    // node 0 (the complement-bucketed one), never the 10-round budget
     assert(out.map(_.getLong(1)).toSet === Set(2L, 3L))
     assert(out.forall(_.getLong(4) === 2L), "visited = seed + its neighbor")
     assert(out.forall(_.getLong(5) === 2L),
       s"expected fixpoint on hop 2, got ${out.map(_.getLong(5)).toSet}")
-    // a query co-bucketed with nobody falls back to the global
-    // routing minimum as its seed
-    val out0 = Graph.graphAnnBatchOn(e, edges,
-      Seq((0L, 0, 3L), (1L, 0, 7L)).toDF("vec_id", "tbl", "bkt"),
-      Seq((0, 3L, 1L), (0, 7L, 1L)).toDF("tbl", "bkt", "n"),
+    // a query co-bucketed with nobody (the routing now holds only the
+    // complement-bucketed node 0) falls back to the global routing
+    // minimum as its seed
+    val r0 = routingOf(0L)
+    val out0 = Graph.graphAnnBatchOn(e, edges, r0, sizesOf(r0),
       col("vec_id") === 1L).collect()
     assert(out0.map(_.getLong(1)).toSet === Set(0L),
       "isolated query must seed at the global routing min (node 0)")
