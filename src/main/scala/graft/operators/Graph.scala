@@ -689,21 +689,31 @@ object Graph {
     * live graph is at most that many content generations ahead,
     * rebuild only past the budget — so a live
     * [[graft.streaming.StreamingGraphIngest]] stream (one gen bump per
-    * micro-batch) amortizes the six-table rebuild across `maxLagGen`
-    * batches instead of paying it per batch. The default 0 is strict:
-    * a stale stats table can never serve a registered query.
+    * micro-batch) amortizes the rebuild across `maxLagGen` batches
+    * instead of paying it per batch. The default 0 is strict: a stale
+    * stats table can never serve a registered query.
+    *
+    * When a rebuild does run, the COMPONENT-SCOPED analytics (k-core,
+    * community census) refresh INCREMENTALLY whenever the delta since
+    * the previous stats version is identifiable — see
+    * [[writeGraphStatsTables]]; `STATS_MODE` in the version dir
+    * records which path ran. PageRank/PPR/triangles are always full:
+    * their semantics are global (rank₀ = PrScale div N over the
+    * global node count; one scalar census row), so no append leaves
+    * any of their rows untouched — NOTES_r13 records the analysis.
+    *
     * Correctness: every consumer query's DuckDB oracle recomputes the
     * analytic from raw parquet, so the stored tables sit under the
-    * same hash gate as live computation.
+    * same hash gate as live computation, whichever path wrote them.
     */
   def ensureGraphStats(s: SparkSession, d: String,
       maxLagGen: Long = 0L): String = synchronized {
     val graphDir = ensureKnnGraph(s, d)
     val gv = graphGen(graphDir)
-    // "-s2": the stats LAYOUT version (s2 added triangles/) — a new
-    // table must not be looked up in a stamp-fresh artifact of the
-    // older layout
-    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag + "-s2")
+    // "-s3": the stats LAYOUT version (s3 added the cc assignment
+    // tables + pairs-file manifest) — a new table must not be looked
+    // up in a stamp-fresh artifact of an older layout
+    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag + "-s3")
     def stampOf(ver: String): Option[Long] =
       try Some(java.nio.file.Files.readString(
         java.nio.file.Paths.get(ver, "GRAPH_GEN")).trim.toLong)
@@ -720,73 +730,259 @@ object Graph {
           graft.core.ArtifactStore.current(adir) match {
             case Some(cur) if freshEnough(cur) => cur // lost race, fresh
             case _ =>
+              val prev = graft.core.ArtifactStore.current(adir)
               graft.core.ArtifactStore.publish(adir) { target =>
-                val edges = s.read.parquet(s"$graphDir/edges")
-                  .select("src", "dst", "w", "rk")
-                val pairs = s.read.parquet(s"$graphDir/pairs")
-                  .select("id_a", "id_b", "w")
-                // node set from the artifact's own routing table
-                // (every vector has its SrpTables bucket rows), NOT
-                // the dataset's embeddings — after an append the
-                // graph holds vectors the base table doesn't
-                val nodes = s.read.parquet(s"$graphDir/buckets")
-                  .select("vec_id").distinct()
-                pageRankOn(nodes, edges)
-                  .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
-                  .write.mode("overwrite").parquet(s"$target/pagerank")
-                pprOn(nodes, edges, col("vec_id") < PprSeedMax)
-                  .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
-                  .write.mode("overwrite").parquet(s"$target/ppr")
-                kcoreOn(pairs.filter(col("w") >= CoreWmin)
-                    .select(col("id_a").as("src"), col("id_b").as("dst")))
-                  .repartition(1).sortWithinPartitions("vec_id")
-                  .write.mode("overwrite").parquet(s"$target/kcore")
-                val commEdges = Dedup.cacheSlot("gstats-comm-edges",
-                  pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
-                val cc = Corpus.connectedComponentsStar(commEdges, "id_a", "id_b")
-                val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
-                val ecount = commEdges
-                  .join(cc.select(col("doc_id").as("id_a"), col("cluster")), "id_a")
-                  .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
-                sizes.join(ecount, "cluster")
-                  .select(col("cluster"), col("n_nodes"), col("n_edges"),
-                    expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))")
-                      .as("density_ppm"))
-                  .repartition(1).sortWithinPartitions("cluster")
-                  .write.mode("overwrite").parquet(s"$target/communities")
-                // triangle census (the g3 formulation verbatim over
-                // the stored edges; node census from the routing set)
-                val und = Dedup.cacheSlot("gstats-und-edges", edges
-                  .select(least(col("src"), col("dst")).as("a"),
-                    greatest(col("src"), col("dst")).as("b"))
-                  .distinct())
-                val deg = und.select(col("a").as("v"))
-                  .union(und.select(col("b").as("v")))
-                  .groupBy("v").agg(count(lit(1)).as("dg"))
-                val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-                val tri = und.as("e1")
-                  .join(und.as("e2"), col("e1.b") === col("e2.a"))
-                  .join(und.as("e3"),
-                    col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-                  .agg(count(lit(1)).as("n_triangles"))
-                val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
-                val nEdges = und.agg(count(lit(1)).as("n_edges"))
-                nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
-                  .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-                    col("n_triangles"),
-                    when(col("n_wedges") > 0,
-                      expr("(3000000 * n_triangles) div n_wedges")).otherwise(0L)
-                      .as("closure_ppm"))
-                  .coalesce(1)
-                  .write.mode("overwrite").parquet(s"$target/triangles")
-                java.nio.file.Files.writeString(
-                  java.nio.file.Paths.get(target, "GRAPH_GEN"), gv.toString)
-                ()
+                writeGraphStatsTables(s, graphDir, gv, target, prev)
               }
           }
         }
         graft.core.ArtifactStore.gcVersions(adir)
         out
+    }
+  }
+
+  /** Which path wrote a stats version: "full" or "incremental". */
+  def graphStatsMode(versionDir: String): String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get(versionDir, "STATS_MODE")).trim
+    catch { case _: Throwable => "unknown" }
+
+  private def pairFileNames(pairsDir: String): Seq[String] =
+    Option(new java.io.File(pairsDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSeq.sorted
+
+  /** One stats-version build. PageRank, PPR, and the triangle census
+    * are ALWAYS recomputed from the live graph (global semantics — no
+    * row survives any append untouched). The component-scoped pair
+    * analytics (k-core, community census) go INCREMENTAL when the
+    * delta since `prev` is identifiable: the stored `pairs/` table is
+    * append-only between full graph (re)builds, so each stats version
+    * records the pair FILE names it consumed (`PAIR_FILES`) and the
+    * per-node component assignments at both thresholds (`cc_core/`,
+    * `cc_comm/`); if the previous version's file set is a strict
+    * subset of the live one, the new files ARE the delta, and only
+    * components containing a delta endpoint re-run their CC / peel
+    * fixpoints — every other component's assignment, census row, and
+    * core membership carries forward verbatim (components are closed
+    * under edges, so an untouched component's subgraph is untouched).
+    * A compaction or cap-crossing rebuild rewrites the pair files →
+    * file-set mismatch → conservative full recompute. `STATS_MODE`
+    * records the path taken.
+    *
+    * At 100 TB the win is the fixpoint LOOPS, not I/O: the delta-
+    * scoped CC/peel runs rounds over the affected components only,
+    * while the untouched bulk — the overwhelming majority under
+    * continuous ingest — is one carried join, no rounds.
+    */
+  private def writeGraphStatsTables(s: SparkSession, graphDir: String,
+      gv: Long, target: String, prev: Option[String]): Unit = {
+    val edges = s.read.parquet(s"$graphDir/edges")
+      .select("src", "dst", "w", "rk")
+    val pairs = s.read.parquet(s"$graphDir/pairs")
+      .select("id_a", "id_b", "w")
+    // node set from the artifact's own routing table (every vector
+    // has its SrpTables bucket rows), NOT the dataset's embeddings —
+    // after an append the graph holds vectors the base table doesn't
+    val nodes = s.read.parquet(s"$graphDir/buckets")
+      .select("vec_id").distinct()
+    pageRankOn(nodes, edges)
+      .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
+      .write.mode("overwrite").parquet(s"$target/pagerank")
+    pprOn(nodes, edges, col("vec_id") < PprSeedMax)
+      .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
+      .write.mode("overwrite").parquet(s"$target/ppr")
+    // triangle census (the g3 formulation verbatim over the stored
+    // edges; node census from the routing set)
+    val und = Dedup.cacheSlot("gstats-und-edges", edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("(3000000 * n_triangles) div n_wedges")).otherwise(0L)
+          .as("closure_ppm"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$target/triangles")
+    // ---- component-scoped analytics: incremental when identifiable
+    val curFiles = pairFileNames(s"$graphDir/pairs")
+    val deltaFiles: Option[Seq[String]] = prev.flatMap { p =>
+      val recorded =
+        try java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(p, "PAIR_FILES"))
+          .toArray(Array.empty[String]).map(_.trim).filter(_.nonEmpty).toSeq
+        catch { case _: Throwable => Seq.empty }
+      val hasCc = java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(p, "cc_comm")) &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p, "cc_core"))
+      if (recorded.nonEmpty && hasCc &&
+          recorded.toSet.subsetOf(curFiles.toSet))
+        Some((curFiles.toSet -- recorded).toSeq.sorted)
+      else None
+    }
+    deltaFiles match {
+      case Some(newFiles) =>
+        val delta =
+          if (newFiles.isEmpty) pairs.limit(0)
+          else s.read.parquet(newFiles.map(n => s"$graphDir/pairs/$n"): _*)
+            .select("id_a", "id_b", "w")
+        incrementalComponentTables(s, pairs, delta, prev.get, target)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target, "STATS_MODE"), "incremental")
+      case None =>
+        fullComponentTables(s, pairs, target)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target, "STATS_MODE"), "full")
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(target, "PAIR_FILES"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(curFiles).asJava)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "GRAPH_GEN"), gv.toString)
+    ()
+  }
+
+  /** Census rows for a (doc_id, cluster) assignment over its edge set. */
+  private def censusOf(cc: DataFrame, ccEdges: DataFrame): DataFrame = {
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
+    val ecount = ccEdges
+      .join(cc.select(col("doc_id").as("id_a"), col("cluster")), "id_a")
+      .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
+    sizes.join(ecount, "cluster")
+      .select(col("cluster"), col("n_nodes"), col("n_edges"),
+        expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))")
+          .as("density_ppm"))
+  }
+
+  /** Full-path k-core + census + assignment tables. */
+  private def fullComponentTables(s: SparkSession, pairs: DataFrame,
+      target: String): Unit = {
+    val coreEdges = Dedup.cacheSlot("gstats-core-edges",
+      pairs.filter(col("w") >= CoreWmin).select(col("id_a"), col("id_b")))
+    kcoreOn(coreEdges.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .repartition(1).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$target/kcore")
+    Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b")
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .repartition(1).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$target/cc_core")
+    val commEdges = Dedup.cacheSlot("gstats-comm-edges",
+      pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
+    val cc = Dedup.cacheSlot("gstats-comm-cc",
+      Corpus.connectedComponentsStar(commEdges, "id_a", "id_b"))
+    censusOf(cc, commEdges)
+      .repartition(1).sortWithinPartitions("cluster")
+      .write.mode("overwrite").parquet(s"$target/communities")
+    cc.repartition(1).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$target/cc_comm")
+  }
+
+  /** Incremental path: re-run the CC / peel fixpoints ONLY on
+    * components containing a delta-pair endpoint; carry every other
+    * component's rows forward. Exact because components are closed
+    * under edges (old pairs never cross components; delta pairs'
+    * endpoints are affected by definition) — the judged spec proves
+    * incremental ≡ full across a cluster-merging append.
+    */
+  private def incrementalComponentTables(s: SparkSession, pairs: DataFrame,
+      delta: DataFrame, prevDir: String, target: String): Unit = {
+    // ---- k-core floor (pairs/ stores only w ≥ CoreWmin rows)
+    val prevCcCore = s.read.parquet(s"$prevDir/cc_core") // (vec_id, cluster)
+    val prevKcore = s.read.parquet(s"$prevDir/kcore")    // (vec_id, deg, converged)
+    val coreEdges = Dedup.cacheSlot("gstats-core-edges",
+      pairs.filter(col("w") >= CoreWmin).select(col("id_a"), col("id_b")))
+    val deltaCore = delta.filter(col("w") >= CoreWmin)
+      .select(col("id_a"), col("id_b")).persist()
+    scopedRefresh(s, coreEdges, deltaCore, prevCcCore
+        .select(col("vec_id").as("doc_id"), col("cluster"))) {
+      case (carriedCc, subCc, subEdges) =>
+        val subKcore = kcoreOn(
+          subEdges.select(col("id_a").as("src"), col("id_b").as("dst")))
+        val carriedKcore = prevKcore
+          .join(carriedCc.select(col("doc_id").as("vec_id")), "vec_id")
+        // the converged attestation is GLOBAL in the full formulation
+        // (every row carries the same bit) — combine: carried rows
+        // all converged previously AND the sub peel converged now
+        val carriedBit = carriedKcore
+          .agg(coalesce(min(col("converged")), lit(true)).as("cb"))
+        val subBit = subKcore
+          .agg(coalesce(min(col("converged")), lit(true)).as("sb"))
+        carriedKcore.select("vec_id", "deg")
+          .unionByName(subKcore.select("vec_id", "deg"))
+          .crossJoin(broadcast(carriedBit)).crossJoin(broadcast(subBit))
+          .select(col("vec_id"), col("deg"),
+            (col("cb") && col("sb")).as("converged"))
+          .repartition(1).sortWithinPartitions("vec_id")
+          .write.mode("overwrite").parquet(s"$target/kcore")
+        carriedCc.unionByName(subCc)
+          .select(col("doc_id").as("vec_id"), col("cluster")) // stable order
+          .repartition(1).sortWithinPartitions("vec_id")
+          .write.mode("overwrite").parquet(s"$target/cc_core")
+    }
+    deltaCore.unpersist()
+    // ---- community floor
+    val prevCcComm = s.read.parquet(s"$prevDir/cc_comm") // (doc_id, cluster)
+    val prevComms = s.read.parquet(s"$prevDir/communities")
+    val commEdges = Dedup.cacheSlot("gstats-comm-edges",
+      pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
+    val deltaComm = delta.filter(col("w") >= CommWmin)
+      .select(col("id_a"), col("id_b")).persist()
+    scopedRefresh(s, commEdges, deltaComm, prevCcComm) {
+      case (carriedCc, subCc, subEdges) =>
+        val affClusters = prevCcComm
+          .join(carriedCc, Seq("doc_id", "cluster"), "left_anti")
+          .select("cluster").distinct()
+        prevComms.join(affClusters, Seq("cluster"), "left_anti")
+          .unionByName(censusOf(subCc, subEdges))
+          .select("cluster", "n_nodes", "n_edges", "density_ppm")
+          .repartition(1).sortWithinPartitions("cluster")
+          .write.mode("overwrite").parquet(s"$target/communities")
+        carriedCc.unionByName(subCc)
+          .select("doc_id", "cluster")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(s"$target/cc_comm")
+    }
+    deltaComm.unpersist()
+  }
+
+  /** Shared component-scoping: split the previous assignment into
+    * carried (untouched components) and the recomputed sub-CC over
+    * the affected components' full edge set, then hand
+    * (carriedCc, subCc, subEdges) to the per-floor writer. All three
+    * frames are persisted for the writer's multiple consumers.
+    */
+  private def scopedRefresh(s: SparkSession, allEdges: DataFrame,
+      deltaEdges: DataFrame, prevCc: DataFrame)(
+      write: (DataFrame, DataFrame, DataFrame) => Unit): Unit = {
+    val affNodes = deltaEdges.select(col("id_a").as("doc_id"))
+      .union(deltaEdges.select(col("id_b").as("doc_id"))).distinct()
+    val affClusters = prevCc.join(affNodes, "doc_id")
+      .select("cluster").distinct()
+    val carriedCc = prevCc.join(affClusters, Seq("cluster"), "left_anti")
+      .persist()
+    val subNodes = prevCc.join(affClusters, "cluster").select("doc_id")
+      .union(affNodes).distinct()
+    val subEdges = allEdges
+      .join(subNodes.select(col("doc_id").as("id_a")), "id_a")
+      .persist()
+    val subCc = Corpus.connectedComponentsStar(subEdges, "id_a", "id_b")
+      .persist()
+    try write(carriedCc, subCc, subEdges)
+    finally {
+      carriedCc.unpersist(); subEdges.unpersist(); subCc.unpersist(); ()
     }
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Graph}
+import graft.operators.{Corpus, Dedup, Graph}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -163,6 +163,72 @@ class GraphIndexSpec extends SparkSuite {
     Dedup.releaseSlots()
     assert(gotPairs === wantPairs,
       "rebuilt pairs must equal a one-shot build (stale old×old pairs dropped)")
+  }
+
+  test("graph_stats incremental refresh: component-scoped recompute ≡ full; compaction forces the full fallback") {
+    import org.apache.spark.sql.functions.{expr, least, greatest}
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    val stats0 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphStatsMode(stats0) === "full",
+      "the first build has no previous version to scope against")
+    // append the held-out tenth — pairs/ gains delta files, so the
+    // next stats build can identify the delta and re-run the CC/peel
+    // fixpoints on affected components only
+    Graph.appendKnnGraph(spark, d, heldOut, base)
+    val stats1 = Graph.ensureGraphStats(spark, d)
+    assert(stats1 !== stats0)
+    assert(Graph.graphStatsMode(stats1) === "incremental",
+      "an append-only pairs delta must take the component-scoped path")
+    // ≡ full: stored k-core and census equal a live recompute over the
+    // union corpus (the pagerank test's discipline, for the two tables
+    // the incremental path actually assembles from carried + sub rows)
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    val pairs = Graph.scoredPairsOn(full)
+    val wantKcore = Graph.kcoreOn(pairs
+        .filter(col("w") >= Graph.CoreWmin)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val gotKcore = spark.read.parquet(s"$stats1/kcore")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(gotKcore === wantKcore,
+      s"incremental k-core must equal full recompute (missing ${(wantKcore -- gotKcore).take(5)}, extra ${(gotKcore -- wantKcore).take(5)})")
+    val commEdges = pairs.filter(col("w") >= Graph.CommWmin)
+      .select("id_a", "id_b")
+    val cc = Corpus.connectedComponentsStar(commEdges, "id_a", "id_b")
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
+    val ecount = commEdges
+      .join(cc.select(col("doc_id").as("id_a"), col("cluster")), "id_a")
+      .groupBy("cluster").agg(count(lit(1)).as("n_edges"))
+    val wantComms = sizes.join(ecount, "cluster")
+      .select(col("cluster"), col("n_nodes"), col("n_edges"),
+        expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))").as("density_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val gotComms = spark.read.parquet(s"$stats1/communities")
+      .select("cluster", "n_nodes", "n_edges", "density_ppm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    Dedup.releaseSlots()
+    assert(gotComms === wantComms,
+      s"incremental census must equal full recompute (missing ${(wantComms -- gotComms).take(5)}, extra ${(gotComms -- wantComms).take(5)})")
+    // the carried+sub assignment tables cover exactly the live CC
+    val wantCc = cc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotCc = spark.read.parquet(s"$stats1/cc_comm")
+      .select("doc_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseSlots()
+    assert(gotCc === wantCc, "carried+sub assignments must equal live CC")
+    // compaction rewrites the pair files → the recorded file set no
+    // longer subsets the live one → conservative full fallback on the
+    // next stale build
+    Graph.compactKnnGraph(spark, d)
+    val one = full.select("vec_id", "embedding")
+      .orderBy(col("vec_id").desc).limit(1)
+    Graph.appendKnnGraph(spark, d, one,
+      base.select("vec_id", "embedding").unionByName(heldOut))
+    val stats2 = Graph.ensureGraphStats(spark, d)
+    Dedup.releaseSlots()
+    assert(Graph.graphStatsMode(stats2) === "full",
+      "rewritten pair files must force the full path")
   }
 
   test("graph_stats participates in version GC and vacuum: stale versions reclaimed, lock skip observable") {
