@@ -182,7 +182,7 @@ object ArtifactStore {
     * level; partition dirs (`part=...`) don't start with either marker
     * and are descended into.
     */
-  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+  private[graft] def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
     val files = Files.list(src)
     try files.forEach { p =>
       val n = p.getFileName.toString

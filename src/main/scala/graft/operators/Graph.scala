@@ -422,11 +422,29 @@ object Graph {
   private def graphFileCount(versionDir: String): Int = {
     def cnt(f: java.io.File): Int =
       Option(f.listFiles()).getOrElse(Array.empty).map { c =>
-        if (c.isDirectory) cnt(c)
+        // edge_delta/ is per-generation census metadata (one tiny file
+        // per append), not data layout — compaction retains it, so
+        // counting it would ratchet the trigger into a compaction storm
+        if (c.isDirectory && c.getName != "edge_delta") cnt(c)
         else if (c.isFile && c.getName.endsWith(".parquet")) 1 else 0
       }.sum
     cnt(new java.io.File(versionDir))
   }
+
+  /** Generations of directed edge-delta logs retained through a
+    * compaction — bounds the artifact's metadata growth under a long
+    * append stream. A stats refresh whose gen range predates the
+    * retained window simply fails the coverage check and takes the
+    * full census path (conservative by construction).
+    */
+  private val DeltaLogKeep = 64
+
+  /** Sorted generation numbers of the version's edge-delta logs. */
+  private def deltaLogGens(versionDir: String): Seq[Long] =
+    Option(new java.io.File(s"$versionDir/edge_delta").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .map(_.getName.stripPrefix("gen=").toLong).toSeq.sorted
 
   /** Delta-append new vectors into the stored graph — a publish
     * ([[graft.core.ArtifactStore.appendVersion]]: hard-link
@@ -585,6 +603,32 @@ object Graph {
                 .select("src", "dst", "w", "rk", "dvec", "bucket")
                 .write.partitionBy("bucket").mode("overwrite")
                 .parquet(s"$target/edges_new")
+              // directed edge-delta log for this generation: the net
+              // per-(src,dst) change of the affected srcs' adjacency
+              // (+1 added, -1 removed; kept edges net to 0 and drop
+              // out). The stats census's incremental path replays these
+              // logs to maintain the triangle count without the full
+              // 3-way join — see [[writeGraphStatsTables]]. Written
+              // BEFORE the directory swaps (its lineage reads the
+              // pre-swap edge partitions), delta-sized by construction
+              // (affected srcs' old + new rows only).
+              oldPart.join(affected, Seq("src"))
+                .select(col("src"), col("dst")).withColumn("op", lit(-1))
+                .unionByName(rer.select(col("src"), col("dst"))
+                  .withColumn("op", lit(1)))
+                .groupBy("src", "dst").agg(sum("op").cast("int").as("op"))
+                .filter(col("op") =!= 0)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(s"$target/edge_delta/gen=${prevGen + 1}")
+            } else {
+              // no candidates landed (every bucket capped): the edge
+              // set is unchanged, but the generation's log must still
+              // exist for the census coverage check
+              s.range(0).select(col("id").as("src"), col("id").as("dst"),
+                  lit(1).as("op"))
+                .coalesce(1).write.mode("overwrite")
+                .parquet(s"$target/edge_delta/gen=${prevGen + 1}")
             }
             // every plan has executed — now the directory swaps (the
             // only destructive steps, and nothing reads after them)
@@ -661,6 +705,15 @@ object Graph {
           // so gen-keyed consumers (the stats artifact) don't rebuild
           writeMetaLong(target, ".gen", graphGen(cur))
           writeMetaLong(target, ".crossed", graphCrossedBuckets(cur))
+          // carry the newest DeltaLogKeep edge-delta logs (hard links)
+          // so a compaction doesn't force the census back to the full
+          // path; older gens age out, bounding metadata growth
+          deltaLogGens(cur).takeRight(DeltaLogKeep).foreach { g =>
+            val t = java.nio.file.Paths.get(s"$target/edge_delta/gen=$g")
+            java.nio.file.Files.createDirectories(t)
+            graft.core.ArtifactStore.linkTree(
+              java.nio.file.Paths.get(s"$cur/edge_delta/gen=$g"), t)
+          }
         }
       }
     }
@@ -697,10 +750,13 @@ object Graph {
     * community census) refresh INCREMENTALLY whenever the delta since
     * the previous stats version is identifiable — see
     * [[writeGraphStatsTables]]; `STATS_MODE` in the version dir
-    * records which path ran. PageRank/PPR/triangles are always full:
-    * their semantics are global (rank₀ = PrScale div N over the
-    * global node count; one scalar census row), so no append leaves
-    * any of their rows untouched — NOTES_r13 records the analysis.
+    * records which path ran. The TRIANGLE census is likewise
+    * incremental (edge-local counting — [[incrementalCensus]] replays
+    * the appends' directed edge-delta logs; `TRI_MODE` records the
+    * path). Only PageRank/PPR are always full: their semantics are
+    * global (rank₀ = PrScale div N over the global node count), so no
+    * append leaves any of their rows untouched — NOTES_r13 records
+    * the analysis.
     *
     * Correctness: every consumer query's DuckDB oracle recomputes the
     * analytic from raw parquet, so the stored tables sit under the
@@ -710,10 +766,11 @@ object Graph {
       maxLagGen: Long = 0L): String = synchronized {
     val graphDir = ensureKnnGraph(s, d)
     val gv = graphGen(graphDir)
-    // "-s3": the stats LAYOUT version (s3 added the cc assignment
-    // tables + pairs-file manifest) — a new table must not be looked
-    // up in a stamp-fresh artifact of an older layout
-    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag + "-s3")
+    // "-s4": the stats LAYOUT version (s3 added the cc assignment
+    // tables + pairs-file manifest; s4 the census state deg/ +
+    // TRI_MODE) — a new table must not be looked up in a stamp-fresh
+    // artifact of an older layout
+    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag + "-s4")
     def stampOf(ver: String): Option[Long] =
       try Some(java.nio.file.Files.readString(
         java.nio.file.Paths.get(ver, "GRAPH_GEN")).trim.toLong)
@@ -752,9 +809,11 @@ object Graph {
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getName).toSeq.sorted
 
-  /** One stats-version build. PageRank, PPR, and the triangle census
-    * are ALWAYS recomputed from the live graph (global semantics — no
-    * row survives any append untouched). The component-scoped pair
+  /** One stats-version build. PageRank and PPR are ALWAYS recomputed
+    * from the live graph (global semantics — no row survives any
+    * append untouched). The triangle census goes incremental when the
+    * appends' per-generation edge-delta logs cover the gen range —
+    * see [[incrementalCensus]]. The component-scoped pair
     * analytics (k-core, community census) go INCREMENTAL when the
     * delta since `prev` is identifiable: the stored `pairs/` table is
     * append-only between full graph (re)builds, so each stats version
@@ -792,31 +851,41 @@ object Graph {
     pprOn(nodes, edges, col("vec_id") < PprSeedMax)
       .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
       .write.mode("overwrite").parquet(s"$target/ppr")
-    // triangle census (the g3 formulation verbatim over the stored
-    // edges; node census from the routing set)
-    val und = Dedup.cacheSlot("gstats-und-edges", edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .distinct())
-    val deg = und.select(col("a").as("v"))
-      .union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("dg"))
-    val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .join(und.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = und.agg(count(lit(1)).as("n_edges"))
-    nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        when(col("n_wedges") > 0,
-          expr("(3000000 * n_triangles) div n_wedges")).otherwise(0L)
-          .as("closure_ppm"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$target/triangles")
+    // ---- triangle census: INCREMENTAL when the graph's per-generation
+    // edge-delta logs cover (prevGen, gv] and the previous version
+    // stored its census state (deg/ + triangles/) — the census is pure
+    // edge-local counting, so unlike PageRank/PPR it has no global-N
+    // obstruction; the delta replay below avoids the full 3-way
+    // triangle join entirely. Missing logs (a cap-crossing rebuild
+    // publishes a fresh artifact with none; compaction retains only
+    // DeltaLogKeep gens) → conservative full path. `TRI_MODE` records
+    // which ran.
+    val censusGens: Option[Seq[Long]] = prev.flatMap { p =>
+      val g0 = try Some(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p, "GRAPH_GEN")).trim.toLong)
+        catch { case _: Throwable => None }
+      val hasState = java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(p, "deg")) &&
+        java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(p, "triangles"))
+      val logs = deltaLogGens(graphDir).toSet
+      g0 match {
+        case Some(pg) if hasState && pg <= gv &&
+            ((pg + 1) to gv).forall(logs.contains) =>
+          Some(((pg + 1) to gv).toSeq)
+        case _ => None
+      }
+    }
+    censusGens match {
+      case Some(gens) =>
+        incrementalCensus(s, graphDir, gens, prev.get, target)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target, "TRI_MODE"), "incremental")
+      case None =>
+        fullCensus(s, nodes, edges, target)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target, "TRI_MODE"), "full")
+    }
     // ---- component-scoped analytics: incremental when identifiable
     val curFiles = pairFileNames(s"$graphDir/pairs")
     val deltaFiles: Option[Seq[String]] = prev.flatMap { p =>
@@ -854,6 +923,183 @@ object Graph {
       java.nio.file.Paths.get(target, "GRAPH_GEN"), gv.toString)
     ()
   }
+
+  /** Full census path: the g3 formulation verbatim over the stored
+    * edges (undirected distinct pairs → degrees → wedge fold → 3-way
+    * triangle join), node count from the routing set. Also writes the
+    * census STATE the incremental path carries: `deg/` (per-node
+    * undirected degree).
+    */
+  private def fullCensus(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, target: String): Unit = {
+    val und = Dedup.cacheSlot("gstats-und-edges", edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+      .repartition(1).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(s"$target/deg")
+    val wedges = s.read.parquet(s"$target/deg")
+      .agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("(3000000 * n_triangles) div n_wedges")).otherwise(0L)
+          .as("closure_ppm"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$target/triangles")
+  }
+
+  /** Incremental census: maintain the triangle row WITHOUT the 3-way
+    * join by replaying the appends' directed edge-delta logs.
+    *
+    * Let N be the live undirected edge set, O the previous version's,
+    * A = N∖O (added canonical pairs), R = O∖N (removed). For either
+    * delta set X counted against its graph G, triangles touching X are
+    * counted once via inclusion–exclusion over how many X-edges a
+    * triangle holds (t1/t2/t3):
+    *
+    *  - S = Σ_{e∈X} |common neighbors of e in G| = t1 + 2·t2 + 3·t3;
+    *  - U = closed wedge-pairs of X-edges (two X-edges sharing a
+    *    vertex whose closing pair is in G) = t2 + 3·t3;
+    *  - t3 = triangles entirely inside X (the canonical a<b<c join);
+    *  - T(≥1 X-edge) = S − U + t3.
+    *
+    * Then tri_new = tri_old + T_A(over N) − T_R(over O). Degrees carry
+    * from the stored `deg/` table with per-endpoint deltas, the wedge
+    * fold moves only on touched nodes (C(d₁,2) − C(d₀,2)), edge count
+    * by |A| − |R|, and the node count is a `bsizes` fold (every vector
+    * holds exactly [[Dedup.SrpTables]] routing rows). A and R are
+    * recovered from the NETTED logs (sum of ops per directed pair
+    * across the gen range — add-then-remove cancels) against the live
+    * directed adjacency, so multi-generation ranges replay exactly.
+    *
+    * Scale shape: every join keys on the delta's endpoints (broadcast
+    * semi-joins prune the edge scan); the only corpus-sized work is
+    * two linear passes (adjacency probe, deg carry) — no full distinct
+    * over und, no full 3-way join, no fixpoint loops.
+    */
+  private def incrementalCensus(s: SparkSession, graphDir: String,
+      gens: Seq[Long], prevDir: String, target: String): Unit = {
+    val prevRow = s.read.parquet(s"$prevDir/triangles").collect().head
+    val prevDeg = s.read.parquet(s"$prevDir/deg")
+    val net =
+      (if (gens.isEmpty)
+        s.range(0).select(col("id").as("src"), col("id").as("dst"),
+          lit(1L).as("net"))
+      else
+        s.read.parquet(gens.map(g => s"$graphDir/edge_delta/gen=$g"): _*)
+          .groupBy("src", "dst").agg(sum("op").as("net"))
+          .filter(col("net") =!= 0)).persist()
+    val tp = net.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val ed = s.read.parquet(s"$graphDir/edges").select("src", "dst")
+    // live directed membership of the touched pairs (both directions)
+    val probeDir = tp.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(tp.select(col("b").as("src"), col("a").as("dst")))
+    val dirNew = ed.join(broadcast(probeDir), Seq("src", "dst"), "left_semi")
+      .distinct().persist()
+    // previous directed membership = live − adds + dels (netted ops
+    // only touch affected srcs, all inside the probe set)
+    val adds = net.filter(col("net") > 0).select("src", "dst")
+    val dels = net.filter(col("net") < 0).select("src", "dst")
+    val dirOld = dirNew.join(adds, Seq("src", "dst"), "left_anti")
+      .unionByName(dels)
+    def canon(df: DataFrame): DataFrame = df.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val membNew = canon(dirNew)
+    val membOld = canon(dirOld)
+    val A = membNew.join(membOld, Seq("a", "b"), "left_anti").persist()
+    val R = membOld.join(membNew, Seq("a", "b"), "left_anti").persist()
+    // adjacency restricted to the delta pairs' endpoints — the only
+    // rows any counting term probes
+    val arP = A.unionByName(R)
+    val e2 = arP.select(col("a").as("v"))
+      .unionByName(arP.select(col("b").as("v"))).distinct()
+    val symN = ed.select(col("src").as("v"), col("dst").as("o"))
+      .unionByName(ed.select(col("dst").as("v"), col("src").as("o")))
+      .join(broadcast(e2), Seq("v"), "left_semi")
+      .filter(col("v") =!= col("o")).distinct().persist()
+    def symOf(p: DataFrame): DataFrame =
+      p.select(col("a").as("v"), col("b").as("o"))
+        .unionByName(p.select(col("b").as("v"), col("a").as("o")))
+    val symO = symN.join(symOf(A), Seq("v", "o"), "left_anti")
+      .unionByName(symOf(R)).persist()
+    // the three inclusion–exclusion terms — bounded driver scalars
+    // (delta-sized joins against the restricted adjacency)
+    def sTerm(x: DataFrame, sym: DataFrame): Long =
+      x.join(sym.select(col("v").as("a"), col("o").as("c")), Seq("a"))
+        .join(sym.select(col("v").as("b"), col("o").as("c")), Seq("b", "c"))
+        .count()
+    def uTerm(x: DataFrame, sym: DataFrame): Long = {
+      val sx1 = symOf(x).select(col("v").as("cv"), col("o").as("x1"))
+      val sx2 = symOf(x).select(col("v").as("cv"), col("o").as("x2"))
+      sx1.join(sx2, Seq("cv")).filter(col("x1") < col("x2"))
+        .select(col("x1").as("v"), col("x2").as("o"))
+        .join(sym, Seq("v", "o"), "left_semi")
+        .count()
+    }
+    def t3Term(x: DataFrame): Long = {
+      val e1 = x.select(col("a").as("ta"), col("b").as("tb"))
+      val e2x = x.select(col("a").as("tb"), col("b").as("tc"))
+      val e3 = x.select(col("a").as("ta"), col("b").as("tc"))
+      e1.join(e2x, Seq("tb")).join(e3, Seq("ta", "tc")).count()
+    }
+    val tA = sTerm(A, symN) - uTerm(A, symN) + t3Term(A)
+    val tR = sTerm(R, symO) - uTerm(R, symO) + t3Term(R)
+    // degree carry + wedge fold on touched nodes only
+    val degDelta = symOf(A).groupBy("v").agg(count(lit(1)).as("pd"))
+      .join(symOf(R).groupBy("v").agg(count(lit(1)).as("md")), Seq("v"), "full")
+      .select(col("v"),
+        (coalesce(col("pd"), lit(0L)) - coalesce(col("md"), lit(0L))).as("dd"))
+      .persist()
+    val wDelta = prevDeg.join(degDelta, Seq("v"), "right")
+      .select(coalesce(col("dg"), lit(0L)).as("d0"),
+        (coalesce(col("dg"), lit(0L)) + col("dd")).as("d1"))
+      .agg(coalesce(sum(expr(
+        "d1 * (d1 - 1) div 2 - d0 * (d0 - 1) div 2")), lit(0L)).as("w"))
+      .collect().head.getLong(0)
+    prevDeg.join(degDelta, Seq("v"), "full")
+      .select(col("v"),
+        (coalesce(col("dg"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("dg"))
+      .filter(col("dg") > 0)
+      .repartition(1).sortWithinPartitions("v")
+      .write.mode("overwrite").parquet(s"$target/deg")
+    val nA = A.count()
+    val nR = R.count()
+    val nEdges = prevRow.getAs[Long]("n_edges") + nA - nR
+    val nWedges = prevRow.getAs[Long]("n_wedges") + wDelta
+    val nTri = prevRow.getAs[Long]("n_triangles") + tA - tR
+    val nNodes = s.read.parquet(s"$graphDir/bsizes")
+      .agg(coalesce(sum("n"), lit(0L)).as("t")).collect().head.getLong(0) /
+      Dedup.SrpTables
+    val closure = if (nWedges > 0) (3000000L * nTri) / nWedges else 0L
+    import s.implicits._
+    Seq((nNodes, nEdges, nWedges, nTri, closure))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_ppm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$target/triangles")
+    Seq(net, dirNew, A, R, symN, symO, degDelta).foreach(_.unpersist())
+    ()
+  }
+
+  /** Which path wrote a stats version's triangle census: "full" or
+    * "incremental".
+    */
+  def graphTriMode(versionDir: String): String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get(versionDir, "TRI_MODE")).trim
+    catch { case _: Throwable => "unknown" }
 
   /** Census rows for a (doc_id, cluster) assignment over its edge set. */
   private def censusOf(cc: DataFrame, ccEdges: DataFrame): DataFrame = {

@@ -231,6 +231,84 @@ class GraphIndexSpec extends SparkSuite {
       "rewritten pair files must force the full path")
   }
 
+  test("triangle census replays the edge-delta logs: multi-gen incremental ≡ full, survives compaction") {
+    val (d, heldOut) = splitDataset()
+    val stats0 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphTriMode(stats0) === "full",
+      "the first build has no previous census state to carry")
+    // TWO appends between stats refreshes: the census replay must NET
+    // the generations' logs (an edge added in gen 1 and evicted in
+    // gen 2 cancels; op=-1 rows witness the eviction path)
+    val h1 = heldOut.filter(col("vec_id") % 20 === 0)
+    val h2 = heldOut.filter(col("vec_id") % 20 =!= 0)
+    var corpus = graft.core.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding")
+    Graph.appendKnnGraph(spark, d, h1, corpus)
+    corpus = corpus.unionByName(h1)
+    Graph.appendKnnGraph(spark, d, h2, corpus)
+    corpus = corpus.unionByName(h2)
+    val gdir = Graph.ensureKnnGraph(spark, d)
+    val ops = spark.read.parquet(
+      s"$gdir/edge_delta/gen=1", s"$gdir/edge_delta/gen=2")
+    assert(ops.filter(col("op") === -1).count() > 0,
+      "re-rank evictions must ride the log as op=-1 rows")
+    val stats1 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphTriMode(stats1) === "incremental",
+      "covered gen range + stored census state must take the replay path")
+    // ≡ full: census row and degree state equal a from-scratch
+    // computation over the live stored edges (append ≡ rebuild is
+    // already proven for the edges themselves)
+    def expectedCensus(): (Long, Long, Long, Long, Seq[(Long, Long)]) = {
+      val ed = Graph.storedEdges(spark, d).select("src", "dst")
+      val und = ed.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct().persist()
+      val deg = und.select(col("a").as("v"))
+        .union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg")).persist()
+      val nW = deg.agg(sum(expr("dg * (dg - 1) div 2"))).collect().head.getLong(0)
+      val nT = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b")).count()
+      val nE = und.count()
+      val nN = spark.read.parquet(s"${Graph.ensureKnnGraph(spark, d)}/buckets")
+        .select("vec_id").distinct().count()
+      val degSet = deg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      und.unpersist(); deg.unpersist()
+      (nN, nE, nW, nT, degSet)
+    }
+    def check(statsDir: String): Unit = {
+      val (nN, nE, nW, nT, degSet) = expectedCensus()
+      val row = spark.read.parquet(s"$statsDir/triangles").collect().head
+      assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+        ((nN, nE, nW, nT)),
+        s"incremental census row must equal full recompute")
+      assert(row.getLong(4) === (if (nW > 0) (3000000L * nT) / nW else 0L))
+      val gotDeg = spark.read.parquet(s"$statsDir/deg")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotDeg.toSet === degSet.toSet,
+        "carried degree state must equal full recompute")
+    }
+    check(stats1)
+    // compaction retains the recent logs (hard-linked into the new
+    // version), so a post-compaction append STILL replays — while the
+    // cc path's PAIR_FILES manifest mismatches and goes full: the two
+    // incremental modes are independent
+    Graph.compactKnnGraph(spark, d)
+    import spark.implicits._
+    val emb0 = graft.core.Tables.embeddings(spark, d)
+      .select("embedding").limit(1)
+    val novel = spark.range(1).select(lit(1000000L).as("vec_id"))
+      .crossJoin(emb0)
+    Graph.appendKnnGraph(spark, d, novel, corpus)
+    val stats2 = Graph.ensureGraphStats(spark, d)
+    Dedup.releaseSlots()
+    assert(Graph.graphTriMode(stats2) === "incremental",
+      "compaction must not force the census replay back to the full path")
+    assert(Graph.graphStatsMode(stats2) === "full",
+      "compaction rewrites pair files — the component path's fallback")
+    check(stats2)
+  }
+
   test("graph_stats participates in version GC and vacuum: stale versions reclaimed, lock skip observable") {
     import java.nio.file.{Files, Paths}
     // tiny corpus so the six-table stats rebuild is cheap per version
