@@ -301,7 +301,8 @@ object Bench {
     val latency: Seq[(String, Double, Double)] =
       if (only.isDefined) Seq.empty
       else Seq("q_v9_indexed_range", "q_h5_bm25_indexed", "q_g1_knn_graph",
-          "q_g2_pagerank").filter(SparkEntry.queries.contains).flatMap { n =>
+          "q_g2_pagerank", "q_g7_graph_ann")
+        .filter(SparkEntry.queries.contains).flatMap { n =>
         hygiene()
         force(n) // untimed shape warm, like the sweep's warm-up
         val xs = (1 to LatReps).map(_ => force(n)._1).filter(_ >= 0).sorted

@@ -876,16 +876,12 @@ object Graph {
         case _ => None
       }
     }
-    censusGens match {
-      case Some(gens) =>
-        incrementalCensus(s, graphDir, gens, prev.get, target)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(target, "TRI_MODE"), "incremental")
-      case None =>
-        fullCensus(s, nodes, edges, target)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(target, "TRI_MODE"), "full")
-    }
+    val triIncremental = censusGens.exists(gens =>
+      incrementalCensus(s, graphDir, gens, prev.get, target))
+    if (!triIncremental) fullCensus(s, nodes, edges, target)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "TRI_MODE"),
+      if (triIncremental) "incremental" else "full")
     // ---- component-scoped analytics: incremental when identifiable
     val curFiles = pairFileNames(s"$graphDir/pairs")
     val deltaFiles: Option[Seq[String]] = prev.flatMap { p =>
@@ -984,113 +980,174 @@ object Graph {
     * across the gen range — add-then-remove cancels) against the live
     * directed adjacency, so multi-generation ranges replay exactly.
     *
-    * Scale shape: every join keys on the delta's endpoints (broadcast
-    * semi-joins prune the edge scan); the only corpus-sized work is
-    * two linear passes (adjacency probe, deg carry) — no full distinct
-    * over und, no full 3-way join, no fixpoint loops.
+    * Scale shape: the search STATE (netted ops, touched pairs, the
+    * adjacency restricted to their endpoints) is bounded by the delta,
+    * so the counting runs in driver loops over collected sets — the
+    * graph-ANN beam's coordinator discipline; a dozen 1-row Spark
+    * aggregates paid ~1 s of AQE exchange-job scheduling EACH for
+    * work this small. Spark does what is corpus-sized: one
+    * broadcast-semi pruned scan fetches the incident rows, one
+    * broadcast outer join carries the deg table. Cost-model guards
+    * ([[CensusMaxDeltaFrac]]/[[CensusAdjBudget]]) decline to the full
+    * path when the delta stops being small — returning false, never
+    * wrong. No full distinct over und, no full 3-way join.
     */
+  /** Decline thresholds for [[incrementalCensus]]: a replay whose
+    * netted op count exceeds `CensusMaxDeltaFrac` of the previous edge
+    * count (plus a small-graph floor) — or whose restricted adjacency
+    * would exceed `CensusAdjBudget` rows — is near the full path's
+    * cost anyway, so the refresh takes the exact full join instead.
+    */
+  private val CensusMaxDeltaFrac = 0.05
+  private val CensusDeltaFloor = 4096L
+  private val CensusAdjBudget = 4000000L
+
   private def incrementalCensus(s: SparkSession, graphDir: String,
-      gens: Seq[Long], prevDir: String, target: String): Unit = {
+      gens: Seq[Long], prevDir: String, target: String): Boolean = {
     val prevRow = s.read.parquet(s"$prevDir/triangles").collect().head
+    val prevEdges = prevRow.getAs[Long]("n_edges")
     val prevDeg = s.read.parquet(s"$prevDir/deg")
-    val net =
-      (if (gens.isEmpty)
-        s.range(0).select(col("id").as("src"), col("id").as("dst"),
-          lit(1L).as("net"))
-      else
-        s.read.parquet(gens.map(g => s"$graphDir/edge_delta/gen=$g"): _*)
-          .groupBy("src", "dst").agg(sum("op").as("net"))
-          .filter(col("net") =!= 0)).persist()
-    val tp = net.select(least(col("src"), col("dst")).as("a"),
-      greatest(col("src"), col("dst")).as("b")).distinct()
+    // netted directed ops across the gen range (add-then-evict
+    // cancels) — log-sized, collected: the whole point of the replay
+    // is that this state is bounded by the delta, so the counting
+    // below is driver-paced like the graph-ANN beam (a tagged-union
+    // of a dozen tiny aggregates paid ~1 s of exchange-job scheduling
+    // EACH under AQE — fixed cost that dwarfed the saved join)
+    val netRows: Array[(Long, Long, Long)] =
+      if (gens.isEmpty) Array.empty
+      else s.read.parquet(gens.map(g => s"$graphDir/edge_delta/gen=$g"): _*)
+        .groupBy("src", "dst").agg(sum("op").as("net"))
+        .filter(col("net") =!= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (netRows.length >
+        CensusMaxDeltaFrac * prevEdges + CensusDeltaFloor) return false
+    val adds = netRows.collect { case (a, b, n) if n > 0 => (a, b) }.toSet
+    val dels = netRows.collect { case (a, b, n) if n < 0 => (a, b) }.toSet
+    val touched: Set[(Long, Long)] = (adds ++ dels)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
     val ed = s.read.parquet(s"$graphDir/edges").select("src", "dst")
-    // live directed membership of the touched pairs (both directions)
-    val probeDir = tp.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(tp.select(col("b").as("src"), col("a").as("dst")))
-    val dirNew = ed.join(broadcast(probeDir), Seq("src", "dst"), "left_semi")
-      .distinct().persist()
-    // previous directed membership = live − adds + dels (netted ops
-    // only touch affected srcs, all inside the probe set)
-    val adds = net.filter(col("net") > 0).select("src", "dst")
-    val dels = net.filter(col("net") < 0).select("src", "dst")
-    val dirOld = dirNew.join(adds, Seq("src", "dst"), "left_anti")
-      .unionByName(dels)
-    def canon(df: DataFrame): DataFrame = df.select(
-      least(col("src"), col("dst")).as("a"),
-      greatest(col("src"), col("dst")).as("b")).distinct()
-    val membNew = canon(dirNew)
-    val membOld = canon(dirOld)
-    val A = membNew.join(membOld, Seq("a", "b"), "left_anti").persist()
-    val R = membOld.join(membNew, Seq("a", "b"), "left_anti").persist()
-    // adjacency restricted to the delta pairs' endpoints — the only
-    // rows any counting term probes
-    val arP = A.unionByName(R)
-    val e2 = arP.select(col("a").as("v"))
-      .unionByName(arP.select(col("b").as("v"))).distinct()
-    val symN = ed.select(col("src").as("v"), col("dst").as("o"))
-      .unionByName(ed.select(col("dst").as("v"), col("src").as("o")))
-      .join(broadcast(e2), Seq("v"), "left_semi")
-      .filter(col("v") =!= col("o")).distinct().persist()
-    def symOf(p: DataFrame): DataFrame =
-      p.select(col("a").as("v"), col("b").as("o"))
-        .unionByName(p.select(col("b").as("v"), col("a").as("o")))
-    val symO = symN.join(symOf(A), Seq("v", "o"), "left_anti")
-      .unionByName(symOf(R)).persist()
-    // the three inclusion–exclusion terms — bounded driver scalars
-    // (delta-sized joins against the restricted adjacency)
-    def sTerm(x: DataFrame, sym: DataFrame): Long =
-      x.join(sym.select(col("v").as("a"), col("o").as("c")), Seq("a"))
-        .join(sym.select(col("v").as("b"), col("o").as("c")), Seq("b", "c"))
-        .count()
-    def uTerm(x: DataFrame, sym: DataFrame): Long = {
-      val sx1 = symOf(x).select(col("v").as("cv"), col("o").as("x1"))
-      val sx2 = symOf(x).select(col("v").as("cv"), col("o").as("x2"))
-      sx1.join(sx2, Seq("cv")).filter(col("x1") < col("x2"))
-        .select(col("x1").as("v"), col("x2").as("o"))
-        .join(sym, Seq("v", "o"), "left_semi")
-        .count()
+    import s.implicits._
+    // ONE pruned scan fetches every directed edge incident to a
+    // touched endpoint — it answers both questions below: the touched
+    // pairs' live directed membership (row present?) and the counting
+    // terms' restricted adjacency. Budget-guarded.
+    val pSet: Set[Long] = touched.flatMap { case (a, b) => Seq(a, b) }
+    val pDf = pSet.toSeq.toDF("v")
+    val incRows = ed
+      .join(broadcast(pDf.select(col("v").as("src"))), Seq("src"), "left_semi")
+      .unionByName(ed
+        .join(broadcast(pDf.select(col("v").as("dst"))), Seq("dst"), "left_semi")
+        .select("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (incRows.length > CensusAdjBudget) return false
+    val dirIncident: Set[(Long, Long)] = incRows.toSet
+    val dirNew: Set[(Long, Long)] = touched.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).filter(dirIncident) }
+    val dirOld = dirNew -- adds ++ dels
+    def undOf(dir: Set[(Long, Long)]): Set[(Long, Long)] = touched.filter {
+      case (a, b) => dir((a, b)) || dir((b, a)) }
+    val membNew = undOf(dirNew)
+    val membOld = undOf(dirOld)
+    val aSet = membNew -- membOld
+    val rSet = membOld -- membNew
+    val e2: Set[Long] = (aSet ++ rSet).flatMap { case (a, b) => Seq(a, b) }
+    val adjN = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    def link(m: scala.collection.mutable.HashMap[Long,
+        scala.collection.mutable.HashSet[Long]], v: Long, o: Long): Unit = {
+      if (e2(v) && v != o) {
+        m.getOrElseUpdate(v, scala.collection.mutable.HashSet.empty) += o; ()
+      }
     }
-    def t3Term(x: DataFrame): Long = {
-      val e1 = x.select(col("a").as("ta"), col("b").as("tb"))
-      val e2x = x.select(col("a").as("tb"), col("b").as("tc"))
-      val e3 = x.select(col("a").as("ta"), col("b").as("tc"))
-      e1.join(e2x, Seq("tb")).join(e3, Seq("ta", "tc")).count()
+    for ((a, b) <- incRows) { link(adjN, a, b); link(adjN, b, a) }
+    // old adjacency = new with the A pairs removed, R pairs restored
+    val adjO = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    for ((v, os) <- adjN) adjO(v) = os.clone()
+    for ((a, b) <- aSet) {
+      adjO.get(a).foreach(_ -= b); adjO.get(b).foreach(_ -= a)
     }
-    val tA = sTerm(A, symN) - uTerm(A, symN) + t3Term(A)
-    val tR = sTerm(R, symO) - uTerm(R, symO) + t3Term(R)
-    // degree carry + wedge fold on touched nodes only
-    val degDelta = symOf(A).groupBy("v").agg(count(lit(1)).as("pd"))
-      .join(symOf(R).groupBy("v").agg(count(lit(1)).as("md")), Seq("v"), "full")
-      .select(col("v"),
-        (coalesce(col("pd"), lit(0L)) - coalesce(col("md"), lit(0L))).as("dd"))
-      .persist()
-    val wDelta = prevDeg.join(degDelta, Seq("v"), "right")
-      .select(coalesce(col("dg"), lit(0L)).as("d0"),
-        (coalesce(col("dg"), lit(0L)) + col("dd")).as("d1"))
-      .agg(coalesce(sum(expr(
-        "d1 * (d1 - 1) div 2 - d0 * (d0 - 1) div 2")), lit(0L)).as("w"))
-      .collect().head.getLong(0)
-    prevDeg.join(degDelta, Seq("v"), "full")
+    for ((a, b) <- rSet) { link(adjO, a, b); link(adjO, b, a) }
+    type Adj = scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.HashSet[Long]]
+    def nbrs(adj: Adj, v: Long): scala.collection.Set[Long] =
+      adj.getOrElse(v, scala.collection.mutable.HashSet.empty)
+    // T(≥1 X-edge in G) = S − U + t3 (Scaladoc identity), all in tight
+    // driver loops over the bounded sets
+    def tTerm(x: Set[(Long, Long)], adj: Adj): Long = {
+      var sTerm = 0L
+      for ((a, b) <- x) {
+        val (sm, lg) = { val na = nbrs(adj, a); val nb = nbrs(adj, b)
+          if (na.size <= nb.size) (na, nb) else (nb, na) }
+        sTerm += sm.count(lg.contains)
+      }
+      val symX = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      for ((a, b) <- x) {
+        symX.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        symX.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      var uTerm = 0L
+      for ((v, os) <- symX; i <- os.indices; j <- (i + 1) until os.size) {
+        val (p, q) = (math.min(os(i), os(j)), math.max(os(i), os(j)))
+        if (nbrs(adj, p).contains(q)) uTerm += 1
+      }
+      var t3 = 0L
+      val xAdj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashSet[Long]]
+      for ((a, b) <- x) {
+        xAdj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+        xAdj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+      }
+      for ((a, b) <- x) {
+        val xa = xAdj.getOrElse(a, scala.collection.mutable.HashSet.empty[Long])
+        val xb = xAdj.getOrElse(b, scala.collection.mutable.HashSet.empty[Long])
+        val (sm, lg) = if (xa.size <= xb.size) (xa, xb) else (xb, xa)
+        t3 += sm.count(c => c > b && lg.contains(c))
+      }
+      sTerm - uTerm + t3
+    }
+    val tA = tTerm(aSet, adjN)
+    val tR = tTerm(rSet, adjO)
+    // degree deltas per endpoint; previous degrees of touched nodes
+    // come from one pruned read of the stored deg table
+    val degDelta = scala.collection.mutable.HashMap
+      .empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- aSet) { degDelta(a) += 1; degDelta(b) += 1 }
+    for ((a, b) <- rSet) { degDelta(a) -= 1; degDelta(b) -= 1 }
+    val touchedV = degDelta.keys.toSeq
+    val d0Map: Map[Long, Long] =
+      if (touchedV.isEmpty) Map.empty
+      else prevDeg
+        .join(broadcast(touchedV.toDF("v")), Seq("v"), "left_semi")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def c2(d: Long): Long = d * (d - 1) / 2
+    var wDelta = 0L
+    for ((v, dd) <- degDelta) {
+      val d0 = d0Map.getOrElse(v, 0L)
+      wDelta += c2(d0 + dd) - c2(d0)
+    }
+    // carry the deg table with the (broadcast-joined) endpoint deltas
+    val degDeltaDf = degDelta.toSeq.toDF("v", "dd")
+    prevDeg.join(broadcast(degDeltaDf), Seq("v"), "full")
       .select(col("v"),
         (coalesce(col("dg"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("dg"))
       .filter(col("dg") > 0)
       .repartition(1).sortWithinPartitions("v")
       .write.mode("overwrite").parquet(s"$target/deg")
-    val nA = A.count()
-    val nR = R.count()
-    val nEdges = prevRow.getAs[Long]("n_edges") + nA - nR
+    val nEdges = prevEdges + aSet.size - rSet.size
     val nWedges = prevRow.getAs[Long]("n_wedges") + wDelta
     val nTri = prevRow.getAs[Long]("n_triangles") + tA - tR
+    // every vector holds exactly SrpTables routing rows, so the node
+    // count is a bsizes fold — O(populated buckets), no corpus scan
     val nNodes = s.read.parquet(s"$graphDir/bsizes")
       .agg(coalesce(sum("n"), lit(0L)).as("t")).collect().head.getLong(0) /
       Dedup.SrpTables
     val closure = if (nWedges > 0) (3000000L * nTri) / nWedges else 0L
-    import s.implicits._
     Seq((nNodes, nEdges, nWedges, nTri, closure))
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_ppm")
       .coalesce(1).write.mode("overwrite").parquet(s"$target/triangles")
-    Seq(net, dirNew, A, R, symN, symO, degDelta).foreach(_.unpersist())
-    ()
+    true
   }
 
   /** Which path wrote a stats version's triangle census: "full" or

@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.core.Tables
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the stats refresh with the triangle census on its two
+  * paths: INCREMENTAL (replaying the append's edge-delta logs) vs
+  * FULL (the 3-way triangle join), everything else held equal — two
+  * identical 90/10 fixtures take the same gen-0 build + append; one
+  * keeps its logs, the other has them removed so the coverage check
+  * fails. PageRank/PPR (always full) and the cc analytics
+  * (incremental in both — PAIR_FILES is intact) are common cost, so
+  * the wall difference isolates the census path.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *      sbt "runMain graft.tools.CensusProbe"
+  */
+object CensusProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-census-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wh = java.nio.file.Files.createTempDirectory("cns-wh").toString
+    sys.props("graft.warehouse") = wh
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+
+    val full = Tables.embeddings(spark, sfDir)
+    def fixture(tag: String, pmil: Int): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"cns-$tag").toString
+      val isDelta = pmod(xxhash64(col("vec_id")), lit(1000L)) < pmil
+      full.filter(!isDelta).write.mode("overwrite")
+        .parquet(s"$d/embeddings.parquet")
+      val base = Tables.embeddings(spark, d)
+      val delta = full.filter(isDelta).select("vec_id", "embedding")
+      Graph.ensureKnnGraph(spark, d)
+      Graph.ensureGraphStats(spark, d) // gen-0 build, untimed
+      Graph.appendKnnGraph(spark, d, delta, base)
+      Dedup.releaseSlots()
+      d
+    }
+    def dropLogs(d: String): Unit = {
+      val name = new java.io.File(d).getName
+      for {
+        a <- Option(new java.io.File(wh).listFiles()).getOrElse(Array.empty)
+        if a.getName.startsWith("knn_graph_") && a.getName.contains(name)
+        cur <- graft.core.ArtifactStore.current(a.toString)
+      } {
+        val edl = new java.io.File(cur, "edge_delta")
+        if (edl.isDirectory) rm(edl)
+      }
+    }
+
+    // per-mil delta sizes: 2 (a micro-batch), 10 (1%), 100 (bulk 10%)
+    for (pmil <- Seq(2, 10, 100)) {
+      val d1 = fixture(s"inc$pmil", pmil)
+      val (s1, tInc) = time(Graph.ensureGraphStats(spark, d1))
+      Dedup.releaseSlots()
+      val d2 = fixture(s"ful$pmil", pmil)
+      dropLogs(d2) // coverage check fails → full 3-way join
+      val (s2, tFul) = time(Graph.ensureGraphStats(spark, d2))
+      Dedup.releaseSlots()
+      println(s"""{"probe":"census_refresh","sf":"$sfDir","delta_pmil":$pmil,""" +
+        s""""refresh_logs_s":${math.round(tInc * 1000) / 1000.0},""" +
+        s""""refresh_nologs_s":${math.round(tFul * 1000) / 1000.0},""" +
+        s""""tri_mode_logs":"${Graph.graphTriMode(s1)}",""" +
+        s""""tri_mode_nologs":"${Graph.graphTriMode(s2)}"}""")
+    }
+    spark.stop()
+  }
+}
