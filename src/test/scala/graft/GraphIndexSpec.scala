@@ -309,6 +309,44 @@ class GraphIndexSpec extends SparkSuite {
     check(stats2)
   }
 
+  test("census cost model declines a bulk delta: logs present and covering, yet the full path runs") {
+    // a bulk append (90% of the corpus in one generation) nets far
+    // more directed ops than the replay is cheaper for — the refresh
+    // must take the exact full join even though the logs cover the
+    // range. sf0.1's 2000 vectors make the op count decisive.
+    val sf01 = "/root/testdata/sf0.1"
+    val d = tmpDir("gcm")
+    val full = graft.core.Tables.embeddings(spark, sf01)
+    full.filter(col("vec_id") % 10 === 0)
+      .write.parquet(s"$d/embeddings.parquet")
+    val base = graft.core.Tables.embeddings(spark, d)
+    val heldOut = full.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id", "embedding")
+    val stats0 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphTriMode(stats0) === "full")
+    Graph.appendKnnGraph(spark, d, heldOut, base)
+    val gdir = Graph.ensureKnnGraph(spark, d)
+    assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$gdir/edge_delta/gen=1")),
+      "the append must have logged its generation")
+    val stats1 = Graph.ensureGraphStats(spark, d)
+    Dedup.releaseSlots()
+    assert(Graph.graphTriMode(stats1) === "full",
+      "a bulk delta must decline to the full path by the cost model")
+    // and the row is exact regardless of path
+    val ed = Graph.storedEdges(spark, d).select("src", "dst")
+    val und = ed.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct().persist()
+    val nE = und.count()
+    val nT = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b")).count()
+    und.unpersist()
+    Dedup.releaseSlots()
+    val row = spark.read.parquet(s"$stats1/triangles").collect().head
+    assert((row.getLong(1), row.getLong(3)) === ((nE, nT)))
+  }
+
   test("graph_stats participates in version GC and vacuum: stale versions reclaimed, lock skip observable") {
     import java.nio.file.{Files, Paths}
     // tiny corpus so the six-table stats rebuild is cheap per version
