@@ -1449,7 +1449,8 @@ object Graph {
     * selection tie-broken (score DESC, vec_id ASC).
     */
   def graphAnnBatchOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
-      bsizes: DataFrame, isQuery: Column): DataFrame = {
+      bsizes: DataFrame, isQuery: Column,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     // materialized once (lazily, by the seed-scoring job); every hop
@@ -1520,7 +1521,13 @@ object Graph {
       .sorted.toDF("qid", "vec_id", "sc")
     val audit = visDf.groupBy("qid").agg(count(lit(1)).as("visited_n"))
     val hopsDf = hopsOf.toSeq.sorted.toDF("qid", "hops_n")
-    visDf.withColumn("rk", row_number().over(
+    // a predicate (g9) constrains the RESULT, not the walk: traversal
+    // is predicate-agnostic (connectivity must not depend on the
+    // filter), so the attestations — what the walk touched — are
+    // computed over the full visited set
+    val keep = allowed.fold(visDf)(a =>
+      visDf.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    keep.withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
       .filter(col("rk") <= GannTopK)
       .join(audit, "qid")
@@ -1537,6 +1544,26 @@ object Graph {
     graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
       storedBuckets(s, d), storedBucketSizes(s, d),
       col("vec_id") < GannBatchQ)
+
+  /** G9: FILTERED graph-ANN — the v16 predicate family
+    * ([[Indexed.FilterLabels]]) on the graph serve path. The walk is
+    * predicate-AGNOSTIC: the beam traverses the full graph exactly as
+    * g7 (restricting edges to matching nodes would fragment
+    * connectivity and gate recall on the filter's selectivity — the
+    * reason filtered-ANN systems keep traversal unfiltered and
+    * constrain the candidate set), and only the final top-K selection
+    * keeps visited nodes passing the predicate. `visited_n`/`hops_n`
+    * therefore attest the SAME walk as g7; recall comes from the
+    * visited pool being ≫ K.
+    */
+  lazy val g9GraphAnnFiltered: Relational.Q = (s, d) =>
+    graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
+      storedBuckets(s, d), storedBucketSizes(s, d),
+      col("vec_id") === GannQueryId,
+      allowed = Some(embeddings(s, d)
+        .filter(col("label").isin(Indexed.FilterLabels: _*))
+        .select("vec_id")))
+      .drop("qid").orderBy("rk")
       .orderBy("qid", "rk")
 
   // ------------------------------------------------------------ queries
@@ -1710,6 +1737,7 @@ object Graph {
     "q_g6_ppr" -> g6Ppr,
     "q_g7_graph_ann" -> g7GraphAnn,
     "q_g8_graph_ann_batch" -> g8GraphAnnBatch,
+    "q_g9_graph_ann_filtered" -> g9GraphAnnFiltered,
   )
 
   /** G6: personalized PageRank from the benchmark-prefix seed set —
@@ -1869,7 +1897,14 @@ object Graph {
     * past the fixpoint leaves every later signature equal and min(k)
     * still names the convergence round.
     */
-  private lazy val graphAnnSql: String = {
+  private lazy val graphAnnSql: String = graphAnnSqlWhere("")
+
+  /** [[graphAnnSql]] with a WHERE clause on the FINAL selection only
+    * (g9's filtered variant) — the unrolled walk, signatures, and
+    * attestations are shared verbatim: the filter constrains the
+    * result, never the traversal.
+    */
+  private def graphAnnSqlWhere(finalWhere: String): String = {
     val dot = sqlIntDot("x.ed", "q.qv")
     val hops = (1 to GannHops).map { k =>
       s"""nb$k AS MATERIALIZED (
@@ -1924,9 +1959,16 @@ object Graph {
        |       (SELECT hops_n FROM hn) AS hops_n
        |FROM (SELECT vec_id, sc,
        |             row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rn
-       |      FROM vis) f
+       |      FROM vis $finalWhere) f
        |WHERE rn <= $GannTopK ORDER BY rk""".stripMargin
   }
+
+  /** g9's oracle: [[graphAnnSqlWhere]] with the v16 label predicate
+    * on the final selection.
+    */
+  private lazy val graphAnnFilteredSql: String = graphAnnSqlWhere(
+    s"WHERE vec_id IN (SELECT vec_id FROM embeddings " +
+      s"WHERE label IN (${Indexed.FilterLabels.mkString(", ")}))")
 
   /** The batch beam search unrolled — [[graphAnnSql]] with the query
     * id carried through every hop, all windows PARTITION BY qid, and
@@ -2005,6 +2047,7 @@ object Graph {
   val oracleSql: Map[String, String] = Map(
     "q_g8_graph_ann_batch" -> graphAnnBatchSql,
     "q_g7_graph_ann" -> graphAnnSql,
+    "q_g9_graph_ann_filtered" -> graphAnnFilteredSql,
     "q_g6_ppr" -> pprSql,
     "q_g5_communities" -> communitiesSql,
     "q_g4_kcore" -> kcoreSql,
