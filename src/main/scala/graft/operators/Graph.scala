@@ -1450,7 +1450,7 @@ object Graph {
     */
   def graphAnnBatchOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
       bsizes: DataFrame, isQuery: Column,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[Column] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     // materialized once (lazily, by the seed-scoring job); every hop
@@ -1524,9 +1524,15 @@ object Graph {
     // a predicate (g9) constrains the RESULT, not the walk: traversal
     // is predicate-agnostic (connectivity must not depend on the
     // filter), so the attestations — what the walk touched — are
-    // computed over the full visited set
-    val keep = allowed.fold(visDf)(a =>
-      visDf.join(a.select("vec_id"), Seq("vec_id"), "left_semi"))
+    // computed over the full visited set. The predicate is evaluated
+    // by an id-pushdown point fetch over the VISITED ids only (driver-
+    // known, ≤ Q·(1+hops·beam·G)) — the seed-fetch discipline, never a
+    // corpus-wide label scan on the serve path.
+    val keep = allowed.fold(visDf) { pred =>
+      val ids = visitedSc.keys.map(_._2).toSeq.distinct.sorted
+      val ok = e.filter(col("vec_id").isin(ids: _*) && pred).select("vec_id")
+      visDf.join(ok, Seq("vec_id"), "left_semi")
+    }
     keep.withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
       .filter(col("rk") <= GannTopK)
@@ -1560,9 +1566,7 @@ object Graph {
     graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
       storedBuckets(s, d), storedBucketSizes(s, d),
       col("vec_id") === GannQueryId,
-      allowed = Some(embeddings(s, d)
-        .filter(col("label").isin(Indexed.FilterLabels: _*))
-        .select("vec_id")))
+      allowed = Some(col("label").isin(Indexed.FilterLabels: _*)))
       .drop("qid").orderBy("rk")
       .orderBy("qid", "rk")
 
