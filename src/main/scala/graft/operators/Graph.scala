@@ -43,7 +43,7 @@ object Graph {
     * candidate bound ([[Dedup.MaxBucket]]·[[Dedup.SrpTables]]) so the
     * per-node top-G selection is a bounded-input window.
     */
-  val GraphTopG = 4
+  val GraphTopG = 8
 
   /** Fixed-point element quantizer scale (power of two: the double
     * multiply is exact for every float input).
@@ -1294,7 +1294,7 @@ object Graph {
     * unrolls to), reported k, and the query (a corpus vector, so the
     * result must rediscover it — a built-in sanity anchor).
     */
-  val GannBeam = 12
+  val GannBeam = 32
   val GannHops = 10
   val GannTopK = 10
   val GannQueryId = 1L
@@ -1311,11 +1311,17 @@ object Graph {
     s.read.parquet(s"${ensureKnnGraph(s, d)}/bsizes")
       .select("tbl", "bkt", "n")
 
-  /** Seeded beam-search entries: for each query, the smallest vec_id
-    * sharing a CAPPED LSH bucket with it (occupancy ≤
-    * [[Dedup.MaxBucket]] — the same pair-generation cap the build
-    * applies), excluding the query's own id; fallback, the smallest
-    * vec_id in the routing table. Returns qid → seed.
+  /** Seeded beam-search entries: for each query, EVERY vec_id sharing
+    * a CAPPED LSH bucket with it (occupancy ≤ [[Dedup.MaxBucket]] —
+    * the same pair-generation cap the build applies), excluding the
+    * query's own id; fallback, the smallest vec_id in the routing
+    * table. Returns qid → candidate seeds (≤ SrpTables·MaxBucket per
+    * query); the caller scores them all and keeps the top-beam as the
+    * initial beam — the LSH candidates ARE approximate neighbors, so
+    * the walk starts inside the answer's neighborhood and refines
+    * (the standard LSH-seeded NSW hybrid; a single min-id seed
+    * measured recall@10 of 4-6/10 on the test corpora, seeding the
+    * full cohabitant set lifts it — q_g10 attests the number).
     *
     * Why seeded: a fixed global entry node is both a recall cliff
     * (a query far from the entry exhausts the hop budget before its
@@ -1342,7 +1348,7 @@ object Graph {
     * the corpus.
     */
   private[graft] def seededEntries(qv: DataFrame, routing: DataFrame,
-      bsizes: DataFrame): Map[Long, Long] = {
+      bsizes: DataFrame): Map[Long, Seq[Long]] = {
     // composite bucket key, exact: bkt < 2^SrpBits by construction
     def keyCol(t: Column, b: Column): Column =
       t.cast("long") * (1L << Dedup.SrpBits) + b
@@ -1363,16 +1369,16 @@ object Graph {
       .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
       .collect().map(r => (r.getLong(1), r.getLong(0)))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val seeded = qids.flatMap { q =>
+    val seeded: Map[Long, Seq[Long]] = qids.flatMap { q =>
       val peers = qb.collect { case (v, key) if v == q => key }
         .flatMap(k => cohab.getOrElse(k, Array.empty[Long]))
-        .filter(_ != q)
-      if (peers.isEmpty) None else Some(q -> peers.min)
+        .filter(_ != q).distinct.sorted
+      if (peers.isEmpty) None else Some(q -> peers.toSeq)
     }.toMap
     if (seeded.size == qids.size) seeded
     else {
       val fb = routing.agg(min("vec_id")).collect().head.getLong(0)
-      seeded ++ qids.filterNot(seeded.contains).map(_ -> fb)
+      seeded ++ qids.filterNot(seeded.contains).map(_ -> Seq(fb))
     }
   }
 
@@ -1381,8 +1387,9 @@ object Graph {
     * ONE query — [[graphAnnBatchOn]] with a single-query batch, qid
     * dropped. Output: the top [[GannTopK]] visited nodes by score,
     * each row carrying the `visited_n` touch-bound attestation
-    * (≤ 1 + hops·beam·G nodes BY CONSTRUCTION — the walk scores beam
-    * candidates only, never the corpus) and `hops_n`, the number of
+    * (≤ seeds + hops·beam·G nodes BY CONSTRUCTION, seeds ≤
+    * SrpTables·MaxBucket — the walk scores its LSH-cohabitant seed
+    * set and beam candidates only, never the corpus) and `hops_n`, the number of
     * hop-rounds the walk actually executed before its fixpoint
     * (≤ [[GannHops]]).
     */
@@ -1415,7 +1422,7 @@ object Graph {
     * shuffled through 3-5 scheduled stages per hop: pure scheduling
     * tax (~0.5 s/hop at sf0.1, >90% of the family's serve cost). This
     * loop instead holds the bounded search STATE (beams, visited
-    * scores — ≤ Q·(1 + hops·beam·G) ≈ 4k rows of 3 longs at the g8
+    * scores — ≤ Q·(seeds + hops·beam·G) rows of 3 longs at the g8
     * defaults) on the driver, the coordinator role every NSW serving
     * system gives it, and runs ONE Spark job per hop: the (qid, src)
     * beam pairs broadcast against the stored edge table with its
@@ -1463,15 +1470,28 @@ object Graph {
        else edgeBucketOf(col("src"))).as("bucket"))
     val seeds = seededEntries(qv, routing, bsizes)
     // driver-held search state — every structure bounded by
-    // Q·(1 + hops·beam·G), never corpus-proportional
+    // Q·(seeds + hops·beam·G) with seeds ≤ SrpTables·MaxBucket,
+    // never corpus-proportional
     val visitedSc = collection.mutable.Map.empty[(Long, Long), Long]
     val nodeBkt = collection.mutable.Map.empty[Long, Int]
     var beams = Map.empty[Long, Set[(Long, Long)]]
     // seed scoring: the one embeddings lookup of the serve path — an
     // id-pushdown point fetch (row-group pruned on a sorted table)
-    val seedIds = seeds.values.toSeq.distinct
-    for (r <- seeds.toSeq.toDF("qid", "vec_id")
-        .join(e.filter(col("vec_id").isin(seedIds: _*)), "vec_id")
+    // while the candidate list is small, a broadcast semi-join past
+    // the isin practicality bound. Every scored candidate counts
+    // toward visited_n (those reads were paid) and the initial beam
+    // is the top-B among them.
+    val seedPairs = seeds.toSeq
+      .flatMap { case (q2, vs) => vs.map(v => (q2, v)) }.distinct
+    val seedIds = seedPairs.map(_._2).distinct
+    val spDf = seedPairs.toDF("qid", "vec_id")
+    val eSeeds =
+      if (seedIds.size <= 1000) e.filter(col("vec_id").isin(seedIds: _*))
+      else e.join(broadcast(spDf.select("vec_id").distinct()),
+        Seq("vec_id"), "left_semi")
+    val pool = collection.mutable.Map.empty[Long, List[(Long, Long)]]
+    for (r <- spDf
+        .join(eSeeds, "vec_id")
         .join(broadcast(qv), "qid")
         .select(col("qid"), col("vec_id"),
           intDot(col("embedding"), col("qv")).as("sc"),
@@ -1480,7 +1500,11 @@ object Graph {
       val (qid, vid, sc, bkt) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
       visitedSc((qid, vid)) = sc
       nodeBkt(vid) = bkt
-      beams += qid -> (beams.getOrElse(qid, Set.empty) + ((vid, sc)))
+      pool(qid) = (vid, sc) :: pool.getOrElse(qid, Nil)
+    }
+    beams = pool.toMap.map { case (q2, xs) =>
+      q2 -> xs.distinct.sortBy { case (vid, sc) => (-sc, vid) }
+        .take(GannBeam).toSet
     }
     var active = beams.keySet
     var hopsOf = Map.empty[Long, Long]
@@ -1526,7 +1550,7 @@ object Graph {
     // filter), so the attestations — what the walk touched — are
     // computed over the full visited set. The predicate is evaluated
     // by an id-pushdown point fetch over the VISITED ids only (driver-
-    // known, ≤ Q·(1+hops·beam·G)) — the seed-fetch discipline, never a
+    // known, ≤ Q·(seeds+hops·beam·G)) — the seed-fetch discipline, never a
     // corpus-wide label scan on the serve path.
     val keep = allowed.fold(visDf) { pred =>
       val ids = visitedSc.keys.map(_._2).toSeq.distinct.sorted
@@ -1550,6 +1574,7 @@ object Graph {
     graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
       storedBuckets(s, d), storedBucketSizes(s, d),
       col("vec_id") < GannBatchQ)
+      .orderBy("qid", "rk")
 
   /** G9: FILTERED graph-ANN — the v16 predicate family
     * ([[Indexed.FilterLabels]]) on the graph serve path. The walk is
@@ -1568,7 +1593,34 @@ object Graph {
       col("vec_id") === GannQueryId,
       allowed = Some(col("label").isin(Indexed.FilterLabels: _*)))
       .drop("qid").orderBy("rk")
-      .orderBy("qid", "rk")
+
+  /** G10: graph-ANN recall audit — the [[Indexed.v19RecallGrid]]
+    * discipline applied to the graph serve path, which until now
+    * carried touch-bound attestations (`visited_n`) but no measured
+    * RECALL: one row intersecting g7's top-K with the exact
+    * brute-force top-K under the same integer metric, next to the
+    * walk's attestations. At 100 TB this is the recurring
+    * index-quality job that decides beam/hop retuning after drift,
+    * exactly as v19 decides nprobe/topn.
+    */
+  lazy val g10GannRecall: Relational.Q = (s, d) => {
+    val res = g7GraphAnn(s, d)
+    val e = embeddings(s, d)
+    val qv = e.filter(col("vec_id") === GannQueryId)
+      .select(col("embedding").as("qv2"))
+    val exact = e.crossJoin(broadcast(qv))
+      .select(col("vec_id"), intDot(col("embedding"), col("qv2")).as("esc"))
+      .orderBy(col("esc").desc, col("vec_id").asc).limit(GannTopK)
+      .select("vec_id")
+    val recall = res.select("vec_id")
+      .join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("recall10"))
+    res.agg(min("visited_n").as("visited_n"), min("hops_n").as("hops_n"))
+      .crossJoin(recall)
+      .select(lit("g7_gann").as("variant"), col("visited_n"),
+        col("hops_n"), col("recall10"))
+      .orderBy("variant")
+  }
 
   // ------------------------------------------------------------ queries
 
@@ -1742,6 +1794,7 @@ object Graph {
     "q_g7_graph_ann" -> g7GraphAnn,
     "q_g8_graph_ann_batch" -> g8GraphAnnBatch,
     "q_g9_graph_ann_filtered" -> g9GraphAnnFiltered,
+    "q_g10_gann_recall" -> g10GannRecall,
   )
 
   /** G6: personalized PageRank from the benchmark-prefix seed set —
@@ -1908,7 +1961,21 @@ object Graph {
     * attestations are shared verbatim: the filter constrains the
     * result, never the traversal.
     */
-  private def graphAnnSqlWhere(finalWhere: String): String = {
+  private def graphAnnSqlWhere(finalWhere: String): String =
+    s"""$graphAnnWalkCtes
+       |SELECT vec_id, sc, rn::BIGINT AS rk,
+       |       (SELECT count(*) FROM vis)::BIGINT AS visited_n,
+       |       (SELECT hops_n FROM hn) AS hops_n
+       |FROM (SELECT vec_id, sc,
+       |             row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rn
+       |      FROM vis $finalWhere) f
+       |WHERE rn <= $GannTopK ORDER BY rk""".stripMargin
+
+  /** The unrolled single-query walk's CTE chain (entry seed, hop
+    * rounds, beam signatures, convergence round, visited union) —
+    * shared by the g7/g9 result oracles and g10's recall audit.
+    */
+  private lazy val graphAnnWalkCtes: String = {
     val dot = sqlIntDot("x.ed", "q.qv")
     val hops = (1 to GannHops).map { k =>
       s"""nb$k AS MATERIALIZED (
@@ -1937,17 +2004,24 @@ object Graph {
     val visUnion = (1 to GannHops).map(k => s"SELECT * FROM nb$k").mkString(" UNION ALL ")
     s"""$edgesCte,
        |q AS (SELECT ed AS qv FROM e WHERE vec_id = $GannQueryId),
-       |ent AS (
-       |  SELECT coalesce(
-       |    (SELECT min(r.vec_id) FROM buckets r
-       |     JOIN (SELECT tbl, bkt FROM buckets_all WHERE vec_id = $GannQueryId) qb
-       |       ON r.tbl = qb.tbl AND r.bkt = qb.bkt
-       |     WHERE r.vec_id <> $GannQueryId),
-       |    (SELECT min(vec_id) FROM buckets_all)) AS entry
+       |peers AS (
+       |  SELECT DISTINCT r.vec_id FROM buckets r
+       |  JOIN (SELECT tbl, bkt FROM buckets_all WHERE vec_id = $GannQueryId) qb
+       |    ON r.tbl = qb.tbl AND r.bkt = qb.bkt
+       |  WHERE r.vec_id <> $GannQueryId
+       |),
+       |sd AS MATERIALIZED (
+       |  SELECT x.vec_id, $dot AS sc
+       |  FROM (SELECT vec_id FROM peers
+       |        UNION ALL
+       |        SELECT min(vec_id) AS vec_id FROM buckets_all
+       |        WHERE NOT EXISTS (SELECT 1 FROM peers)) s
+       |  JOIN e x ON x.vec_id = s.vec_id, q
        |),
        |b0 AS MATERIALIZED (
-       |  SELECT x.vec_id, $dot AS sc
-       |  FROM ent JOIN e x ON x.vec_id = ent.entry CROSS JOIN q
+       |  SELECT vec_id, sc FROM (
+       |    SELECT vec_id, sc, row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rn
+       |    FROM sd) z0 WHERE rn <= $GannBeam
        |),
        |$hops,
        |$sigs,
@@ -1956,16 +2030,28 @@ object Graph {
        |),
        |hn AS (SELECT coalesce(min(k), $GannHops)::BIGINT AS hops_n FROM cnv),
        |vis AS MATERIALIZED (
-       |  SELECT DISTINCT vec_id, sc FROM (SELECT * FROM b0 UNION ALL $visUnion) w
-       |)
-       |SELECT vec_id, sc, rn::BIGINT AS rk,
-       |       (SELECT count(*) FROM vis)::BIGINT AS visited_n,
-       |       (SELECT hops_n FROM hn) AS hops_n
-       |FROM (SELECT vec_id, sc,
-       |             row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rn
-       |      FROM vis $finalWhere) f
-       |WHERE rn <= $GannTopK ORDER BY rk""".stripMargin
+       |  SELECT DISTINCT vec_id, sc FROM (SELECT * FROM sd UNION ALL $visUnion) w
+       |)""".stripMargin
   }
+
+  /** g10's oracle: the walk CTEs + exact brute-force top-K under the
+    * same integer metric, intersected.
+    */
+  private lazy val gannRecallSql: String =
+    s"""$graphAnnWalkCtes,
+       |res AS (SELECT vec_id FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY sc DESC, vec_id ASC) AS rn
+       |  FROM vis) f WHERE rn <= $GannTopK),
+       |ex AS (SELECT vec_id FROM (
+       |  SELECT x.vec_id,
+       |         row_number() OVER (ORDER BY ${sqlIntDot("x.ed", "q.qv")} DESC,
+       |                            x.vec_id ASC) AS rn
+       |  FROM e x, q) z WHERE rn <= $GannTopK)
+       |SELECT 'g7_gann' AS variant,
+       |       (SELECT count(*) FROM vis)::BIGINT AS visited_n,
+       |       (SELECT hops_n FROM hn) AS hops_n,
+       |       (SELECT count(*) FROM res JOIN ex USING (vec_id))::BIGINT AS recall10
+       |ORDER BY variant""".stripMargin
 
   /** g9's oracle: [[graphAnnSqlWhere]] with the v16 label predicate
     * on the final selection.
@@ -2010,22 +2096,28 @@ object Graph {
     val visUnion = (1 to GannHops).map(k => s"SELECT * FROM nb$k").mkString(" UNION ALL ")
     s"""$edgesCte,
        |q AS (SELECT vec_id AS qid, ed AS qv FROM e WHERE vec_id < $GannBatchQ),
-       |ent0 AS (
-       |  SELECT qb.qid, min(r.vec_id) AS seed
+       |peers AS (
+       |  SELECT DISTINCT qb.qid, r.vec_id
        |  FROM (SELECT vec_id AS qid, tbl, bkt FROM buckets_all
        |        WHERE vec_id < $GannBatchQ) qb
        |  JOIN buckets r ON r.tbl = qb.tbl AND r.bkt = qb.bkt
        |   AND r.vec_id <> qb.qid
-       |  GROUP BY qb.qid
        |),
-       |ent AS (
-       |  SELECT q.qid,
-       |         coalesce(e0.seed, (SELECT min(vec_id) FROM buckets_all)) AS entry
-       |  FROM q LEFT JOIN ent0 e0 ON e0.qid = q.qid
+       |sd AS MATERIALIZED (
+       |  SELECT s.qid, x.vec_id, $dot AS sc
+       |  FROM (SELECT qid, vec_id FROM peers
+       |        UNION ALL
+       |        SELECT q2.qid, (SELECT min(vec_id) FROM buckets_all) AS vec_id
+       |        FROM q q2 WHERE NOT EXISTS
+       |          (SELECT 1 FROM peers p2 WHERE p2.qid = q2.qid)) s
+       |  JOIN e x ON x.vec_id = s.vec_id
+       |  JOIN q ON q.qid = s.qid
        |),
        |b0 AS MATERIALIZED (
-       |  SELECT ent.qid, x.vec_id, $dot AS sc
-       |  FROM ent JOIN e x ON x.vec_id = ent.entry JOIN q ON q.qid = ent.qid
+       |  SELECT qid, vec_id, sc FROM (
+       |    SELECT qid, vec_id, sc,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id ASC) AS rn
+       |    FROM sd) z0 WHERE rn <= $GannBeam
        |),
        |$hops,
        |$sigs,
@@ -2036,7 +2128,7 @@ object Graph {
        |       FROM q LEFT JOIN cnv c2 ON c2.qid = q.qid GROUP BY q.qid),
        |vis AS MATERIALIZED (
        |  SELECT DISTINCT qid, vec_id, sc
-       |  FROM (SELECT * FROM b0 UNION ALL $visUnion) w
+       |  FROM (SELECT * FROM sd UNION ALL $visUnion) w
        |),
        |va AS (SELECT qid, count(*)::BIGINT AS visited_n FROM vis GROUP BY qid)
        |SELECT f.qid, f.vec_id, f.sc, f.rn::BIGINT AS rk, va.visited_n, hn.hops_n
@@ -2052,6 +2144,7 @@ object Graph {
     "q_g8_graph_ann_batch" -> graphAnnBatchSql,
     "q_g7_graph_ann" -> graphAnnSql,
     "q_g9_graph_ann_filtered" -> graphAnnFilteredSql,
+    "q_g10_gann_recall" -> gannRecallSql,
     "q_g6_ppr" -> pprSql,
     "q_g5_communities" -> communitiesSql,
     "q_g4_kcore" -> kcoreSql,

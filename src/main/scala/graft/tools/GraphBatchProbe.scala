@@ -24,7 +24,9 @@ object GraphBatchProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Graph.ensureKnnGraph(spark, d)
-    val bound = 1L + Graph.GannHops.toLong * Graph.GannBeam * Graph.GraphTopG
+    val bound = graft.operators.Dedup.SrpTables.toLong *
+      graft.operators.Dedup.MaxBucket +
+      Graph.GannHops.toLong * Graph.GannBeam * Graph.GraphTopG
     for (q <- Seq(8L, 64L, 256L); rep <- 1 to 2) {
       val t0 = System.nanoTime()
       val rows = Graph.graphAnnBatchOn(

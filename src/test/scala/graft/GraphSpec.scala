@@ -161,7 +161,10 @@ class GraphSpec extends SparkSuite {
     assert(rows.head.getLong(0) === Graph.GannQueryId)
     assert(rows.map(_.getLong(1)).max === rows.head.getLong(1))
     val visited = rows.head.getLong(3)
-    val bound = 1L + Graph.GannHops.toLong * Graph.GannBeam * Graph.GraphTopG
+    // seeds are the query's capped-bucket cohabitants (≤ SrpTables·
+    // MaxBucket), then ≤ beam·G scored expansions per executed hop
+    val bound = Dedup.SrpTables.toLong * Dedup.MaxBucket +
+      Graph.GannHops.toLong * Graph.GannBeam * Graph.GraphTopG
     assert(visited <= bound, s"visited $visited breaches the construction bound $bound")
     assert(visited < 500L, s"walk touched the whole corpus: $visited")
     assert(rows.forall(_.getLong(3) === visited), "audit column must be constant")
@@ -197,13 +200,13 @@ class GraphSpec extends SparkSuite {
       .toDF("src", "dst", "w", "rk", "dvec")
     val out = Graph.graphAnnBatchOn(e, edges, routing, sizesOf(routing),
       col("vec_id") === 1L).collect()
-    // entry = min co-bucketed id excluding the query = 2; the walk
-    // reaches 3 on hop 1 and confirms the fixpoint on hop 2 — never
-    // node 0 (the complement-bucketed one), never the 10-round budget
+    // seeds = BOTH co-bucketed ids {2, 3}; hop 1 expands them into
+    // each other (beam unchanged → immediate fixpoint) — never node 0
+    // (the complement-bucketed one), never the 10-round budget
     assert(out.map(_.getLong(1)).toSet === Set(2L, 3L))
-    assert(out.forall(_.getLong(4) === 2L), "visited = seed + its neighbor")
-    assert(out.forall(_.getLong(5) === 2L),
-      s"expected fixpoint on hop 2, got ${out.map(_.getLong(5)).toSet}")
+    assert(out.forall(_.getLong(4) === 2L), "visited = the two seeds")
+    assert(out.forall(_.getLong(5) === 1L),
+      s"expected fixpoint on hop 1, got ${out.map(_.getLong(5)).toSet}")
     // a query co-bucketed with nobody (the routing now holds only the
     // complement-bucketed node 0) falls back to the global routing
     // minimum as its seed

@@ -79,6 +79,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"✓ {name:24s} {len(got)} rows")
         else:
             failures.append(name)
+    # a query that ERRORED in Verify dumps nothing — treat a missing
+    # dump as a failure, not a silent skip (burned in r13 on a query
+    # whose analysis failed only at action time)
+    dumped = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    for name in sorted(set(oracle) - dumped):
+        print(f"✗ {name}: no dump (query failed in Verify?)")
+        failures.append(name)
     if failures:
         print(f"\nFAILED: {failures}")
         return 1
