@@ -260,9 +260,10 @@ object Graph {
   // lazy: CoreWmin is declared further down the object body — an
   // eager val here would read its pre-initialization 0 into the tag
   // "dv": the edge layout carrying the dst vector (serve-side score
-  // denormalization) — a layout change, so a new artifact dir
-  private lazy val GraphTag =
-    s"g${GraphTopG}q${QuantScale}w${CoreWmin}b${EdgeBuckets}s${Dedup.SrpTables}x${Dedup.SrpBits}dv"
+  // denormalization); "2": per-generation pair_delta logs + the .build
+  // lineage nonce — layout changes, so a new artifact dir
+  private[graft] lazy val GraphTag =
+    s"g${GraphTopG}q${QuantScale}w${CoreWmin}b${EdgeBuckets}s${Dedup.SrpTables}x${Dedup.SrpBits}dv2"
 
   /** SRP bucket assignments (vec_id, tbl, bkt) of a vector frame —
     * uncapped (the [[Dedup.MaxBucket]] cap is a PAIR-GENERATION rule
@@ -293,6 +294,29 @@ object Graph {
   private def writeMetaLong(versionDir: String, name: String, v: Long): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(versionDir, name), v.toString)
+
+  private def readMetaString(versionDir: String, name: String): String =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get(versionDir, name)).trim
+    catch { case _: Throwable => "" }
+
+  /** BUILD LINEAGE of a stored-graph version: a nonce stamped by every
+    * FULL (re)build ([[writeGraphTables]] — gen-0 build and the
+    * cap-crossing rebuild), carried unchanged through appends and
+    * compaction. Generations alone cannot witness lineage: a vacuumed-
+    * and-rebuilt artifact restarts its generations, and subsequent
+    * appends can bring the generation back PAST a surviving stats
+    * version's stamp with delta logs covering the range — numbers from
+    * a different graph. The stats refresh records this id next to
+    * `GRAPH_GEN` and requires EQUALITY before replaying any delta log
+    * against carried state (census deg/triangles, cc assignments), so
+    * cross-lineage replay is structurally impossible, not just
+    * unlikely. Dotfile for the same reason as `.gen`: the append's
+    * hard-link carry-forward must not alias the previous version's
+    * inode.
+    */
+  def graphBuildId(versionDir: String): String =
+    readMetaString(versionDir, ".build")
 
   /** CONTENT generation of a stored-graph version: bumped by every
     * content mutation ([[appendKnnGraph]], a cap-staleness rebuild),
@@ -379,6 +403,13 @@ object Graph {
       .write.mode("overwrite").parquet(s"$target/pairs")
     writeMetaLong(target, ".gen", gen)
     writeMetaLong(target, ".crossed", 0L)
+    // fresh lineage: every full (re)build starts a new build identity —
+    // stats versions stamped under the old identity can never replay
+    // their carried state against this graph's delta logs
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, ".build"),
+      java.util.UUID.randomUUID().toString)
+    ()
   }
 
   def ensureKnnGraph(s: SparkSession, d: String): String = synchronized {
@@ -422,10 +453,12 @@ object Graph {
   private def graphFileCount(versionDir: String): Int = {
     def cnt(f: java.io.File): Int =
       Option(f.listFiles()).getOrElse(Array.empty).map { c =>
-        // edge_delta/ is per-generation census metadata (one tiny file
-        // per append), not data layout — compaction retains it, so
-        // counting it would ratchet the trigger into a compaction storm
-        if (c.isDirectory && c.getName != "edge_delta") cnt(c)
+        // edge_delta/ and pair_delta/ are per-generation incremental-
+        // stats metadata (one tiny file per append), not data layout —
+        // compaction retains them, so counting them would ratchet the
+        // trigger into a compaction storm
+        if (c.isDirectory && c.getName != "edge_delta" &&
+            c.getName != "pair_delta") cnt(c)
         else if (c.isFile && c.getName.endsWith(".parquet")) 1 else 0
       }.sum
     cnt(new java.io.File(versionDir))
@@ -439,9 +472,13 @@ object Graph {
     */
   private val DeltaLogKeep = 64
 
-  /** Sorted generation numbers of the version's edge-delta logs. */
-  private def deltaLogGens(versionDir: String): Seq[Long] =
-    Option(new java.io.File(s"$versionDir/edge_delta").listFiles())
+  /** Sorted generation numbers of the version's delta logs under the
+    * named log directory (`edge_delta` for the census replay,
+    * `pair_delta` for the component-scoped analytics).
+    */
+  private def deltaLogGens(versionDir: String,
+      logDir: String = "edge_delta"): Seq[Long] =
+    Option(new java.io.File(s"$versionDir/$logDir").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("gen="))
       .map(_.getName.stripPrefix("gen=").toLong).toSeq.sorted
@@ -514,6 +551,9 @@ object Graph {
             .count()
           writeMetaLong(target, ".gen", prevGen + 1)
           writeMetaLong(target, ".crossed", prevCrossed + crossedNow)
+          // append = same lineage: carry the build identity forward
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(target, ".build"), graphBuildId(prev))
           val keptKeys = newCnt
             .join(s.read.parquet(s"$target/bsizes"), Seq("tbl", "bkt"), "left")
             .filter(col("nn") + coalesce(col("n"), lit(0L)) <= Dedup.MaxBucket)
@@ -556,6 +596,22 @@ object Graph {
               .filter(col("w") >= CoreWmin)
               .sortWithinPartitions(col("w").desc, col("id_a").asc)
               .write.mode(SaveMode.Append).parquet(s"$target/pairs")
+            // pair-delta log for this generation: exactly the pair rows
+            // this append contributed (pairs/ is append-only between
+            // full rebuilds, so additions ARE the whole delta). The
+            // stats refresh's component-scoped incremental path keys on
+            // these gen-ranged logs — the same coverage discipline as
+            // edge_delta — so it survives compaction, where the old
+            // pair-FILE-set identity forced a full recompute exactly
+            // when the graph was largest. Written ALWAYS (empty frame
+            // included): the log's existence is the coverage witness.
+            scored
+              .select(least(col("u"), col("v2")).as("id_a"),
+                greatest(col("u"), col("v2")).as("id_b"), col("w"))
+              .filter(col("w") >= CoreWmin)
+              .coalesce(1)
+              .write.mode("overwrite")
+              .parquet(s"$target/pair_delta/gen=${prevGen + 1}")
             newB.repartition(col("tbl")).sortWithinPartitions("tbl", "bkt", "vec_id")
               .write.mode(SaveMode.Append).parquet(s"$target/buckets")
             // bsizes: buckets-count sized — rewrite via staging now,
@@ -705,14 +761,18 @@ object Graph {
           // so gen-keyed consumers (the stats artifact) don't rebuild
           writeMetaLong(target, ".gen", graphGen(cur))
           writeMetaLong(target, ".crossed", graphCrossedBuckets(cur))
-          // carry the newest DeltaLogKeep edge-delta logs (hard links)
-          // so a compaction doesn't force the census back to the full
-          // path; older gens age out, bounding metadata growth
-          deltaLogGens(cur).takeRight(DeltaLogKeep).foreach { g =>
-            val t = java.nio.file.Paths.get(s"$target/edge_delta/gen=$g")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(target, ".build"), graphBuildId(cur))
+          // carry the newest DeltaLogKeep generations of BOTH delta-log
+          // families (hard links) so a compaction forces neither the
+          // census replay nor the component-scoped refresh back to the
+          // full path; older gens age out, bounding metadata growth
+          for (logDir <- Seq("edge_delta", "pair_delta");
+               g <- deltaLogGens(cur, logDir).takeRight(DeltaLogKeep)) {
+            val t = java.nio.file.Paths.get(s"$target/$logDir/gen=$g")
             java.nio.file.Files.createDirectories(t)
             graft.core.ArtifactStore.linkTree(
-              java.nio.file.Paths.get(s"$cur/edge_delta/gen=$g"), t)
+              java.nio.file.Paths.get(s"$cur/$logDir/gen=$g"), t)
           }
         }
       }
@@ -766,11 +826,12 @@ object Graph {
       maxLagGen: Long = 0L): String = synchronized {
     val graphDir = ensureKnnGraph(s, d)
     val gv = graphGen(graphDir)
-    // "-s4": the stats LAYOUT version (s3 added the cc assignment
-    // tables + pairs-file manifest; s4 the census state deg/ +
-    // TRI_MODE) — a new table must not be looked up in a stamp-fresh
-    // artifact of an older layout
-    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag + "-s4")
+    // "-s5": the stats LAYOUT version (s3 added the cc assignment
+    // tables; s4 the census state deg/ + TRI_MODE; s5 the GRAPH_BUILD
+    // lineage stamp + gen-keyed cc delta, dropping PAIR_FILES) — a new
+    // meta file must not be looked up in a stamp-fresh artifact of an
+    // older layout
+    val adir = graft.core.ArtifactStore.artifactDir("graph_stats", d, GraphTag + "-s5")
     def stampOf(ver: String): Option[Long] =
       try Some(java.nio.file.Files.readString(
         java.nio.file.Paths.get(ver, "GRAPH_GEN")).trim.toLong)
@@ -804,30 +865,27 @@ object Graph {
       java.nio.file.Paths.get(versionDir, "STATS_MODE")).trim
     catch { case _: Throwable => "unknown" }
 
-  private def pairFileNames(pairsDir: String): Seq[String] =
-    Option(new java.io.File(pairsDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getName).toSeq.sorted
-
   /** One stats-version build. PageRank and PPR are ALWAYS recomputed
     * from the live graph (global semantics — no row survives any
     * append untouched). The triangle census goes incremental when the
     * appends' per-generation edge-delta logs cover the gen range —
     * see [[incrementalCensus]]. The component-scoped pair
-    * analytics (k-core, community census) go INCREMENTAL when the
-    * delta since `prev` is identifiable: the stored `pairs/` table is
-    * append-only between full graph (re)builds, so each stats version
-    * records the pair FILE names it consumed (`PAIR_FILES`) and the
-    * per-node component assignments at both thresholds (`cc_core/`,
-    * `cc_comm/`); if the previous version's file set is a strict
-    * subset of the live one, the new files ARE the delta, and only
-    * components containing a delta endpoint re-run their CC / peel
-    * fixpoints — every other component's assignment, census row, and
-    * core membership carries forward verbatim (components are closed
-    * under edges, so an untouched component's subgraph is untouched).
-    * A compaction or cap-crossing rebuild rewrites the pair files →
-    * file-set mismatch → conservative full recompute. `STATS_MODE`
-    * records the path taken.
+    * analytics (k-core, community census) go INCREMENTAL under the
+    * SAME gen-keyed coverage discipline over the `pair_delta/` logs
+    * (each append logs exactly the pair rows it contributed — pairs/
+    * is append-only between full rebuilds, so additions are the whole
+    * delta): only components containing a delta endpoint re-run their
+    * CC / peel fixpoints — every other component's assignment, census
+    * row, and core membership carries forward verbatim (components are
+    * closed under edges, so an untouched component's subgraph is
+    * untouched). Both incremental paths additionally require the
+    * previous version to come from the same BUILD LINEAGE
+    * ([[graphBuildId]] equality — see [[statsDeltaGens]]); a
+    * cap-crossing rebuild starts a fresh lineage with no logs →
+    * conservative full recompute, while a COMPACTION hard-links the
+    * recent logs forward so neither path loses its delta (the r13
+    * pair-file-set keying went full on every compaction — exactly when
+    * the graph is largest). `STATS_MODE` records the path taken.
     *
     * At 100 TB the win is the fixpoint LOOPS, not I/O: the delta-
     * scoped CC/peel runs rounds over the affected components only,
@@ -860,49 +918,37 @@ object Graph {
     // publishes a fresh artifact with none; compaction retains only
     // DeltaLogKeep gens) → conservative full path. `TRI_MODE` records
     // which ran.
-    val censusGens: Option[Seq[Long]] = prev.flatMap { p =>
-      val g0 = try Some(java.nio.file.Files.readString(
-          java.nio.file.Paths.get(p, "GRAPH_GEN")).trim.toLong)
-        catch { case _: Throwable => None }
-      val hasState = java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(p, "deg")) &&
-        java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(p, "triangles"))
-      val logs = deltaLogGens(graphDir).toSet
-      g0 match {
-        case Some(pg) if hasState && pg <= gv &&
-            ((pg + 1) to gv).forall(logs.contains) =>
-          Some(((pg + 1) to gv).toSeq)
-        case _ => None
-      }
+    val censusGens: Option[Seq[Long]] =
+      prev.flatMap(p => statsDeltaGens(p, graphDir, gv,
+        "edge_delta", Seq("deg", "triangles")))
+    val triOutcome: Option[String] = censusGens match {
+      case Some(gens) => incrementalCensus(s, graphDir, gens, prev.get, target)
+      case None => Some("uncovered")
     }
-    val triIncremental = censusGens.exists(gens =>
-      incrementalCensus(s, graphDir, gens, prev.get, target))
-    if (!triIncremental) fullCensus(s, nodes, edges, target)
+    triOutcome.foreach(_ => fullCensus(s, nodes, edges, target))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(target, "TRI_MODE"),
-      if (triIncremental) "incremental" else "full")
-    // ---- component-scoped analytics: incremental when identifiable
-    val curFiles = pairFileNames(s"$graphDir/pairs")
-    val deltaFiles: Option[Seq[String]] = prev.flatMap { p =>
-      val recorded =
-        try java.nio.file.Files.readAllLines(
-            java.nio.file.Paths.get(p, "PAIR_FILES"))
-          .toArray(Array.empty[String]).map(_.trim).filter(_.nonEmpty).toSeq
-        catch { case _: Throwable => Seq.empty }
-      val hasCc = java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(p, "cc_comm")) &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p, "cc_core"))
-      if (recorded.nonEmpty && hasCc &&
-          recorded.toSet.subsetOf(curFiles.toSet))
-        Some((curFiles.toSet -- recorded).toSeq.sorted)
-      else None
-    }
-    deltaFiles match {
-      case Some(newFiles) =>
+      if (triOutcome.isEmpty) "incremental" else "full")
+    // decline witness: WHICH guard sent the census to the full path —
+    // the budget guards' whole claim is that they fire BEFORE any
+    // driver materialization, so the reason is recorded observably
+    // (and spec-asserted) rather than inferred from timing
+    triOutcome.filter(_ != "uncovered").foreach(reason =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(target, "TRI_DECLINE"), reason))
+    // ---- component-scoped analytics: incremental when the pair-delta
+    // logs cover the gen range under the SAME build lineage (the
+    // census's coverage discipline — survives compaction, where the
+    // r13 pair-FILE-set identity forced a full recompute)
+    val ccGens: Option[Seq[Long]] =
+      prev.flatMap(p => statsDeltaGens(p, graphDir, gv,
+        "pair_delta", Seq("cc_core", "cc_comm")))
+    ccGens match {
+      case Some(gens) =>
         val delta =
-          if (newFiles.isEmpty) pairs.limit(0)
-          else s.read.parquet(newFiles.map(n => s"$graphDir/pairs/$n"): _*)
+          if (gens.isEmpty) pairs.limit(0)
+          else s.read.parquet(
+              gens.map(g => s"$graphDir/pair_delta/gen=$g"): _*)
             .select("id_a", "id_b", "w")
         incrementalComponentTables(s, pairs, delta, prev.get, target)
         java.nio.file.Files.writeString(
@@ -912,12 +958,43 @@ object Graph {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(target, "STATS_MODE"), "full")
     }
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(target, "PAIR_FILES"),
-      scala.jdk.CollectionConverters.SeqHasAsJava(curFiles).asJava)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(target, "GRAPH_GEN"), gv.toString)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "GRAPH_BUILD"), graphBuildId(graphDir))
     ()
+  }
+
+  /** Shared delta-identification gate for the incremental stats paths:
+    * the generation range (prevStatsGen, gv] is replayable from the
+    * graph's `logDir` delta logs iff the previous version stored its
+    * carried state (`stateDirs`), its stamp does not exceed the live
+    * generation, every generation in the range has a log, and — the
+    * lineage witness — the previous version was computed from the SAME
+    * BUILD of the graph ([[graphBuildId]] equality). Without the build
+    * check, a vacuumed-and-rebuilt graph whose restarted generations
+    * climb back past the surviving stats stamp would replay a new
+    * lineage's deltas against the old lineage's carried state —
+    * silently wrong numbers. Returns the (possibly empty) gen range to
+    * replay, or None → conservative full path.
+    */
+  private def statsDeltaGens(prevStats: String, graphDir: String, gv: Long,
+      logDir: String, stateDirs: Seq[String]): Option[Seq[Long]] = {
+    val pg = try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(prevStats, "GRAPH_GEN")).trim.toLong)
+      catch { case _: Throwable => None }
+    val liveBuild = graphBuildId(graphDir)
+    val sameBuild = liveBuild.nonEmpty &&
+      readMetaString(prevStats, "GRAPH_BUILD") == liveBuild
+    val hasState = stateDirs.forall(dir => java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(prevStats, dir)))
+    val logs = deltaLogGens(graphDir, logDir).toSet
+    pg match {
+      case Some(g0) if sameBuild && hasState && g0 <= gv &&
+          ((g0 + 1) to gv).forall(logs.contains) =>
+        Some(((g0 + 1) to gv).toSeq)
+      case _ => None
+    }
   }
 
   /** Full census path: the g3 formulation verbatim over the stored
@@ -1000,27 +1077,47 @@ object Graph {
     */
   private val CensusMaxDeltaFrac = 0.05
   private val CensusDeltaFloor = 4096L
-  private val CensusAdjBudget = 4000000L
+  // var, not val: GraphIndexSpec injects 0 to prove the guard declines
+  // BEFORE the incident-edge collect can run (the production value is
+  // never mutated outside that spec)
+  private[graft] var CensusAdjBudget = 4000000L
 
+  /** Returns None when the replay ran, Some(reason) when a budget
+    * guard declined to the full path. BOTH guards are enforced with
+    * in-plan counts BEFORE any `.collect()`: out-degree is capped at
+    * [[GraphTopG]] but IN-degree is not, so a small delta touching a
+    * hub node has an unboundedly large incident neighborhood — a
+    * post-collect check (the r13 order) would pull exactly the
+    * driver-OOM-sized state the budget exists to refuse.
+    */
   private def incrementalCensus(s: SparkSession, graphDir: String,
-      gens: Seq[Long], prevDir: String, target: String): Boolean = {
+      gens: Seq[Long], prevDir: String, target: String): Option[String] = {
     val prevRow = s.read.parquet(s"$prevDir/triangles").collect().head
     val prevEdges = prevRow.getAs[Long]("n_edges")
     val prevDeg = s.read.parquet(s"$prevDir/deg")
     // netted directed ops across the gen range (add-then-evict
-    // cancels) — log-sized, collected: the whole point of the replay
-    // is that this state is bounded by the delta, so the counting
-    // below is driver-paced like the graph-ANN beam (a tagged-union
-    // of a dozen tiny aggregates paid ~1 s of exchange-job scheduling
-    // EACH under AQE — fixed cost that dwarfed the saved join)
-    val netRows: Array[(Long, Long, Long)] =
-      if (gens.isEmpty) Array.empty
+    // cancels) — log-sized once netted, so the counting below is
+    // driver-paced like the graph-ANN beam (a tagged-union of a dozen
+    // tiny aggregates paid ~1 s of exchange-job scheduling EACH under
+    // AQE — fixed cost that dwarfed the saved join). Guarded by an
+    // in-plan count FIRST: the collect runs only once the frame is
+    // known to be budget-sized (persisted so the admit path pays one
+    // computation, not two).
+    val netted =
+      if (gens.isEmpty) null
       else s.read.parquet(gens.map(g => s"$graphDir/edge_delta/gen=$g"): _*)
         .groupBy("src", "dst").agg(sum("op").as("net"))
         .filter(col("net") =!= 0)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    if (netRows.length >
-        CensusMaxDeltaFrac * prevEdges + CensusDeltaFloor) return false
+        .persist()
+    val netCnt = if (netted == null) 0L else netted.count()
+    if (netCnt > CensusMaxDeltaFrac * prevEdges + CensusDeltaFloor) {
+      netted.unpersist()
+      return Some("delta_frac")
+    }
+    val netRows: Array[(Long, Long, Long)] =
+      if (netted == null) Array.empty
+      else try netted.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      finally { netted.unpersist(); () }
     val adds = netRows.collect { case (a, b, n) if n > 0 => (a, b) }.toSet
     val dels = netRows.collect { case (a, b, n) if n < 0 => (a, b) }.toSet
     val touched: Set[(Long, Long)] = (adds ++ dels)
@@ -1030,16 +1127,20 @@ object Graph {
     // ONE pruned scan fetches every directed edge incident to a
     // touched endpoint — it answers both questions below: the touched
     // pairs' live directed membership (row present?) and the counting
-    // terms' restricted adjacency. Budget-guarded.
+    // terms' restricted adjacency. The budget probe runs IN-PLAN
+    // (limit(budget+1).count() — early-exits once over budget, never
+    // ships a row to the driver); only an admitted frame is collected.
     val pSet: Set[Long] = touched.flatMap { case (a, b) => Seq(a, b) }
     val pDf = pSet.toSeq.toDF("v")
-    val incRows = ed
+    val inc = ed
       .join(broadcast(pDf.select(col("v").as("src"))), Seq("src"), "left_semi")
       .unionByName(ed
         .join(broadcast(pDf.select(col("v").as("dst"))), Seq("dst"), "left_semi")
         .select("src", "dst"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (incRows.length > CensusAdjBudget) return false
+    val incProbe = inc.limit(
+      (math.min(CensusAdjBudget, Int.MaxValue.toLong - 1) + 1).toInt).count()
+    if (incProbe > CensusAdjBudget) return Some("adj_budget")
+    val incRows = inc.collect().map(r => (r.getLong(0), r.getLong(1)))
     val dirIncident: Set[(Long, Long)] = incRows.toSet
     val dirNew: Set[(Long, Long)] = touched.flatMap { case (a, b) =>
       Seq((a, b), (b, a)).filter(dirIncident) }
@@ -1147,7 +1248,7 @@ object Graph {
     Seq((nNodes, nEdges, nWedges, nTri, closure))
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "closure_ppm")
       .coalesce(1).write.mode("overwrite").parquet(s"$target/triangles")
-    true
+    None
   }
 
   /** Which path wrote a stats version's triangle census: "full" or
@@ -1157,6 +1258,15 @@ object Graph {
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get(versionDir, "TRI_MODE")).trim
     catch { case _: Throwable => "unknown" }
+
+  /** Which cost-model guard declined a covered census replay to the
+    * full path ("delta_frac" | "adj_budget"), or "" when the census
+    * was not declined by a guard. The witness that the guards fire
+    * BEFORE any driver materialization — spec-asserted with an
+    * injected zero budget.
+    */
+  def graphTriDecline(versionDir: String): String =
+    readMetaString(versionDir, "TRI_DECLINE")
 
   /** Census rows for a (doc_id, cluster) assignment over its edge set. */
   private def censusOf(cc: DataFrame, ccEdges: DataFrame): DataFrame = {
@@ -1554,7 +1664,15 @@ object Graph {
     // corpus-wide label scan on the serve path.
     val keep = allowed.fold(visDf) { pred =>
       val ids = visitedSc.keys.map(_._2).toSeq.distinct.sorted
-      val ok = e.filter(col("vec_id").isin(ids: _*) && pred).select("vec_id")
+      // the seed-fetch discipline: isin (row-group-pruning pushdown on
+      // the sorted table) while the visited set is small; past the
+      // practicality bound a broadcast semi — a batch caller's visited
+      // set is Q·(seeds+hops·beam·G) ids, far too many In literals
+      val ok =
+        if (ids.size <= 1000)
+          e.filter(col("vec_id").isin(ids: _*) && pred).select("vec_id")
+        else e.join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_semi")
+          .filter(pred).select("vec_id")
       visDf.join(ok, Seq("vec_id"), "left_semi")
     }
     keep.withColumn("rk", row_number().over(

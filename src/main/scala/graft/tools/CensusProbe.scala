@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * identical 90/10 fixtures take the same gen-0 build + append; one
   * keeps its logs, the other has them removed so the coverage check
   * fails. PageRank/PPR (always full) and the cc analytics
-  * (incremental in both — PAIR_FILES is intact) are common cost, so
-  * the wall difference isolates the census path.
+  * (incremental in both — the pair_delta logs are intact) are common
+  * cost, so the wall difference isolates the census path.
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *      sbt "runMain graft.tools.CensusProbe"

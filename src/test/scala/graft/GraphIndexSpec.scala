@@ -166,7 +166,7 @@ class GraphIndexSpec extends SparkSuite {
       "rebuilt pairs must equal a one-shot build (stale old×old pairs dropped)")
   }
 
-  test("graph_stats incremental refresh: component-scoped recompute ≡ full; compaction forces the full fallback") {
+  test("graph_stats incremental refresh: component-scoped recompute ≡ full; survives compaction via the gen-keyed pair-delta logs") {
     import org.apache.spark.sql.functions.{expr, least, greatest}
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
@@ -218,18 +218,34 @@ class GraphIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     Dedup.releaseSlots()
     assert(gotCc === wantCc, "carried+sub assignments must equal live CC")
-    // compaction rewrites the pair files → the recorded file set no
-    // longer subsets the live one → conservative full fallback on the
-    // next stale build
+    // compaction rewrites the pair FILES but hard-links the pair_delta
+    // logs forward — the gen-keyed coverage check (the r14 port off
+    // PAIR_FILES file-set identity) must keep the component path
+    // incremental across it, and incremental ≡ full must still hold
     Graph.compactKnnGraph(spark, d)
-    val one = full.select("vec_id", "embedding")
-      .orderBy(col("vec_id").desc).limit(1)
-    Graph.appendKnnGraph(spark, d, one,
+    import spark.implicits._
+    val emb0 = full.select("embedding").limit(1)
+    val novel = spark.range(1).select(lit(7000000L).as("vec_id"))
+      .crossJoin(emb0)
+    Graph.appendKnnGraph(spark, d, novel,
       base.select("vec_id", "embedding").unionByName(heldOut))
     val stats2 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphStatsMode(stats2) === "incremental",
+      "a post-compaction append must STILL take the component-scoped path " +
+        "(gen-keyed pair-delta coverage survives the file rewrite)")
+    // ≡ full across the compaction boundary: carried+sub assignments
+    // equal a live CC over the union corpus including the novel vector
+    val corpus2 = full.select("vec_id", "embedding").unionByName(novel)
+    val wantCc2 = Corpus.connectedComponentsStar(
+        Graph.scoredPairsOn(corpus2).filter(col("w") >= Graph.CommWmin)
+          .select("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     Dedup.releaseSlots()
-    assert(Graph.graphStatsMode(stats2) === "full",
-      "rewritten pair files must force the full path")
+    val gotCc2 = spark.read.parquet(s"$stats2/cc_comm")
+      .select("doc_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCc2 === wantCc2,
+      "post-compaction incremental assignments must equal live CC")
   }
 
   test("triangle census replays the edge-delta logs: multi-gen incremental ≡ full, survives compaction") {
@@ -290,10 +306,9 @@ class GraphIndexSpec extends SparkSuite {
         "carried degree state must equal full recompute")
     }
     check(stats1)
-    // compaction retains the recent logs (hard-linked into the new
-    // version), so a post-compaction append STILL replays — while the
-    // cc path's PAIR_FILES manifest mismatches and goes full: the two
-    // incremental modes are independent
+    // compaction retains the recent logs of BOTH families (hard-linked
+    // into the new version), so a post-compaction append still replays
+    // the census AND keeps the component-scoped path incremental
     Graph.compactKnnGraph(spark, d)
     import spark.implicits._
     val emb0 = graft.core.Tables.embeddings(spark, d)
@@ -305,8 +320,9 @@ class GraphIndexSpec extends SparkSuite {
     Dedup.releaseSlots()
     assert(Graph.graphTriMode(stats2) === "incremental",
       "compaction must not force the census replay back to the full path")
-    assert(Graph.graphStatsMode(stats2) === "full",
-      "compaction rewrites pair files — the component path's fallback")
+    assert(Graph.graphStatsMode(stats2) === "incremental",
+      "compaction must not force the component path back to full either " +
+        "(gen-keyed pair-delta logs carried forward)")
     check(stats2)
   }
 
@@ -428,6 +444,103 @@ class GraphIndexSpec extends SparkSuite {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.sparkContext.removeSparkListener(listener)
     }
+  }
+
+  test("census budget guards fire BEFORE any driver collect: a zero adjacency budget declines with its witness, no incident materialization") {
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    val stats0 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphTriMode(stats0) === "full")
+    Graph.appendKnnGraph(spark, d, heldOut, base)
+    // inject a zero adjacency budget: the in-plan limit(1).count()
+    // probe sees ≥1 incident row and the guard must decline to the
+    // full path — by code order strictly before the incident-edge
+    // collect, with the TRI_DECLINE witness naming WHICH guard fired
+    // (in a kNN graph in-degree is uncapped; the r13 order collected
+    // a hub's whole in-neighborhood before checking the budget)
+    val saved = Graph.CensusAdjBudget
+    try {
+      Graph.CensusAdjBudget = 0L
+      val stats1 = Graph.ensureGraphStats(spark, d)
+      assert(Graph.graphTriMode(stats1) === "full",
+        "an over-budget restricted adjacency must decline to the full path")
+      assert(Graph.graphTriDecline(stats1) === "adj_budget",
+        "the decline witness must name the pre-collect adjacency guard")
+      // the full path is exact regardless of why it ran
+      val ed = Graph.storedEdges(spark, d).select("src", "dst")
+      val und = ed.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct().persist()
+      val nE = und.count(); und.unpersist()
+      Dedup.releaseSlots()
+      assert(spark.read.parquet(s"$stats1/triangles")
+        .collect().head.getLong(1) === nE)
+    } finally Graph.CensusAdjBudget = saved
+    // with the production budget restored the replay path resumes on
+    // the next generation — the injection is config, not a mode latch
+    import spark.implicits._
+    val emb0 = base.select("embedding").limit(1)
+    val novel = spark.range(1).select(lit(5000000L).as("vec_id"))
+      .crossJoin(emb0)
+    Graph.appendKnnGraph(spark, d, novel,
+      base.select("vec_id", "embedding").unionByName(heldOut))
+    val stats2 = Graph.ensureGraphStats(spark, d)
+    Dedup.releaseSlots()
+    assert(Graph.graphTriMode(stats2) === "incremental",
+      "restored budget must readmit the replay path")
+    assert(Graph.graphTriDecline(stats2) === "",
+      "an admitted replay must carry no decline witness")
+  }
+
+  test("build-lineage witness: a vacuumed-and-rebuilt graph whose generations climb back past a surviving stats stamp must NOT replay") {
+    // the ADVICE scenario: stats stamped at pg=1 under build A; the
+    // graph artifact is destroyed and rebuilt (generations restart at
+    // 0 under build B); two appends bring gv to 2 with delta logs
+    // covering (pg+1..gv) = (2..2) — every PRE-r14 coverage condition
+    // holds, but the logs belong to a different lineage and replaying
+    // them against build A's carried census/cc state would silently
+    // write wrong numbers. GRAPH_BUILD equality must force full.
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    val h1 = heldOut.filter(col("vec_id") % 20 === 0)
+    val h2 = heldOut.filter(col("vec_id") % 20 =!= 0)
+    Graph.ensureGraphStats(spark, d)
+    Graph.appendKnnGraph(spark, d, h1, base)
+    val stats1 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphTriMode(stats1) === "incremental")
+    val buildA = Graph.graphBuildId(Graph.ensureKnnGraph(spark, d))
+    assert(buildA.nonEmpty, "every full build must stamp a lineage nonce")
+    // destroy the graph artifact (vacuum-to-zero), keep the stats
+    val adir = graft.core.ArtifactStore.artifactDir("knn_graph", d, Graph.GraphTag)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(adir))
+    Dedup.releaseSlots()
+    // rebuild (gen 0, build B) and append twice (gv=2, logs gen=1,2)
+    val buildB = Graph.graphBuildId(Graph.ensureKnnGraph(spark, d))
+    assert(buildB !== buildA, "a rebuild must start a fresh lineage")
+    Graph.appendKnnGraph(spark, d, h1, base)
+    Graph.appendKnnGraph(spark, d, h2,
+      base.select("vec_id", "embedding").unionByName(h1))
+    val gdir = Graph.ensureKnnGraph(spark, d)
+    assert(Graph.graphGen(gdir) === 2L)
+    val stats2 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphTriMode(stats2) === "full",
+      "cross-lineage delta logs must never replay against carried census state")
+    assert(Graph.graphStatsMode(stats2) === "full",
+      "cross-lineage pair-delta logs must never scope the component refresh")
+    // and the full recompute is exact over the rebuilt graph
+    val ed = Graph.storedEdges(spark, d).select("src", "dst")
+    val und = ed.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct().persist()
+    val nE = und.count()
+    val nT = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b")).count()
+    und.unpersist()
+    Dedup.releaseSlots()
+    val row = spark.read.parquet(s"$stats2/triangles").collect().head
+    assert((row.getLong(1), row.getLong(3)) === ((nE, nT)))
   }
 
   test("append is bounded: candidates come from the routing table, not a corpus pair scan") {
