@@ -387,34 +387,37 @@ object Bench {
     // Belt-and-braces: the complete itemized record also goes to a file
     // in the repo (the driver commits the working tree each round, so
     // the judge can always read the un-truncated artifact). Every run
-    // appends to a history log; the CANONICAL file gets the best (min
-    // total) unflagged run among this run and comparable history runs
-    // — same code fingerprint, same sf, same query set, env_suspect
-    // false — so one mildly-busy final run can no longer overwrite a
-    // cleaner measurement of identical code with an inflated number
-    // (the r11 artifact recorded 131.8 s where the same code had
-    // measured 119.6/121.7 s hours earlier). A flagged current run
-    // still becomes canonical when no comparable clean run exists:
-    // self-identified suspicion beats silence.
+    // appends to a history log; the CANONICAL file gets the MEDIAN
+    // unflagged run among this run and comparable history runs — same
+    // code fingerprint, same sf, same query set, env_suspect false —
+    // so one mildly-busy final run can no longer overwrite a cleaner
+    // measurement of identical code with an inflated number (the r11
+    // artifact recorded 131.8 s where the same code had measured
+    // 119.6/121.7 s hours earlier), and extra reruns of identical code
+    // no longer improve the headline for free (the r13 min-of-N bias).
+    // A flagged current run still becomes canonical when no comparable
+    // clean run exists: self-identified suspicion beats silence.
     val canonical: String = {
       val all = prior :+ ((total, envSuspect, full))
       val clean = all.filter(!_._2)
-      // prefer the best CLEAN comparable run; if every comparable run
-      // self-flagged, still take the min-total one — last-run-wins is
-      // the failure mode being removed
+      // prefer CLEAN comparable runs; if every comparable run
+      // self-flagged, still select among all — last-run-wins is the
+      // failure mode being removed
       val pool = if (clean.nonEmpty) clean else all
-      val pick = pool.minBy(_._1)._3
-      // the min of N noisy samples is biased below the true value —
-      // the record therefore carries the selection size and the pool
-      // MEDIAN, so a reader can see how far the headline sits from the
-      // central tendency of identical-code runs (history lines never
-      // carry these fields, so the injection is collision-free)
-      val med = {
-        val xs = pool.map(_._1).sorted
-        xs(xs.size / 2)
-      }
+      // the headline is the pool MEDIAN run: the min of N noisy samples
+      // is biased below the true value and improves for free with
+      // every rerun of identical code (the r13 verdict's watch item) —
+      // the median is rerun-stable, so round-over-round comparisons
+      // measure the code, not the rerun count. The median RUN's full
+      // record (its per-query times, calibration, latency) becomes the
+      // canonical artifact; the pool min is kept as a field so the
+      // best-case number stays readable. (History lines never carry
+      // these fields, so the injection is collision-free.)
+      val sorted = pool.sortBy(_._1)
+      val pick = sorted(sorted.size / 2)._3
+      val minCmp = sorted.head._1
       pick.stripSuffix("}") +
-        s""","selected_from":${pool.size},"median_comparable":${r3(med)}}"""
+        s""","selected_from":${pool.size},"min_comparable":${r3(minCmp)}}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchFile0), canonical + "\n")

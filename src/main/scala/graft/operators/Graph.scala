@@ -273,7 +273,7 @@ object Graph {
     .select(col("vec_id"), posexplode(graft.functions.SrpKernel.srpBuckets(
       col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
 
-  private def edgeBucketOf(c: Column): Column =
+  private[graft] def edgeBucketOf(c: Column): Column =
     pmod(xxhash64(c), lit(EdgeBuckets.toLong)).cast("int")
 
   private def rmTree(path: String): Unit = {
@@ -1567,7 +1567,8 @@ object Graph {
     */
   def graphAnnBatchOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
       bsizes: DataFrame, isQuery: Column,
-      allowed: Option[Column] = None): DataFrame = {
+      allowed: Option[Column] = None,
+      beam: Int = GannBeam): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     // materialized once (lazily, by the seed-scoring job); every hop
@@ -1614,7 +1615,7 @@ object Graph {
     }
     beams = pool.toMap.map { case (q2, xs) =>
       q2 -> xs.distinct.sortBy { case (vid, sc) => (-sc, vid) }
-        .take(GannBeam).toSet
+        .take(beam).toSet
     }
     var active = beams.keySet
     var hopsOf = Map.empty[Long, Long]
@@ -1643,7 +1644,7 @@ object Graph {
         }
         val pool = beams(qid) ++ hop.map { case (_, _, dst, sc, _) => (dst, sc) }
         val next = pool.toSeq.sortBy { case (vid, sc) => (-sc, vid) }
-          .take(GannBeam).toSet
+          .take(beam).toSet
         if (next == beams(qid)) hopsOf += qid -> k.toLong
         else { beams += qid -> next; stillActive += qid; () }
       }
@@ -1711,6 +1712,23 @@ object Graph {
       col("vec_id") === GannQueryId,
       allowed = Some(col("label").isin(Indexed.FilterLabels: _*)))
       .drop("qid").orderBy("rk")
+
+  /** G11: filtered BATCH graph-ANN — g9's predicate discipline on g8's
+    * batch walk: [[GannBatchQ]] queries share each hop's single
+    * expand-and-score job, the traversal stays predicate-agnostic, and
+    * each query's final top-K keeps only label-matching visited nodes.
+    * This is the shape a decontamination pipeline actually runs — many
+    * held-out queries at once, each constrained to a candidate slice —
+    * and it exercises [[graphAnnBatchOn]]'s broadcast-semi predicate
+    * fetch (the batch's visited set is far past the isin practicality
+    * bound). `visited_n`/`hops_n` attest the same walks as g8.
+    */
+  lazy val g11GraphAnnFilteredBatch: Relational.Q = (s, d) =>
+    graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
+      storedBuckets(s, d), storedBucketSizes(s, d),
+      col("vec_id") < GannBatchQ,
+      allowed = Some(col("label").isin(Indexed.FilterLabels: _*)))
+      .orderBy("qid", "rk")
 
   /** G10: graph-ANN recall audit — the [[Indexed.v19RecallGrid]]
     * discipline applied to the graph serve path, which until now
@@ -1913,6 +1931,7 @@ object Graph {
     "q_g8_graph_ann_batch" -> g8GraphAnnBatch,
     "q_g9_graph_ann_filtered" -> g9GraphAnnFiltered,
     "q_g10_gann_recall" -> g10GannRecall,
+    "q_g11_gann_filtered_batch" -> g11GraphAnnFilteredBatch,
   )
 
   /** G6: personalized PageRank from the benchmark-prefix seed set —
@@ -2183,7 +2202,21 @@ object Graph {
     * the entry seed, beam signatures, and convergence round computed
     * PER QUERY.
     */
-  private lazy val graphAnnBatchSql: String = {
+  private lazy val graphAnnBatchSql: String = graphAnnBatchSqlWhere("")
+
+  /** g11's oracle: [[graphAnnBatchSql]] with the v16 label predicate
+    * on each query's final selection only — walks, signatures, and
+    * attestations shared verbatim with g8 (the g9 discipline, batch).
+    */
+  private lazy val graphAnnFilteredBatchSql: String = graphAnnBatchSqlWhere(
+    s"WHERE vec_id IN (SELECT vec_id FROM embeddings " +
+      s"WHERE label IN (${Indexed.FilterLabels.mkString(", ")}))")
+
+  /** [[graphAnnBatchSql]] parameterized by a WHERE clause on the FINAL
+    * per-query selection (before the ranking window) — the batch
+    * sibling of [[graphAnnSqlWhere]].
+    */
+  private def graphAnnBatchSqlWhere(finalWhere: String): String = {
     val dot = sqlIntDot("x.ed", "q.qv")
     val hops = (1 to GannHops).map { k =>
       s"""nb$k AS MATERIALIZED (
@@ -2252,7 +2285,7 @@ object Graph {
        |SELECT f.qid, f.vec_id, f.sc, f.rn::BIGINT AS rk, va.visited_n, hn.hops_n
        |FROM (SELECT qid, vec_id, sc,
        |             row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id ASC) AS rn
-       |      FROM vis) f
+       |      FROM vis $finalWhere) f
        |JOIN va ON va.qid = f.qid
        |JOIN hn ON hn.qid = f.qid
        |WHERE f.rn <= $GannTopK ORDER BY f.qid, rk""".stripMargin
@@ -2260,6 +2293,7 @@ object Graph {
 
   val oracleSql: Map[String, String] = Map(
     "q_g8_graph_ann_batch" -> graphAnnBatchSql,
+    "q_g11_gann_filtered_batch" -> graphAnnFilteredBatchSql,
     "q_g7_graph_ann" -> graphAnnSql,
     "q_g9_graph_ann_filtered" -> graphAnnFilteredSql,
     "q_g10_gann_recall" -> gannRecallSql,

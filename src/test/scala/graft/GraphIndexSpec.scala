@@ -67,7 +67,7 @@ class GraphIndexSpec extends SparkSuite {
     for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles",
         "q_g4_kcore", "q_g5_communities", "q_g6_ppr", "q_g7_graph_ann",
         "q_g8_graph_ann_batch", "q_g9_graph_ann_filtered",
-        "q_g10_gann_recall")) {
+        "q_g10_gann_recall", "q_g11_gann_filtered_batch")) {
       val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString()
       assert(!p.contains("srp_buckets"),
         s"$name must serve from the stored graph, not rebuild buckets:\n${p.take(2000)}")
