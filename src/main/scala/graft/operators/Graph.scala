@@ -42,8 +42,19 @@ object Graph {
     * strongest LSH candidates. Small relative to the per-node
     * candidate bound ([[Dedup.MaxBucket]]·[[Dedup.SrpTables]]) so the
     * per-node top-G selection is a bounded-input window.
+    *
+    * 16 is the NSW-practice M — and the r14 bench-scale recall sweep's
+    * knee (GannRecallProbe at sf0.1: G8/B32, the sf0.01-tuned r13
+    * config, measured 6.5/10 mean there; G16/B64 restores 9.75/10 mean
+    * / min 9 at ~0.9 s wall). On this corpus recall tracks visited
+    * coverage almost alone (weakly-clusterable synthetic embeddings —
+    * greedy gradients are weak, so width beats depth; every config's
+    * walk hits its fixpoint by hop 8), and the per-query touch bound
+    * seeds + hops·beam·G stays corpus-INDEPENDENT, so the wider
+    * serve config is a constant absolute cost that shrinks relatively
+    * as the corpus grows.
     */
-  val GraphTopG = 8
+  val GraphTopG = 16
 
   /** Fixed-point element quantizer scale (power of two: the double
     * multiply is exact for every float input).
@@ -1404,7 +1415,7 @@ object Graph {
     * unrolls to), reported k, and the query (a corpus vector, so the
     * result must rediscover it — a built-in sanity anchor).
     */
-  val GannBeam = 32
+  val GannBeam = 64
   val GannHops = 10
   val GannTopK = 10
   val GannQueryId = 1L
@@ -1568,7 +1579,7 @@ object Graph {
   def graphAnnBatchOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
       bsizes: DataFrame, isQuery: Column,
       allowed: Option[Column] = None,
-      beam: Int = GannBeam): DataFrame = {
+      beam: Int = GannBeam, hops: Int = GannHops): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
     // materialized once (lazily, by the seed-scoring job); every hop
@@ -1620,7 +1631,7 @@ object Graph {
     var active = beams.keySet
     var hopsOf = Map.empty[Long, Long]
     var k = 0
-    while (k < GannHops && active.nonEmpty) {
+    while (k < hops && active.nonEmpty) {
       k += 1
       val pairs = active.toSeq.flatMap(q => beams(q).map(x => (q, x._1)))
       val bkts = pairs.map(p => nodeBkt(p._2)).distinct
@@ -1650,7 +1661,7 @@ object Graph {
       }
       active = stillActive.toSet
     }
-    hopsOf ++= active.map(_ -> GannHops.toLong)
+    hopsOf ++= active.map(_ -> hops.toLong)
     // final selection in-plan over the attested visited score set
     val visDf = visitedSc.toSeq.map { case ((qid, vid), sc) => (qid, vid, sc) }
       .sorted.toDF("qid", "vec_id", "sc")

@@ -65,24 +65,29 @@ object GannRecallProbe {
         .select("src", "dst", "w", "rk", "dvec", "bucket")
         .persist()
       edges.count()
-      for (beam <- Seq(8, 16, 32, 64)) {
+      for (beam <- Seq(8, 16, 32, 64);
+           hops <- sys.env.get("SPARK_GRAFT_PROBE_HOPS")
+             .map(_.split(",").toSeq.map(_.trim.toInt))
+             .getOrElse(Seq(Graph.GannHops))) {
         var wall = 0.0
         var rows: Array[org.apache.spark.sql.Row] = Array.empty
         for (_ <- 1 to 2) { // rep 1 warms codegen/JIT; rep 2 is reported
           val t0 = System.nanoTime()
           rows = Graph.graphAnnBatchOn(e, edges, routing, bsizes,
-            col("vec_id") < q, beam = beam).collect()
+            col("vec_id") < q, beam = beam, hops = hops).collect()
           wall = (System.nanoTime() - t0) / 1e9
         }
         val byQ = rows.groupBy(_.getLong(0))
         val recalls = byQ.map { case (qid, rs) =>
           qid -> rs.map(_.getLong(1)).count(exact(qid).contains) }
         val vis = byQ.values.map(_.head.getLong(4)).toSeq.sorted
-        println(f"G=$g%-3d beam=$beam%-3d wall=$wall%5.2fs  " +
+        val hp = byQ.values.map(_.head.getLong(5)).toSeq.sorted
+        println(f"G=$g%-3d beam=$beam%-3d hops=$hops%-3d wall=$wall%5.2fs  " +
           f"recall@10 mean=${recalls.values.sum.toDouble / recalls.size}%5.2f " +
           f"min=${recalls.values.min}%2d q1=${recalls.getOrElse(Graph.GannQueryId, -1)}%2d  " +
           f"visited med=${vis(vis.size / 2)}%4d max=${vis.max}%4d " +
-          f"(${100.0 * vis(vis.size / 2) / n}%4.1f%% of corpus)")
+          f"(${100.0 * vis(vis.size / 2) / n}%4.1f%%)  " +
+          f"hops med=${hp(hp.size / 2)} max=${hp.max}")
       }
       edges.unpersist()
     }
