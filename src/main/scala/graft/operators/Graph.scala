@@ -1094,41 +1094,43 @@ object Graph {
   private[graft] var CensusAdjBudget = 4000000L
 
   /** Returns None when the replay ran, Some(reason) when a budget
-    * guard declined to the full path. BOTH guards are enforced with
-    * in-plan counts BEFORE any `.collect()`: out-degree is capped at
-    * [[GraphTopG]] but IN-degree is not, so a small delta touching a
-    * hub node has an unboundedly large incident neighborhood — a
-    * post-collect check (the r13 order) would pull exactly the
-    * driver-OOM-sized state the budget exists to refuse.
+    * guard declined to the full path. BOTH guards are FUSED with their
+    * fetch: `take(budget+1)` materializes at most budget+1 rows — the
+    * budget IS the declared-safe driver-materialization bound, so one
+    * extra row is inside it by construction — and more rows coming
+    * back than the budget declines to the full path. Out-degree is
+    * capped at [[GraphTopG]] but IN-degree is not, so a small delta
+    * touching a hub node has an unboundedly large incident
+    * neighborhood: a post-collect check (the r13 order) would pull
+    * exactly the driver-OOM-sized state the budget exists to refuse,
+    * while a separate count-then-collect (the first r14 cut) paid a
+    * second job per guard — measurable pure scheduling at probe scale.
+    * take(n+1) returning ≤ n rows proves the frame was exhausted, so
+    * the taken rows ARE the complete set on the admit path.
     */
   private def incrementalCensus(s: SparkSession, graphDir: String,
       gens: Seq[Long], prevDir: String, target: String): Option[String] = {
     val prevRow = s.read.parquet(s"$prevDir/triangles").collect().head
     val prevEdges = prevRow.getAs[Long]("n_edges")
     val prevDeg = s.read.parquet(s"$prevDir/deg")
+    def cap(budget: Long): Int =
+      (math.min(budget, Int.MaxValue.toLong - 1) + 1).toInt
     // netted directed ops across the gen range (add-then-evict
     // cancels) — log-sized once netted, so the counting below is
     // driver-paced like the graph-ANN beam (a tagged-union of a dozen
     // tiny aggregates paid ~1 s of exchange-job scheduling EACH under
-    // AQE — fixed cost that dwarfed the saved join). Guarded by an
-    // in-plan count FIRST: the collect runs only once the frame is
-    // known to be budget-sized (persisted so the admit path pays one
-    // computation, not two).
-    val netted =
-      if (gens.isEmpty) null
+    // AQE — fixed cost that dwarfed the saved join)
+    val netBudget =
+      (CensusMaxDeltaFrac * prevEdges + CensusDeltaFloor).toLong
+    val netTaken: Array[org.apache.spark.sql.Row] =
+      if (gens.isEmpty) Array.empty
       else s.read.parquet(gens.map(g => s"$graphDir/edge_delta/gen=$g"): _*)
         .groupBy("src", "dst").agg(sum("op").as("net"))
         .filter(col("net") =!= 0)
-        .persist()
-    val netCnt = if (netted == null) 0L else netted.count()
-    if (netCnt > CensusMaxDeltaFrac * prevEdges + CensusDeltaFloor) {
-      netted.unpersist()
-      return Some("delta_frac")
-    }
+        .take(cap(netBudget))
+    if (netTaken.length > netBudget) return Some("delta_frac")
     val netRows: Array[(Long, Long, Long)] =
-      if (netted == null) Array.empty
-      else try netted.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      finally { netted.unpersist(); () }
+      netTaken.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val adds = netRows.collect { case (a, b, n) if n > 0 => (a, b) }.toSet
     val dels = netRows.collect { case (a, b, n) if n < 0 => (a, b) }.toSet
     val touched: Set[(Long, Long)] = (adds ++ dels)
@@ -1138,20 +1140,20 @@ object Graph {
     // ONE pruned scan fetches every directed edge incident to a
     // touched endpoint — it answers both questions below: the touched
     // pairs' live directed membership (row present?) and the counting
-    // terms' restricted adjacency. The budget probe runs IN-PLAN
-    // (limit(budget+1).count() — early-exits once over budget, never
-    // ships a row to the driver); only an admitted frame is collected.
+    // terms' restricted adjacency. Guard fused with the fetch:
+    // take(budget+1) bounds the driver materialization to the budget
+    // by construction, and an over-budget result declines BEFORE any
+    // unbounded state can land.
     val pSet: Set[Long] = touched.flatMap { case (a, b) => Seq(a, b) }
     val pDf = pSet.toSeq.toDF("v")
-    val inc = ed
+    val incTaken = ed
       .join(broadcast(pDf.select(col("v").as("src"))), Seq("src"), "left_semi")
       .unionByName(ed
         .join(broadcast(pDf.select(col("v").as("dst"))), Seq("dst"), "left_semi")
         .select("src", "dst"))
-    val incProbe = inc.limit(
-      (math.min(CensusAdjBudget, Int.MaxValue.toLong - 1) + 1).toInt).count()
-    if (incProbe > CensusAdjBudget) return Some("adj_budget")
-    val incRows = inc.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .take(cap(CensusAdjBudget))
+    if (incTaken.length > CensusAdjBudget) return Some("adj_budget")
+    val incRows = incTaken.map(r => (r.getLong(0), r.getLong(1)))
     val dirIncident: Set[(Long, Long)] = incRows.toSet
     val dirNew: Set[(Long, Long)] = touched.flatMap { case (a, b) =>
       Seq((a, b), (b, a)).filter(dirIncident) }

@@ -35,8 +35,11 @@ object VarianceProbe {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    for (name <- Seq("q_d16_incremental_neardup", "q_d11_fuzzy_edit",
-        "q_d15_overlap_kmv")) {
+    val targets = sys.env.get("SPARK_GRAFT_VP_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("q_d16_incremental_neardup", "q_d11_fuzzy_edit",
+        "q_d15_overlap_kmv"))
+    for (name <- targets) {
       // untimed warm, as the bench's warm-up does
       SparkEntry.queries(name)(spark, d)
         .write.format("noop").mode("overwrite").save()
