@@ -1472,9 +1472,23 @@ object Graph {
     */
   private[graft] def seededEntries(qv: DataFrame, routing: DataFrame,
       bsizes: DataFrame): Map[Long, Seq[Long]] = {
-    // composite bucket key, exact: bkt < 2^SrpBits by construction
+    // composite bucket key for DRIVER-side grouping, exact: bkt <
+    // 2^SrpBits by construction
     def keyCol(t: Column, b: Column): Column =
       t.cast("long") * (1L << Dedup.SrpBits) + b
+    // DataFrame-side key filters stay on the raw ATTRIBUTES — one
+    // (tbl = t AND bkt IN (...)) disjunct per table: a predicate on
+    // the computed composite key is an expression over attributes and
+    // never reaches the parquet scan, while per-table attribute
+    // predicates push down onto the routing table's (tbl, bkt) sort
+    // order and prune row groups at scale. The per-table IN list is
+    // bounded by the bkt domain (2^SrpBits) regardless of batch size.
+    def keyPred(ks: Iterable[Long]): Column =
+      ks.groupBy(_ >> Dedup.SrpBits).map { case (t, group) =>
+        col("tbl") === t.toInt &&
+          col("bkt").isin(group.map(_ & ((1L << Dedup.SrpBits) - 1))
+            .toSeq.distinct: _*)
+      }.reduceOption(_ || _).getOrElse(lit(false))
     val qb = qv.select(col("qid"),
         posexplode(graft.functions.SrpKernel.srpBuckets(
           col("qv"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
@@ -1483,12 +1497,11 @@ object Graph {
     val qids = qb.map(_._1).distinct.toSeq
     val keys = qb.map(_._2).distinct.toSeq
     val capped = bsizes
-      .filter(keyCol(col("tbl"), col("bkt")).isin(keys: _*) &&
-        col("n") <= Dedup.MaxBucket.toLong)
+      .filter(keyPred(keys) && col("n") <= Dedup.MaxBucket.toLong)
       .select(keyCol(col("tbl"), col("bkt")).as("key"))
       .collect().map(_.getLong(0)).toSet
     val cohab = routing
-      .filter(keyCol(col("tbl"), col("bkt")).isin(capped.toSeq: _*))
+      .filter(keyPred(capped))
       .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
       .collect().map(r => (r.getLong(1), r.getLong(0)))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
