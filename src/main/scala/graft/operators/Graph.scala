@@ -1645,10 +1645,28 @@ object Graph {
     }
     var active = beams.keySet
     var hopsOf = Map.empty[Long, Long]
+    // per-query set of srcs whose out-edges were already expanded: a
+    // node's expansion never changes, and a candidate dropped from the
+    // pool can never re-qualify (the beam's (score, id) cutoff is
+    // monotone non-decreasing — topB of a superset majorizes), so
+    // expanding only NEW beam entrants leaves the beam sequence, both
+    // attestations, and the fixpoint round BIT-IDENTICAL while cutting
+    // each hop's expansion from beam·G rows to entrants·G — after the
+    // first hops, a handful of partitions instead of the beam's full
+    // spread. The oracle unrolls the full re-expansion form; equality
+    // of the served frames under the hash gate is the proof the
+    // pruning is sound. An active query always has an unexpanded
+    // entrant (a changed beam contains a never-expanded dst), so the
+    // expansion set is never empty before the fixpoint.
+    val expanded = collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
     var k = 0
     while (k < hops && active.nonEmpty) {
       k += 1
-      val pairs = active.toSeq.flatMap(q => beams(q).map(x => (q, x._1)))
+      val pairs = active.toSeq.flatMap { q =>
+        (beams(q).map(_._1) -- expanded(q)).map(srcId => (q, srcId))
+      }
+      for ((q2, srcId) <- pairs) expanded(q2) = expanded(q2) + srcId
       val bkts = pairs.map(p => nodeBkt(p._2)).distinct
       // the hop job: partition-pruned expand + score, one pass
       val scored = pairs.toDF("qid", "src")
