@@ -219,6 +219,81 @@ class GraphSpec extends SparkSuite {
       "an edgeless seed is its own fixpoint on hop 1")
   }
 
+  test("graph ANN: entrant-only expansion ≡ full re-expansion reference on random graphs") {
+    import spark.implicits._
+    // The shipped hop loop expands only NEW beam entrants, arguing a
+    // dropped candidate can never re-qualify (monotone (score, id)
+    // cutoff). This spec checks the claim against a driver-only
+    // reference that re-expands the WHOLE beam every hop — identical
+    // top-K rows, visited_n, and hops_n on random graphs of several
+    // sizes, beyond the two registered-corpus hash gates.
+    val rnd = new scala.util.Random(20260814L)
+    def qdot(a: Array[Float], b: Array[Float]): Long = {
+      var s = 0L; var i = 0
+      while (i < 64) {
+        s += math.floor(a(i).toDouble * Graph.QuantScale).toLong *
+          math.floor(b(i).toDouble * Graph.QuantScale).toLong
+        i += 1
+      }
+      s
+    }
+    for (n <- Seq(60, 90)) {
+      val vecs: Seq[(Long, Array[Float])] =
+        (0L until n.toLong).map(i => i -> Array.fill(64)(rnd.nextFloat() - 0.5f))
+      val e = vecs.toDF("vec_id", "embedding")
+      val edges = Graph.knnGraphEdgesOn(e)
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("dvec")), "dst")
+        .select("src", "dst", "w", "rk", "dvec")
+        .persist()
+      val routing = Graph.bucketRowsOf(e).persist()
+      val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
+      val (beamW, hopB, topK) = (8, 6, Graph.GannTopK)
+      val isQ = col("vec_id") < 4L
+      val got = Graph.graphAnnBatchOn(e, edges, routing, bsizes, isQ,
+          beam = beamW, hops = hopB)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      // ---- reference: full re-expansion, driver-only
+      val emb = vecs.toMap
+      val adj: Map[Long, Seq[Long]] = edges.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val seeds = Graph.seededEntries(
+        e.filter(isQ).select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        routing, bsizes)
+      def topB(pool: Iterable[(Long, Long)], b: Int): Set[(Long, Long)] =
+        pool.toSeq.distinct.sortBy { case (vid, sc) => (-sc, vid) }
+          .take(b).toSet
+      val want = seeds.toSeq.flatMap { case (qid, sds) =>
+        val qv = emb(qid)
+        var visited = Map.empty[Long, Long]
+        for (sid <- sds) visited += sid -> qdot(emb(sid), qv)
+        var beamSet = topB(visited.toSeq.map { case (v2, s2) => (v2, s2) }, beamW)
+        var hopsN = hopB.toLong
+        var k = 0
+        var running = true
+        while (running && k < hopB) {
+          k += 1
+          // FULL re-expansion: every beam member's out-edges, every hop
+          val dsts = beamSet.toSeq.flatMap(x => adj.getOrElse(x._1, Seq.empty))
+            .map(d => { val sc = qdot(emb(d), qv); visited += d -> sc; (d, sc) })
+          val next = topB(beamSet ++ dsts, beamW)
+          if (next == beamSet) { hopsN = k.toLong; running = false }
+          else beamSet = next
+        }
+        visited.toSeq.sortBy { case (vid, sc) => (-sc, vid) }.take(topK)
+          .zipWithIndex.map { case ((vid, sc), i) =>
+            (qid, vid, sc, (i + 1).toLong, visited.size.toLong, hopsN) }
+      }.toSet
+      edges.unpersist(); routing.unpersist()
+      Dedup.releaseSlots()
+      assert(got === want,
+        s"n=$n: shipped loop diverged from full re-expansion reference — " +
+          s"missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+    }
+  }
+
   test("graph plans: no cartesian product anywhere in the family") {
     for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles", "q_g4_kcore",
         "q_g6_ppr", "q_g7_graph_ann")) {
