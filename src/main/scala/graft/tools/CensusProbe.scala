@@ -42,7 +42,25 @@ object CensusProbe {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
     }
 
-    val full = Tables.embeddings(spark, sfDir)
+    // SPARK_GRAFT_CENSUS_XREP > 1 replicates the corpus N× with the
+    // GraphScaleProbe sign-flip perturbation (distinct buckets per
+    // replica) — the census's full path grows with the corpus (und
+    // distinct + 3-way wedge join) while the replay grows with the
+    // delta, so the replay's advantage is an ASYMPTOTE this knob makes
+    // measurable rather than argued. SPARK_GRAFT_CENSUS_PMILS narrows
+    // the delta sizes swept (default 2,10,100 per-mil).
+    val xrep = sys.env.getOrElse("SPARK_GRAFT_CENSUS_XREP", "1").toInt
+    val pmils = sys.env.getOrElse("SPARK_GRAFT_CENSUS_PMILS", "2,10,100")
+      .split(",").toSeq.map(_.trim.toInt)
+    val full0 = Tables.embeddings(spark, sfDir)
+    val full =
+      if (xrep <= 1) full0
+      else full0
+        .crossJoin(spark.range(xrep.toLong).select(col("id").as("__rep")))
+        .withColumn("vec_id", col("vec_id") * xrep + col("__rep"))
+        .withColumn("embedding",
+          expr("transform(embedding, (x, i) -> CASE WHEN __rep > 0 AND i = CAST(__rep % 64 AS INT) THEN -x ELSE x END)"))
+        .drop("__rep")
     def fixture(tag: String, pmil: Int): String = {
       val d = java.nio.file.Files.createTempDirectory(s"cns-$tag").toString
       val isDelta = pmod(xxhash64(col("vec_id")), lit(1000L)) < pmil
@@ -69,7 +87,7 @@ object CensusProbe {
     }
 
     // per-mil delta sizes: 2 (a micro-batch), 10 (1%), 100 (bulk 10%)
-    for (pmil <- Seq(2, 10, 100)) {
+    for (pmil <- pmils) {
       val d1 = fixture(s"inc$pmil", pmil)
       val (s1, tInc) = time(Graph.ensureGraphStats(spark, d1))
       Dedup.releaseSlots()
@@ -77,7 +95,7 @@ object CensusProbe {
       dropLogs(d2) // coverage check fails → full 3-way join
       val (s2, tFul) = time(Graph.ensureGraphStats(spark, d2))
       Dedup.releaseSlots()
-      println(s"""{"probe":"census_refresh","sf":"$sfDir","delta_pmil":$pmil,""" +
+      println(s"""{"probe":"census_refresh","sf":"$sfDir","xrep":$xrep,"delta_pmil":$pmil,""" +
         s""""refresh_logs_s":${math.round(tInc * 1000) / 1000.0},""" +
         s""""refresh_nologs_s":${math.round(tFul * 1000) / 1000.0},""" +
         s""""tri_mode_logs":"${Graph.graphTriMode(s1)}",""" +
