@@ -93,6 +93,49 @@ class StreamingGraphIngestSpec extends SparkSuite {
     assert(got === want, "stored pagerank must equal live computation")
   }
 
+  test("the readStream wiring end-to-end: file-source micro-batches land once, stats stay within the lag budget, strict read converges") {
+    // the probe (tools/StalenessProbe) and the policy spec above drive
+    // ingestBatch — the foreachBatch BODY; this case drives the actual
+    // readStream → foreachBatch → statsMaxLag wiring of start(), so
+    // the production path from files on disk to a lag-budgeted stats
+    // artifact is covered end-to-end, not just its inner function
+    val (d, wave1, wave2) = freshDataset()
+    val root = tmpDir("sgi-stream")
+    val src = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val stats0 = Graph.ensureGraphStats(spark, d) // strict build at gen 0
+    wave1.write.mode("append").parquet(src)
+    val q = StreamingGraphIngest.start(spark, d, src, s"$root/acc",
+      s"$root/ckpt", wave1.schema, statsMaxLag = Some(8))
+    try {
+      q.processAllAvailable()
+      // a second file arrives while the stream runs — a second
+      // micro-batch through the same ledger gate
+      wave2.write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    Dedup.releaseSlots()
+    val gdir = Graph.ensureKnnGraph(spark, d)
+    assert(Graph.graphGen(gdir) >= 2L,
+      "both file-source micro-batches must have appended a generation")
+    // within the lag budget the stream's own statsMaxLag calls served
+    // the stamped version — no rebuild was paid mid-stream
+    assert(Graph.ensureGraphStats(spark, d, maxLagGen = 8) === stats0,
+      "stats within the lag budget must still serve the gen-0 version")
+    // every streamed vector is in the graph exactly once: stored edges
+    // equal a one-shot rebuild over the full corpus
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    val wantEdges = edgeSet(Graph.knnGraphEdgesOn(full))
+    val gotEdges = edgeSet(Graph.storedEdges(spark, d))
+    Dedup.releaseSlots()
+    assert(gotEdges === wantEdges,
+      "streamed graph must equal a one-shot rebuild over the union corpus")
+    // a strict consumer at stream end pays exactly one catch-up rebuild
+    val stats1 = Graph.ensureGraphStats(spark, d)
+    assert(stats1 !== stats0)
+    assert(Graph.ensureGraphStats(spark, d) === stats1)
+  }
+
   test("ids the graph already holds are dropped by the membership gate, not re-appended") {
     val (d, wave1, _) = freshDataset()
     val acc = tmpDir("sgi-gate-acc") + "/a"
