@@ -1076,22 +1076,27 @@ object Graph {
     * work this small. Spark does what is corpus-sized: one
     * broadcast-semi pruned scan fetches the incident rows, one
     * broadcast outer join carries the deg table. Cost-model guards
-    * ([[CensusMaxDeltaFrac]]/[[CensusAdjBudget]]) decline to the full
+    * ([[CensusMaxDeltaFrac]]/[[censusAdjBudget]]) decline to the full
     * path when the delta stops being small — returning false, never
     * wrong. No full distinct over und, no full 3-way join.
     */
   /** Decline thresholds for [[incrementalCensus]]: a replay whose
     * netted op count exceeds `CensusMaxDeltaFrac` of the previous edge
     * count (plus a small-graph floor) — or whose restricted adjacency
-    * would exceed `CensusAdjBudget` rows — is near the full path's
+    * would exceed [[censusAdjBudget]] rows — is near the full path's
     * cost anyway, so the refresh takes the exact full join instead.
     */
   private val CensusMaxDeltaFrac = 0.05
   private val CensusDeltaFloor = 4096L
-  // var, not val: GraphIndexSpec injects 0 to prove the guard declines
-  // BEFORE the incident-edge collect can run (the production value is
-  // never mutated outside that spec)
-  private[graft] var CensusAdjBudget = 4000000L
+  private val CensusAdjBudgetDefault = 4000000L
+  /** Session-conf read, not a JVM global: GraphIndexSpec injects 0 via
+    * `spark.conf` to prove the guard declines BEFORE the incident-edge
+    * collect can run, and a session-scoped override cannot leak into a
+    * concurrently running stats build on another session.
+    */
+  private[graft] def censusAdjBudget(s: SparkSession): Long =
+    s.conf.get("graft.census.adjBudget", CensusAdjBudgetDefault.toString)
+      .toLong
 
   /** Returns None when the replay ran, Some(reason) when a budget
     * guard declined to the full path. BOTH guards are FUSED with their
@@ -1113,8 +1118,13 @@ object Graph {
     val prevRow = s.read.parquet(s"$prevDir/triangles").collect().head
     val prevEdges = prevRow.getAs[Long]("n_edges")
     val prevDeg = s.read.parquet(s"$prevDir/deg")
-    def cap(budget: Long): Int =
-      (math.min(budget, Int.MaxValue.toLong - 1) + 1).toInt
+    // take() counts in Int, so a budget at or past Int.MaxValue-1
+    // cannot be over-fetch-probed: the over-budget comparison below
+    // would saturate and a truncated row set would pass as complete.
+    // A saturated budget is an EXPLICIT decline, not a silent admit —
+    // at that scale the replay is not driver-paced anyway.
+    def saturated(budget: Long): Boolean = budget >= Int.MaxValue.toLong - 1
+    def cap(budget: Long): Int = (budget + 1).toInt
     // netted directed ops across the gen range (add-then-evict
     // cancels) — log-sized once netted, so the counting below is
     // driver-paced like the graph-ANN beam (a tagged-union of a dozen
@@ -1122,6 +1132,7 @@ object Graph {
     // AQE — fixed cost that dwarfed the saved join)
     val netBudget =
       (CensusMaxDeltaFrac * prevEdges + CensusDeltaFloor).toLong
+    if (saturated(netBudget)) return Some("delta_frac")
     val netTaken: Array[org.apache.spark.sql.Row] =
       if (gens.isEmpty) Array.empty
       else s.read.parquet(gens.map(g => s"$graphDir/edge_delta/gen=$g"): _*)
@@ -1144,6 +1155,8 @@ object Graph {
     // take(budget+1) bounds the driver materialization to the budget
     // by construction, and an over-budget result declines BEFORE any
     // unbounded state can land.
+    val adjBudget = censusAdjBudget(s)
+    if (saturated(adjBudget)) return Some("adj_budget")
     val pSet: Set[Long] = touched.flatMap { case (a, b) => Seq(a, b) }
     val pDf = pSet.toSeq.toDF("v")
     val incTaken = ed
@@ -1151,8 +1164,8 @@ object Graph {
       .unionByName(ed
         .join(broadcast(pDf.select(col("v").as("dst"))), Seq("dst"), "left_semi")
         .select("src", "dst"))
-      .take(cap(CensusAdjBudget))
-    if (incTaken.length > CensusAdjBudget) return Some("adj_budget")
+      .take(cap(adjBudget))
+    if (incTaken.length > adjBudget) return Some("adj_budget")
     val incRows = incTaken.map(r => (r.getLong(0), r.getLong(1)))
     val dirIncident: Set[(Long, Long)] = incRows.toSet
     val dirNew: Set[(Long, Long)] = touched.flatMap { case (a, b) =>

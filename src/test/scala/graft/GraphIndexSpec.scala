@@ -452,15 +452,16 @@ class GraphIndexSpec extends SparkSuite {
     val stats0 = Graph.ensureGraphStats(spark, d)
     assert(Graph.graphTriMode(stats0) === "full")
     Graph.appendKnnGraph(spark, d, heldOut, base)
-    // inject a zero adjacency budget: the in-plan limit(1).count()
-    // probe sees ≥1 incident row and the guard must decline to the
-    // full path — by code order strictly before the incident-edge
-    // collect, with the TRI_DECLINE witness naming WHICH guard fired
-    // (in a kNN graph in-degree is uncapped; the r13 order collected
-    // a hub's whole in-neighborhood before checking the budget)
-    val saved = Graph.CensusAdjBudget
+    // inject a zero adjacency budget (session conf, not a JVM global):
+    // the guard's fused take(budget+1) fetch materializes at most
+    // budget+1 rows — here exactly 1 — sees more rows than the budget
+    // and must decline to the full path, by code order strictly before
+    // any unbounded incident-edge collect, with the TRI_DECLINE
+    // witness naming WHICH guard fired (in a kNN graph in-degree is
+    // uncapped; the r13 order collected a hub's whole in-neighborhood
+    // before checking the budget)
     try {
-      Graph.CensusAdjBudget = 0L
+      spark.conf.set("graft.census.adjBudget", "0")
       val stats1 = Graph.ensureGraphStats(spark, d)
       assert(Graph.graphTriMode(stats1) === "full",
         "an over-budget restricted adjacency must decline to the full path")
@@ -474,15 +475,32 @@ class GraphIndexSpec extends SparkSuite {
       Dedup.releaseSlots()
       assert(spark.read.parquet(s"$stats1/triangles")
         .collect().head.getLong(1) === nE)
-    } finally Graph.CensusAdjBudget = saved
-    // with the production budget restored the replay path resumes on
-    // the next generation — the injection is config, not a mode latch
+    } finally spark.conf.unset("graft.census.adjBudget")
     import spark.implicits._
     val emb0 = base.select("embedding").limit(1)
+    // a budget at or past Int.MaxValue-1 cannot be over-fetch-probed
+    // (take() counts in Int) — saturation must be an EXPLICIT decline
+    // before any fetch, never a silently truncated admit
+    val novel0 = spark.range(1).select(lit(4999999L).as("vec_id"))
+      .crossJoin(emb0)
+    Graph.appendKnnGraph(spark, d, novel0,
+      base.select("vec_id", "embedding").unionByName(heldOut))
+    try {
+      spark.conf.set("graft.census.adjBudget", Int.MaxValue.toString)
+      val statsSat = Graph.ensureGraphStats(spark, d)
+      Dedup.releaseSlots()
+      assert(Graph.graphTriMode(statsSat) === "full",
+        "a saturated adjacency budget must decline to the full path")
+      assert(Graph.graphTriDecline(statsSat) === "adj_budget",
+        "the saturation decline must carry the adjacency-guard witness")
+    } finally spark.conf.unset("graft.census.adjBudget")
+    // with the production budget restored the replay path resumes on
+    // the next generation — the injection is config, not a mode latch
     val novel = spark.range(1).select(lit(5000000L).as("vec_id"))
       .crossJoin(emb0)
     Graph.appendKnnGraph(spark, d, novel,
-      base.select("vec_id", "embedding").unionByName(heldOut))
+      base.select("vec_id", "embedding").unionByName(heldOut
+        .unionByName(novel0)))
     val stats2 = Graph.ensureGraphStats(spark, d)
     Dedup.releaseSlots()
     assert(Graph.graphTriMode(stats2) === "incremental",
