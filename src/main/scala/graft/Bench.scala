@@ -11,6 +11,53 @@ import org.apache.spark.sql.SparkSession
   * collect) — the same discipline you'd use on a cluster bench.
   */
 object Bench {
+  /** CPU-saturating calibration kernel: `threads` JVM threads each burn
+    * a FIXED xorshift loop concurrently, so the wall time is inversely
+    * proportional to the parallelism the OS actually grants this
+    * process. The r14 close-out showed why the query-based sentinel
+    * alone can't catch sustained shared-host pressure: a ~0.2 s
+    * single query slips into scheduler gaps and moved ~5% under
+    * external loads 5-8 that slowed the 32-thread-wide bench queries
+    * 10-15% — while a saturating kernel must be granted ALL cores at
+    * once to hit its floor, so the same pressure inflates it
+    * proportionally. Pure JVM (no Spark job): no scheduler, codegen,
+    * or shuffle noise — the loop JITs once at warm-up and the kernel's
+    * code never changes within a run, so drift is BY CONSTRUCTION the
+    * environment. The result of every thread escapes through
+    * `Future.get` into the returned checksum, so the loop cannot be
+    * dead-code-eliminated.
+    */
+  private[graft] def satKernel(threads: Int): Double = {
+    // ~0.57 s at 32 free cores on the reference box (~0.53e9 xorshift
+    // steps/s/core, measured); long enough to span scheduler quanta,
+    // short enough to sample every CalibEvery queries without moving
+    // the run's wall time materially (calibration is never part of
+    // the "total" metric)
+    val ItersPerThread = 300000000L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val t0 = System.nanoTime()
+      val futs = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            var x = 0x9E3779B97F4A7C15L + t
+            var i = 0L
+            while (i < ItersPerThread) {
+              x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+              i += 1
+            }
+            x
+          }
+        })
+      }
+      var acc = 0L
+      futs.foreach(f => acc ^= f.get())
+      val w = (System.nanoTime() - t0) / 1e9
+      if (acc == 0x5DEECE66DL) System.err.println("[bench] sat checksum")
+      w
+    } finally { pool.shutdown(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -163,7 +210,8 @@ object Bench {
     // the judge's bar for discarding a run without a manual re-measure.
     val CalibEvery = 15
     val CalibQuery = "q1_agg"
-    val calib = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    val calib = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double)]
+    val nThreads = cpus.toInt
     def calibrate(after: Int): Unit = {
       // min-of-2 per sample: a one-off GC/JIT event landing inside one
       // calibration timing is the same single-event noise the re-run
@@ -175,13 +223,24 @@ object Bench {
       val (w1, _) = force(CalibQuery)
       val (w2, _) = force(CalibQuery)
       val w = Seq(w1, w2).filter(_ >= 0).minOption.getOrElse(-1.0)
+      // saturating kernel alongside the query sample (also min-of-2):
+      // the query witnesses the Spark stack's health, the kernel
+      // witnesses the CPUs the OS is actually granting — the r14
+      // close-out measured external loads 5-8 moving the 0.2 s query
+      // ~5% (inside its clean band) while slowing 32-wide queries
+      // 10-15%; the kernel, which must be granted every core at once
+      // to hit its floor, inflates ~1.55x under the same pressure
+      // (SatKernelProbe, 6 busy processes: 0.83-0.93 s vs quiet
+      // 0.54-0.63 s)
+      val sat = math.min(satKernel(nThreads), satKernel(nThreads))
       if (w >= 0) {
         val load = osBean.getSystemLoadAverage
-        calib += ((after, w, load))
-        println(s"""{"calibration_after":$after,"sec":${r3(w)},"load":${r3(load)}}""")
+        calib += ((after, w, load, sat))
+        println(s"""{"calibration_after":$after,"sec":${r3(w)},"load":${r3(load)},"sat":${r3(sat)}}""")
       }
     }
     force(CalibQuery) // untimed warm so sample 0 is steady-state, like the rest
+    satKernel(nThreads) // JIT-warm the kernel loop once, untimed
 
     // Per-query re-run guard (r5 verdict item 1, r7 "what's wrong" #1):
     // a single organic full-GC / JIT / page-cache event can land inside
@@ -233,8 +292,8 @@ object Bench {
       .mkString("{", ",", "}")
     val cpus_ = results.map { case (k, (_, c)) => "\"" + k + "\":" + r3(c) }
       .mkString("{", ",", "}")
-    val calibJson = calib.map { case (after, sec, load) =>
-      s"""{"after":$after,"sec":${r3(sec)},"load":${r3(load)}}"""
+    val calibJson = calib.map { case (after, sec, load, sat) =>
+      s"""{"after":$after,"sec":${r3(sec)},"load":${r3(load)},"sat":${r3(sat)}}"""
     }.mkString("[", ",", "]")
     // >2x drift between the best and worst calibration sample = the
     // machine changed under us mid-run; 0.05 s floor guards the ratio
@@ -250,8 +309,22 @@ object Bench {
     // artifact below is the min-total comparable run, and
     // best_comparable records the gap for the reader.
     val calibSecs = calib.map(_._2)
-    val envSuspect = calibSecs.nonEmpty &&
-      calibSecs.max > 2 * math.max(calibSecs.min, 0.05)
+    // The saturating kernel gets a TIGHTER within-run gate than the
+    // query sentinel because it has none of the query's excuses: the
+    // loop JITs once before sample 0, allocates nothing (GC-free),
+    // schedules no Spark jobs, and touches no caches — measured clean
+    // within-run spread is <=1.16x single-shot / <=1.10x min-of-2,
+    // against ~1.55x under sustained 6-process pressure
+    // (SatKernelProbe). 1.30x splits the bands with margin on both
+    // sides. Mid-run pressure ARRIVAL trips this gate; pressure
+    // sustained across the WHOLE run is flat within-run and is caught
+    // cross-run instead via sat_floor in the comparable-pool
+    // selection below.
+    val satSecs = calib.map(_._4)
+    val satFloor = satSecs.minOption.getOrElse(-1.0)
+    val envSuspect = (calibSecs.nonEmpty &&
+      calibSecs.max > 2 * math.max(calibSecs.min, 0.05)) ||
+      (satSecs.nonEmpty && satSecs.max > 1.3 * math.max(satFloor, 0.05))
     val rr = reruns.map { case (k, (a, b)) =>
       "\"" + k + "\":[" + r3(a) + "," + r3(b) + "]"
     }.mkString("{", ",", "}")
@@ -345,11 +418,11 @@ object Bench {
     val benchFile0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_FULL.json")
     val historyPath0 = java.nio.file.Paths.get(
       benchFile0.stripSuffix(".json") + "_HISTORY.jsonl")
-    def comparableRuns(): Seq[(Double, Boolean, String)] = try {
+    def comparableRuns(): Seq[(Double, Boolean, String, Double)] = try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val myNames = names.toSet
-      def fields(line: String): Option[(Double, Boolean, String)] =
+      def fields(line: String): Option[(Double, Boolean, String, Double)] =
         try {
           val j = JsonMethods.parse(line)
           val JDouble(v) = j \ "value"
@@ -360,11 +433,14 @@ object Bench {
             case JString(c) => c; case _ => "none"
           }
           val sf = (j \ "sf") match { case JString(x) => x; case _ => "" }
+          val sfl = (j \ "sat_floor") match {
+            case JDouble(x) => x; case _ => -1.0
+          }
           val qn = (j \ "queries") match {
             case JObject(fs) => fs.map(_._1).toSet; case _ => Set.empty[String]
           }
           if (code == codeFp && codeFp != "unknown" && sf == sfDir && qn == myNames)
-            Some((v, env, line))
+            Some((v, env, line, sfl))
           else None
         } catch { case _: Throwable => None }
       if (java.nio.file.Files.isRegularFile(historyPath0))
@@ -382,7 +458,7 @@ object Bench {
     val bestCmp = bestPrior.map(v => r3(math.min(v, total))).getOrElse(r3(total))
 
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"pipeline":$ps,"latency":$latJson,"code":"$codeFp","best_comparable":$bestCmp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"sat_floor":${r3(satFloor)},"pipeline":$ps,"latency":$latJson,"code":"$codeFp","best_comparable":$bestCmp,"sf":"$sfDir"}"""
     println(full)
     // Belt-and-braces: the complete itemized record also goes to a file
     // in the repo (the driver commits the working tree each round, so
@@ -398,12 +474,28 @@ object Bench {
     // A flagged current run still becomes canonical when no comparable
     // clean run exists: self-identified suspicion beats silence.
     val canonical: String = {
-      val all = prior :+ ((total, envSuspect, full))
+      val all = prior :+ ((total, envSuspect, full, satFloor))
       val clean = all.filter(!_._2)
       // prefer CLEAN comparable runs; if every comparable run
       // self-flagged, still select among all — last-run-wins is the
       // failure mode being removed
-      val pool = if (clean.nonEmpty) clean else all
+      val pool0 = if (clean.nonEmpty) clean else all
+      // Cross-run pressure gate (the r14 close-out's missing sentinel):
+      // pressure sustained across a WHOLE run inflates every sat
+      // sample uniformly, so the within-run drift flag stays silent —
+      // but the kernel's code is identical across runs, so a run whose
+      // sat_floor sits >1.25x above the best comparable run's floor
+      // measured the same code on fewer effective cores. Drop it from
+      // the canonical pool (measured bands: clean run-to-run floors
+      // within ~1.1x; 6-process pressure 1.54x). Runs without a
+      // sat_floor (pre-r15 history lines) are exempt — the code
+      // fingerprint resets pools each round anyway.
+      val floors = pool0.map(_._4).filter(_ > 0)
+      val pool = if (floors.isEmpty) pool0 else {
+        val best = floors.min
+        val gated = pool0.filter(t => t._4 <= 0 || t._4 <= 1.25 * best)
+        if (gated.nonEmpty) gated else pool0
+      }
       // the headline is the pool MEDIAN run: the min of N noisy samples
       // is biased below the true value and improves for free with
       // every rerun of identical code (the r13 verdict's watch item) —
@@ -419,12 +511,20 @@ object Bench {
       pick.stripSuffix("}") +
         s""","selected_from":${pool.size},"min_comparable":${r3(minCmp)}}"""
     }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(benchFile0), canonical + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $benchFile0: ${e.getMessage}") }
-    try java.nio.file.Files.writeString(historyPath0, full + "\n",
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    catch { case e: Throwable => System.err.println(s"[bench] write history: ${e.getMessage}") }
+    // A SPARK_GRAFT_ONLY subset run is dev iteration: its canonical
+    // record would overwrite the last FULL sweep's artifact with a
+    // 4-query total (this clobbered BENCH_FULL.json once during r15
+    // development). Subset runs still print everything; only the
+    // repo-artifact writes are full-sweep-only, like the pipeline
+    // section above.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(benchFile0), canonical + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] write $benchFile0: ${e.getMessage}") }
+      try java.nio.file.Files.writeString(historyPath0, full + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable => System.err.println(s"[bench] write history: ${e.getMessage}") }
+    }
     // Print a short, complete JSON object LAST so a parseable record
     // always sits inside any tail window. It reports the CANONICAL
     // total (what BENCH_FULL.json now holds) alongside this run's.
