@@ -53,7 +53,9 @@ object GannRecallProbe {
     val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n")).persist()
     val scored = Graph.scoredPairsOn(e)
     println(s"corpus n=$n  shipped G=${Graph.GraphTopG} beam=${Graph.GannBeam}")
-    for (g <- Seq(4, 8, 16)) {
+    val gSweep = sys.env.get("SPARK_GRAFT_PROBE_G")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(4, 8, 16))
+    for (g <- gSweep) {
       val sym = scored.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
         .union(scored.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
       val edges = sym
@@ -65,6 +67,8 @@ object GannRecallProbe {
         .select("src", "dst", "w", "rk", "dvec", "bucket")
         .persist()
       edges.count()
+      val stableK = sys.env.get("SPARK_GRAFT_PROBE_STABLEK")
+        .map(_.trim.toInt)
       for (beam <- Seq(8, 16, 32, 64);
            hops <- sys.env.get("SPARK_GRAFT_PROBE_HOPS")
              .map(_.split(",").toSeq.map(_.trim.toInt))
@@ -74,7 +78,8 @@ object GannRecallProbe {
         for (_ <- 1 to 2) { // rep 1 warms codegen/JIT; rep 2 is reported
           val t0 = System.nanoTime()
           rows = Graph.graphAnnBatchOn(e, edges, routing, bsizes,
-            col("vec_id") < q, beam = beam, hops = hops).collect()
+            col("vec_id") < q, beam = beam, hops = hops,
+            stableK = stableK).collect()
           wall = (System.nanoTime() - t0) / 1e9
         }
         val byQ = rows.groupBy(_.getLong(0))

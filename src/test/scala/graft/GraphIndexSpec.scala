@@ -67,7 +67,8 @@ class GraphIndexSpec extends SparkSuite {
     for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles",
         "q_g4_kcore", "q_g5_communities", "q_g6_ppr", "q_g7_graph_ann",
         "q_g8_graph_ann_batch", "q_g9_graph_ann_filtered",
-        "q_g10_gann_recall", "q_g11_gann_filtered_batch")) {
+        "q_g10_gann_recall", "q_g11_gann_filtered_batch",
+        "q_g12_gann_adaptive_batch")) {
       val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString()
       assert(!p.contains("srp_buckets"),
         s"$name must serve from the stored graph, not rebuild buckets:\n${p.take(2000)}")
@@ -80,6 +81,34 @@ class GraphIndexSpec extends SparkSuite {
       .queryExecution.executedPlan.toString()
     assert(!p1.toLowerCase.contains("zip_with"),
       s"g1 must not re-score edges:\n${p1.take(2000)}")
+  }
+
+  test("adaptive exit (g12) stops no later than the full fixpoint (g8) and keeps the top-K when the exit rounds coincide") {
+    val d = sf0001
+    Graph.ensureKnnGraph(spark, d)
+    def byQ(name: String): Map[Long, (Long, Seq[Long])] =
+      SparkEntry.queries(name)(spark, d)
+        .select("qid", "hops_n", "rk", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues { rs =>
+          (rs.head.getLong(1),
+            rs.sortBy(_.getLong(2)).map(_.getLong(3)).toSeq)
+        }.toMap
+    val fullRes = byQ("q_g8_graph_ann_batch")
+    val adpt = byQ("q_g12_gann_adaptive_batch")
+    Dedup.releaseSlots()
+    assert(adpt.keySet === fullRes.keySet)
+    for (q <- adpt.keySet) {
+      // top-K-prefix stability is implied by full-beam stability, so
+      // the adaptive walk can never run LONGER than the fixpoint walk
+      assert(adpt(q)._1 <= fullRes(q)._1,
+        s"query $q: adaptive exit round ${adpt(q)._1} must be <= " +
+          s"full-fixpoint round ${fullRes(q)._1}")
+      // when the adaptive walk ran the full distance its visited set
+      // is the fixpoint walk's, so the served top-K must be identical
+      if (adpt(q)._1 == fullRes(q)._1)
+        assert(adpt(q)._2 === fullRes(q)._2,
+          s"query $q: same exit round must serve the same top-K")
+    }
   }
 
   test("graph_stats is version-stamped: an append invalidates and the rebuilt tables match live computation") {
