@@ -1447,6 +1447,122 @@ object Graph {
     s.read.parquet(s"${ensureKnnGraph(s, d)}/bsizes")
       .select("tbl", "bkt", "n")
 
+  // --------------------------------------- stratified graph artifact
+
+  /** Stratum column and the served stratum for [[g13GannStratified]]
+    * — label, the corpus's categorical partition (the v16/g9 filter
+    * family's column).
+    */
+  val StratumCol = "label"
+  val StratumServeLabel = 3
+
+  private[graft] lazy val StratumGraphTag = GraphTag + "st_" + StratumCol
+
+  /** Label-STRATIFIED kNN graph: the [[ensureKnnGraph]] edge/routing/
+    * occupancy tables built WITHIN each value of [[StratumCol]], in
+    * ONE pass (the LSH candidate join gains a stratum-equality key, so
+    * cross-stratum pairs are never generated — strictly less work than
+    * the global build, not 10x more). This is the filtered-ANN
+    * literature's answer to the LOW-selectivity band that
+    * FilteredRecallProbe measured on this engine (r14): at ~1%
+    * selectivity the predicate-agnostic walk's eligible-in-pool
+    * ≈ K and recall sags to 0.76, wider beams plateau at 0.90 while
+    * visiting >80% of the corpus — but a walk over the label-3 stratum
+    * graph reaches recall 1.00/1.00 in less wall than the full-graph
+    * walk (probe, sf0.1), because the SAME beam covers a 10x larger
+    * fraction of the eligible slice. The residual predicate (the
+    * non-stratum conjunct) stays a g9-style post-filter.
+    *
+    * Layout: `edges/` directory-partitioned by (stratum, bucket) so a
+    * stratum serve prunes to its own directories and each hop prunes
+    * further on `bucket`; `buckets/`+`bsizes/` partitioned by stratum
+    * with the (tbl, bkt) sort for seed-fetch pushdown. Occupancy caps
+    * apply per (stratum, tbl, bkt) — the graph IS the slice's graph,
+    * bit-identical to building [[ensureKnnGraph]] on the filtered
+    * corpus. Build-once per corpus+layout like the main graph's gen-0;
+    * a mutating corpus would append with [[appendKnnGraph]]'s
+    * per-stratum discipline (same delta shape, stratum carried
+    * through), which this round does not need: the artifact serves
+    * the static-corpus gates and the probe-measured trade.
+    */
+  def ensureStratumGraph(s: SparkSession, d: String): String = synchronized {
+    graft.core.ArtifactStore.ensure(
+      graft.core.ArtifactStore.artifactDir("stratum_graph", d, StratumGraphTag)) { target =>
+      val vecs = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        col(StratumCol).cast("long").as("stratum"))
+      val ids = vecs
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      val routing = ids.select(col("vec_id"), col("stratum"),
+        posexplode(graft.functions.SrpKernel.srpBuckets(
+          col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
+      routing
+        .repartition(col("stratum"), col("tbl"))
+        .sortWithinPartitions("stratum", "tbl", "bkt", "vec_id")
+        .write.partitionBy("stratum").mode("overwrite")
+        .parquet(s"$target/buckets")
+      s.read.parquet(s"$target/buckets")
+        .groupBy("stratum", "tbl", "bkt").agg(count(lit(1)).as("n"))
+        .repartition(col("stratum"))
+        .sortWithinPartitions("stratum", "tbl", "bkt")
+        .write.partitionBy("stratum").mode("overwrite")
+        .parquet(s"$target/bsizes")
+      // pair generation: the global build's capped-bucket self-join
+      // with stratum equality as an extra join key; caps evaluated on
+      // per-stratum occupancy (the slice's own graph, exactly)
+      val capped = routing
+        .withColumn("bsz", count(lit(1)).over(
+          Window.partitionBy("stratum", "tbl", "bkt")))
+        .filter(col("bsz") <= Dedup.MaxBucket).drop("bsz")
+      val cand = capped.as("a").join(capped.as("b"),
+          col("a.stratum") === col("b.stratum") &&
+            col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.stratum").as("stratum"),
+          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      val scored = cand
+        .join(ids.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+        .join(ids.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+        .select(col("stratum"), col("id_a"), col("id_b"),
+          intDot(col("e_a"), col("e_b")).as("w"))
+      val sym = scored
+        .select(col("stratum"), col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+        .union(scored
+          .select(col("stratum"), col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+      sym
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)))
+        .filter(col("rk") <= GraphTopG)
+        .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("dvec")), "dst")
+        .withColumn("bucket", edgeBucketOf(col("src")))
+        .repartition(col("stratum"), col("bucket"))
+        .sortWithinPartitions("stratum", "bucket", "src", "rk")
+        .select("src", "dst", "w", "rk", "dvec", "stratum", "bucket")
+        .write.partitionBy("stratum", "bucket").mode("overwrite")
+        .parquet(s"$target/edges")
+      ()
+    }
+  }
+
+  /** One stratum's slice of the stratified tables, pruned to its
+    * directory partitions — the frames [[graphAnnBatchOn]] serves
+    * from, shape-identical to the main graph's.
+    */
+  def stratumEdgesOf(s: SparkSession, d: String, stratum: Long): DataFrame =
+    s.read.parquet(s"${ensureStratumGraph(s, d)}/edges")
+      .filter(col("stratum") === stratum)
+      .select("src", "dst", "w", "rk", "dvec", "bucket")
+
+  def stratumRoutingOf(s: SparkSession, d: String, stratum: Long): DataFrame =
+    s.read.parquet(s"${ensureStratumGraph(s, d)}/buckets")
+      .filter(col("stratum") === stratum)
+      .select("vec_id", "tbl", "bkt")
+
+  def stratumBucketSizesOf(s: SparkSession, d: String, stratum: Long): DataFrame =
+    s.read.parquet(s"${ensureStratumGraph(s, d)}/bsizes")
+      .filter(col("stratum") === stratum)
+      .select("tbl", "bkt", "n")
+
   /** Seeded beam-search entries: for each query, EVERY vec_id sharing
     * a CAPPED LSH bucket with it (occupancy ≤ [[Dedup.MaxBucket]] —
     * the same pair-generation cap the build applies), excluding the
@@ -1824,6 +1940,28 @@ object Graph {
       col("vec_id") < GannBatchQ, stableK = Some(GannTopK))
       .orderBy("qid", "rk")
 
+  /** G13: STRATIFIED batch graph-ANN for the low-selectivity band —
+    * the [[ensureStratumGraph]] serve path: walk the label-3 stratum's
+    * own graph (seeds from the stratum routing, hops over the
+    * stratum's pruned edge partitions), post-filter only the RESIDUAL
+    * conjunct (vec_id % 10 = 0; ~1% combined selectivity — the exact
+    * predicate whose post-filter recall FilteredRecallProbe measured
+    * at 0.76 on the full graph and 1.00 here). Same walk engine, same
+    * attestations; the operating rule this completes: post-filter on
+    * the full graph while eligible-in-pool ≫ K, stratum graph when a
+    * stratum conjunct makes the slice walkable, pre-filter exact (v6)
+    * below that.
+    */
+  lazy val g13GannStratified: Relational.Q = (s, d) =>
+    graphAnnBatchOn(embeddings(s, d),
+      stratumEdgesOf(s, d, StratumServeLabel.toLong),
+      stratumRoutingOf(s, d, StratumServeLabel.toLong),
+      stratumBucketSizesOf(s, d, StratumServeLabel.toLong),
+      col("vec_id") < GannBatchQ,
+      allowed = Some(col(StratumCol) === StratumServeLabel &&
+        pmod(col("vec_id"), lit(10)) === 0))
+      .orderBy("qid", "rk")
+
   /** G10: graph-ANN recall audit — the [[Indexed.v19RecallGrid]]
     * discipline applied to the graph serve path, which until now
     * carried touch-bound attestations (`visited_n`) but no measured
@@ -2027,6 +2165,7 @@ object Graph {
     "q_g10_gann_recall" -> g10GannRecall,
     "q_g11_gann_filtered_batch" -> g11GraphAnnFilteredBatch,
     "q_g12_gann_adaptive_batch" -> g12GraphAnnAdaptiveBatch,
+    "q_g13_gann_stratified" -> g13GannStratified,
   )
 
   /** G6: personalized PageRank from the benchmark-prefix seed set —
@@ -2306,6 +2445,61 @@ object Graph {
   private lazy val graphAnnAdaptiveBatchSql: String =
     graphAnnBatchSqlWhere("", stableK = Some(GannTopK))
 
+  /** The STRATUM graph's walk tables, mirroring [[ensureStratumGraph]]
+    * for the served stratum: membership and occupancy caps restricted
+    * to label = [[StratumServeLabel]] (caps on per-stratum occupancy),
+    * pair candidacy within the stratum, per-src top-G. `buckets_all`
+    * (full-corpus hashing) still feeds the batch unroll's QUERY bucket
+    * keys — queries hash by vector, they need no stratum membership —
+    * while `smem`/`sbuckets` replace membership and routing. Ends with
+    * `edges(src, dst, w, rk)` like [[edgesCte]], so the batch unroll
+    * consumes either chain unchanged.
+    */
+  private lazy val stratumEdgesCte: String =
+    s"""${Dedup.srpCandCte},
+       |smem AS (
+       |  SELECT b.vec_id, b.tbl, b.bkt FROM buckets_all b
+       |  JOIN embeddings m ON m.vec_id = b.vec_id
+       |  WHERE m.label = $StratumServeLabel
+       |),
+       |sbuckets AS (
+       |  SELECT vec_id, tbl, bkt FROM (
+       |    SELECT vec_id, tbl, bkt, count(*) OVER (PARTITION BY tbl, bkt) AS bsz
+       |    FROM smem
+       |  ) WHERE bsz <= ${Dedup.MaxBucket}
+       |),
+       |scand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sbuckets a JOIN sbuckets b
+       |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |),
+       |sscored AS (
+       |  SELECT c.id_a, c.id_b, ${sqlIntDot("x.ed", "y.ed")} AS w
+       |  FROM scand c JOIN e x ON x.vec_id = c.id_a JOIN e y ON y.vec_id = c.id_b
+       |),
+       |ssym AS (
+       |  SELECT id_a AS src, id_b AS dst, w FROM sscored
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst, w FROM sscored
+       |),
+       |sranked AS (
+       |  SELECT src, dst, w,
+       |         row_number() OVER (PARTITION BY src ORDER BY w DESC, dst ASC) AS rk
+       |  FROM ssym
+       |),
+       |edges AS (SELECT src, dst, w, rk FROM sranked WHERE rk <= $GraphTopG)""".stripMargin
+
+  /** g13's oracle: the batch unroll over the stratum walk tables, the
+    * full predicate (stratum conjunct + residual) on the final
+    * selection.
+    */
+  private lazy val gannStratifiedSql: String =
+    graphAnnBatchSqlWhere(
+      s"WHERE vec_id IN (SELECT vec_id FROM embeddings " +
+        s"WHERE label = $StratumServeLabel AND vec_id % 10 = 0)",
+      walkCtes = stratumEdgesCte, routingRel = "sbuckets",
+      memberRel = "smem")
+
   /** g11's oracle: [[graphAnnBatchSql]] with the v16 label predicate
     * on each query's final selection only — walks, signatures, and
     * attestations shared verbatim with g8 (the g9 discipline, batch).
@@ -2319,7 +2513,10 @@ object Graph {
     * sibling of [[graphAnnSqlWhere]].
     */
   private def graphAnnBatchSqlWhere(finalWhere: String,
-      stableK: Option[Int] = None): String = {
+      stableK: Option[Int] = None,
+      walkCtes: String = edgesCte,
+      routingRel: String = "buckets",
+      memberRel: String = "buckets_all"): String = {
     val dot = sqlIntDot("x.ed", "q.qv")
     val hops = (1 to GannHops).map { k =>
       s"""nb$k AS MATERIALIZED (
@@ -2376,20 +2573,20 @@ object Graph {
       case None =>
         (1 to GannHops).map(k => s"SELECT * FROM nb$k").mkString(" UNION ALL ")
     }
-    s"""$edgesCte,
+    s"""$walkCtes,
        |q AS (SELECT vec_id AS qid, ed AS qv FROM e WHERE vec_id < $GannBatchQ),
        |peers AS (
        |  SELECT DISTINCT qb.qid, r.vec_id
        |  FROM (SELECT vec_id AS qid, tbl, bkt FROM buckets_all
        |        WHERE vec_id < $GannBatchQ) qb
-       |  JOIN buckets r ON r.tbl = qb.tbl AND r.bkt = qb.bkt
+       |  JOIN $routingRel r ON r.tbl = qb.tbl AND r.bkt = qb.bkt
        |   AND r.vec_id <> qb.qid
        |),
        |sd AS MATERIALIZED (
        |  SELECT s.qid, x.vec_id, $dot AS sc
        |  FROM (SELECT qid, vec_id FROM peers
        |        UNION ALL
-       |        SELECT q2.qid, (SELECT min(vec_id) FROM buckets_all) AS vec_id
+       |        SELECT q2.qid, (SELECT min(vec_id) FROM $memberRel) AS vec_id
        |        FROM q q2 WHERE NOT EXISTS
        |          (SELECT 1 FROM peers p2 WHERE p2.qid = q2.qid)) s
        |  JOIN e x ON x.vec_id = s.vec_id
@@ -2426,6 +2623,7 @@ object Graph {
     "q_g8_graph_ann_batch" -> graphAnnBatchSql,
     "q_g11_gann_filtered_batch" -> graphAnnFilteredBatchSql,
     "q_g12_gann_adaptive_batch" -> graphAnnAdaptiveBatchSql,
+    "q_g13_gann_stratified" -> gannStratifiedSql,
     "q_g7_graph_ann" -> graphAnnSql,
     "q_g9_graph_ann_filtered" -> graphAnnFilteredSql,
     "q_g10_gann_recall" -> gannRecallSql,

@@ -80,6 +80,95 @@ object FilteredRecallProbe {
         f"visited med=$visMed%4d  eligible-in-pool≈${visMed * selN / n}%3d vs K=${Graph.GannTopK}")
       Dedup.releaseSlots()
     }
+
+    // ---- the middle-band candidates for the ~1% point (r15) ----
+    // The r14 boundary: at ~1% selectivity eligible-in-pool ≈ K and
+    // post-filter recall sags to 0.76, while pre-filter exact is the
+    // right call at probe scale but not at a corpus size where the
+    // eligible slice itself is too big to scan. Two candidate levers,
+    // measured against the same filtered-exact oracle:
+    //  (a) WIDER BEAM on the full stored graph — no new artifact,
+    //      recall bought with per-query work (visited ∝ beam);
+    //  (b) LABEL-STRATUM GRAPH — a per-stratum edge table + routing
+    //      built over the label=3 slice; the walk covers ONLY the
+    //      stratum, so the same beam yields a 10x higher eligible
+    //      coverage fraction; the residual id%10 predicate stays a
+    //      post-filter. Build cost is the number that decides.
+    val onePct = col("label") === 3 && pmod(col("vec_id"), lit(10)) === 0
+    val selN1 = e.filter(onePct).count()
+    val exact1: Map[Long, Set[Long]] = e.filter(onePct)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qv))
+      .select(col("qid"), col("vec_id"),
+        Graph.intDot(col("embedding"), col("qv")).as("sc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
+      .filter(col("rn") <= Graph.GannTopK)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): (Double, Double, Long) = {
+      val byQ = rows.groupBy(_.getLong(0))
+      val rs = (0L until q).map { qid =>
+        val want = exact1.getOrElse(qid, Set.empty)
+        val got = byQ.get(qid).map(_.map(_.getLong(1)).toSet).getOrElse(Set.empty)
+        if (want.isEmpty) 1.0 else got.intersect(want).size.toDouble / want.size
+      }
+      val vis = byQ.values.map(_.head.getLong(4)).toSeq.sorted
+      (rs.sum / rs.size, rs.min, if (vis.isEmpty) 0L else vis(vis.size / 2))
+    }
+    // (a) wider beams on the stored full graph
+    for (b <- Seq(Graph.GannBeam, 128, 192)) {
+      var wall = 0.0
+      var rows: Array[org.apache.spark.sql.Row] = Array.empty
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        rows = Graph.graphAnnBatchOn(e,
+          Graph.storedEdgesPartitioned(spark, d),
+          Graph.storedBuckets(spark, d), Graph.storedBucketSizes(spark, d),
+          col("vec_id") < q, allowed = Some(onePct), beam = b).collect()
+        wall = (System.nanoTime() - t0) / 1e9
+      }
+      val (mean, mn, visMed) = recallOf(rows)
+      println(f"1%% via full graph, beam=$b%-3d         wall=$wall%5.2fs  " +
+        f"recall mean=$mean%5.2f min=$mn%5.2f  visited med=$visMed%4d")
+      Dedup.releaseSlots()
+    }
+    // (b) label-stratum graph: build over the label=3 slice, serve
+    // with the residual predicate post-filtered
+    val sub = e.filter(col("label") === 3)
+      .select("vec_id", "embedding", "label").persist()
+    val subN = sub.count()
+    val tb0 = System.nanoTime()
+    val scoredSub = Graph.scoredPairsOn(sub)
+    val symSub = scoredSub.select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .union(scoredSub.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+    val edgesSub = symSub
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rk") <= Graph.GraphTopG)
+      .join(sub.select(col("vec_id").as("dst"), col("embedding").as("dvec")), "dst")
+      .withColumn("bucket", Graph.edgeBucketOf(col("src")))
+      .select("src", "dst", "w", "rk", "dvec", "bucket")
+      .persist()
+    edgesSub.count()
+    val routingSub = Graph.bucketRowsOf(sub).persist()
+    val bsizesSub = routingSub.groupBy("tbl", "bkt")
+      .agg(count(lit(1)).as("n")).persist()
+    bsizesSub.count()
+    val buildWall = (System.nanoTime() - tb0) / 1e9
+    var wallS = 0.0
+    var rowsS: Array[org.apache.spark.sql.Row] = Array.empty
+    for (_ <- 1 to 2) {
+      val t0 = System.nanoTime()
+      rowsS = Graph.graphAnnBatchOn(e, edgesSub, routingSub, bsizesSub,
+        col("vec_id") < q, allowed = Some(onePct)).collect()
+      wallS = (System.nanoTime() - t0) / 1e9
+    }
+    val (meanS, mnS, visMedS) = recallOf(rowsS)
+    println(f"1%% via label-3 stratum graph (n=$subN%4d)  build=$buildWall%5.2fs  " +
+      f"serve=$wallS%5.2fs  recall mean=$meanS%5.2f min=$mnS%5.2f  visited med=$visMedS%4d")
+    Dedup.releaseSlots()
     spark.stop()
   }
 }
