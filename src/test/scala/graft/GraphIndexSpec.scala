@@ -68,7 +68,7 @@ class GraphIndexSpec extends SparkSuite {
         "q_g4_kcore", "q_g5_communities", "q_g6_ppr", "q_g7_graph_ann",
         "q_g8_graph_ann_batch", "q_g9_graph_ann_filtered",
         "q_g10_gann_recall", "q_g11_gann_filtered_batch",
-        "q_g12_gann_adaptive_batch")) {
+        "q_g12_gann_adaptive_batch", "q_g13_gann_stratified")) {
       val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString()
       assert(!p.contains("srp_buckets"),
         s"$name must serve from the stored graph, not rebuild buckets:\n${p.take(2000)}")
@@ -109,6 +109,25 @@ class GraphIndexSpec extends SparkSuite {
         assert(adpt(q)._2 === fullRes(q)._2,
           s"query $q: same exit round must serve the same top-K")
     }
+  }
+
+  test("stratum graph slice ≡ one-shot kNN-graph build on the filtered corpus") {
+    val d = sf0001
+    val full = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureStratumGraph(spark, d)
+    // the stratified artifact's claim: each stratum's slice IS the
+    // graph ensureKnnGraph would build over the filtered corpus —
+    // same kernel, same per-(stratum-)bucket occupancy cap, same
+    // top-G; only the join key gains the stratum conjunct
+    val want = edgeSet(Graph.knnGraphEdgesOn(
+      full.filter(col(Graph.StratumCol) === Graph.StratumServeLabel)))
+    val got = edgeSet(
+      Graph.stratumEdgesOf(spark, d, Graph.StratumServeLabel.toLong))
+    Dedup.releaseSlots()
+    assert(got === want,
+      s"stratum slice must equal the filtered-corpus build " +
+        s"(got ${got.size}, want ${want.size}; " +
+        s"missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)})")
   }
 
   test("graph_stats is version-stamped: an append invalidates and the rebuilt tables match live computation") {
