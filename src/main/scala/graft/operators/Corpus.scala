@@ -214,10 +214,20 @@ object Corpus {
       // partitions before the cache fills (measured +0.5s vs eager)
       .truncated(true)
     // star forest ⟺ fixpoint (see scaladoc): no root also hangs as a
-    // child. One job on two single-column projections of the cached
-    // edge set.
+    // child, AND every child hangs on exactly one root. The second
+    // conjunct is part of the star-forest definition, not an
+    // optimization: a node with two smaller neighbors — e.g. the
+    // two-edge cherry {(c,a),(c,b)} with c > a,b — has no chain, so
+    // the first check alone calls the INITIAL edge set converged and
+    // the components of a and b are never merged (and c is assigned
+    // twice). Large inputs virtually never pass the first check at
+    // round 0, which kept this latent until the delta-sized contracted
+    // merge graphs (r15) hit it. Both checks run on single-column
+    // projections of the cached edge set; the second only runs when
+    // the first passes.
     def isStarForest(e: DataFrame): Boolean =
-      e.select(col("v").as("u")).join(e.select("u"), Seq("u"), "left_semi").isEmpty
+      e.select(col("v").as("u")).join(e.select("u"), Seq("u"), "left_semi").isEmpty &&
+        e.groupBy("u").agg(count(lit(1)).as("np")).filter(col("np") > 1).isEmpty
     var iter = 0
     var converged = isStarForest(edges)
     while (!converged && iter < MaxStarIters) {

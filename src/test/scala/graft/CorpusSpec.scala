@@ -52,25 +52,33 @@ class CorpusSpec extends SparkSuite {
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty, "suite assumes no prior checkpoint dir")
     val ckpt = tmpDir("cc-ckpt")
-    // no unset API on the shared context: from here on this JVM's CC
-    // loops run the reliable path — which the remaining real-corpus
-    // d7/d9 tests in this suite then exercise end-to-end for free
-    sc.setCheckpointDir(ckpt)
-    val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
-      .toDF("a", "b")
-    val lp = Corpus.connectedComponents(pairs, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val star = Corpus.connectedComponentsStar(pairs, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val exp = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
-    assert(lp === exp && star === exp)
-    // reliable checkpoint files actually landed under the dir
-    def files(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(files).sum
-      else 1L
-    assert(files(new java.io.File(ckpt)) > 0,
-      "no RDD checkpoint files written — loops still on localCheckpoint")
+    // the SparkContext is shared across every suite in the forked test
+    // JVM, and a lingering checkpoint dir flips OTHER tests' loops to
+    // the reliable path (an extra checkpoint-write job per round broke
+    // GraphIndexSpec's k-core job-count budget whenever this suite ran
+    // first) — restore the executor-local default on the way out via
+    // setCheckpointDir(null), which Option()s the argument back to None
+    try {
+      sc.setCheckpointDir(ckpt)
+      val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
+        .toDF("a", "b")
+      val lp = Corpus.connectedComponents(pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Corpus.connectedComponentsStar(pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+        5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
+      assert(lp === exp && star === exp)
+      // reliable checkpoint files actually landed under the dir
+      def files(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(files).sum
+        else 1L
+      assert(files(new java.io.File(ckpt)) > 0,
+        "no RDD checkpoint files written — loops still on localCheckpoint")
+    } finally {
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty, "checkpoint dir must be restored")
+    }
   }
 
   test("connectedComponentsStar: known graph, long chain, empty graph") {
@@ -90,6 +98,17 @@ class CorpusSpec extends SparkSuite {
     assert(chainGot.values.forall(_ == 1L), "whole chain is one component rooted at 1")
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Corpus.connectedComponentsStar(empty, "a", "b").count() === 0)
+    // the two-edge cherry {(c,a),(c,b)} with c larger than both: no
+    // node is parent AND child, so a chain-only convergence check
+    // calls the INITIAL edge set a star forest and never merges a and
+    // b (assigning c twice) — the r15 contracted-merge graphs are
+    // exactly this shape and caught it; the check also requires
+    // parent uniqueness now
+    val cherry = Seq((470L, 203L), (470L, 409L)).toDF("a", "b")
+    val cherryGot = Corpus.connectedComponentsStar(cherry, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cherryGot === Map(203L -> 203L, 409L -> 203L, 470L -> 203L),
+      s"cherry graph must be ONE component rooted at the min: $cherryGot")
   }
 
   test("d9 star components == d7 label-propagation components on the real corpus") {

@@ -460,12 +460,16 @@ class GraphIndexSpec extends SparkSuite {
     // {ab,bc,cd} → {bc} → {} → {} (fixpoint detected)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the async listener bus delivers QUEUED events from earlier
+    // tests' jobs to listeners registered later — gate on submission
+    // time so only jobs submitted after this point count
+    val t0 = System.currentTimeMillis()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         // count LOOP actions (checkpoint/count call sites) — broadcast
         // exchanges run as separate thread-pool jobs in any variant of
         // the loop and would drown the signal
-        if (j.stageInfos.exists(si =>
+        if (j.time >= t0 && j.stageInfos.exists(si =>
             si.name.contains("Graph.scala") || si.name.contains("Corpus.scala")))
           jobs.incrementAndGet()
         ()
