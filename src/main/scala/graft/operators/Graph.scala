@@ -914,12 +914,27 @@ object Graph {
     // after an append the graph holds vectors the base table doesn't
     val nodes = s.read.parquet(s"$graphDir/buckets")
       .select("vec_id").distinct()
-    pageRankOn(nodes, edges)
-      .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
-      .write.mode("overwrite").parquet(s"$target/pagerank")
-    pprOn(nodes, edges, col("vec_id") < PprSeedMax)
-      .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
-      .write.mode("overwrite").parquet(s"$target/ppr")
+    // per-phase walls, written as a TIMINGS meta file next to
+    // STATS_MODE/TRI_MODE: a production stats refresh needs to see
+    // WHERE a refresh spent its time (the always-full PageRank/PPR
+    // contract vs the delta-scoped census/cc paths), and the census
+    // probe reads the isolated census term from here instead of
+    // differencing whole-refresh walls the rank loops dominate
+    val phaseWall = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      phaseWall(name) = (System.nanoTime() - t0) / 1e9; r
+    }
+    phase("pagerank") {
+      pageRankOn(nodes, edges)
+        .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
+        .write.mode("overwrite").parquet(s"$target/pagerank")
+    }
+    phase("ppr") {
+      pprOn(nodes, edges, col("vec_id") < PprSeedMax)
+        .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
+        .write.mode("overwrite").parquet(s"$target/ppr")
+    }
     // ---- triangle census: INCREMENTAL when the graph's per-generation
     // edge-delta logs cover (prevGen, gv] and the previous version
     // stored its census state (deg/ + triangles/) — the census is pure
@@ -932,11 +947,14 @@ object Graph {
     val censusGens: Option[Seq[Long]] =
       prev.flatMap(p => statsDeltaGens(p, graphDir, gv,
         "edge_delta", Seq("deg", "triangles")))
-    val triOutcome: Option[String] = censusGens match {
-      case Some(gens) => incrementalCensus(s, graphDir, gens, prev.get, target)
-      case None => Some("uncovered")
+    val triOutcome: Option[String] = phase("census") {
+      val out = censusGens match {
+        case Some(gens) => incrementalCensus(s, graphDir, gens, prev.get, target)
+        case None => Some("uncovered")
+      }
+      out.foreach(_ => fullCensus(s, nodes, edges, target))
+      out
     }
-    triOutcome.foreach(_ => fullCensus(s, nodes, edges, target))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(target, "TRI_MODE"),
       if (triOutcome.isEmpty) "incremental" else "full")
@@ -954,21 +972,28 @@ object Graph {
     val ccGens: Option[Seq[Long]] =
       prev.flatMap(p => statsDeltaGens(p, graphDir, gv,
         "pair_delta", Seq("cc_core", "cc_comm")))
-    ccGens match {
-      case Some(gens) =>
-        val delta =
-          if (gens.isEmpty) pairs.limit(0)
-          else s.read.parquet(
-              gens.map(g => s"$graphDir/pair_delta/gen=$g"): _*)
-            .select("id_a", "id_b", "w")
-        incrementalComponentTables(s, pairs, delta, prev.get, target)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(target, "STATS_MODE"), "incremental")
-      case None =>
-        fullComponentTables(s, pairs, target)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(target, "STATS_MODE"), "full")
+    phase("components") {
+      ccGens match {
+        case Some(gens) =>
+          val delta =
+            if (gens.isEmpty) pairs.limit(0)
+            else s.read.parquet(
+                gens.map(g => s"$graphDir/pair_delta/gen=$g"): _*)
+              .select("id_a", "id_b", "w")
+          incrementalComponentTables(s, pairs, delta, prev.get, target)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(target, "STATS_MODE"), "incremental")
+        case None =>
+          fullComponentTables(s, pairs, target)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(target, "STATS_MODE"), "full")
+      }
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(target, "TIMINGS"),
+      phaseWall.map { case (k, v) =>
+        s""""${k}_s":${math.round(v * 1000) / 1000.0}"""
+      }.mkString("{", ",", "}"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(target, "GRAPH_GEN"), gv.toString)
     java.nio.file.Files.writeString(
@@ -1294,6 +1319,14 @@ object Graph {
   def graphTriDecline(versionDir: String): String =
     readMetaString(versionDir, "TRI_DECLINE")
 
+  /** Per-phase refresh walls of a stats version as the JSON written by
+    * [[writeGraphStatsTables]] — `{}` for pre-TIMINGS versions.
+    */
+  def graphStatsTimings(versionDir: String): String = {
+    val t = readMetaString(versionDir, "TIMINGS")
+    if (t.isEmpty) "{}" else t
+  }
+
   /** Census rows for a (doc_id, cluster) assignment over its edge set. */
   private def censusOf(cc: DataFrame, ccEdges: DataFrame): DataFrame = {
     val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n_nodes"))
@@ -1329,12 +1362,40 @@ object Graph {
       .write.mode("overwrite").parquet(s"$target/cc_comm")
   }
 
-  /** Incremental path: re-run the CC / peel fixpoints ONLY on
-    * components containing a delta-pair endpoint; carry every other
-    * component's rows forward. Exact because components are closed
-    * under edges (old pairs never cross components; delta pairs'
-    * endpoints are affected by definition) — the judged spec proves
-    * incremental ≡ full across a cluster-merging append.
+  /** Incremental path. The pair delta is ADDITIONS-ONLY (pairs/ is
+    * append-only between full rebuilds — [[statsDeltaGens]]'s
+    * coverage invariant), and edge additions can only MERGE
+    * components, never split them. So the ASSIGNMENT tables need no
+    * fixpoint over any affected subgraph: contract every previous
+    * component to its label, map the delta edges' endpoints through
+    * the previous assignment (self for nodes the previous state
+    * doesn't know), and run CC over that contracted graph — an input
+    * BOUNDED BY THE DELTA regardless of how large the components it
+    * touches are. The r14 formulation re-ran star-contraction over
+    * the affected components' FULL edge sets, which degenerates to
+    * the full path whenever the delta touches a big component — the
+    * per-phase `TIMINGS` breakdown (r15) measured incremental ≈ full
+    * at ×10 probe scale for exactly that reason. Label exactness:
+    * star CC assigns the contracted group its minimum node id = min
+    * over (previous labels ∪ new ids) = the merged component's
+    * minimum node id, the full path's label.
+    *
+    * The community census then updates ARITHMETICALLY: a merged
+    * group's n_nodes = Σ previous n_nodes + its distinct new nodes,
+    * n_edges = Σ previous n_edges + its delta edges (delta pairs are
+    * globally distinct new rows — every append's pairs touch a
+    * vector no earlier generation knew). Previous clusters whose
+    * label doesn't appear in the contracted CC output carry their
+    * label unchanged (coalesce) — including clusters whose delta
+    * edges are all INTERNAL (contracted self-loops, dropped by CC
+    * but still counted into n_edges).
+    *
+    * Only the k-core PEEL still runs over the affected components'
+    * edge sets: added edges change degrees and peeling cascades, so
+    * the subgraph fixpoint is semantic there, not an implementation
+    * shortcut. The judged spec proves incremental ≡ full against a
+    * live recompute across a cluster-merging append and a
+    * compaction.
     */
   private def incrementalComponentTables(s: SparkSession, pairs: DataFrame,
       delta: DataFrame, prevDir: String, target: String): Unit = {
@@ -1343,87 +1404,128 @@ object Graph {
     val prevKcore = s.read.parquet(s"$prevDir/kcore")    // (vec_id, deg, converged)
     val coreEdges = Dedup.cacheSlot("gstats-core-edges",
       pairs.filter(col("w") >= CoreWmin).select(col("id_a"), col("id_b")))
+    val prevCoreCc = prevCcCore.select(col("vec_id").as("doc_id"), col("cluster"))
     val deltaCore = delta.filter(col("w") >= CoreWmin)
       .select(col("id_a"), col("id_b")).persist()
-    scopedRefresh(s, coreEdges, deltaCore, prevCcCore
-        .select(col("vec_id").as("doc_id"), col("cluster"))) {
-      case (carriedCc, subCc, subEdges) =>
-        val subKcore = kcoreOn(
-          subEdges.select(col("id_a").as("src"), col("id_b").as("dst")))
-        val carriedKcore = prevKcore
-          .join(carriedCc.select(col("doc_id").as("vec_id")), "vec_id")
-        // the converged attestation is GLOBAL in the full formulation
-        // (every row carries the same bit) — combine: carried rows
-        // all converged previously AND the sub peel converged now
-        val carriedBit = carriedKcore
-          .agg(coalesce(min(col("converged")), lit(true)).as("cb"))
-        val subBit = subKcore
-          .agg(coalesce(min(col("converged")), lit(true)).as("sb"))
-        carriedKcore.select("vec_id", "deg")
-          .unionByName(subKcore.select("vec_id", "deg"))
-          .crossJoin(broadcast(carriedBit)).crossJoin(broadcast(subBit))
-          .select(col("vec_id"), col("deg"),
-            (col("cb") && col("sb")).as("converged"))
-          .repartition(1).sortWithinPartitions("vec_id")
-          .write.mode("overwrite").parquet(s"$target/kcore")
-        carriedCc.unionByName(subCc)
-          .select(col("doc_id").as("vec_id"), col("cluster")) // stable order
-          .repartition(1).sortWithinPartitions("vec_id")
-          .write.mode("overwrite").parquet(s"$target/cc_core")
-    }
-    deltaCore.unpersist()
-    // ---- community floor
-    val prevCcComm = s.read.parquet(s"$prevDir/cc_comm") // (doc_id, cluster)
-    val prevComms = s.read.parquet(s"$prevDir/communities")
-    val commEdges = Dedup.cacheSlot("gstats-comm-edges",
-      pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
-    val deltaComm = delta.filter(col("w") >= CommWmin)
-      .select(col("id_a"), col("id_b")).persist()
-    scopedRefresh(s, commEdges, deltaComm, prevCcComm) {
-      case (carriedCc, subCc, subEdges) =>
-        val affClusters = prevCcComm
-          .join(carriedCc, Seq("doc_id", "cluster"), "left_anti")
-          .select("cluster").distinct()
-        prevComms.join(affClusters, Seq("cluster"), "left_anti")
-          .unionByName(censusOf(subCc, subEdges))
-          .select("cluster", "n_nodes", "n_edges", "density_ppm")
-          .repartition(1).sortWithinPartitions("cluster")
-          .write.mode("overwrite").parquet(s"$target/communities")
-        carriedCc.unionByName(subCc)
-          .select("doc_id", "cluster")
-          .repartition(1).sortWithinPartitions("doc_id")
-          .write.mode("overwrite").parquet(s"$target/cc_comm")
-    }
-    deltaComm.unpersist()
-  }
-
-  /** Shared component-scoping: split the previous assignment into
-    * carried (untouched components) and the recomputed sub-CC over
-    * the affected components' full edge set, then hand
-    * (carriedCc, subCc, subEdges) to the per-floor writer. All three
-    * frames are persisted for the writer's multiple consumers.
-    */
-  private def scopedRefresh(s: SparkSession, allEdges: DataFrame,
-      deltaEdges: DataFrame, prevCc: DataFrame)(
-      write: (DataFrame, DataFrame, DataFrame) => Unit): Unit = {
-    val affNodes = deltaEdges.select(col("id_a").as("doc_id"))
-      .union(deltaEdges.select(col("id_b").as("doc_id"))).distinct()
-    val affClusters = prevCc.join(affNodes, "doc_id")
+    val mergedCore = Dedup.cacheSlot("gstats-core-merged",
+      Corpus.connectedComponentsStar(
+        contractedPairs(deltaCore, prevCoreCc), "ea", "eb"))
+    val relabelCore = mergedCore
+      .select(col("doc_id").as("cluster"), col("cluster").as("nc"))
+    val affNodesC = deltaCore.select(col("id_a").as("doc_id"))
+      .union(deltaCore.select(col("id_b").as("doc_id"))).distinct()
+    val affClustersC = prevCoreCc.join(affNodesC, "doc_id")
       .select("cluster").distinct()
-    val carriedCc = prevCc.join(affClusters, Seq("cluster"), "left_anti")
-      .persist()
-    val subNodes = prevCc.join(affClusters, "cluster").select("doc_id")
-      .union(affNodes).distinct()
-    val subEdges = allEdges
+    val carriedCc = prevCoreCc
+      .join(affClustersC, Seq("cluster"), "left_anti").persist()
+    // affected components' assignment: previous rows remapped through
+    // the contracted CC + the delta's new nodes (every new node has a
+    // non-self contracted edge — ids are unique — so it has a row)
+    val subCc = prevCoreCc.join(affClustersC, Seq("cluster"))
+      .join(relabelCore, Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("nc"), col("cluster")).as("cluster"))
+      .unionByName(affNodesC.join(prevCoreCc, Seq("doc_id"), "left_anti")
+        .join(mergedCore, "doc_id"))
+    // the PEEL runs over the affected components' full edge set —
+    // degree cascades are not contractible
+    val subNodes = prevCoreCc.join(affClustersC, "cluster").select("doc_id")
+      .union(affNodesC).distinct()
+    val subEdges = coreEdges
       .join(subNodes.select(col("doc_id").as("id_a")), "id_a")
       .persist()
-    val subCc = Corpus.connectedComponentsStar(subEdges, "id_a", "id_b")
-      .persist()
-    try write(carriedCc, subCc, subEdges)
-    finally {
-      carriedCc.unpersist(); subEdges.unpersist(); subCc.unpersist(); ()
-    }
+    val subKcore = kcoreOn(
+      subEdges.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val carriedKcore = prevKcore
+      .join(carriedCc.select(col("doc_id").as("vec_id")), "vec_id")
+    // the converged attestation is GLOBAL in the full formulation
+    // (every row carries the same bit) — combine: carried rows
+    // all converged previously AND the sub peel converged now
+    val carriedBit = carriedKcore
+      .agg(coalesce(min(col("converged")), lit(true)).as("cb"))
+    val subBit = subKcore
+      .agg(coalesce(min(col("converged")), lit(true)).as("sb"))
+    carriedKcore.select("vec_id", "deg")
+      .unionByName(subKcore.select("vec_id", "deg"))
+      .crossJoin(broadcast(carriedBit)).crossJoin(broadcast(subBit))
+      .select(col("vec_id"), col("deg"),
+        (col("cb") && col("sb")).as("converged"))
+      .repartition(1).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$target/kcore")
+    carriedCc.unionByName(subCc)
+      .select(col("doc_id").as("vec_id"), col("cluster")) // stable order
+      .repartition(1).sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$target/cc_core")
+    carriedCc.unpersist(); subEdges.unpersist(); deltaCore.unpersist()
+    // ---- community floor: contracted merge + arithmetic census —
+    // no community-floor edge scan at all; every frame below is
+    // bounded by the delta or by the (row-per-cluster) census table
+    // except the one linear remap over the assignment table
+    val prevCcComm = s.read.parquet(s"$prevDir/cc_comm") // (doc_id, cluster)
+    val prevComms = s.read.parquet(s"$prevDir/communities")
+    val deltaComm = delta.filter(col("w") >= CommWmin)
+      .select(col("id_a"), col("id_b")).persist()
+    val contracted = contractedPairs(deltaComm, prevCcComm).persist()
+    val mergedComm = Dedup.cacheSlot("gstats-comm-merged",
+      Corpus.connectedComponentsStar(contracted, "ea", "eb"))
+    val relabelComm = mergedComm
+      .select(col("doc_id").as("cluster"), col("cluster").as("nc"))
+    val affNodesM = deltaComm.select(col("id_a").as("doc_id"))
+      .union(deltaComm.select(col("id_b").as("doc_id"))).distinct()
+    val newCcM = affNodesM.join(prevCcComm, Seq("doc_id"), "left_anti")
+      .join(mergedComm, "doc_id").persist()
+    // assignment: one linear remap (unaffected labels miss → carry)
+    prevCcComm.join(relabelComm, Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("nc"), col("cluster")).as("cluster"))
+      .unionByName(newCcM)
+      .repartition(1).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$target/cc_comm")
+    // census: every contracted group has ≥1 delta edge, so the
+    // per-group delta-edge counts are the base frame
+    val affClustersM = prevCcComm.join(affNodesM, "doc_id")
+      .select("cluster").distinct()
+    val edgePart = contracted
+      .join(relabelComm.select(col("cluster").as("ea"), col("nc")), Seq("ea"), "left")
+      .select(coalesce(col("nc"), col("ea")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("de"))
+    val prevPart = prevComms.join(affClustersM, Seq("cluster"))
+      .join(relabelComm, Seq("cluster"), "left")
+      .select(coalesce(col("nc"), col("cluster")).as("g"),
+        col("n_nodes"), col("n_edges"))
+      .groupBy("g").agg(sum("n_nodes").as("pn"), sum("n_edges").as("pe"))
+    val newPart = newCcM.groupBy(col("cluster").as("g"))
+      .agg(count(lit(1)).as("nn"))
+    val mergedRows = edgePart
+      .join(prevPart, Seq("g"), "left").join(newPart, Seq("g"), "left")
+      .select(col("g").as("cluster"),
+        (coalesce(col("pn"), lit(0L)) + coalesce(col("nn"), lit(0L))).as("n_nodes"),
+        (coalesce(col("pe"), lit(0L)) + col("de")).as("n_edges"))
+      .select(col("cluster"), col("n_nodes"), col("n_edges"),
+        expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))")
+          .as("density_ppm"))
+    prevComms.join(affClustersM, Seq("cluster"), "left_anti")
+      .unionByName(mergedRows)
+      .select("cluster", "n_nodes", "n_edges", "density_ppm")
+      .repartition(1).sortWithinPartitions("cluster")
+      .write.mode("overwrite").parquet(s"$target/communities")
+    newCcM.unpersist(); contracted.unpersist(); deltaComm.unpersist()
+    ()
   }
+
+  /** Delta edges with endpoints CONTRACTED through a previous
+    * assignment: (ea, eb) where each endpoint becomes its previous
+    * cluster label, or itself when the previous state doesn't know it
+    * (a node added inside the replayed gen range). CC over this frame
+    * is the merge structure of the additions — input bounded by the
+    * delta, never by the components it touches.
+    */
+  private def contractedPairs(deltaEdges: DataFrame, prevCc: DataFrame): DataFrame =
+    deltaEdges
+      .join(prevCc.select(col("doc_id").as("id_a"), col("cluster").as("ca")),
+        Seq("id_a"), "left")
+      .join(prevCc.select(col("doc_id").as("id_b"), col("cluster").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("ea"),
+        coalesce(col("cb"), col("id_b")).as("eb"))
 
   /** Graph-ANN serving parameters: beam width, hop BUDGET (the loop
     * exits at its fixpoint, the budget is the hard ceiling the oracle

@@ -99,7 +99,12 @@ object CensusProbe {
         s""""refresh_logs_s":${math.round(tInc * 1000) / 1000.0},""" +
         s""""refresh_nologs_s":${math.round(tFul * 1000) / 1000.0},""" +
         s""""tri_mode_logs":"${Graph.graphTriMode(s1)}",""" +
-        s""""tri_mode_nologs":"${Graph.graphTriMode(s2)}"}""")
+        s""""tri_mode_nologs":"${Graph.graphTriMode(s2)}",""" +
+        // the isolated phase terms: whole-refresh differencing is
+        // dominated by the always-full PageRank/PPR loops; these come
+        // from the refresh's own TIMINGS meta file
+        s""""phases_logs":${Graph.graphStatsTimings(s1)},""" +
+        s""""phases_nologs":${Graph.graphStatsTimings(s2)}}""")
     }
     spark.stop()
   }
