@@ -973,6 +973,14 @@ object Graph {
       prev.flatMap(p => statsDeltaGens(p, graphDir, gv,
         "pair_delta", Seq("cc_core", "cc_comm")))
     phase("components") {
+      def declineFull(reason: Option[String]): Unit = {
+        fullComponentTables(s, pairs, target)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target, "STATS_MODE"), "full")
+        reason.foreach(r => java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(target, "STATS_DECLINE"), r))
+        ()
+      }
       ccGens match {
         case Some(gens) =>
           val delta =
@@ -980,13 +988,25 @@ object Graph {
             else s.read.parquet(
                 gens.map(g => s"$graphDir/pair_delta/gen=$g"): _*)
               .select("id_a", "id_b", "w")
-          incrementalComponentTables(s, pairs, delta, prev.get, target)
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(target, "STATS_MODE"), "incremental")
-        case None =>
-          fullComponentTables(s, pairs, target)
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(target, "STATS_MODE"), "full")
+          // guard BEFORE the incremental path builds anything: the
+          // contracted-merge formulation BROADCASTS delta-bounded
+          // frames (contracted labels, affected clusters) into every
+          // corpus-sized join, so the delta row count must sit inside
+          // the declared broadcast bound — a bulk append declines to
+          // the exact full path with its witness. The limit(budget+1)
+          // probe early-exits the log scan and ships only a count;
+          // saturated budgets decline explicitly (limit counts in
+          // Int — the census guard's discipline).
+          val budget = ccDeltaBudget(s)
+          val overBudget = budget >= Int.MaxValue.toLong - 1 ||
+            delta.limit((budget + 1).toInt).count() > budget
+          if (overBudget) declineFull(Some("delta_budget"))
+          else {
+            incrementalComponentTables(s, pairs, delta, prev.get, target)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(target, "STATS_MODE"), "incremental")
+          }
+        case None => declineFull(None)
       }
     }
     java.nio.file.Files.writeString(
@@ -1121,6 +1141,19 @@ object Graph {
     */
   private[graft] def censusAdjBudget(s: SparkSession): Long =
     s.conf.get("graft.census.adjBudget", CensusAdjBudgetDefault.toString)
+      .toLong
+
+  private val CcDeltaBudgetDefault = 4000000L
+  /** Admission bound for [[incrementalComponentTables]], session-conf
+    * read like [[censusAdjBudget]]: the contracted-merge path
+    * broadcasts delta-bounded frames into every corpus-sized join
+    * (assignment remaps, carried-row anti joins), so "delta-bounded"
+    * must be an enforced precondition, not a hope — a delta past this
+    * many rows declines to the exact full path (STATS_DECLINE
+    * witness) before anything is built or broadcast.
+    */
+  private[graft] def ccDeltaBudget(s: SparkSession): Long =
+    s.conf.get("graft.stats.ccDeltaBudget", CcDeltaBudgetDefault.toString)
       .toLong
 
   /** Returns None when the replay ran, Some(reason) when a budget
@@ -1319,6 +1352,13 @@ object Graph {
   def graphTriDecline(versionDir: String): String =
     readMetaString(versionDir, "TRI_DECLINE")
 
+  /** Which guard sent the cc analytics to the full path ("" when the
+    * incremental path ran, or when full was taken for lack of log
+    * coverage rather than by decline).
+    */
+  def graphStatsDecline(versionDir: String): String =
+    readMetaString(versionDir, "STATS_DECLINE")
+
   /** Per-phase refresh walls of a stats version as the JSON written by
     * [[writeGraphStatsTables]] — `{}` for pre-TIMINGS versions.
     */
@@ -1396,6 +1436,13 @@ object Graph {
     * shortcut. The judged spec proves incremental ≡ full against a
     * live recompute across a cluster-merging append and a
     * compaction.
+    *
+    * Plan shape: the caller's [[ccDeltaBudget]] admission guard makes
+    * every delta-derived frame broadcast-safe, so each corpus-sized
+    * table here (the two assignment tables, prevKcore, communities)
+    * participates only in broadcast hash joins — streamed once,
+    * never shuffled. The only shuffles are over delta-bounded or
+    * affected-subgraph frames.
     */
   private def incrementalComponentTables(s: SparkSession, pairs: DataFrame,
       delta: DataFrame, prevDir: String, target: String): Unit = {
@@ -1413,30 +1460,44 @@ object Graph {
     val relabelCore = mergedCore
       .select(col("doc_id").as("cluster"), col("cluster").as("nc"))
     val affNodesC = deltaCore.select(col("id_a").as("doc_id"))
-      .union(deltaCore.select(col("id_b").as("doc_id"))).distinct()
-    val affClustersC = prevCoreCc.join(affNodesC, "doc_id")
-      .select("cluster").distinct()
+      .union(deltaCore.select(col("id_b").as("doc_id"))).distinct().persist()
+    // every frame broadcast below is delta-bounded BY THE ADMISSION
+    // GUARD (ccDeltaBudget), so each corpus-sized table in this
+    // function is STREAMED past a broadcast hash — scanned, never
+    // shuffled; the previous-assignment lookup for the delta's
+    // endpoints is one such scan
+    val affKnownC = prevCoreCc.join(broadcast(affNodesC), "doc_id").persist()
+    val affClustersC = affKnownC.select("cluster").distinct()
     val carriedCc = prevCoreCc
-      .join(affClustersC, Seq("cluster"), "left_anti").persist()
+      .join(broadcast(affClustersC), Seq("cluster"), "left_anti").persist()
     // affected components' assignment: previous rows remapped through
     // the contracted CC + the delta's new nodes (every new node has a
     // non-self contracted edge — ids are unique — so it has a row)
-    val subCc = prevCoreCc.join(affClustersC, Seq("cluster"))
-      .join(relabelCore, Seq("cluster"), "left")
+    val subCc = prevCoreCc.join(broadcast(affClustersC), Seq("cluster"))
+      .join(broadcast(relabelCore), Seq("cluster"), "left")
       .select(col("doc_id"), coalesce(col("nc"), col("cluster")).as("cluster"))
-      .unionByName(affNodesC.join(prevCoreCc, Seq("doc_id"), "left_anti")
+      .unionByName(affNodesC
+        .join(affKnownC.select("doc_id"), Seq("doc_id"), "left_anti")
         .join(mergedCore, "doc_id"))
     // the PEEL runs over the affected components' full edge set —
     // degree cascades are not contractible
-    val subNodes = prevCoreCc.join(affClustersC, "cluster").select("doc_id")
+    val subNodes = prevCoreCc.join(broadcast(affClustersC), "cluster")
+      .select("doc_id")
       .union(affNodesC).distinct()
     val subEdges = coreEdges
       .join(subNodes.select(col("doc_id").as("id_a")), "id_a")
       .persist()
     val subKcore = kcoreOn(
       subEdges.select(col("id_a").as("src"), col("id_b").as("dst")))
+    // carried k-core rows = previous rows outside the affected
+    // components: an anti join against subNodes (≡ the old
+    // prevKcore ⋈ carriedCc, since kcore nodes ⊆ cc_core nodes and
+    // new nodes are never in prevKcore) — subNodes is usually small
+    // enough for AQE to broadcast, where the old form shuffled two
+    // corpus-sized tables
     val carriedKcore = prevKcore
-      .join(carriedCc.select(col("doc_id").as("vec_id")), "vec_id")
+      .join(subNodes.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
     // the converged attestation is GLOBAL in the full formulation
     // (every row carries the same bit) — combine: carried rows
     // all converged previously AND the sub peel converged now
@@ -1455,7 +1516,8 @@ object Graph {
       .select(col("doc_id").as("vec_id"), col("cluster")) // stable order
       .repartition(1).sortWithinPartitions("vec_id")
       .write.mode("overwrite").parquet(s"$target/cc_core")
-    carriedCc.unpersist(); subEdges.unpersist(); deltaCore.unpersist()
+    carriedCc.unpersist(); subEdges.unpersist()
+    affKnownC.unpersist(); affNodesC.unpersist(); deltaCore.unpersist()
     // ---- community floor: contracted merge + arithmetic census —
     // no community-floor edge scan at all; every frame below is
     // bounded by the delta or by the (row-per-cluster) census table
@@ -1470,25 +1532,28 @@ object Graph {
     val relabelComm = mergedComm
       .select(col("doc_id").as("cluster"), col("cluster").as("nc"))
     val affNodesM = deltaComm.select(col("id_a").as("doc_id"))
-      .union(deltaComm.select(col("id_b").as("doc_id"))).distinct()
-    val newCcM = affNodesM.join(prevCcComm, Seq("doc_id"), "left_anti")
+      .union(deltaComm.select(col("id_b").as("doc_id"))).distinct().persist()
+    val affKnownM = prevCcComm.join(broadcast(affNodesM), "doc_id").persist()
+    val newCcM = affNodesM
+      .join(affKnownM.select("doc_id"), Seq("doc_id"), "left_anti")
       .join(mergedComm, "doc_id").persist()
-    // assignment: one linear remap (unaffected labels miss → carry)
-    prevCcComm.join(relabelComm, Seq("cluster"), "left")
+    // assignment: one linear remap (unaffected labels miss → carry) —
+    // a broadcast outer join, so the corpus-sized table never shuffles
+    prevCcComm.join(broadcast(relabelComm), Seq("cluster"), "left")
       .select(col("doc_id"), coalesce(col("nc"), col("cluster")).as("cluster"))
       .unionByName(newCcM)
       .repartition(1).sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(s"$target/cc_comm")
     // census: every contracted group has ≥1 delta edge, so the
     // per-group delta-edge counts are the base frame
-    val affClustersM = prevCcComm.join(affNodesM, "doc_id")
-      .select("cluster").distinct()
+    val affClustersM = affKnownM.select("cluster").distinct()
     val edgePart = contracted
-      .join(relabelComm.select(col("cluster").as("ea"), col("nc")), Seq("ea"), "left")
+      .join(broadcast(relabelComm.select(col("cluster").as("ea"), col("nc"))),
+        Seq("ea"), "left")
       .select(coalesce(col("nc"), col("ea")).as("g"))
       .groupBy("g").agg(count(lit(1)).as("de"))
-    val prevPart = prevComms.join(affClustersM, Seq("cluster"))
-      .join(relabelComm, Seq("cluster"), "left")
+    val prevPart = prevComms.join(broadcast(affClustersM), Seq("cluster"))
+      .join(broadcast(relabelComm), Seq("cluster"), "left")
       .select(coalesce(col("nc"), col("cluster")).as("g"),
         col("n_nodes"), col("n_edges"))
       .groupBy("g").agg(sum("n_nodes").as("pn"), sum("n_edges").as("pe"))
@@ -1502,12 +1567,13 @@ object Graph {
       .select(col("cluster"), col("n_nodes"), col("n_edges"),
         expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))")
           .as("density_ppm"))
-    prevComms.join(affClustersM, Seq("cluster"), "left_anti")
+    prevComms.join(broadcast(affClustersM), Seq("cluster"), "left_anti")
       .unionByName(mergedRows)
       .select("cluster", "n_nodes", "n_edges", "density_ppm")
       .repartition(1).sortWithinPartitions("cluster")
       .write.mode("overwrite").parquet(s"$target/communities")
-    newCcM.unpersist(); contracted.unpersist(); deltaComm.unpersist()
+    newCcM.unpersist(); affKnownM.unpersist(); affNodesM.unpersist()
+    contracted.unpersist(); deltaComm.unpersist()
     ()
   }
 
@@ -1518,14 +1584,22 @@ object Graph {
     * is the merge structure of the additions — input bounded by the
     * delta, never by the components it touches.
     */
-  private def contractedPairs(deltaEdges: DataFrame, prevCc: DataFrame): DataFrame =
+  private def contractedPairs(deltaEdges: DataFrame, prevCc: DataFrame): DataFrame = {
+    // previous labels for exactly the delta's endpoints, fetched by
+    // STREAMING the corpus-sized assignment past a broadcast of the
+    // (admission-guard-bounded) endpoint set — a left join against
+    // prevCc directly would shuffle the whole assignment table twice
+    val ids = deltaEdges.select(col("id_a").as("doc_id"))
+      .union(deltaEdges.select(col("id_b").as("doc_id"))).distinct()
+    val lab = prevCc.join(broadcast(ids), "doc_id")
     deltaEdges
-      .join(prevCc.select(col("doc_id").as("id_a"), col("cluster").as("ca")),
+      .join(broadcast(lab.select(col("doc_id").as("id_a"), col("cluster").as("ca"))),
         Seq("id_a"), "left")
-      .join(prevCc.select(col("doc_id").as("id_b"), col("cluster").as("cb")),
+      .join(broadcast(lab.select(col("doc_id").as("id_b"), col("cluster").as("cb"))),
         Seq("id_b"), "left")
       .select(coalesce(col("ca"), col("id_a")).as("ea"),
         coalesce(col("cb"), col("id_b")).as("eb"))
+  }
 
   /** Graph-ANN serving parameters: beam width, hop BUDGET (the loop
     * exits at its fixpoint, the budget is the hard ceiling the oracle

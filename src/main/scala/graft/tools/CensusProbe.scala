@@ -81,8 +81,14 @@ object CensusProbe {
         if a.getName.startsWith("knn_graph_") && a.getName.contains(name)
         cur <- graft.core.ArtifactStore.current(a.toString)
       } {
-        val edl = new java.io.File(cur, "edge_delta")
-        if (edl.isDirectory) rm(edl)
+        // both log families: the census keys on edge_delta, the cc
+        // analytics on pair_delta — dropping both makes the nologs
+        // fixture's census AND components phases take the full path,
+        // so the TIMINGS meta compares each phase incremental vs full
+        for (fam <- Seq("edge_delta", "pair_delta")) {
+          val edl = new java.io.File(cur, fam)
+          if (edl.isDirectory) rm(edl)
+        }
       }
     }
 
@@ -100,6 +106,8 @@ object CensusProbe {
         s""""refresh_nologs_s":${math.round(tFul * 1000) / 1000.0},""" +
         s""""tri_mode_logs":"${Graph.graphTriMode(s1)}",""" +
         s""""tri_mode_nologs":"${Graph.graphTriMode(s2)}",""" +
+        s""""stats_mode_logs":"${Graph.graphStatsMode(s1)}",""" +
+        s""""stats_mode_nologs":"${Graph.graphStatsMode(s2)}",""" +
         // the isolated phase terms: whole-refresh differencing is
         // dominated by the always-full PageRank/PPR loops; these come
         // from the refresh's own TIMINGS meta file

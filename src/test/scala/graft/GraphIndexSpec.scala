@@ -296,6 +296,51 @@ class GraphIndexSpec extends SparkSuite {
       "post-compaction incremental assignments must equal live CC")
   }
 
+  test("cc admission guard: an over-budget pair delta declines to the exact full path with its witness; restored budget readmits") {
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureGraphStats(spark, d)
+    val h1 = heldOut.filter(col("vec_id") % 20 === 0)
+    val h2 = heldOut.filter(col("vec_id") % 20 =!= 0)
+    Graph.appendKnnGraph(spark, d, h1, base)
+    try {
+      // zero budget: the contracted-merge path broadcasts ONLY
+      // delta-bounded frames — that bound is the admission guard, so
+      // an over-budget delta must decline to the exact full path
+      // BEFORE anything is built or broadcast, with the witness
+      // naming the guard
+      spark.conf.set("graft.stats.ccDeltaBudget", "0")
+      val stats1 = Graph.ensureGraphStats(spark, d)
+      Dedup.releaseSlots()
+      assert(Graph.graphStatsMode(stats1) === "full",
+        "an over-budget pair delta must decline to the full path")
+      assert(Graph.graphStatsDecline(stats1) === "delta_budget",
+        "the decline must carry the delta-budget witness")
+      // the declined path is the exact full recompute
+      val corpus1 = base.select("vec_id", "embedding").unionByName(h1)
+      val wantCc = Corpus.connectedComponentsStar(
+          Graph.scoredPairsOn(corpus1).filter(col("w") >= Graph.CommWmin)
+            .select("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.releaseSlots()
+      val gotCc = spark.read.parquet(s"$stats1/cc_comm")
+        .select("doc_id", "cluster")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotCc === wantCc, "declined path must equal live CC")
+    } finally spark.conf.unset("graft.stats.ccDeltaBudget")
+    // restored budget: the next generation readmits the incremental
+    // path with no decline witness — the injection is config, not a
+    // mode latch (the census guard test's discipline)
+    Graph.appendKnnGraph(spark, d, h2,
+      base.select("vec_id", "embedding").unionByName(h1))
+    val stats2 = Graph.ensureGraphStats(spark, d)
+    Dedup.releaseSlots()
+    assert(Graph.graphStatsMode(stats2) === "incremental",
+      "restored budget must readmit the contracted-merge path")
+    assert(Graph.graphStatsDecline(stats2) === "",
+      "an admitted refresh must carry no decline witness")
+  }
+
   test("triangle census replays the edge-delta logs: multi-gen incremental ≡ full, survives compaction") {
     val (d, heldOut) = splitDataset()
     val stats0 = Graph.ensureGraphStats(spark, d)
