@@ -926,14 +926,12 @@ object Graph {
       phaseWall(name) = (System.nanoTime() - t0) / 1e9; r
     }
     phase("pagerank") {
-      pageRankOn(nodes, edges)
-        .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
-        .write.mode("overwrite").parquet(s"$target/pagerank")
+      sortedStatsWrite(pageRankOn(nodes, edges), s"$target/pagerank",
+        col("rank").desc, col("vec_id").asc)
     }
     phase("ppr") {
-      pprOn(nodes, edges, col("vec_id") < PprSeedMax)
-        .repartition(1).sortWithinPartitions(col("rank").desc, col("vec_id").asc)
-        .write.mode("overwrite").parquet(s"$target/ppr")
+      sortedStatsWrite(pprOn(nodes, edges, col("vec_id") < PprSeedMax),
+        s"$target/ppr", col("rank").desc, col("vec_id").asc)
     }
     // ---- triangle census: INCREMENTAL when the graph's per-generation
     // edge-delta logs cover (prevGen, gv] and the previous version
@@ -1059,17 +1057,29 @@ object Graph {
     * census STATE the incremental path carries: `deg/` (per-node
     * undirected degree).
     */
+  /** Sorted stats-table write: range-partition on the sort order
+    * (range partition k wholly precedes k+1, so global order survives
+    * across files) and sort within partitions. AQE coalesces the
+    * range shuffle to a handful of files at probe scale; at 100 TB
+    * the same plan keeps the cluster's write parallelism — the
+    * pre-r15 `repartition(1)` funneled corpus-sized tables (pagerank,
+    * the assignment tables) through ONE write task, the one-task
+    * write the Indexed build retired in r7 ([[Indexed.BuildTasks]]).
+    */
+  private def sortedStatsWrite(df: DataFrame, path: String, by: Column*): Unit =
+    df.repartitionByRange(by: _*).sortWithinPartitions(by: _*)
+      .write.mode("overwrite").parquet(path)
+
   private def fullCensus(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, target: String): Unit = {
     val und = Dedup.cacheSlot("gstats-und-edges", edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct())
-    und.select(col("a").as("v"))
+    sortedStatsWrite(und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("dg"))
-      .repartition(1).sortWithinPartitions("v")
-      .write.mode("overwrite").parquet(s"$target/deg")
+      .groupBy("v").agg(count(lit(1)).as("dg")),
+      s"$target/deg", col("v"))
     val wedges = s.read.parquet(s"$target/deg")
       .agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
     val tri = und.as("e1")
@@ -1314,12 +1324,11 @@ object Graph {
     }
     // carry the deg table with the (broadcast-joined) endpoint deltas
     val degDeltaDf = degDelta.toSeq.toDF("v", "dd")
-    prevDeg.join(broadcast(degDeltaDf), Seq("v"), "full")
+    sortedStatsWrite(prevDeg.join(broadcast(degDeltaDf), Seq("v"), "full")
       .select(col("v"),
         (coalesce(col("dg"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("dg"))
-      .filter(col("dg") > 0)
-      .repartition(1).sortWithinPartitions("v")
-      .write.mode("overwrite").parquet(s"$target/deg")
+      .filter(col("dg") > 0),
+      s"$target/deg", col("v"))
     val nEdges = prevEdges + aSet.size - rSet.size
     val nWedges = prevRow.getAs[Long]("n_wedges") + wDelta
     val nTri = prevRow.getAs[Long]("n_triangles") + tA - tR
@@ -1384,22 +1393,19 @@ object Graph {
       target: String): Unit = {
     val coreEdges = Dedup.cacheSlot("gstats-core-edges",
       pairs.filter(col("w") >= CoreWmin).select(col("id_a"), col("id_b")))
-    kcoreOn(coreEdges.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .repartition(1).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(s"$target/kcore")
-    Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b")
-      .select(col("doc_id").as("vec_id"), col("cluster"))
-      .repartition(1).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(s"$target/cc_core")
+    sortedStatsWrite(kcoreOn(
+        coreEdges.select(col("id_a").as("src"), col("id_b").as("dst"))),
+      s"$target/kcore", col("vec_id"))
+    sortedStatsWrite(Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b")
+        .select(col("doc_id").as("vec_id"), col("cluster")),
+      s"$target/cc_core", col("vec_id"))
     val commEdges = Dedup.cacheSlot("gstats-comm-edges",
       pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
     val cc = Dedup.cacheSlot("gstats-comm-cc",
       Corpus.connectedComponentsStar(commEdges, "id_a", "id_b"))
-    censusOf(cc, commEdges)
-      .repartition(1).sortWithinPartitions("cluster")
-      .write.mode("overwrite").parquet(s"$target/communities")
-    cc.repartition(1).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$target/cc_comm")
+    sortedStatsWrite(censusOf(cc, commEdges),
+      s"$target/communities", col("cluster"))
+    sortedStatsWrite(cc, s"$target/cc_comm", col("doc_id"))
   }
 
   /** Incremental path. The pair delta is ADDITIONS-ONLY (pairs/ is
@@ -1505,17 +1511,15 @@ object Graph {
       .agg(coalesce(min(col("converged")), lit(true)).as("cb"))
     val subBit = subKcore
       .agg(coalesce(min(col("converged")), lit(true)).as("sb"))
-    carriedKcore.select("vec_id", "deg")
+    sortedStatsWrite(carriedKcore.select("vec_id", "deg")
       .unionByName(subKcore.select("vec_id", "deg"))
       .crossJoin(broadcast(carriedBit)).crossJoin(broadcast(subBit))
       .select(col("vec_id"), col("deg"),
-        (col("cb") && col("sb")).as("converged"))
-      .repartition(1).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(s"$target/kcore")
-    carriedCc.unionByName(subCc)
-      .select(col("doc_id").as("vec_id"), col("cluster")) // stable order
-      .repartition(1).sortWithinPartitions("vec_id")
-      .write.mode("overwrite").parquet(s"$target/cc_core")
+        (col("cb") && col("sb")).as("converged")),
+      s"$target/kcore", col("vec_id"))
+    sortedStatsWrite(carriedCc.unionByName(subCc)
+      .select(col("doc_id").as("vec_id"), col("cluster")),
+      s"$target/cc_core", col("vec_id"))
     carriedCc.unpersist(); subEdges.unpersist()
     affKnownC.unpersist(); affNodesC.unpersist(); deltaCore.unpersist()
     // ---- community floor: contracted merge + arithmetic census —
@@ -1539,11 +1543,11 @@ object Graph {
       .join(mergedComm, "doc_id").persist()
     // assignment: one linear remap (unaffected labels miss → carry) —
     // a broadcast outer join, so the corpus-sized table never shuffles
-    prevCcComm.join(broadcast(relabelComm), Seq("cluster"), "left")
-      .select(col("doc_id"), coalesce(col("nc"), col("cluster")).as("cluster"))
-      .unionByName(newCcM)
-      .repartition(1).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$target/cc_comm")
+    sortedStatsWrite(
+      prevCcComm.join(broadcast(relabelComm), Seq("cluster"), "left")
+        .select(col("doc_id"), coalesce(col("nc"), col("cluster")).as("cluster"))
+        .unionByName(newCcM),
+      s"$target/cc_comm", col("doc_id"))
     // census: every contracted group has ≥1 delta edge, so the
     // per-group delta-edge counts are the base frame
     val affClustersM = affKnownM.select("cluster").distinct()
@@ -1567,11 +1571,11 @@ object Graph {
       .select(col("cluster"), col("n_nodes"), col("n_edges"),
         expr("(2000000 * n_edges) div (n_nodes * (n_nodes - 1))")
           .as("density_ppm"))
-    prevComms.join(broadcast(affClustersM), Seq("cluster"), "left_anti")
-      .unionByName(mergedRows)
-      .select("cluster", "n_nodes", "n_edges", "density_ppm")
-      .repartition(1).sortWithinPartitions("cluster")
-      .write.mode("overwrite").parquet(s"$target/communities")
+    sortedStatsWrite(
+      prevComms.join(broadcast(affClustersM), Seq("cluster"), "left_anti")
+        .unionByName(mergedRows)
+        .select("cluster", "n_nodes", "n_edges", "density_ppm"),
+      s"$target/communities", col("cluster"))
     newCcM.unpersist(); affKnownM.unpersist(); affNodesM.unpersist()
     contracted.unpersist(); deltaComm.unpersist()
     ()
@@ -1656,10 +1660,8 @@ object Graph {
     * apply per (stratum, tbl, bkt) — the graph IS the slice's graph,
     * bit-identical to building [[ensureKnnGraph]] on the filtered
     * corpus. Build-once per corpus+layout like the main graph's gen-0;
-    * a mutating corpus would append with [[appendKnnGraph]]'s
-    * per-stratum discipline (same delta shape, stratum carried
-    * through), which this round does not need: the artifact serves
-    * the static-corpus gates and the probe-measured trade.
+    * a mutating corpus appends with [[appendStratumGraph]] (the main
+    * append's discipline with the stratum carried through every key).
     */
   def ensureStratumGraph(s: SparkSession, d: String): String = synchronized {
     graft.core.ArtifactStore.ensure(
@@ -1738,6 +1740,155 @@ object Graph {
     s.read.parquet(s"${ensureStratumGraph(s, d)}/bsizes")
       .filter(col("stratum") === stratum)
       .select("tbl", "bkt", "n")
+
+  /** Delta-append labeled vectors into the STRATIFIED graph —
+    * [[appendKnnGraph]]'s discipline with the stratum carried through
+    * every key, in ONE pass (no per-stratum loop): the delta's bucket
+    * rows meet only their own stratum's occupancy/buckets (the cap
+    * rule applies per (stratum, tbl, bkt)), candidates never cross
+    * strata, only affected srcs re-rank their top-G, and only the
+    * (stratum, bucket) edge directories holding an affected src are
+    * rewritten — a delta labeled entirely stratum 3 touches zero
+    * bytes of any other stratum's partitions. A stratum unseen at
+    * build time materializes as a new directory partition (its delta
+    * is new×new only).
+    *
+    * Same exactness contract as the main append: append ≡ one-shot
+    * [[ensureStratumGraph]] rebuild on the union corpus while no
+    * (stratum, tbl, bkt) occupancy crosses the cap as the delta lands
+    * (spec-pinned per stratum against the filtered-corpus build).
+    * `corpusVecs` must supply (vec_id, embedding) for every id the
+    * artifact already holds — the [[appendKnnGraph]] convention.
+    * Publication is an [[graft.core.ArtifactStore.appendVersion]]
+    * (hard-link carry-forward + atomic pointer flip), so readers see
+    * pre- or post-append, never a torn delta.
+    */
+  def appendStratumGraph(s: SparkSession, d: String, newVecs: DataFrame,
+      corpusVecs: DataFrame): String = synchronized {
+    ensureStratumGraph(s, d)
+    val adir =
+      graft.core.ArtifactStore.artifactDir("stratum_graph", d, StratumGraphTag)
+    graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      graft.core.ArtifactStore.appendVersion(adir) { target =>
+        val key = Seq("stratum", "tbl", "bkt")
+        val nv = newVecs.select(col("vec_id"), col("embedding"),
+          col(StratumCol).cast("long").as("stratum")).persist()
+        val newB = nv.select(col("vec_id"), col("stratum"),
+          posexplode(graft.functions.SrpKernel.srpBuckets(
+            col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt"))).persist()
+        try {
+          val newCnt = newB.groupBy(key.map(col): _*)
+            .agg(count(lit(1)).as("nn"))
+          val keptKeys = newCnt
+            .join(s.read.parquet(s"$target/bsizes"), key, "left")
+            .filter(col("nn") + coalesce(col("n"), lit(0L)) <= Dedup.MaxBucket)
+            .select(key.map(col): _*)
+          val keptNewB = newB.join(keptKeys, key)
+          val oldInKept = s.read.parquet(s"$target/buckets").join(keptKeys, key)
+          val cand = keptNewB
+            .select(col("stratum"), col("tbl"), col("bkt"), col("vec_id").as("u"))
+            .join(oldInKept
+              .select(col("stratum"), col("tbl"), col("bkt"), col("vec_id").as("v2")),
+              key)
+            .select("stratum", "u", "v2")
+            .union(keptNewB
+              .select(col("stratum"), col("tbl"), col("bkt"), col("vec_id").as("u"))
+              .join(keptNewB
+                .select(col("stratum"), col("tbl"), col("bkt"), col("vec_id").as("v2")),
+                key)
+              .filter(col("u") < col("v2"))
+              .select("stratum", "u", "v2"))
+            .distinct()
+          val allVecs = corpusVecs.select(col("vec_id"), col("embedding"))
+            .unionByName(nv.select("vec_id", "embedding"))
+          // freeze the scored delta durably before any directory this
+          // computation reads is mutated (the appendKnnGraph staging
+          // rule: a cache-loss recompute must re-read staging files,
+          // not post-append live directories)
+          cand
+            .join(allVecs.select(col("vec_id").as("u"), col("embedding").as("e_a")), "u")
+            .join(allVecs.select(col("vec_id").as("v2"), col("embedding").as("e_b")), "v2")
+            .select(col("stratum"), col("u"), col("v2"),
+              intDot(col("e_a"), col("e_b")).as("w"))
+            .write.mode("overwrite").parquet(s"$target/delta_scored")
+          val scored = s.read.parquet(s"$target/delta_scored")
+          try {
+            newB.repartition(col("stratum"), col("tbl"))
+              .sortWithinPartitions("stratum", "tbl", "bkt", "vec_id")
+              .select("vec_id", "tbl", "bkt", "stratum")
+              .write.partitionBy("stratum").mode(SaveMode.Append)
+              .parquet(s"$target/buckets")
+            // bsizes: staged rewrite, directory swap deferred to the
+            // end with the edge swaps (later plans read the old files)
+            s.read.parquet(s"$target/bsizes")
+              .join(newCnt, key, "full")
+              .select(col("stratum"), col("tbl"), col("bkt"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("nn"), lit(0L))).as("n"))
+              .repartition(col("stratum"))
+              .sortWithinPartitions("stratum", "tbl", "bkt")
+              .write.partitionBy("stratum").mode("overwrite")
+              .parquet(s"$target/bsizes_new")
+            val sym = scored
+              .select(col("stratum"), col("u").as("src"), col("v2").as("dst"), col("w"))
+              .union(scored
+                .select(col("stratum"), col("v2").as("src"), col("u").as("dst"), col("w")))
+              .join(allVecs.select(col("vec_id").as("dst"),
+                col("embedding").as("dvec")), "dst")
+              .select("stratum", "src", "dst", "w", "dvec")
+              .persist()
+            val affected = sym.select("stratum", "src").distinct().persist()
+            // ≤ strata · EdgeBuckets pairs — bounded driver collect
+            val affParts = affected
+              .select(col("stratum"), edgeBucketOf(col("src")).as("bucket"))
+              .distinct().collect()
+              .map(r => (r.getLong(0), r.getInt(1)))
+            if (affParts.nonEmpty) {
+              // a disjunction over partition columns — pruned at
+              // planning to exactly the affected directories
+              val partPred = affParts
+                .map { case (st, bk) =>
+                  col("stratum") === st && col("bucket") === bk }
+                .reduce(_ || _)
+              val oldPart = s.read.parquet(s"$target/edges").filter(partPred)
+              val rer = oldPart.join(affected, Seq("stratum", "src"))
+                .select("stratum", "src", "dst", "w", "dvec")
+                .unionByName(sym)
+                .withColumn("rk", row_number().over(
+                  Window.partitionBy("src").orderBy(col("w").desc, col("dst").asc)))
+                .filter(col("rk") <= GraphTopG)
+              oldPart.join(affected, Seq("stratum", "src"), "left_anti")
+                .select("stratum", "src", "dst", "w", "rk", "dvec")
+                .unionByName(rer.select("stratum", "src", "dst", "w", "rk", "dvec"))
+                .withColumn("bucket", edgeBucketOf(col("src")))
+                .repartition(col("stratum"), col("bucket"))
+                .sortWithinPartitions("stratum", "bucket", "src", "rk")
+                .select("src", "dst", "w", "rk", "dvec", "stratum", "bucket")
+                .write.partitionBy("stratum", "bucket").mode("overwrite")
+                .parquet(s"$target/edges_new")
+              affParts.foreach { case (st, bk) =>
+                rmTree(s"$target/edges/stratum=$st/bucket=$bk")
+                val np = java.nio.file.Paths.get(
+                  s"$target/edges_new/stratum=$st/bucket=$bk")
+                if (java.nio.file.Files.isDirectory(np)) {
+                  java.nio.file.Files.createDirectories(
+                    java.nio.file.Paths.get(s"$target/edges/stratum=$st"))
+                  java.nio.file.Files.move(np,
+                    java.nio.file.Paths.get(
+                      s"$target/edges/stratum=$st/bucket=$bk"))
+                }
+              }
+              rmTree(s"$target/edges_new")
+            }
+            rmTree(s"$target/bsizes")
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(s"$target/bsizes_new"),
+              java.nio.file.Paths.get(s"$target/bsizes"))
+            sym.unpersist(); affected.unpersist()
+          } finally rmTree(s"$target/delta_scored")
+        } finally { newB.unpersist(); nv.unpersist() }
+      }
+    }
+  }
 
   /** Seeded beam-search entries: for each query, EVERY vec_id sharing
     * a CAPPED LSH bucket with it (occupancy ≤ [[Dedup.MaxBucket]] —

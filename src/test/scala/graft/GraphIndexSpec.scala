@@ -130,6 +130,68 @@ class GraphIndexSpec extends SparkSuite {
         s"missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)})")
   }
 
+  test("stratum append ≡ filtered-corpus build per stratum; foreign strata carry forward as hard links") {
+    val d = tmpDir("strat")
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    full.filter(col("vec_id") % 10 =!= 0).write.parquet(s"$d/embeddings.parquet")
+    val base = graft.core.Tables.embeddings(spark, d)
+    val heldOut = full.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"), col(Graph.StratumCol))
+    val v0 = Graph.ensureStratumGraph(spark, d)
+    // append ONLY the served stratum's part of the held-out tenth: a
+    // delta labeled entirely stratum 3 must rewrite zero bytes of any
+    // other stratum — its directories arrive as hard links of v0's
+    val h3 = heldOut.filter(col(Graph.StratumCol) === Graph.StratumServeLabel)
+    val v1 = Graph.appendStratumGraph(spark, d, h3, base)
+    assert(v1 !== v0)
+    def files(root: String): Map[String, java.nio.file.Path] = {
+      val r = java.nio.file.Paths.get(root)
+      val st = java.nio.file.Files.walk(r)
+      try st.filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => r.relativize(p).toString -> p).toMap
+      finally st.close()
+    }
+    val otherStratum = 7L
+    val before = files(s"$v0/edges/stratum=$otherStratum")
+    val after = files(s"$v1/edges/stratum=$otherStratum")
+    assert(after.keySet === before.keySet,
+      "an untouched stratum's edge files must carry forward unchanged")
+    for ((n, p) <- after)
+      assert(java.nio.file.Files.isSameFile(p, before(n)),
+        s"untouched stratum file $n must be a hard link of the previous version's")
+    // append the remaining strata, then every slice must equal the
+    // one-shot kNN-graph build over the label-filtered union corpus
+    // (the ensureStratumGraph slice claim, held ACROSS appends)
+    val hRest = heldOut.filter(col(Graph.StratumCol) =!= Graph.StratumServeLabel)
+    Graph.appendStratumGraph(spark, d, hRest,
+      base.select("vec_id", "embedding")
+        .unionByName(h3.select("vec_id", "embedding")))
+    for (l <- Seq(Graph.StratumServeLabel.toLong, otherStratum)) {
+      val want = edgeSet(Graph.knnGraphEdgesOn(
+        full.filter(col(Graph.StratumCol) === l)))
+      val got = edgeSet(Graph.stratumEdgesOf(spark, d, l))
+      Dedup.releaseSlots()
+      assert(got === want,
+        s"stratum $l slice after appends must equal the filtered-corpus " +
+          s"build (missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)})")
+    }
+    // bsizes stays the exact occupancy census of the routing table
+    val wantSizes = spark.read.parquet(
+        s"${Graph.ensureStratumGraph(spark, d)}/buckets")
+      .groupBy(col("stratum").cast("long").as("st"), col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val gotSizes = spark.read.parquet(
+        s"${Graph.ensureStratumGraph(spark, d)}/bsizes")
+      .select(col("stratum").cast("long"), col("tbl"), col("bkt"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotSizes === wantSizes,
+      "bsizes must equal a recount of the appended routing table")
+  }
+
   test("graph_stats is version-stamped: an append invalidates and the rebuilt tables match live computation") {
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
