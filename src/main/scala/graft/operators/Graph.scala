@@ -2289,6 +2289,91 @@ object Graph {
         pmod(col("vec_id"), lit(10)) === 0))
       .orderBy("qid", "rk")
 
+  /** Band thresholds for [[filteredAnnAutoBatch]], from the r14/r15
+    * measurements (`FilteredRecallProbe`): the post-filter walk holds
+    * recall 0.88-0.90 while the eligible fraction stays ≥ ~10%
+    * (eligible-in-pool ≫ K), sags to 0.76 at ~1% where the stratum
+    * walk reads 1.00, and below a scan-sized slice the pre-filter
+    * exact path is both exact and cheapest (cost ∝ slice). The exact
+    * cutoff is a session conf so specs can expose every band at gate
+    * scale (a 500-row corpus has no >64-row sub-10% slice).
+    */
+  val AutoPostFilterMinFrac = 0.10
+  private val AutoExactMaxRowsDefault = 64L
+  private[graft] def autoExactMaxRows(s: SparkSession): Long =
+    s.conf.get("graft.ann.autoExactMaxRows",
+      AutoExactMaxRowsDefault.toString).toLong
+
+  /** The measured filtered-ANN operating rule AS CODE — callers hand
+    * over the predicate and the selector picks the serve mode from
+    * the eligibility census (one column-pruned aggregate; a 100 TB
+    * deployment snapshots it per corpus version):
+    *
+    *  1. eligible ≤ [[autoExactMaxRows]] → PRE-FILTER EXACT: scan the
+    *     slice, exact top-K (recall 1.0 by construction, `visited_n`
+    *     = the slice, `hops_n` = 0);
+    *  2. eligible fraction ≥ [[AutoPostFilterMinFrac]] → POST-FILTER
+    *     walk on the full graph (g9/g11 discipline);
+    *  3. else, with a stratum conjunct → the STRATUM walk (g13);
+    *  4. else post-filter — the stratum-less middle band has no
+    *     better operator (wider beams plateau at 0.90 visiting >80%
+    *     of the corpus; FilteredRecallProbe r15).
+    *
+    * Returns (mode, frame); all modes share the batch output shape
+    * (qid, vec_id, sc, rk, visited_n, hops_n). The decision depends
+    * only on the corpus and the predicate, so a registered query's
+    * mode — and therefore its oracle — is deterministic per dataset.
+    */
+  def filteredAnnAutoBatch(s: SparkSession, d: String, isQuery: Column,
+      pred: Column, stratum: Option[Long] = None): (String, DataFrame) = {
+    val e = embeddings(s, d)
+    val r = e.agg(count(lit(1)).as("n"),
+      sum(when(pred, lit(1L)).otherwise(lit(0L))).as("elig")).collect().head
+    val n = r.getLong(0)
+    val elig = r.getLong(1)
+    def postFilter = graphAnnBatchOn(e, storedEdgesPartitioned(s, d),
+      storedBuckets(s, d), storedBucketSizes(s, d), isQuery,
+      allowed = Some(pred))
+    if (elig <= autoExactMaxRows(s)) {
+      val qv = e.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val res = e.filter(pred).select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(qv))
+        .select(col("qid"), col("vec_id"),
+          intDot(col("embedding"), col("qv")).as("sc"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
+        .filter(col("rk") <= GannTopK)
+        .select(col("qid"), col("vec_id"), col("sc"),
+          col("rk").cast("long").as("rk"),
+          lit(elig).as("visited_n"), lit(0L).as("hops_n"))
+      ("exact", res)
+    } else if (elig.toDouble / n >= AutoPostFilterMinFrac)
+      ("postfilter", postFilter)
+    else stratum match {
+      case Some(st) =>
+        ("stratum", graphAnnBatchOn(e, stratumEdgesOf(s, d, st),
+          stratumRoutingOf(s, d, st), stratumBucketSizesOf(s, d, st),
+          isQuery, allowed = Some(pred)))
+      case None => ("postfilter", postFilter)
+    }
+  }
+
+  /** G14: AUTO filtered ANN — [[filteredAnnAutoBatch]] end-to-end
+    * under the hash gate, registered with the g13 predicate. That
+    * slice is scan-sized at every gate scale (≤ ~20 rows through
+    * sf0.1), so the selector picks the exact path and the oracle IS
+    * that path in SQL; `GraphIndexSpec` drives the other three bands
+    * (post-filter, stratum, stratum-less fallback) with an injected
+    * cutoff and pins mode + result ≡ the direct mode call.
+    */
+  lazy val g14GannAuto: Relational.Q = (s, d) =>
+    filteredAnnAutoBatch(s, d, col("vec_id") < GannBatchQ,
+      col(StratumCol) === StratumServeLabel &&
+        pmod(col("vec_id"), lit(10)) === 0,
+      stratum = Some(StratumServeLabel.toLong))._2
+      .orderBy("qid", "rk")
+
   /** G10: graph-ANN recall audit — the [[Indexed.v19RecallGrid]]
     * discipline applied to the graph serve path, which until now
     * carried touch-bound attestations (`visited_n`) but no measured
@@ -2493,6 +2578,7 @@ object Graph {
     "q_g11_gann_filtered_batch" -> g11GraphAnnFilteredBatch,
     "q_g12_gann_adaptive_batch" -> g12GraphAnnAdaptiveBatch,
     "q_g13_gann_stratified" -> g13GannStratified,
+    "q_g14_gann_auto" -> g14GannAuto,
   )
 
   /** G6: personalized PageRank from the benchmark-prefix seed set —
@@ -2827,6 +2913,34 @@ object Graph {
       walkCtes = stratumEdgesCte, routingRel = "sbuckets",
       memberRel = "smem")
 
+  /** g14's oracle: the selector's EXACT band in SQL — the registered
+    * predicate's slice is scan-sized at every gate scale, so the auto
+    * path is a filtered brute-force top-K with `visited_n` = the
+    * eligible slice and `hops_n` = 0.
+    */
+  private lazy val gannAutoSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $GannBatchQ
+       |),
+       |elig AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE label = $StratumServeLabel AND vec_id % 10 = 0
+       |),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, ${sqlIntDot("e.embedding", "q.qv")} AS sc
+       |  FROM q CROSS JOIN elig e
+       |),
+       |ranked AS (
+       |  SELECT qid, vec_id, sc,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id ASC) AS rk
+       |  FROM scored
+       |)
+       |SELECT qid, vec_id, sc, rk::BIGINT AS rk,
+       |       (SELECT count(*)::BIGINT FROM elig) AS visited_n,
+       |       0::BIGINT AS hops_n
+       |FROM ranked WHERE rk <= $GannTopK ORDER BY qid, rk""".stripMargin
+
   /** g11's oracle: [[graphAnnBatchSql]] with the v16 label predicate
     * on each query's final selection only — walks, signatures, and
     * attestations shared verbatim with g8 (the g9 discipline, batch).
@@ -2951,6 +3065,7 @@ object Graph {
     "q_g11_gann_filtered_batch" -> graphAnnFilteredBatchSql,
     "q_g12_gann_adaptive_batch" -> graphAnnAdaptiveBatchSql,
     "q_g13_gann_stratified" -> gannStratifiedSql,
+    "q_g14_gann_auto" -> gannAutoSql,
     "q_g7_graph_ann" -> graphAnnSql,
     "q_g9_graph_ann_filtered" -> graphAnnFilteredSql,
     "q_g10_gann_recall" -> gannRecallSql,

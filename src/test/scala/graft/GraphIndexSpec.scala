@@ -192,6 +192,69 @@ class GraphIndexSpec extends SparkSuite {
       "bsizes must equal a recount of the appended routing table")
   }
 
+  test("filtered-ANN auto selector picks the measured band and serves that mode's exact result") {
+    val d = sf0001
+    val e = graft.core.Tables.embeddings(spark, d)
+    val isQ = col("vec_id") < Graph.GannBatchQ
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // scan-sized slice (5 rows) → exact: recall 1.0 by construction,
+    // visited_n attests the slice, hops_n 0
+    val predE = col(Graph.StratumCol) === Graph.StratumServeLabel &&
+      pmod(col("vec_id"), lit(10)) === 0
+    val (m1, r1) = Graph.filteredAnnAutoBatch(spark, d, isQ, predE,
+      Some(Graph.StratumServeLabel.toLong))
+    assert(m1 === "exact")
+    val elig = e.filter(predE).count()
+    val wantExact = rows(e.filter(predE).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(e.filter(isQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+      .select(col("qid"), col("vec_id"),
+        Graph.intDot(col("embedding"), col("qv")).as("sc"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sc").desc, col("vec_id").asc)))
+      .filter(col("rk") <= Graph.GannTopK)
+      .select(col("qid"), col("vec_id"), col("sc"),
+        col("rk").cast("long"), lit(elig), lit(0L)))
+    assert(rows(r1) === wantExact, "exact band must serve filtered brute force")
+    // the other bands need a cutoff below this corpus's slice sizes:
+    // at 500 rows every sub-10% slice is also ≤ 64 rows, so inject 8
+    try {
+      spark.conf.set("graft.ann.autoExactMaxRows", "8")
+      // 43 rows = 8.6% < 10%, stratum conjunct present → stratum walk
+      val predS = col(Graph.StratumCol) === Graph.StratumServeLabel
+      val (m2, r2) = Graph.filteredAnnAutoBatch(spark, d, isQ, predS,
+        Some(Graph.StratumServeLabel.toLong))
+      assert(m2 === "stratum")
+      val directS = Graph.graphAnnBatchOn(e,
+        Graph.stratumEdgesOf(spark, d, Graph.StratumServeLabel.toLong),
+        Graph.stratumRoutingOf(spark, d, Graph.StratumServeLabel.toLong),
+        Graph.stratumBucketSizesOf(spark, d, Graph.StratumServeLabel.toLong),
+        isQ, allowed = Some(predS))
+      assert(rows(r2) === rows(directS),
+        "stratum band must serve the stratum walk's result")
+      // 93 rows = 18.6% ≥ 10% → post-filter walk on the full graph
+      val predP = col(Graph.StratumCol).isin(3, 7)
+      val (m3, r3) = Graph.filteredAnnAutoBatch(spark, d, isQ, predP,
+        Some(Graph.StratumServeLabel.toLong))
+      assert(m3 === "postfilter")
+      val directP = Graph.graphAnnBatchOn(e,
+        Graph.storedEdgesPartitioned(spark, d), Graph.storedBuckets(spark, d),
+        Graph.storedBucketSizes(spark, d), isQ, allowed = Some(predP))
+      assert(rows(r3) === rows(directP),
+        "post-filter band must serve the full-graph walk's result")
+      // ~9% with NO stratum conjunct: the measured fallback is still
+      // the post-filter walk (wider beams plateau; no better operator)
+      val predF = pmod(col("vec_id"), lit(11)) === 0
+      val (m4, _) = Graph.filteredAnnAutoBatch(spark, d, isQ, predF, None)
+      assert(m4 === "postfilter",
+        "the stratum-less middle band must fall back to post-filter")
+    } finally spark.conf.unset("graft.ann.autoExactMaxRows")
+    Dedup.releaseSlots()
+  }
+
   test("graph_stats is version-stamped: an append invalidates and the rebuilt tables match live computation") {
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
