@@ -218,16 +218,22 @@ object Corpus {
     // conjunct is part of the star-forest definition, not an
     // optimization: a node with two smaller neighbors — e.g. the
     // two-edge cherry {(c,a),(c,b)} with c > a,b — has no chain, so
-    // the first check alone calls the INITIAL edge set converged and
+    // the chain check alone calls the INITIAL edge set converged and
     // the components of a and b are never merged (and c is assigned
-    // twice). Large inputs virtually never pass the first check at
+    // twice). Large inputs virtually never pass the chain check at
     // round 0, which kept this latent until the delta-sized contracted
-    // merge graphs (r15) hit it. Both checks run on single-column
-    // projections of the cached edge set; the second only runs when
-    // the first passes.
+    // merge graphs (r15) hit it. Both conjuncts are evaluated by ONE
+    // per-node aggregate over the cached edge set — a chain is a node
+    // on both sides, a double assignment a child with two roots — so
+    // the loop still pays exactly one probe job per round (a
+    // short-circuited second check cost an extra job on every round
+    // whose intermediate state was chain-free).
     def isStarForest(e: DataFrame): Boolean =
-      e.select(col("v").as("u")).join(e.select("u"), Seq("u"), "left_semi").isEmpty &&
-        e.groupBy("u").agg(count(lit(1)).as("np")).filter(col("np") > 1).isEmpty
+      e.select(col("u").as("n"), lit(1L).as("ch"), lit(0L).as("rt"))
+        .unionByName(e.select(col("v").as("n"), lit(0L).as("ch"), lit(1L).as("rt")))
+        .groupBy("n").agg(sum("ch").as("ch"), sum("rt").as("rt"))
+        .filter((col("ch") > 0 && col("rt") > 0) || col("ch") > 1)
+        .isEmpty
     var iter = 0
     var converged = isStarForest(edges)
     while (!converged && iter < MaxStarIters) {
