@@ -972,7 +972,7 @@ object Graph {
         "pair_delta", Seq("cc_core", "cc_comm")))
     phase("components") {
       def declineFull(reason: Option[String]): Unit = {
-        fullComponentTables(s, pairs, target)
+        phaseWall ++= fullComponentTables(s, pairs, target)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(target, "STATS_MODE"), "full")
         reason.foreach(r => java.nio.file.Files.writeString(
@@ -1000,7 +1000,8 @@ object Graph {
             delta.limit((budget + 1).toInt).count() > budget
           if (overBudget) declineFull(Some("delta_budget"))
           else {
-            incrementalComponentTables(s, pairs, delta, prev.get, target)
+            phaseWall ++=
+              incrementalComponentTables(s, pairs, delta, prev.get, target)
             java.nio.file.Files.writeString(
               java.nio.file.Paths.get(target, "STATS_MODE"), "incremental")
           }
@@ -1388,24 +1389,43 @@ object Graph {
           .as("density_ppm"))
   }
 
-  /** Full-path k-core + census + assignment tables. */
+  /** One sub-wall measurement for the component floors' TIMINGS
+    * split (r16 candidate #1's instrument: the contracted merge made
+    * the assignment/census terms delta-bounded, so WHICH floor the
+    * `components` phase spends on decides the next optimization).
+    */
+  private def floorWall[T](acc: collection.mutable.Buffer[(String, Double)],
+      name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    acc += name -> (System.nanoTime() - t0) / 1e9; r
+  }
+
+  /** Full-path k-core + census + assignment tables; returns the
+    * per-floor sub-walls for the refresh's TIMINGS meta.
+    */
   private def fullComponentTables(s: SparkSession, pairs: DataFrame,
-      target: String): Unit = {
+      target: String): Seq[(String, Double)] = {
+    val walls = collection.mutable.Buffer.empty[(String, Double)]
     val coreEdges = Dedup.cacheSlot("gstats-core-edges",
       pairs.filter(col("w") >= CoreWmin).select(col("id_a"), col("id_b")))
-    sortedStatsWrite(kcoreOn(
-        coreEdges.select(col("id_a").as("src"), col("id_b").as("dst"))),
-      s"$target/kcore", col("vec_id"))
-    sortedStatsWrite(Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b")
-        .select(col("doc_id").as("vec_id"), col("cluster")),
-      s"$target/cc_core", col("vec_id"))
-    val commEdges = Dedup.cacheSlot("gstats-comm-edges",
-      pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
-    val cc = Dedup.cacheSlot("gstats-comm-cc",
-      Corpus.connectedComponentsStar(commEdges, "id_a", "id_b"))
-    sortedStatsWrite(censusOf(cc, commEdges),
-      s"$target/communities", col("cluster"))
-    sortedStatsWrite(cc, s"$target/cc_comm", col("doc_id"))
+    floorWall(walls, "cc_kcore") {
+      sortedStatsWrite(kcoreOn(
+          coreEdges.select(col("id_a").as("src"), col("id_b").as("dst"))),
+        s"$target/kcore", col("vec_id"))
+      sortedStatsWrite(Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b")
+          .select(col("doc_id").as("vec_id"), col("cluster")),
+        s"$target/cc_core", col("vec_id"))
+    }
+    floorWall(walls, "cc_comm") {
+      val commEdges = Dedup.cacheSlot("gstats-comm-edges",
+        pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
+      val cc = Dedup.cacheSlot("gstats-comm-cc",
+        Corpus.connectedComponentsStar(commEdges, "id_a", "id_b"))
+      sortedStatsWrite(censusOf(cc, commEdges),
+        s"$target/communities", col("cluster"))
+      sortedStatsWrite(cc, s"$target/cc_comm", col("doc_id"))
+    }
+    walls.toSeq
   }
 
   /** Incremental path. The pair delta is ADDITIONS-ONLY (pairs/ is
@@ -1451,7 +1471,9 @@ object Graph {
     * affected-subgraph frames.
     */
   private def incrementalComponentTables(s: SparkSession, pairs: DataFrame,
-      delta: DataFrame, prevDir: String, target: String): Unit = {
+      delta: DataFrame, prevDir: String, target: String): Seq[(String, Double)] = {
+    val walls = collection.mutable.Buffer.empty[(String, Double)]
+    floorWall(walls, "cc_kcore") {
     // ---- k-core floor (pairs/ stores only w ≥ CoreWmin rows)
     val prevCcCore = s.read.parquet(s"$prevDir/cc_core") // (vec_id, cluster)
     val prevKcore = s.read.parquet(s"$prevDir/kcore")    // (vec_id, deg, converged)
@@ -1522,6 +1544,8 @@ object Graph {
       s"$target/cc_core", col("vec_id"))
     carriedCc.unpersist(); subEdges.unpersist()
     affKnownC.unpersist(); affNodesC.unpersist(); deltaCore.unpersist()
+    }
+    floorWall(walls, "cc_comm") {
     // ---- community floor: contracted merge + arithmetic census —
     // no community-floor edge scan at all; every frame below is
     // bounded by the delta or by the (row-per-cluster) census table
@@ -1579,6 +1603,8 @@ object Graph {
     newCcM.unpersist(); affKnownM.unpersist(); affNodesM.unpersist()
     contracted.unpersist(); deltaComm.unpersist()
     ()
+    }
+    walls.toSeq
   }
 
   /** Delta edges with endpoints CONTRACTED through a previous
