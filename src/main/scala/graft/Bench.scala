@@ -211,7 +211,13 @@ object Bench {
     val CalibEvery = 15
     val CalibQuery = "q1_agg"
     val calib = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double)]
-    val nThreads = cpus.toInt
+    // clamp to the cores the host actually has: the kernel's floor is
+    // meaningful only when every thread CAN run at once — on a box
+    // with fewer cores than SPARK_GRAFT_CPUS an unclamped pool is
+    // permanently oversubscribed and the drift/pool ratio gates
+    // (calibrated on one reference host) would flag clean runs
+    val nThreads = math.min(cpus.toInt,
+      Runtime.getRuntime.availableProcessors)
     def calibrate(after: Int): Unit = {
       // min-of-2 per sample: a one-off GC/JIT event landing inside one
       // calibration timing is the same single-event noise the re-run
@@ -241,6 +247,48 @@ object Bench {
     }
     force(CalibQuery) // untimed warm so sample 0 is steady-state, like the rest
     satKernel(nThreads) // JIT-warm the kernel loop once, untimed
+
+    // Quiet-window wait (r15's bench gap): the final code fingerprint
+    // of r15 was only ever measured under external load 3-15, so its
+    // canonical number was a load artifact and round-over-round
+    // comparison degenerated to cross-fingerprint inference. The
+    // kernel's floor is CODE-INDEPENDENT (its loop never changes
+    // across rounds), so the full history's minimum sat_floor IS this
+    // box's quiet band regardless of fingerprint. Before the timed
+    // sweep starts, probe the kernel and wait — bounded by
+    // SPARK_GRAFT_QUIET_WAIT_SEC — for the host to go quiet rather
+    // than measuring straight into the pressure. The wait only delays
+    // the sweep; it never re-runs or re-selects samples (an in-JVM
+    // sweep rerun would be JIT/cache-warm-biased below a cold run and
+    // would change what the metric measures).
+    val quietWaitBudget = sys.env.getOrElse(
+      "SPARK_GRAFT_QUIET_WAIT_SEC", "240").toInt
+    val historySatRef: Option[Double] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val hp = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_FULL.json")
+          .stripSuffix(".json") + "_HISTORY.jsonl")
+      if (!java.nio.file.Files.isRegularFile(hp)) None
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(hp)).asScala.toSeq
+        .flatMap { line =>
+          try JsonMethods.parse(line) \ "sat_floor" match {
+            case JDouble(x) if x > 0 => Some(x); case _ => None
+          } catch { case _: Throwable => None }
+        }.minOption
+    } catch { case _: Throwable => None }
+    var quietWaited = 0
+    var satPrewait = math.min(satKernel(nThreads), satKernel(nThreads))
+    historySatRef.foreach { ref =>
+      // accept within 10% of the historical quiet floor — the measured
+      // clean run-to-run floor spread is ~1.1x (r15 pool analysis)
+      while (satPrewait > 1.10 * ref && quietWaited < quietWaitBudget) {
+        Thread.sleep(15000); quietWaited += 15
+        satPrewait = math.min(satKernel(nThreads), satKernel(nThreads))
+      }
+      println(s"""{"sat_prewait":${r3(satPrewait)},"quiet_ref":${r3(ref)},"quiet_wait_s":$quietWaited}""")
+    }
 
     // Per-query re-run guard (r5 verdict item 1, r7 "what's wrong" #1):
     // a single organic full-GC / JIT / page-cache event can land inside
@@ -322,9 +370,17 @@ object Bench {
     // selection below.
     val satSecs = calib.map(_._4)
     val satFloor = satSecs.minOption.getOrElse(-1.0)
+    // both kernel ratio gates are env-overridable (they were
+    // calibrated on one reference host; a different box re-calibrates
+    // without a code change): within-run drift and the cross-run
+    // canonical-pool gate below
+    val satDriftRatio = sys.env.getOrElse(
+      "SPARK_GRAFT_SAT_DRIFT_RATIO", "1.3").toDouble
+    val satPoolRatio = sys.env.getOrElse(
+      "SPARK_GRAFT_SAT_POOL_RATIO", "1.25").toDouble
     val envSuspect = (calibSecs.nonEmpty &&
       calibSecs.max > 2 * math.max(calibSecs.min, 0.05)) ||
-      (satSecs.nonEmpty && satSecs.max > 1.3 * math.max(satFloor, 0.05))
+      (satSecs.nonEmpty && satSecs.max > satDriftRatio * math.max(satFloor, 0.05))
     val rr = reruns.map { case (k, (a, b)) =>
       "\"" + k + "\":[" + r3(a) + "," + r3(b) + "]"
     }.mkString("{", ",", "}")
@@ -458,7 +514,7 @@ object Bench {
     val bestCmp = bestPrior.map(v => r3(math.min(v, total))).getOrElse(r3(total))
 
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"sat_floor":${r3(satFloor)},"pipeline":$ps,"latency":$latJson,"code":"$codeFp","best_comparable":$bestCmp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"sat_floor":${r3(satFloor)},"sat_prewait":${r3(satPrewait)},"quiet_wait_s":$quietWaited,"pipeline":$ps,"latency":$latJson,"code":"$codeFp","best_comparable":$bestCmp,"sf":"$sfDir"}"""
     println(full)
     // Belt-and-braces: the complete itemized record also goes to a file
     // in the repo (the driver commits the working tree each round, so
@@ -493,7 +549,7 @@ object Bench {
       val floors = pool0.map(_._4).filter(_ > 0)
       val pool = if (floors.isEmpty) pool0 else {
         val best = floors.min
-        val gated = pool0.filter(t => t._4 <= 0 || t._4 <= 1.25 * best)
+        val gated = pool0.filter(t => t._4 <= 0 || t._4 <= satPoolRatio * best)
         if (gated.nonEmpty) gated else pool0
       }
       // the headline is the pool MEDIAN run: the min of N noisy samples
