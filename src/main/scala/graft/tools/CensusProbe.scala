@@ -108,6 +108,8 @@ object CensusProbe {
         s""""tri_mode_nologs":"${Graph.graphTriMode(s2)}",""" +
         s""""stats_mode_logs":"${Graph.graphStatsMode(s1)}",""" +
         s""""stats_mode_nologs":"${Graph.graphStatsMode(s2)}",""" +
+        s""""kcore_mode_logs":"${Graph.graphKcoreMode(s1)}",""" +
+        s""""kcore_decline_logs":"${Graph.graphKcoreDecline(s1)}",""" +
         // the isolated phase terms: whole-refresh differencing is
         // dominated by the always-full PageRank/PPR loops; these come
         // from the refresh's own TIMINGS meta file

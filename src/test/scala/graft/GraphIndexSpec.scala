@@ -354,6 +354,9 @@ class GraphIndexSpec extends SparkSuite {
     assert(stats1 !== stats0)
     assert(Graph.graphStatsMode(stats1) === "incremental",
       "an append-only pairs delta must take the component-scoped path")
+    assert(Graph.graphKcoreMode(stats1) === "seeded",
+      "an in-budget delta must take the seeded bounded k-core path — " +
+        s"declined: '${Graph.graphKcoreDecline(stats1)}'")
     // ≡ full: stored k-core and census equal a live recompute over the
     // union corpus (the pagerank test's discipline, for the two tables
     // the incremental path actually assembles from carried + sub rows)
@@ -805,5 +808,127 @@ class GraphIndexSpec extends SparkSuite {
       s"one-vector append touched ${changedSrcs.size} of ${allSrcs.size} srcs")
     assert(after.exists(_._1 == oneId),
       "appended vector should gain out-edges (it has same-corpus candidates)")
+  }
+
+  test("seededKcore ≡ full peel: the closure promotes an old node NOT adjacent to the delta, anchors carry boundary degrees, dead endpoints stay out") {
+    import spark.implicits._
+    // old graph: the {1,2,3,4} clique is the 3-core; x=10 (full deg 2)
+    // and y=11 (deg 3 but its support collapses once x peels) are out
+    val oldE = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 10L), (2L, 11L), (3L, 11L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val prev = Graph.kcoreOn(
+      oldE.select(col("id_a").as("src"), col("id_b").as("dst")))
+    assert(prev.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L),
+      "fixture: the old 3-core must be exactly the clique")
+    // delta: new node 20 anchors into the clique and reaches x=10;
+    // node 30 is a dead endpoint (full degree 1). y=11 is NOT a delta
+    // endpoint and NOT adjacent to any new vector — it joins only
+    // because the closure expands THROUGH candidate x (the
+    // completeness case simple "neighbors of the delta" misses)
+    val delta = Seq((1L, 20L), (4L, 20L), (10L, 20L), (20L, 30L))
+      .toDF("id_a", "id_b")
+    val all = oldE.unionByName(delta)
+    val got = Graph.seededKcore(spark, all, prev, delta)
+    assert(got.isRight, s"seeded path must admit, got $got")
+    val gotSet = got.toOption.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val want = Graph.kcoreOn(
+        all.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(gotSet === want,
+      s"seeded maintenance must equal the full peel (missing ${want -- gotSet}, extra ${gotSet -- want})")
+    assert(gotSet.exists(_._1 == 11L),
+      "y must be promoted through the candidate chain")
+    assert(gotSet.contains((1L, 5L, true)),
+      "node 1's carried degree must gain BOTH its surviving-candidate edges (clique 3 + x + 20)")
+    assert(!gotSet.exists(_._1 == 30L), "a full-degree-<k endpoint never joins")
+  }
+
+  test("seededKcore declines with witnesses: core-core delta, unconverged or empty carry, budget, saturation") {
+    import spark.implicits._
+    val oldE = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val prev = Graph.kcoreOn(
+      oldE.select(col("id_a").as("src"), col("id_b").as("dst")))
+    // a delta pair between two stored-core nodes violates the append
+    // invariant this path keys its increment arithmetic on
+    val ccDelta = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assert(Graph.seededKcore(spark, oldE.unionByName(ccDelta), prev, ccDelta)
+      === Left("core_core_delta"))
+    // an unconverged carry is NOT the old k-core — decline
+    val prevBad = prev.select(col("vec_id"), col("deg"),
+      lit(false).as("converged"))
+    assert(Graph.seededKcore(spark, oldE, prevBad, ccDelta)
+      === Left("prev_unconverged"))
+    // empty carry is indistinguishable from unconverged-empty
+    assert(Graph.seededKcore(spark, oldE, prev.limit(0), ccDelta)
+      === Left("prev_empty"))
+    val d2 = Seq((1L, 20L)).toDF("id_a", "id_b")
+    try {
+      spark.conf.set("graft.stats.kcoreDeltaBudget", "0")
+      assert(Graph.seededKcore(spark, oldE.unionByName(d2), prev, d2)
+        === Left("edge_budget"))
+      // take() counts in Int — a saturated budget cannot be
+      // over-fetch-probed, so it declines explicitly (the census
+      // guards' discipline)
+      spark.conf.set("graft.stats.kcoreDeltaBudget", Int.MaxValue.toString)
+      assert(Graph.seededKcore(spark, oldE.unionByName(d2), prev, d2)
+        === Left("budget_saturated"))
+    } finally spark.conf.unset("graft.stats.kcoreDeltaBudget")
+  }
+
+  test("k-core floor decline chain: budget-declined seeded → subpeel; peel budget → exact full peel, all witnessed") {
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureGraphStats(spark, d)
+    val h1 = heldOut.filter(col("vec_id") % 20 === 0)
+    val h2 = heldOut.filter(col("vec_id") % 20 =!= 0)
+    Graph.appendKnnGraph(spark, d, h1, base)
+    def wantKcoreOf(corpus: DataFrame): Set[(Long, Long, Boolean)] = {
+      val w = Graph.kcoreOn(Graph.scoredPairsOn(corpus)
+          .filter(col("w") >= Graph.CoreWmin)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      Dedup.releaseSlots(); w
+    }
+    def gotKcoreOf(stats: String): Set[(Long, Long, Boolean)] =
+      spark.read.parquet(s"$stats/kcore")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val corpus1 = base.select("vec_id", "embedding").unionByName(h1)
+    try {
+      // zero seeded budget: the floor falls back to the
+      // affected-component subpeel, refresh stays incremental, and
+      // BOTH the sub-mode and the seeded decline are witnessed
+      spark.conf.set("graft.stats.kcoreDeltaBudget", "0")
+      val stats1 = Graph.ensureGraphStats(spark, d)
+      assert(Graph.graphStatsMode(stats1) === "incremental")
+      assert(Graph.graphKcoreMode(stats1) === "subpeel",
+        "a declined seeded path must fall back to the subpeel")
+      assert(Graph.graphKcoreDecline(stats1) === "edge_budget")
+      assert(gotKcoreOf(stats1) === wantKcoreOf(corpus1),
+        "the subpeel fallback must stay exact")
+    } finally spark.conf.unset("graft.stats.kcoreDeltaBudget")
+    Graph.appendKnnGraph(spark, d, h2, corpus1)
+    try {
+      // zero peel budget on top: the subpeel's cost is an ENFORCED
+      // precondition (r15 ADVICE) — past it the floor runs the exact
+      // full peel and says so, while the rest of the refresh stays
+      // incremental
+      spark.conf.set("graft.stats.kcoreDeltaBudget", "0")
+      spark.conf.set("graft.stats.kcorePeelBudget", "0")
+      val stats2 = Graph.ensureGraphStats(spark, d)
+      assert(Graph.graphStatsMode(stats2) === "incremental",
+        "the assignment/census floors stay incremental — only the peel escalates")
+      assert(Graph.graphKcoreMode(stats2) === "full",
+        "an over-budget subpeel must escalate to the honestly-labeled full peel")
+      assert(Graph.graphKcoreDecline(stats2) === "edge_budget")
+      assert(gotKcoreOf(stats2) ===
+        wantKcoreOf(corpus1.unionByName(h2.select("vec_id", "embedding"))),
+        "the escalated full peel must be exact")
+    } finally {
+      spark.conf.unset("graft.stats.kcoreDeltaBudget")
+      spark.conf.unset("graft.stats.kcorePeelBudget")
+    }
   }
 }
