@@ -1740,7 +1740,7 @@ object Graph {
     // (the second witnessed decline: past it the floor runs the exact
     // full peel and records the fact, instead of wearing the
     // incremental label at full-path cost)
-    seededKcore(s, coreEdges, prevKcore, deltaCore) match {
+    floorWall(walls, "cc_kcore_peel") { seededKcore(s, coreEdges, prevKcore, deltaCore) match {
       case Right(kc) =>
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(target, "KCORE_MODE"), "seeded")
@@ -1798,7 +1798,7 @@ object Graph {
           subEdges.unpersist()
           ()
         }
-    }
+    } }
     sortedStatsWrite(carriedCc.unionByName(subCc)
       .select(col("doc_id").as("vec_id"), col("cluster")),
       s"$target/cc_core", col("vec_id"))
@@ -2590,36 +2590,97 @@ object Graph {
     s.conf.get("graft.ann.autoExactMaxRows",
       AutoExactMaxRowsDefault.toString).toLong
 
+  /** Recall-tolerance knob for [[filteredAnnAutoBatch]]'s post-filter
+    * band: ON (default) serves the g12 top-K-prefix adaptive exit
+    * (measured −24% wall at recall 9.63/10 on the shipped config);
+    * OFF pins the full-fixpoint walk for recall-headline serves.
+    */
+  private[graft] def autoAdaptivePostfilter(s: SparkSession): Boolean =
+    s.conf.get("graft.ann.autoAdaptive", "true").toBoolean
+
+  /** Eligibility-census memo for [[filteredAnnAutoBatch]], keyed by
+    * (dataset, predicate, stratum, corpus stamp): mode selection
+    * depends only on the corpus and the predicate, so repeat serves
+    * of a registered predicate must not re-scan the corpus — the r15
+    * verdict's "only serve path that rescans before serving". The
+    * stamp ([[corpusStamp]]) invalidates on any corpus rewrite; at
+    * 100 TB this is the per-corpus-version census snapshot, held as
+    * three longs per registered predicate.
+    */
+  private[graft] val eligCensusMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String, String), (Long, Long, Long)]()
+
+  /** Content stamp of a dataset's embeddings table — name/size/mtime
+    * of every part file, recursively (the `Tables.events` layout-tag
+    * discipline: top-level mtime alone misses an in-place part-file
+    * rewrite).
+    */
+  private[graft] def corpusStamp(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(f: java.io.File): Unit =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).foreach(fold)
+      else md.update(s"${f.getName}:${f.length()}:${f.lastModified()};"
+        .getBytes("UTF-8"))
+    fold(new java.io.File(s"$d/embeddings.parquet"))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   /** The measured filtered-ANN operating rule AS CODE — callers hand
     * over the predicate and the selector picks the serve mode from
-    * the eligibility census (one column-pruned aggregate; a 100 TB
-    * deployment snapshots it per corpus version):
+    * the eligibility census (one column-pruned aggregate on the COLD
+    * call only — [[eligCensusMemo]] snapshots it per corpus version,
+    * so repeat serves never rescan the corpus):
     *
     *  1. eligible ≤ [[autoExactMaxRows]] → PRE-FILTER EXACT: scan the
     *     slice, exact top-K (recall 1.0 by construction, `visited_n`
     *     = the slice, `hops_n` = 0);
     *  2. eligible fraction ≥ [[AutoPostFilterMinFrac]] → POST-FILTER
-    *     walk on the full graph (g9/g11 discipline);
-    *  3. else, with a stratum conjunct → the STRATUM walk (g13);
+    *     walk on the full graph (g9/g11 discipline), with the g12
+    *     top-K-prefix adaptive exit by default
+    *     ([[autoAdaptivePostfilter]] pins the fixpoint walk back);
+    *  3. else, with a stratum conjunct the census proves CONSISTENT
+    *     (every eligible row inside the stratum) → the STRATUM walk
+    *     (g13);
     *  4. else post-filter — the stratum-less middle band has no
     *     better operator (wider beams plateau at 0.90 visiting >80%
-    *     of the corpus; FilteredRecallProbe r15).
+    *     of the corpus; FilteredRecallProbe r15), and an
+    *     INCONSISTENT stratum hint lands here too rather than
+    *     walking a slice that can't reach every eligible row.
     *
     * Returns (mode, frame); all modes share the batch output shape
     * (qid, vec_id, sc, rk, visited_n, hops_n). The decision depends
-    * only on the corpus and the predicate, so a registered query's
-    * mode — and therefore its oracle — is deterministic per dataset.
+    * only on the corpus, the predicate, and the adaptive knob, so a
+    * registered query's mode — and therefore its oracle — is
+    * deterministic per dataset.
     */
   def filteredAnnAutoBatch(s: SparkSession, d: String, isQuery: Column,
       pred: Column, stratum: Option[Long] = None): (String, DataFrame) = {
     val e = embeddings(s, d)
-    val r = e.agg(count(lit(1)).as("n"),
-      sum(when(pred, lit(1L)).otherwise(lit(0L))).as("elig")).collect().head
-    val n = r.getLong(0)
-    val elig = r.getLong(1)
+    // census memoized per (corpus version, predicate, stratum): the
+    // cold call pays one column-pruned aggregate; every repeat serve
+    // of the same predicate reads three longs
+    val key = (d, pred.toString, stratum.fold("")(_.toString), corpusStamp(d))
+    val (n, elig, eligSt) = Option(eligCensusMemo.get(key)).getOrElse {
+      val stratumHit = stratum.fold(lit(false))(st =>
+        col(StratumCol) === st)
+      val r = e.agg(count(lit(1)).as("n"),
+        sum(when(pred, lit(1L)).otherwise(lit(0L))).as("elig"),
+        sum(when(pred && stratumHit, lit(1L)).otherwise(lit(0L)))
+          .as("elig_st")).collect().head
+      val v = (r.getLong(0), r.getLong(1), r.getLong(2))
+      eligCensusMemo.put(key, v)
+      v
+    }
+    // post-filter band: the g12 adaptive exit by default (knob:
+    // [[autoAdaptivePostfilter]]) — the mode string says which ran
+    val stableK = if (autoAdaptivePostfilter(s)) Some(GannTopK) else None
+    val pfMode = if (stableK.isDefined) "postfilter_adaptive" else "postfilter"
     def postFilter = graphAnnBatchOn(e, storedEdgesPartitioned(s, d),
       storedBuckets(s, d), storedBucketSizes(s, d), isQuery,
-      allowed = Some(pred))
+      allowed = Some(pred), stableK = stableK)
     if (elig <= autoExactMaxRows(s)) {
       val qv = e.filter(isQuery)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -2635,13 +2696,20 @@ object Graph {
           lit(elig).as("visited_n"), lit(0L).as("hops_n"))
       ("exact", res)
     } else if (elig.toDouble / n >= AutoPostFilterMinFrac)
-      ("postfilter", postFilter)
+      (pfMode, postFilter)
     else stratum match {
-      case Some(st) =>
+      // caller contract, enforced (r15 ADVICE): the stratum walk is
+      // only sound when pred IMPLIES the stratum — eligible rows
+      // outside it are unreachable on the stratum's graph, so recall
+      // silently collapses while the attestation reads 'stratum'. The
+      // census already counts eligible-in-stratum, so the check is
+      // free: any eligible row outside falls back to the post-filter
+      // walk (which reaches the whole corpus).
+      case Some(st) if eligSt == elig =>
         ("stratum", graphAnnBatchOn(e, stratumEdgesOf(s, d, st),
           stratumRoutingOf(s, d, st), stratumBucketSizesOf(s, d, st),
           isQuery, allowed = Some(pred)))
-      case None => ("postfilter", postFilter)
+      case _ => (pfMode, postFilter)
     }
   }
 
@@ -2658,6 +2726,20 @@ object Graph {
       col(StratumCol) === StratumServeLabel &&
         pmod(col("vec_id"), lit(10)) === 0,
       stratum = Some(StratumServeLabel.toLong))._2
+      .orderBy("qid", "rk")
+
+  /** G15: AUTO filtered ANN in the POST-FILTER band — the selector
+    * end-to-end with g11's label predicate (~20% selectivity at every
+    * gate scale, so the census lands in band 2), serving the g12
+    * top-K-prefix adaptive exit the selector now defaults to
+    * (measured −24% wall at recall 9.63/10; a recall-headline caller
+    * flips [[autoAdaptivePostfilter]] off). The oracle unrolls the
+    * SAME adaptive walk with the predicate on each query's final
+    * selection — the g11 and g12 oracle parameterizations composed.
+    */
+  lazy val g15GannAutoPostfilter: Relational.Q = (s, d) =>
+    filteredAnnAutoBatch(s, d, col("vec_id") < GannBatchQ,
+      col("label").isin(Indexed.FilterLabels: _*))._2
       .orderBy("qid", "rk")
 
   /** G10: graph-ANN recall audit — the [[Indexed.v19RecallGrid]]
@@ -2865,6 +2947,7 @@ object Graph {
     "q_g12_gann_adaptive_batch" -> g12GraphAnnAdaptiveBatch,
     "q_g13_gann_stratified" -> g13GannStratified,
     "q_g14_gann_auto" -> g14GannAuto,
+    "q_g15_gann_auto_postfilter" -> g15GannAutoPostfilter,
   )
 
   /** G6: personalized PageRank from the benchmark-prefix seed set —
@@ -3235,6 +3318,15 @@ object Graph {
     s"WHERE vec_id IN (SELECT vec_id FROM embeddings " +
       s"WHERE label IN (${Indexed.FilterLabels.mkString(", ")}))")
 
+  /** g15's oracle: the g11 predicate and the g12 top-K-prefix
+    * convergence composed on the shared batch unroll — exactly what
+    * the selector's post-filter band serves by default.
+    */
+  private lazy val gannAutoPostfilterSql: String = graphAnnBatchSqlWhere(
+    s"WHERE vec_id IN (SELECT vec_id FROM embeddings " +
+      s"WHERE label IN (${Indexed.FilterLabels.mkString(", ")}))",
+    stableK = Some(GannTopK))
+
   /** [[graphAnnBatchSql]] parameterized by a WHERE clause on the FINAL
     * per-query selection (before the ranking window) — the batch
     * sibling of [[graphAnnSqlWhere]].
@@ -3352,6 +3444,7 @@ object Graph {
     "q_g12_gann_adaptive_batch" -> graphAnnAdaptiveBatchSql,
     "q_g13_gann_stratified" -> gannStratifiedSql,
     "q_g14_gann_auto" -> gannAutoSql,
+    "q_g15_gann_auto_postfilter" -> gannAutoPostfilterSql,
     "q_g7_graph_ann" -> graphAnnSql,
     "q_g9_graph_ann_filtered" -> graphAnnFilteredSql,
     "q_g10_gann_recall" -> gannRecallSql,

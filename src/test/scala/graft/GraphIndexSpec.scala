@@ -235,23 +235,81 @@ class GraphIndexSpec extends SparkSuite {
         isQ, allowed = Some(predS))
       assert(rows(r2) === rows(directS),
         "stratum band must serve the stratum walk's result")
-      // 93 rows = 18.6% ≥ 10% → post-filter walk on the full graph
+      // 93 rows = 18.6% ≥ 10% → post-filter walk on the full graph,
+      // serving the g12 ADAPTIVE exit by default (the selector's
+      // measured post-filter default since r16)
       val predP = col(Graph.StratumCol).isin(3, 7)
       val (m3, r3) = Graph.filteredAnnAutoBatch(spark, d, isQ, predP,
         Some(Graph.StratumServeLabel.toLong))
-      assert(m3 === "postfilter")
+      assert(m3 === "postfilter_adaptive")
       val directP = Graph.graphAnnBatchOn(e,
         Graph.storedEdgesPartitioned(spark, d), Graph.storedBuckets(spark, d),
-        Graph.storedBucketSizes(spark, d), isQ, allowed = Some(predP))
+        Graph.storedBucketSizes(spark, d), isQ, allowed = Some(predP),
+        stableK = Some(Graph.GannTopK))
       assert(rows(r3) === rows(directP),
-        "post-filter band must serve the full-graph walk's result")
+        "post-filter band must serve the adaptive full-graph walk's result")
+      // the recall knob pins the full-fixpoint walk back
+      try {
+        spark.conf.set("graft.ann.autoAdaptive", "false")
+        val (m3f, r3f) = Graph.filteredAnnAutoBatch(spark, d, isQ, predP,
+          Some(Graph.StratumServeLabel.toLong))
+        assert(m3f === "postfilter")
+        val directFix = Graph.graphAnnBatchOn(e,
+          Graph.storedEdgesPartitioned(spark, d), Graph.storedBuckets(spark, d),
+          Graph.storedBucketSizes(spark, d), isQ, allowed = Some(predP))
+        assert(rows(r3f) === rows(directFix),
+          "knob-off must serve the fixpoint walk's result")
+      } finally spark.conf.unset("graft.ann.autoAdaptive")
       // ~9% with NO stratum conjunct: the measured fallback is still
       // the post-filter walk (wider beams plateau; no better operator)
       val predF = pmod(col("vec_id"), lit(11)) === 0
       val (m4, _) = Graph.filteredAnnAutoBatch(spark, d, isQ, predF, None)
-      assert(m4 === "postfilter",
+      assert(m4 === "postfilter_adaptive",
         "the stratum-less middle band must fall back to post-filter")
+      // an INCONSISTENT stratum hint (eligible rows OUTSIDE the
+      // stratum — walking its graph could never reach them) must fall
+      // back to post-filter instead of attesting 'stratum' at
+      // collapsed recall: ~4% selectivity, half of it in label 5
+      val predI = (col(Graph.StratumCol) === Graph.StratumServeLabel ||
+        col(Graph.StratumCol) === 5) && pmod(col("vec_id"), lit(4)) === 0
+      val (m5, _) = Graph.filteredAnnAutoBatch(spark, d, isQ, predI,
+        Some(Graph.StratumServeLabel.toLong))
+      assert(m5 === "postfilter_adaptive",
+        "a predicate not implied by the stratum must not walk the stratum graph")
     } finally spark.conf.unset("graft.ann.autoExactMaxRows")
+    Dedup.releaseSlots()
+  }
+
+  test("auto selector serves mode selection from the per-corpus-version census snapshot, not a rescan") {
+    val d = sf0001
+    val isQ = col("vec_id") < Graph.GannBatchQ
+    val pred = col(Graph.StratumCol) === Graph.StratumServeLabel
+    val key = (d, pred.toString, Graph.StratumServeLabel.toString,
+      Graph.corpusStamp(d))
+    try {
+      spark.conf.set("graft.ann.autoExactMaxRows", "8")
+      Graph.eligCensusMemo.remove(key)
+      val (m1, _) = Graph.filteredAnnAutoBatch(spark, d, isQ, pred,
+        Some(Graph.StratumServeLabel.toLong))
+      assert(m1 === "stratum")
+      assert(Graph.eligCensusMemo.containsKey(key),
+        "the cold call must snapshot the census under the corpus-version key")
+      // poison the snapshot: if repeat serves really read it (and
+      // never rescan), the mode must follow the poisoned numbers
+      Graph.eligCensusMemo.put(key, (500L, 5L, 5L))
+      val (m2, _) = Graph.filteredAnnAutoBatch(spark, d, isQ, pred,
+        Some(Graph.StratumServeLabel.toLong))
+      assert(m2 === "exact",
+        "a repeat serve must decide from the stored census, not a corpus scan")
+      // dropping the snapshot restores the honest mode (cold path again)
+      Graph.eligCensusMemo.remove(key)
+      val (m3, _) = Graph.filteredAnnAutoBatch(spark, d, isQ, pred,
+        Some(Graph.StratumServeLabel.toLong))
+      assert(m3 === "stratum")
+    } finally {
+      Graph.eligCensusMemo.remove(key)
+      spark.conf.unset("graft.ann.autoExactMaxRows")
+    }
     Dedup.releaseSlots()
   }
 
