@@ -1952,8 +1952,22 @@ object Graph {
   def ensureStratumGraph(s: SparkSession, d: String): String = synchronized {
     graft.core.ArtifactStore.ensure(
       graft.core.ArtifactStore.artifactDir("stratum_graph", d, StratumGraphTag)) { target =>
-      val vecs = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        col(StratumCol).cast("long").as("stratum"))
+      writeStratumTables(s,
+        embeddings(s, d).select(col("vec_id"), col("embedding"),
+          col(StratumCol).cast("long").as("stratum")),
+        target, gen = 0L)
+    }
+  }
+
+  /** One full build of the three stratified tables from a (vec_id,
+    * embedding, stratum) frame — shared by the build-once path
+    * ([[ensureStratumGraph]], gen 0) and the cap-staleness rebuild
+    * ([[appendStratumGraph]]'s trigger). Writes the same content meta
+    * as [[writeGraphTables]]: generation, zeroed crossed-bucket
+    * counter, fresh build identity.
+    */
+  private def writeStratumTables(s: SparkSession, vecs: DataFrame,
+      target: String, gen: Long): Unit = {
       val ids = vecs
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       val routing = ids.select(col("vec_id"), col("stratum"),
@@ -2004,8 +2018,12 @@ object Graph {
         .select("src", "dst", "w", "rk", "dvec", "stratum", "bucket")
         .write.partitionBy("stratum", "bucket").mode("overwrite")
         .parquet(s"$target/edges")
+      writeMetaLong(target, ".gen", gen)
+      writeMetaLong(target, ".crossed", 0L)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(target, ".build"),
+        java.util.UUID.randomUUID().toString)
       ()
-    }
   }
 
   /** One stratum's slice of the stratified tables, pruned to its
@@ -2048,13 +2066,28 @@ object Graph {
     * Publication is an [[graft.core.ArtifactStore.appendVersion]]
     * (hard-link carry-forward + atomic pointer flip), so readers see
     * pre- or post-append, never a torn delta.
+    *
+    * Lifecycle parity with the main graph (r16): cap-crossing
+    * staleness is counted per (stratum, tbl, bkt) and accumulated in
+    * the version meta ([[graphCrossedBuckets]]); past
+    * `rebuildCrossedFrac` of the populated keys the append triggers a
+    * full stratified rebuild (old vectors' strata recovered from the
+    * artifact's own routing table), restoring exactness with the
+    * counter reset — without this, a long-lived stratified artifact
+    * under trickle ingest silently degrades recall in exactly the
+    * low-selectivity band it exists to fix. Fragmentation past the
+    * compact trigger runs [[compactStratumGraph]].
     */
   def appendStratumGraph(s: SparkSession, d: String, newVecs: DataFrame,
-      corpusVecs: DataFrame): String = synchronized {
+      corpusVecs: DataFrame,
+      rebuildCrossedFrac: Double = CrossedRebuildFrac): String = synchronized {
     ensureStratumGraph(s, d)
     val adir =
       graft.core.ArtifactStore.artifactDir("stratum_graph", d, StratumGraphTag)
-    graft.core.ArtifactStore.withMaintenanceLock(adir) {
+    val out = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      val prev = graft.core.ArtifactStore.current(adir).get
+      val prevGen = graphGen(prev)
+      val prevCrossed = graphCrossedBuckets(prev)
       graft.core.ArtifactStore.appendVersion(adir) { target =>
         val key = Seq("stratum", "tbl", "bkt")
         val nv = newVecs.select(col("vec_id"), col("embedding"),
@@ -2065,6 +2098,21 @@ object Graph {
         try {
           val newCnt = newB.groupBy(key.map(col): _*)
             .agg(count(lit(1)).as("nn"))
+          // cap-crossing staleness witness, per (stratum, tbl, bkt) —
+          // the main append's rule with the stratum in the key: old
+          // occupancy generated old×old pairs (2 ≤ n ≤ MaxBucket) and
+          // the total now exceeds the cap, so a rebuild would drop
+          // pairs this append keeps
+          val crossedNow = newCnt
+            .join(s.read.parquet(s"$target/bsizes"), key, "left")
+            .filter(coalesce(col("n"), lit(0L))
+                .between(2L, Dedup.MaxBucket.toLong) &&
+              col("nn") + coalesce(col("n"), lit(0L)) > Dedup.MaxBucket)
+            .count()
+          writeMetaLong(target, ".gen", prevGen + 1)
+          writeMetaLong(target, ".crossed", prevCrossed + crossedNow)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(target, ".build"), graphBuildId(prev))
           val keptKeys = newCnt
             .join(s.read.parquet(s"$target/bsizes"), key, "left")
             .filter(col("nn") + coalesce(col("n"), lit(0L)) <= Dedup.MaxBucket)
@@ -2174,6 +2222,92 @@ object Graph {
         } finally { newB.unpersist(); nv.unpersist() }
       }
     }
+    val live = graft.core.ArtifactStore.current(adir).get
+    val crossed = graphCrossedBuckets(live)
+    val populated = s.read.parquet(s"$live/bsizes").count()
+    if (crossed > rebuildCrossedFrac * populated) {
+      // cumulative cap-crossing staleness past the budget: rebuild the
+      // stratified artifact from the live corpus, restoring append ≡
+      // rebuild exactness per stratum (the main graph's self-heal,
+      // ported). Old vectors' strata come from the artifact's OWN
+      // routing table — the label is part of the artifact's identity,
+      // so `corpusVecs` keeps the main append's (vec_id, embedding)
+      // convention unchanged.
+      val oldLabels = s.read.parquet(s"$live/buckets")
+        .select(col("vec_id"), col("stratum").cast("long").as("stratum"))
+        .distinct()
+      val allVecs = corpusVecs.select(col("vec_id"), col("embedding"))
+        .join(oldLabels, "vec_id")
+        .unionByName(newVecs.select(col("vec_id"), col("embedding"),
+          col(StratumCol).cast("long").as("stratum")))
+      val rebuilt = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+        graft.core.ArtifactStore.publish(adir) { target =>
+          writeStratumTables(s, allVecs, target, gen = graphGen(live) + 1)
+        }
+      }
+      graft.core.ArtifactStore.gcVersions(adir)
+      rebuilt
+    } else if (graphFileCount(live) > stratumCompactTrigger(live))
+      compactStratumGraph(s, d, onlyIfFragmented = true)
+    else out
+  }
+
+  /** Append-fragmentation trigger for the STRATIFIED artifact: the
+    * main trigger is calibrated for the flat layout, but here the
+    * one-sorted-run baseline scales with the stratum count (one run
+    * per (stratum, bucket) edge directory plus per-stratum
+    * buckets/bsizes runs), so compaction fires at 2× that baseline —
+    * the same "appends have roughly doubled the file count" intent.
+    */
+  private def stratumCompactTrigger(versionDir: String): Int = {
+    val strata = Option(new java.io.File(s"$versionDir/edges").listFiles())
+      .getOrElse(Array.empty).count(f => f.isDirectory &&
+        f.getName.startsWith("stratum="))
+    2 * (math.max(strata, 1) * (EdgeBuckets + 2) + 1)
+  }
+
+  /** Rewrite the stratified tables back to one sorted run per
+    * directory partition and reclaim superseded versions — the
+    * [[compactKnnGraph]] discipline. Content identical: generation,
+    * crossed-bucket counter, and build identity carry through.
+    */
+  def compactStratumGraph(s: SparkSession, d: String,
+      onlyIfFragmented: Boolean = false): String = synchronized {
+    val adir =
+      graft.core.ArtifactStore.artifactDir("stratum_graph", d, StratumGraphTag)
+    val compacted = graft.core.ArtifactStore.withMaintenanceLock(adir) {
+      val cur = graft.core.ArtifactStore.current(adir).getOrElse(
+        throw new IllegalStateException(s"nothing to compact: stratum_graph for $d"))
+      if (onlyIfFragmented && graphFileCount(cur) <= stratumCompactTrigger(cur)) cur
+      else {
+        val b = s.read.parquet(s"$cur/buckets")
+        val sz = s.read.parquet(s"$cur/bsizes")
+        val ed = s.read.parquet(s"$cur/edges")
+        graft.core.ArtifactStore.publish(adir) { target =>
+          b.repartition(col("stratum"), col("tbl"))
+            .sortWithinPartitions("stratum", "tbl", "bkt", "vec_id")
+            .select("vec_id", "tbl", "bkt", "stratum")
+            .write.partitionBy("stratum").mode("overwrite")
+            .parquet(s"$target/buckets")
+          sz.repartition(col("stratum"))
+            .sortWithinPartitions("stratum", "tbl", "bkt")
+            .select("tbl", "bkt", "n", "stratum")
+            .write.partitionBy("stratum").mode("overwrite")
+            .parquet(s"$target/bsizes")
+          ed.repartition(col("stratum"), col("bucket"))
+            .sortWithinPartitions("stratum", "bucket", "src", "rk")
+            .select("src", "dst", "w", "rk", "dvec", "stratum", "bucket")
+            .write.partitionBy("stratum", "bucket").mode("overwrite")
+            .parquet(s"$target/edges")
+          writeMetaLong(target, ".gen", graphGen(cur))
+          writeMetaLong(target, ".crossed", graphCrossedBuckets(cur))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(target, ".build"), graphBuildId(cur))
+        }
+      }
+    }
+    graft.core.ArtifactStore.gcVersions(adir)
+    compacted
   }
 
   /** Seeded beam-search entries: for each query, EVERY vec_id sharing

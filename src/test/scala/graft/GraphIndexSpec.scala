@@ -192,6 +192,92 @@ class GraphIndexSpec extends SparkSuite {
       "bsizes must equal a recount of the appended routing table")
   }
 
+  test("stratum append counts cap crossings per (stratum,tbl,bkt) and self-heals with a stratified rebuild past the budget") {
+    import spark.implicits._
+    val d = tmpDir("stratheal")
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    val first = full.orderBy("vec_id").limit(1)
+    val emb0 = first.select("embedding", Graph.StratumCol)
+    // base: fifty real rows + one copy of the first row's embedding IN
+    // ITS OWN STRATUM — the copied signature's per-stratum buckets
+    // start at occupancy ≥ 2, so the build generated their old×old
+    // pairs
+    full.orderBy("vec_id").limit(50).unionByName(
+        spark.range(1).select(lit(1000000L).as("vec_id")).crossJoin(emb0))
+      .write.parquet(s"$d/embeddings.parquet")
+    val base = graft.core.Tables.embeddings(spark, d)
+    val v0 = Graph.ensureStratumGraph(spark, d)
+    assert(Graph.graphGen(v0) === 0L)
+    assert(Graph.graphCrossedBuckets(v0) === 0L)
+    // MaxBucket-1 same-stratum copies push every one of the
+    // signature's SrpTables (stratum,tbl,bkt) keys across the cap;
+    // trigger disabled so the COUNTER itself is observable
+    val dups = spark.range((Dedup.MaxBucket - 1).toLong)
+      .select((col("id") + 2000000L).as("vec_id")).crossJoin(emb0)
+    Graph.appendStratumGraph(spark, d, dups, base,
+      rebuildCrossedFrac = 1.0)
+    val live1 = Graph.ensureStratumGraph(spark, d)
+    assert(Graph.graphCrossedBuckets(live1) === Dedup.SrpTables.toLong,
+      "every SRP table's per-stratum bucket of the duplicated signature must count as crossed")
+    assert(Graph.graphGen(live1) === 1L, "the append must bump the generation")
+    // a second, non-crossing append under the default budget: the
+    // cumulative counter exceeds it and the stratified self-heal
+    // rebuild fires — old strata recovered from the artifact's own
+    // routing table, counter reset, per-stratum exactness restored
+    val extra = full.orderBy(col("vec_id").desc).limit(1)
+      .select("vec_id", "embedding", Graph.StratumCol)
+    val out = Graph.appendStratumGraph(spark, d, extra,
+      base.select("vec_id", "embedding")
+        .unionByName(dups.select("vec_id", "embedding")))
+    assert(Graph.graphGen(out) === 3L,
+      "append (gen 2) then triggered rebuild (gen 3)")
+    assert(Graph.graphCrossedBuckets(out) === 0L,
+      "a full rebuild resets the staleness counter")
+    val unionCorpus = base.unionByName(dups.select(base.columns.map(col): _*))
+      .unionByName(extra.select(base.columns.map(col): _*))
+    val st = first.select(col(Graph.StratumCol).cast("long")).collect().head.getLong(0)
+    val want = edgeSet(Graph.knnGraphEdgesOn(
+      unionCorpus.filter(col(Graph.StratumCol).cast("long") === st)
+        .select("vec_id", "embedding")))
+    val got = edgeSet(Graph.stratumEdgesOf(spark, d, st))
+    Dedup.releaseSlots()
+    assert(got === want,
+      "the triggered rebuild must restore append ≡ rebuild exactness for the crossed stratum " +
+        s"(missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)})")
+  }
+
+  test("stratum compaction preserves content per stratum and carries the gen/crossed/build meta") {
+    val d = tmpDir("stratcmp")
+    val full = graft.core.Tables.embeddings(spark, sf0001)
+    full.filter(col("vec_id") % 10 =!= 0).write.parquet(s"$d/embeddings.parquet")
+    val base = graft.core.Tables.embeddings(spark, d)
+    val heldOut = full.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"), col(Graph.StratumCol))
+    Graph.ensureStratumGraph(spark, d)
+    val v1 = Graph.appendStratumGraph(spark, d, heldOut, base)
+    def edgesOf(v: String) = spark.read.parquet(s"$v/edges")
+      .select(col("src"), col("dst"), col("w"), col("rk").cast("int"),
+        col("stratum").cast("long"), col("bucket").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getInt(5))).toSet
+    def routingOf(v: String) = spark.read.parquet(s"$v/buckets")
+      .select(col("vec_id"), col("tbl"), col("bkt"),
+        col("stratum").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val (e1, r1) = (edgesOf(v1), routingOf(v1))
+    val (g1, c1, b1) = (Graph.graphGen(v1), Graph.graphCrossedBuckets(v1),
+      Graph.graphBuildId(v1))
+    val v2 = Graph.compactStratumGraph(spark, d)
+    assert(v2 !== v1)
+    assert(edgesOf(v2) === e1, "compaction must preserve edge content")
+    assert(routingOf(v2) === r1, "compaction must preserve routing content")
+    assert((Graph.graphGen(v2), Graph.graphCrossedBuckets(v2),
+        Graph.graphBuildId(v2)) === ((g1, c1, b1)),
+      "compaction serves identical content: generation, staleness counter, and lineage carry")
+    Dedup.releaseSlots()
+  }
+
   test("filtered-ANN auto selector picks the measured band and serves that mode's exact result") {
     val d = sf0001
     val e = graft.core.Tables.embeddings(spark, d)
