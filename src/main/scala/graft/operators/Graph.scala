@@ -244,6 +244,56 @@ object Graph {
     ranks
   }
 
+  /** PageRank AND personalized PageRank in ONE fused loop. The two
+    * formulations share everything but the teleport term: same edge
+    * frame, same out-degree denormalization, same per-round src-keyed
+    * join + dst-keyed aggregate, same fixed round count. The stats
+    * refresh always computes BOTH (its contract recomputes them per
+    * graph version — global semantics, no incremental path exists),
+    * and the r16 ×10 refresh probe measured the two separate loops as
+    * the refresh's dominant cost (10 of 22.9 s), so fusing halves the
+    * rank rounds: one join and one aggregate per round carry both
+    * rank columns, with per-column arithmetic IDENTICAL to
+    * [[pageRankOn]] / [[pprOn]] (spec-pinned equal — the g2/g6
+    * oracles unroll the separate formulations and still hash-match).
+    */
+  def rankTablesOn(nodes: DataFrame, edges: DataFrame,
+      isSeed: Column): (DataFrame, DataFrame) = {
+    val s = nodes.sparkSession
+    val ed = edges.select(col("src"), col("dst"))
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .truncated(true)
+    val loopParts = Corpus.loopPartsFor(ed.count(), s.sparkContext.defaultParallelism)
+    val e = ed.repartition(loopParts, col("src")).truncated(false)
+    val nd = nodes.select(col("vec_id"), isSeed.as("seed")).truncated(true)
+    val n = nd.count()
+    val nSeeds = nd.filter(col("seed")).count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val r0 = PrScale / n
+    val base = 15L * r0 / 100L
+    val rs0 = PrScale / nSeeds
+    val baseS = 15L * rs0 / 100L
+    var ranks = nd
+      .select(col("vec_id"), lit(r0).as("rank"),
+        when(col("seed"), rs0).otherwise(0L).as("rank_s"))
+      .repartition(loopParts, col("vec_id")).truncated(false)
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(ranks, e("src") === ranks("vec_id"))
+        .select(col("dst"), expr("rank div od").as("c"),
+          expr("rank_s div od").as("cs"))
+        .groupBy("dst").agg(sum("c").as("sc_"), sum("cs").as("scs_"))
+      ranks = nd.join(contrib, nd("vec_id") === contrib("dst"), "left")
+        .select(nd("vec_id"),
+          (lit(base) + expr("(85 * coalesce(sc_, 0L)) div 100")).as("rank"),
+          (when(nd("seed"), baseS).otherwise(0L) +
+            expr("(85 * coalesce(scs_, 0L)) div 100")).as("rank_s"))
+        .repartition(loopParts, col("vec_id"))
+        .truncated(false)
+    }
+    (ranks.select(col("vec_id"), col("rank")),
+      ranks.select(col("vec_id"), col("rank_s").as("rank")))
+  }
+
   // ------------------------------------------- stored graph artifact
 
   /** Hash-bucket directory partitions of the stored edge table. An
@@ -925,13 +975,15 @@ object Graph {
       val t0 = System.nanoTime(); val r = f
       phaseWall(name) = (System.nanoTime() - t0) / 1e9; r
     }
-    phase("pagerank") {
-      sortedStatsWrite(pageRankOn(nodes, edges), s"$target/pagerank",
+    // fused rank loop (r16): one set of PrIters rounds carries both
+    // rank columns — pageRankOn/pprOn arithmetic per column, spec-
+    // pinned equal; the final checkpointed frame feeds both writes
+    phase("rank") {
+      val (pr, ppr) = rankTablesOn(nodes, edges, col("vec_id") < PprSeedMax)
+      sortedStatsWrite(pr, s"$target/pagerank",
         col("rank").desc, col("vec_id").asc)
-    }
-    phase("ppr") {
-      sortedStatsWrite(pprOn(nodes, edges, col("vec_id") < PprSeedMax),
-        s"$target/ppr", col("rank").desc, col("vec_id").asc)
+      sortedStatsWrite(ppr, s"$target/ppr",
+        col("rank").desc, col("vec_id").asc)
     }
     // ---- triangle census: INCREMENTAL when the graph's per-generation
     // edge-delta logs cover (prevGen, gv] and the previous version

@@ -294,6 +294,31 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("fused rank loop ≡ separate pageRankOn / pprOn, on a known graph and on the corpus pairs") {
+    // synthetic: the 2-cycle + star + isolated fixture with seed = 1
+    val nodes = Seq(1L, 2L, 10L, 11L, 12L, 13L, 99L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (2L, 1L),
+        (10L, 11L), (10L, 12L), (10L, 13L),
+        (11L, 10L), (12L, 10L), (13L, 10L))
+      .toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (fPr, fPpr) = Graph.rankTablesOn(nodes, edges, col("vec_id") === 1L)
+    assert(m(fPr) === m(Graph.pageRankOn(nodes, edges)),
+      "fused PageRank column must be bit-identical to the separate loop")
+    assert(m(fPpr) === m(Graph.pprOn(nodes, edges, col("vec_id") === 1L)),
+      "fused PPR column must be bit-identical to the separate loop")
+    // and on the real corpus graph (the stats refresh's exact inputs)
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+    val ce = Graph.knnGraphEdgesOn(vecs).select("src", "dst")
+    val nd = vecs.select("vec_id")
+    val seed = col("vec_id") < Graph.PprSeedMax
+    val (cPr, cPpr) = Graph.rankTablesOn(nd, ce, seed)
+    assert(m(cPr) === m(Graph.pageRankOn(nd, ce)))
+    assert(m(cPpr) === m(Graph.pprOn(nd, ce, seed)))
+    Dedup.releaseSlots()
+  }
+
   test("graph plans: no cartesian product anywhere in the family") {
     for (name <- Seq("q_g1_knn_graph", "q_g2_pagerank", "q_g3_triangles", "q_g4_kcore",
         "q_g6_ppr", "q_g7_graph_ann")) {
