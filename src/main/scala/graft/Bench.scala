@@ -280,10 +280,14 @@ object Bench {
     } catch { case _: Throwable => None }
     var quietWaited = 0
     var satPrewait = math.min(satKernel(nThreads), satKernel(nThreads))
+    // accept within 10% of the historical quiet floor by default —
+    // the measured clean run-to-run floor spread is ~1.1x (r15 pool
+    // analysis); env-overridable like the other two kernel ratio
+    // gates, for hosts with a legitimately wider clean spread
+    val quietAcceptRatio = sys.env.getOrElse(
+      "SPARK_GRAFT_QUIET_ACCEPT_RATIO", "1.10").toDouble
     historySatRef.foreach { ref =>
-      // accept within 10% of the historical quiet floor — the measured
-      // clean run-to-run floor spread is ~1.1x (r15 pool analysis)
-      while (satPrewait > 1.10 * ref && quietWaited < quietWaitBudget) {
+      while (satPrewait > quietAcceptRatio * ref && quietWaited < quietWaitBudget) {
         Thread.sleep(15000); quietWaited += 15
         satPrewait = math.min(satKernel(nThreads), satKernel(nThreads))
       }

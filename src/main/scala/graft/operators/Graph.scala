@@ -779,8 +779,17 @@ object Graph {
       val allVecs = corpusVecs.select(col("vec_id"), col("embedding"))
         .unionByName(newVecs.select(col("vec_id"), col("embedding")))
       val rebuilt = graft.core.ArtifactStore.withMaintenanceLock(adir) {
-        graft.core.ArtifactStore.publish(adir) { target =>
-          writeGraphTables(s, allVecs, target, gen = graphGen(live) + 1)
+        // RE-READ inside the lock: the decision above used state read
+        // after the append lock released, so a cross-process append
+        // can land in between. The generation must be derived from
+        // the version that is current NOW, and a concurrent rebuild
+        // that already reset the counter must not be repeated (a
+        // stale rebuild would publish over it with fewer vectors).
+        val fresh = graft.core.ArtifactStore.current(adir).get
+        if (graphCrossedBuckets(fresh) <= rebuildCrossedFrac *
+            s.read.parquet(s"$fresh/bsizes").count()) fresh
+        else graft.core.ArtifactStore.publish(adir) { target =>
+          writeGraphTables(s, allVecs, target, gen = graphGen(fresh) + 1)
         }
       }
       graft.core.ArtifactStore.gcVersions(adir)
@@ -1615,13 +1624,25 @@ object Graph {
     while (front.nonEmpty) {
       round += 1
       if (round > KcoreSeedRounds) return Left("seed_rounds")
-      val fDf = front.toSeq.toDF("fid")
-      val ef = coreEdges
-        .join(broadcast(fDf.select(col("fid").as("id_a"))), "id_a")
-        .select("id_a", "id_b")
-        .union(coreEdges
-          .join(broadcast(fDf.select(col("fid").as("id_b"))), "id_b")
-          .select("id_a", "id_b"))
+      // small frontiers (the common case: a trickle delta's shell)
+      // fetch with ONE codegen'd isin scan of the pair table; larger
+      // frontiers pay two broadcast-join scans (an OR join condition
+      // would degrade to a nested-loop against the broadcast)
+      val efRaw =
+        if (front.size <= 1024) {
+          val ids = front.toSeq.map(java.lang.Long.valueOf)
+          coreEdges.filter(col("id_a").isin(ids: _*) ||
+            col("id_b").isin(ids: _*))
+        } else {
+          val fDf = front.toSeq.toDF("fid")
+          coreEdges
+            .join(broadcast(fDf.select(col("fid").as("id_a"))), "id_a")
+            .select("id_a", "id_b")
+            .union(coreEdges
+              .join(broadcast(fDf.select(col("fid").as("id_b"))), "id_b")
+              .select("id_a", "id_b"))
+        }
+      val ef = efRaw
         .select(least(col("id_a"), col("id_b")).as("a"),
           greatest(col("id_a"), col("id_b")).as("b"))
         .distinct()
@@ -2285,16 +2306,26 @@ object Graph {
       // routing table — the label is part of the artifact's identity,
       // so `corpusVecs` keeps the main append's (vec_id, embedding)
       // convention unchanged.
-      val oldLabels = s.read.parquet(s"$live/buckets")
-        .select(col("vec_id"), col("stratum").cast("long").as("stratum"))
-        .distinct()
-      val allVecs = corpusVecs.select(col("vec_id"), col("embedding"))
-        .join(oldLabels, "vec_id")
-        .unionByName(newVecs.select(col("vec_id"), col("embedding"),
-          col(StratumCol).cast("long").as("stratum")))
       val rebuilt = graft.core.ArtifactStore.withMaintenanceLock(adir) {
-        graft.core.ArtifactStore.publish(adir) { target =>
-          writeStratumTables(s, allVecs, target, gen = graphGen(live) + 1)
+        // RE-READ inside the lock (the main self-heal's discipline):
+        // the trigger decision used post-lock state, so a concurrent
+        // append's routing rows — the label memory the rebuild needs —
+        // must come from the version that is current NOW, and a
+        // rebuild another process already ran must not be repeated.
+        val fresh = graft.core.ArtifactStore.current(adir).get
+        if (graphCrossedBuckets(fresh) <= rebuildCrossedFrac *
+            s.read.parquet(s"$fresh/bsizes").count()) fresh
+        else {
+          val oldLabels = s.read.parquet(s"$fresh/buckets")
+            .select(col("vec_id"), col("stratum").cast("long").as("stratum"))
+            .distinct()
+          val allVecs = corpusVecs.select(col("vec_id"), col("embedding"))
+            .join(oldLabels, "vec_id")
+            .unionByName(newVecs.select(col("vec_id"), col("embedding"),
+              col(StratumCol).cast("long").as("stratum")))
+          graft.core.ArtifactStore.publish(adir) { target =>
+            writeStratumTables(s, allVecs, target, gen = graphGen(fresh) + 1)
+          }
         }
       }
       graft.core.ArtifactStore.gcVersions(adir)
@@ -2800,18 +2831,35 @@ object Graph {
   /** Content stamp of a dataset's embeddings table — name/size/mtime
     * of every part file, recursively (the `Tables.events` layout-tag
     * discipline: top-level mtime alone misses an in-place part-file
-    * rewrite).
+    * rewrite). TTL-cached per dataset: the stamp exists so the memo
+    * invalidates on corpus rewrites, but recomputing it per serve
+    * re-walks the table's file metadata — at 100 TB (10⁵-10⁶ part
+    * files on an object store) that walk would dominate the cheap
+    * serve bands the memo exists to protect. The TTL's only effect
+    * is that a corpus rewrite takes up to [[StampTtlNanos]] to be
+    * seen by MODE selection — results always come from the live
+    * tables.
     */
+  private val StampTtlNanos = 10L * 1000 * 1000 * 1000
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   private[graft] def corpusStamp(d: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def fold(f: java.io.File): Unit =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty)
-          .sortBy(_.getName).foreach(fold)
-      else md.update(s"${f.getName}:${f.length()}:${f.lastModified()};"
-        .getBytes("UTF-8"))
-    fold(new java.io.File(s"$d/embeddings.parquet"))
-    md.digest().take(8).map("%02x".format(_)).mkString
+    val now = System.nanoTime()
+    Option(stampCache.get(d)) match {
+      case Some((st, at)) if now - at < StampTtlNanos => st
+      case _ =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def fold(f: java.io.File): Unit =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty)
+              .sortBy(_.getName).foreach(fold)
+          else md.update(s"${f.getName}:${f.length()}:${f.lastModified()};"
+            .getBytes("UTF-8"))
+        fold(new java.io.File(s"$d/embeddings.parquet"))
+        val st = md.digest().take(8).map("%02x".format(_)).mkString
+        stampCache.put(d, (st, now))
+        st
+    }
   }
 
   /** The measured filtered-ANN operating rule AS CODE — callers hand
@@ -2843,7 +2891,8 @@ object Graph {
     * deterministic per dataset.
     */
   def filteredAnnAutoBatch(s: SparkSession, d: String, isQuery: Column,
-      pred: Column, stratum: Option[Long] = None): (String, DataFrame) = {
+      pred: Column, stratum: Option[Long] = None,
+      adaptive: Option[Boolean] = None): (String, DataFrame) = {
     val e = embeddings(s, d)
     // census memoized per (corpus version, predicate, stratum): the
     // cold call pays one column-pruned aggregate; every repeat serve
@@ -2857,12 +2906,23 @@ object Graph {
         sum(when(pred && stratumHit, lit(1L)).otherwise(lit(0L)))
           .as("elig_st")).collect().head
       val v = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // bounded memo: stale corpus-version entries are never evicted
+      // individually (keys embed the stamp), so a long-lived session
+      // serving many predicates across many corpus rewrites clears
+      // wholesale rather than growing without bound — the next serve
+      // of each predicate re-pays one cold aggregate
+      if (eligCensusMemo.size > 4096) eligCensusMemo.clear()
       eligCensusMemo.put(key, v)
       v
     }
-    // post-filter band: the g12 adaptive exit by default (knob:
-    // [[autoAdaptivePostfilter]]) — the mode string says which ran
-    val stableK = if (autoAdaptivePostfilter(s)) Some(GannTopK) else None
+    // post-filter band: the g12 adaptive exit by default (session
+    // knob [[autoAdaptivePostfilter]]; `adaptive` pins it per call —
+    // a REGISTERED query is a fixed operator+oracle pair, so q_g15
+    // passes Some(true) and a session override can never make the
+    // served walk diverge from its oracle's unroll) — the mode
+    // string says which ran
+    val stableK = if (adaptive.getOrElse(autoAdaptivePostfilter(s)))
+      Some(GannTopK) else None
     val pfMode = if (stableK.isDefined) "postfilter_adaptive" else "postfilter"
     def postFilter = graphAnnBatchOn(e, storedEdgesPartitioned(s, d),
       storedBuckets(s, d), storedBucketSizes(s, d), isQuery,
@@ -2925,7 +2985,8 @@ object Graph {
     */
   lazy val g15GannAutoPostfilter: Relational.Q = (s, d) =>
     filteredAnnAutoBatch(s, d, col("vec_id") < GannBatchQ,
-      col("label").isin(Indexed.FilterLabels: _*))._2
+      col("label").isin(Indexed.FilterLabels: _*),
+      adaptive = Some(true))._2
       .orderBy("qid", "rk")
 
   /** G10: graph-ANN recall audit — the [[Indexed.v19RecallGrid]]
