@@ -3112,35 +3112,56 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .distinct().truncated(true)
     val loopParts = Corpus.loopPartsFor(und0.count(), s.sparkContext.defaultParallelism)
-    var e = und0.repartition(loopParts, col("a")).truncated(false)
-    var ePrev = e
-    var nPrev = e.count()
+    // DEGREE-DECREMENT peel (r16): the edge set is never rebuilt.
+    // The symmetric adjacency materializes ONCE; each round removes
+    // the below-k nodes and flows one decrement per removed-incident
+    // edge to its still-alive neighbor. Round semantics are IDENTICAL
+    // to the edge-restriction formulation the q_g4 oracle unrolls —
+    // an edge leaves the restricted set exactly when its first
+    // endpoint is removed, so deg_{r+1}(v) = deg_r(v) − |removed_r ∩
+    // N_r(v)| by induction — but the per-round work drops from ~4
+    // edge-set shuffles (degree recount + two restriction joins +
+    // repartition) to one join of the CACHED adjacency against the
+    // (usually tiny, AQE-broadcast) removal set plus node-sized
+    // bookkeeping. The ×10 probe measured the old loop as the full
+    // stats build's largest single term (8.2 s of the kcore floor).
+    val sym = und0.select(col("a").as("u"), col("b").as("v"))
+      .union(und0.select(col("b").as("u"), col("a").as("v")))
+      .repartition(loopParts, col("u")).truncated(true)
+    // lazy per-round checkpoints, ONE materializing action per round
+    // (the removal count — it drives the lazy deg checkpoint through
+    // its lineage), the Corpus fixpoint discipline
+    var deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("v"), col("deg"))
+      .truncated(false)
     var rounds = 0
     var fixed = false
     while (rounds < CoreIters && !fixed) {
-      ePrev = e
-      val kept = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-        .filter(col("dg") >= k)
-      e = e.join(kept.select(col("v").as("a")), "a")
-        .join(kept.select(col("v").as("b")), "b")
-        .select(col("a"), col("b"))
-        .repartition(loopParts, col("a")).truncated(false)
-      val n = e.count()
-      fixed = n == nPrev
-      nPrev = n
+      val removed = deg.filter(col("deg") < k)
+        .select(col("v").as("u")).truncated(false)
+      if (removed.count() == 0) fixed = true
+      else {
+        val dec = sym.join(removed, "u")
+          .groupBy("v").agg(count(lit(1)).as("dd"))
+        deg = deg
+          .join(removed.select(col("u").as("v")), Seq("v"), "left_anti")
+          .join(dec, Seq("v"), "left")
+          .select(col("v"),
+            (col("deg") - coalesce(col("dd"), lit(0L))).as("deg"))
+          .truncated(false)
+      }
       rounds += 1
     }
-    // unchanged edge count across the last executed round == nothing
-    // was peeled == fixpoint (the restriction only ever removes edges);
-    // computed in-plan so the attestation rides the hashed output
-    val conv = e.agg(count(lit(1)).as("n_final"))
-      .crossJoin(ePrev.agg(count(lit(1)).as("n_prev")))
-      .select((col("n_final") === col("n_prev")).as("converged"))
-    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-      .crossJoin(conv)
-      .select(col("v").as("vec_id"), col("deg"), col("converged"))
+    // an empty removal set in the last executed round == nothing was
+    // peeled == fixpoint (removals only ever shrink the alive set);
+    // `fixed` is itself derived from the data by that round's
+    // emptiness probe, and the attestation still rides the hashed
+    // output as a column. A node whose every neighbor died in the
+    // final round carries degree 0 at an unconverged exit — the
+    // restriction formulation drops it from the edge set, so it is
+    // filtered here too.
+    deg.filter(col("deg") > 0)
+      .select(col("v").as("vec_id"), col("deg"), lit(fixed).as("converged"))
   }
 
   /** G4: k-core members of the thresholded similarity graph — the

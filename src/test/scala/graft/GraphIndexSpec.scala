@@ -801,13 +801,17 @@ class GraphIndexSpec extends SparkSuite {
       val core = Graph.kcoreOn(edges)
       // listener delivery is async; the loop's own jobs are done here
       Thread.sleep(1000)
-      // loop-action budget: eager base truncation + its count + ONE
-      // materializing count per round (3 rounds here) = 5. The old
-      // eager-per-round form paid a separate checkpoint job per round
-      // on top (8 for the same peel).
-      assert(jobs.get() <= 5,
+      // loop-action budget: eager base truncation + its count + the
+      // one-time symmetric-adjacency materialization (r16: the
+      // degree-decrement peel never rebuilds the edge set, so the
+      // adjacency checkpoints once up front) + ONE materializing
+      // removal count per round (3 rounds here) = 6. The pre-r16
+      // edge-restriction loop paid ~4 edge-set shuffles per round
+      // inside its one action; this one joins the cached adjacency
+      // against the (usually tiny) removal set.
+      assert(jobs.get() <= 6,
         s"k-core loop ran ${jobs.get()} loop-action jobs for a 3-round " +
-          "peel — expected one job per round plus the base materialization")
+          "peel — expected one job per round plus the base materializations")
       assert(core.collect().isEmpty, "a path graph has no 2-core")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
