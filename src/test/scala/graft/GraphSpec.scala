@@ -294,6 +294,93 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("kcoreOn ≡ in-memory restriction reference on random graphs, INCLUDING the round-cap truncation state") {
+    // the degree-decrement rewrite's diciest equivalence is the
+    // CoreIters truncation boundary: an unconverged exit must carry
+    // the SAME degrees the edge-restriction formulation leaves behind
+    // (and drop nodes whose last neighbor died in the final round)
+    def refKcore(edges: Set[(Long, Long)], k: Int): (Map[Long, Long], Boolean) = {
+      var e = edges; var rounds = 0; var fixed = false
+      while (rounds < Graph.CoreIters && !fixed) {
+        val deg = e.toSeq.flatMap(t => Seq(t._1, t._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val kept = deg.filter(_._2 >= k).keySet
+        val e2 = e.filter(t => kept(t._1) && kept(t._2))
+        fixed = e2.size == e.size
+        e = e2; rounds += 1
+      }
+      (e.toSeq.flatMap(t => Seq(t._1, t._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap, fixed)
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val cases: Seq[Set[(Long, Long)]] =
+      // a 24-path with k=2 peels one layer per round from each end —
+      // 11 reduction rounds > CoreIters: the guaranteed-truncation case
+      Seq((0L until 23L).map(i => (i, i + 1)).toSet) ++
+        (1 to 4).map { _ =>
+          val n = 10 + rnd.nextInt(15)
+          (0 until (2 * n)).map { _ =>
+            val a = rnd.nextInt(n).toLong
+            val b = (a + 1 + rnd.nextInt(n - 1)) % n
+            (math.min(a, b), math.max(a, b))
+          }.toSet
+        }
+    for (es <- cases) {
+      val df = es.toSeq.toDF("src", "dst")
+      val got = Graph.kcoreOn(df, k = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val (wantDeg, wantConv) = refKcore(es, 2)
+      assert(got.map(t => (t._1, t._2)).toMap === wantDeg,
+        s"degrees diverge from the restriction reference on $es")
+      assert(got.forall(_._3 == wantConv),
+        s"converged bit must be $wantConv on $es")
+      Dedup.releaseSlots()
+    }
+  }
+
+  test("seededKcore ≡ full peel on random graphs with append-shaped random deltas (property)") {
+    val rnd = new scala.util.Random(777L)
+    var admitted = 0
+    for (trial <- 1 to 5) {
+      val nOld = 10 + rnd.nextInt(12)
+      val oldE = (0 until (3 * nOld)).map { _ =>
+        val a = rnd.nextInt(nOld).toLong
+        val b = (a + 1 + rnd.nextInt(nOld - 1)) % nOld
+        (math.min(a, b), math.max(a, b))
+      }.distinct.toDF("id_a", "id_b")
+      // append-shaped delta: every pair touches a NEW node (the
+      // invariant appendKnnGraph guarantees), old endpoints uniform
+      val newIds = Seq(100L, 101L, 102L)
+      val delta = (0 until (4 + rnd.nextInt(8))).map { _ =>
+        val u = newIds(rnd.nextInt(newIds.size))
+        val v = if (rnd.nextBoolean()) newIds(rnd.nextInt(newIds.size))
+          else rnd.nextInt(nOld).toLong
+        (math.min(u, v), math.max(u, v))
+      }.filter(t => t._1 != t._2).distinct.toDF("id_a", "id_b")
+      val prev = Graph.kcoreOn(
+        oldE.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val all = oldE.unionByName(delta)
+      Graph.seededKcore(spark, all, prev, delta) match {
+        case Right(df) =>
+          admitted += 1
+          val got = df.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+          val want = Graph.kcoreOn(
+              all.select(col("id_a").as("src"), col("id_b").as("dst")))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+          assert(got === want,
+            s"trial $trial: seeded ≠ full (missing ${want -- got}, extra ${got -- want})")
+        case Left(reason) =>
+          // the only legitimate declines under this fixture shape
+          assert(Set("prev_empty", "prev_unconverged").contains(reason),
+            s"trial $trial: unexpected decline '$reason'")
+      }
+      Dedup.releaseSlots()
+    }
+    assert(admitted >= 3, s"fixture too degenerate: only $admitted of 5 trials admitted")
+  }
+
   test("fused rank loop ≡ separate pageRankOn / pprOn, on a known graph and on the corpus pairs") {
     // synthetic: the 2-cycle + star + isolated fixture with seed = 1
     val nodes = Seq(1L, 2L, 10L, 11L, 12L, 13L, 99L).toDF("vec_id")
