@@ -263,21 +263,39 @@ object Bench {
     // would change what the metric measures).
     val quietWaitBudget = sys.env.getOrElse(
       "SPARK_GRAFT_QUIET_WAIT_SEC", "240").toInt
-    val historySatRef: Option[Double] = try {
-      import org.json4s._
-      import org.json4s.jackson.JsonMethods
-      val hp = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_FULL.json")
-          .stripSuffix(".json") + "_HISTORY.jsonl")
-      if (!java.nio.file.Files.isRegularFile(hp)) None
-      else scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(hp)).asScala.toSeq
-        .flatMap { line =>
-          try JsonMethods.parse(line) \ "sat_floor" match {
-            case JDouble(x) if x > 0 => Some(x); case _ => None
-          } catch { case _: Throwable => None }
-        }.minOption
-    } catch { case _: Throwable => None }
+    // Robust quiet reference (r16 ADVICE): the all-time minimum lets a
+    // single anomalously low historical sample — or a hardware change
+    // that made the box permanently slower — force every future run to
+    // burn the whole wait budget. Use max(5th percentile of all
+    // history, min of the most recent 40 samples): a lone low outlier
+    // is discarded by the percentile; a permanently slower box raises
+    // the recent-window min. SPARK_GRAFT_QUIET_REF overrides the
+    // reference value itself for hosts where neither heuristic fits.
+    val historySatRef: Option[Double] =
+      sys.env.get("SPARK_GRAFT_QUIET_REF").map(_.toDouble).orElse(try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val hp = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_FULL.json")
+            .stripSuffix(".json") + "_HISTORY.jsonl")
+        if (!java.nio.file.Files.isRegularFile(hp)) None
+        else {
+          val floors = scala.jdk.CollectionConverters.ListHasAsScala(
+              java.nio.file.Files.readAllLines(hp)).asScala.toSeq
+            .flatMap { line =>
+              try JsonMethods.parse(line) \ "sat_floor" match {
+                case JDouble(x) if x > 0 => Some(x); case _ => None
+              } catch { case _: Throwable => None }
+            }
+          if (floors.isEmpty) None
+          else {
+            val sorted = floors.sorted
+            val p05 = sorted((0.05 * (sorted.size - 1)).round.toInt)
+            val recentMin = floors.takeRight(40).min
+            Some(math.max(p05, recentMin))
+          }
+        }
+      } catch { case _: Throwable => None })
     var quietWaited = 0
     var satPrewait = math.min(satKernel(nThreads), satKernel(nThreads))
     // accept within 10% of the historical quiet floor by default —

@@ -473,6 +473,53 @@ object Graph {
     ()
   }
 
+  /** Vectors the self-heal rebuild needs but the caller's frames
+    * miss, derived INSIDE the maintenance lock from the version that
+    * is current now. A cross-process append landing between the
+    * trigger decision and the lock acquire leaves ids in the
+    * artifact's own routing table that the caller never saw; their
+    * embeddings are recovered from the edge table's denormalized
+    * `dvec` (identical for every in-edge of an id, so `first` is
+    * deterministic). Returns the recovered (vec_id, embedding) rows —
+    * possibly empty — or None when some missing id has no in-edge to
+    * recover from (the caller must decline the rebuild rather than
+    * publish a version that silently drops vectors). Both probe
+    * frames are bounded by the cross-process delta, never the corpus:
+    * the anti-join streams the routing table past the caller's ids.
+    */
+  private[graft] def recoveredMissingVecs(s: SparkSession, fresh: String,
+      callerVecs: DataFrame): Option[DataFrame] = {
+    val missing = s.read.parquet(s"$fresh/buckets")
+      .select("vec_id").distinct()
+      .join(callerVecs.select("vec_id"), Seq("vec_id"), "left_anti")
+      .persist()
+    try {
+      if (missing.isEmpty)
+        Some(callerVecs.select(col("vec_id"), col("embedding")).limit(0))
+      else {
+        val rec = s.read.parquet(s"$fresh/edges")
+          .join(broadcast(missing.select(col("vec_id").as("dst"))), "dst")
+          .groupBy(col("dst").as("vec_id"))
+          .agg(first(col("dvec")).as("embedding"))
+        val uncovered = missing
+          .join(rec.select("vec_id"), Seq("vec_id"), "left_anti")
+          .take(1).nonEmpty
+        // materialize before unpersisting the probe frame the plan reads
+        if (uncovered) None
+        else Some(s.createDataFrame(
+          java.util.Arrays.asList(rec.collect(): _*), rec.schema))
+      }
+    } finally missing.unpersist()
+  }
+
+  /** The rebuild-decline witness on a version dir, if any — written
+    * when the cap-crossing self-heal found artifact ids it could not
+    * cover (see [[recoveredMissingVecs]]); the staleness counter is
+    * left intact so a later append re-triggers the heal.
+    */
+  def graphRebuildDecline(versionDir: String): String =
+    readMetaString(versionDir, "REBUILD_DECLINE")
+
   def ensureKnnGraph(s: SparkSession, d: String): String = synchronized {
     graft.core.ArtifactStore.ensure(
       graft.core.ArtifactStore.artifactDir("knn_graph", d, GraphTag)) { target =>
@@ -767,6 +814,11 @@ object Graph {
         } finally { newB.unpersist(); nv.unpersist() }
       }
     }
+    // the append extended the served corpus (the ingest convention:
+    // callers hand over the grown vector set) — drop the TTL-cached
+    // corpus stamp so the NEXT serve's mode selection re-censuses
+    // against the corpus as it is now instead of waiting out the TTL
+    invalidateCorpusStamp(d)
     val live = graft.core.ArtifactStore.current(adir).get
     val crossed = graphCrossedBuckets(live)
     val populated = s.read.parquet(s"$live/bsizes").count()
@@ -788,8 +840,21 @@ object Graph {
         val fresh = graft.core.ArtifactStore.current(adir).get
         if (graphCrossedBuckets(fresh) <= rebuildCrossedFrac *
             s.read.parquet(s"$fresh/bsizes").count()) fresh
-        else graft.core.ArtifactStore.publish(adir) { target =>
-          writeGraphTables(s, allVecs, target, gen = graphGen(fresh) + 1)
+        else recoveredMissingVecs(s, fresh, allVecs) match {
+          case None =>
+            // an artifact id is covered by neither the caller's frames
+            // nor the edge table's denormalized vectors (an in-edge-less
+            // isolate from a cross-process append): publishing would
+            // silently drop it. Decline — witnessed, counter intact, so
+            // the next append (whose caller reads the fuller corpus)
+            // re-triggers the heal.
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(
+              fresh, "REBUILD_DECLINE"), "uncovered_ids")
+            fresh
+          case Some(rec) => graft.core.ArtifactStore.publish(adir) { target =>
+            writeGraphTables(s, allVecs.unionByName(rec), target,
+              gen = graphGen(fresh) + 1)
+          }
         }
       }
       graft.core.ArtifactStore.gcVersions(adir)
@@ -2295,6 +2360,11 @@ object Graph {
         } finally { newB.unpersist(); nv.unpersist() }
       }
     }
+    // the append extended the served corpus (the ingest convention:
+    // callers hand over the grown vector set) — drop the TTL-cached
+    // corpus stamp so the NEXT serve's mode selection re-censuses
+    // against the corpus as it is now instead of waiting out the TTL
+    invalidateCorpusStamp(d)
     val live = graft.core.ArtifactStore.current(adir).get
     val crossed = graphCrossedBuckets(live)
     val populated = s.read.parquet(s"$live/bsizes").count()
@@ -2319,12 +2389,28 @@ object Graph {
           val oldLabels = s.read.parquet(s"$fresh/buckets")
             .select(col("vec_id"), col("stratum").cast("long").as("stratum"))
             .distinct()
-          val allVecs = corpusVecs.select(col("vec_id"), col("embedding"))
+          val base = corpusVecs.select(col("vec_id"), col("embedding"))
             .join(oldLabels, "vec_id")
             .unionByName(newVecs.select(col("vec_id"), col("embedding"),
               col(StratumCol).cast("long").as("stratum")))
-          graft.core.ArtifactStore.publish(adir) { target =>
-            writeStratumTables(s, allVecs, target, gen = graphGen(fresh) + 1)
+          // the main self-heal's coverage discipline: ids the
+          // artifact's routing table holds but the caller's frames
+          // miss (a cross-process append between trigger and lock)
+          // are recovered from the edge table's `dvec`; their strata
+          // come from the routing table itself. Unrecoverable ids →
+          // witnessed decline, counter intact.
+          recoveredMissingVecs(s, fresh, base) match {
+            case None =>
+              java.nio.file.Files.writeString(java.nio.file.Paths.get(
+                fresh, "REBUILD_DECLINE"), "uncovered_ids")
+              fresh
+            case Some(rec) =>
+              val allVecs = base.unionByName(rec.join(oldLabels, "vec_id")
+                .select(col("vec_id"), col("embedding"), col("stratum")))
+              graft.core.ArtifactStore.publish(adir) { target =>
+                writeStratumTables(s, allVecs, target,
+                  gen = graphGen(fresh) + 1)
+              }
           }
         }
       }
@@ -2836,17 +2922,35 @@ object Graph {
     * re-walks the table's file metadata — at 100 TB (10⁵-10⁶ part
     * files on an object store) that walk would dominate the cheap
     * serve bands the memo exists to protect. The TTL's only effect
-    * is that a corpus rewrite takes up to [[StampTtlNanos]] to be
-    * seen by MODE selection — results always come from the live
-    * tables.
+    * is that a corpus rewrite takes up to the TTL to be seen by MODE
+    * selection — results always come from the live tables. The TTL
+    * is a session conf (`graft.ann.stampTtlSec`, default 10) so a
+    * deployment whose corpus rewrites must surface faster — or whose
+    * file-metadata walks are expensive enough to warrant a longer
+    * memo — tunes it without a rebuild; ingest paths that mutate the
+    * corpus in-process bypass the TTL entirely via
+    * [[invalidateCorpusStamp]] (called by the graph append/rebuild
+    * lifecycle, whose callers hand over the grown corpus).
     */
-  private val StampTtlNanos = 10L * 1000 * 1000 * 1000
+  private def stampTtlNanos: Long =
+    1000L * 1000 * 1000 * org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get("graft.ann.stampTtlSec", "10").toLong).getOrElse(10L)
   private val stampCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Drop the TTL-cached corpus stamp for a dataset, forcing the next
+    * serve's mode selection to re-stamp (and so re-census) against
+    * the corpus as it is NOW. Called by the append/rebuild lifecycle;
+    * external writers that rewrite a corpus in place within mtime
+    * granularity should call it too — the stamp walk cannot see an
+    * equal-length same-mtime rewrite.
+    */
+  def invalidateCorpusStamp(d: String): Unit = { stampCache.remove(d); () }
+
   private[graft] def corpusStamp(d: String): String = {
     val now = System.nanoTime()
     Option(stampCache.get(d)) match {
-      case Some((st, at)) if now - at < StampTtlNanos => st
+      case Some((st, at)) if now - at < stampTtlNanos => st
       case _ =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def fold(f: java.io.File): Unit =

@@ -399,6 +399,30 @@ class GraphIndexSpec extends SparkSuite {
     Dedup.releaseSlots()
   }
 
+  test("corpus stamp: TTL caches within the window, session conf tunes it, invalidateCorpusStamp bypasses it") {
+    val d = tmpDir("gst")
+    val fifty = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(50)
+    fifty.write.parquet(s"$d/embeddings.parquet")
+    val st0 = Graph.corpusStamp(d)
+    // mutate a part file's mtime the way an external rewrite would
+    val part = Option(new java.io.File(s"$d/embeddings.parquet").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).head
+    part.setLastModified(part.lastModified() + 60000)
+    assert(Graph.corpusStamp(d) === st0,
+      "inside the TTL the cached stamp hides the rewrite (documented trade)")
+    Graph.invalidateCorpusStamp(d)
+    val st1 = Graph.corpusStamp(d)
+    assert(st1 !== st0,
+      "explicit invalidation must surface the rewrite immediately")
+    try {
+      spark.conf.set("graft.ann.stampTtlSec", "0")
+      part.setLastModified(part.lastModified() + 60000)
+      assert(Graph.corpusStamp(d) !== st1,
+        "a zero TTL (session conf) must re-stamp on every call")
+    } finally spark.conf.unset("graft.ann.stampTtlSec")
+  }
+
   test("graph_stats is version-stamped: an append invalidates and the rebuilt tables match live computation") {
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
@@ -481,6 +505,120 @@ class GraphIndexSpec extends SparkSuite {
     Dedup.releaseSlots()
     assert(gotPairs === wantPairs,
       "rebuilt pairs must equal a one-shot build (stale old×old pairs dropped)")
+  }
+
+  test("self-heal coverage: an artifact id missing from the caller's frames is recovered from the edge table's dvec") {
+    val (d, _) = splitDataset()
+    Graph.ensureKnnGraph(spark, d)
+    val fresh = graft.core.ArtifactStore.current(
+      graft.core.ArtifactStore.artifactDir("knn_graph", d, Graph.GraphTag)).get
+    // any edge destination is recoverable by construction (its dvec is
+    // denormalized onto every in-edge)
+    val victim = spark.read.parquet(s"$fresh/edges")
+      .select(col("dst")).orderBy("dst").limit(1).collect().head.getLong(0)
+    val caller = graft.core.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").filter(col("vec_id") =!= victim)
+    val rec = Graph.recoveredMissingVecs(spark, fresh, caller)
+    assert(rec.isDefined, "a dvec-covered id must be recoverable")
+    val rows = rec.get.collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(victim),
+      "exactly the held-back id is recovered")
+    val want = graft.core.Tables.embeddings(spark, d)
+      .filter(col("vec_id") === victim).select("embedding")
+      .collect().head.getSeq[Float](0)
+    assert(rows.head.getSeq[Float](1) === want,
+      "the recovered embedding is the id's exact stored vector")
+  }
+
+  test("self-heal coverage: an uncoverable id (in the routing table, no in-edges, not in the caller's frames) yields None") {
+    val (d, _) = splitDataset()
+    Graph.ensureKnnGraph(spark, d)
+    val fresh = graft.core.ArtifactStore.current(
+      graft.core.ArtifactStore.artifactDir("knn_graph", d, Graph.GraphTag)).get
+    // fake version dir: the real tables plus one PHANTOM routing row —
+    // the shape a cross-process append of an in-edge-less isolate
+    // leaves behind
+    val fake = tmpDir("gxu")
+    val phantom = spark.read.parquet(s"$fresh/buckets").limit(1)
+      .withColumn("vec_id", lit(999999999L))
+    spark.read.parquet(s"$fresh/buckets").unionByName(phantom)
+      .write.parquet(s"$fake/buckets")
+    spark.read.parquet(s"$fresh/edges").write.parquet(s"$fake/edges")
+    val caller = graft.core.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding")
+    assert(Graph.recoveredMissingVecs(spark, fake, caller).isEmpty,
+      "publishing would drop the phantom's vectors — the caller must decline")
+  }
+
+  test("triggered rebuild declines with a witness when a cross-process id cannot be covered — counter intact, content served") {
+    // the cap-crossing fixture (duplicated embedding), plus a phantom
+    // routing row injected into the live version the way a concurrent
+    // process's append of an isolate would leave it
+    val d = tmpDir("gxd")
+    val fifty = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(50)
+    val emb0 = fifty.limit(1).select(col("embedding"))
+    fifty.unionByName(
+        spark.range(1).select(lit(1000000L).as("vec_id")).crossJoin(emb0))
+      .write.parquet(s"$d/embeddings.parquet")
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureKnnGraph(spark, d)
+    val dups = spark.range((Dedup.MaxBucket - 1).toLong)
+      .select((col("id") + 2000000L).as("vec_id")).crossJoin(emb0)
+    Graph.appendKnnGraph(spark, d, dups, base, rebuildCrossedFrac = 1.0)
+    val live1 = Graph.ensureKnnGraph(spark, d)
+    val phantom = spark.read.parquet(s"$live1/buckets").limit(1)
+      .withColumn("vec_id", lit(999999999L))
+    phantom.write.mode("append").parquet(s"$live1/buckets")
+    // the next append carries the phantom forward (hard links) and
+    // trips the rebuild budget; the caller's frames cannot cover the
+    // phantom and it has no in-edges → witnessed decline
+    val extra = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .orderBy(col("vec_id").desc).limit(1)
+    val out = Graph.appendKnnGraph(spark, d, extra, base.unionByName(dups))
+    Dedup.releaseSlots()
+    assert(Graph.graphRebuildDecline(out) === "uncovered_ids",
+      "the decline must be witnessed on the current version")
+    assert(Graph.graphGen(out) === 2L,
+      "append (gen 2) served; no rebuild generation published")
+    assert(Graph.graphCrossedBuckets(out) === Dedup.SrpTables.toLong,
+      "the staleness counter is left intact so a later append re-triggers the heal")
+  }
+
+  test("triggered rebuild recovers a held-back id from dvec: rebuild ≡ one-shot over the full union") {
+    val d = tmpDir("gxr")
+    val fifty = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(50)
+    val emb0 = fifty.limit(1).select(col("embedding"))
+    fifty.unionByName(
+        spark.range(1).select(lit(1000000L).as("vec_id")).crossJoin(emb0))
+      .write.parquet(s"$d/embeddings.parquet")
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureKnnGraph(spark, d)
+    val dups = spark.range((Dedup.MaxBucket - 1).toLong)
+      .select((col("id") + 2000000L).as("vec_id")).crossJoin(emb0)
+    Graph.appendKnnGraph(spark, d, dups, base, rebuildCrossedFrac = 1.0)
+    // hold back an id the artifact holds and serves edges TO — the
+    // caller's corpus frame is a stale snapshot that never saw it
+    val live1 = Graph.ensureKnnGraph(spark, d)
+    val victim = spark.read.parquet(s"$live1/edges")
+      .select(col("dst")).orderBy("dst").limit(1).collect().head.getLong(0)
+    val extra = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .orderBy(col("vec_id").desc).limit(1)
+    val staleCorpus = base.unionByName(dups).filter(col("vec_id") =!= victim)
+    val out = Graph.appendKnnGraph(spark, d, extra, staleCorpus)
+    assert(Graph.graphRebuildDecline(out) === "",
+      "a dvec-covered id must not decline the rebuild")
+    assert(Graph.graphGen(out) === 3L,
+      "append (gen 2) then triggered rebuild (gen 3)")
+    val union = base.unionByName(dups).unionByName(extra)
+    val wantEdges = edgeSet(Graph.knnGraphEdgesOn(union))
+    val gotEdges = edgeSet(Graph.storedEdges(spark, d))
+    Dedup.releaseSlots()
+    assert(gotEdges === wantEdges,
+      "the recovered vector restores rebuild ≡ one-shot over the full union")
   }
 
   test("graph_stats incremental refresh: component-scoped recompute ≡ full; survives compaction via the gen-keyed pair-delta logs") {
