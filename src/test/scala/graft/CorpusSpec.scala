@@ -9,15 +9,22 @@ import org.apache.spark.sql.functions._
 class CorpusSpec extends SparkSuite {
   import spark.implicits._
 
-  test("connectedComponents: known graph gets min-id labels; iterates past one hop") {
+  test("connectedComponents: known graph gets min-id labels; iterates past one hop — both serve paths") {
     // components: {1,2,3,9} (chain 9-3-2-1 forces >1 propagation round),
-    // {5,6}, and {7,8}
+    // {5,6}, and {7,8}. Budget -1 forces the distributed loop (even an
+    // empty probe overflows it); the default admits the driver path.
     val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
       .toDF("a", "b")
-    val got = Corpus.connectedComponents(pairs, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    for ((budget, wantMode) <- Seq(("1000000", "driver"), ("-1", "distributed"))) {
+      spark.conf.set("graft.cc.driverEdgeBudget", budget)
+      try {
+        val got = Corpus.connectedComponents(pairs, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(Corpus.lastCcMode === wantMode, s"budget $budget")
+        assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+          5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L), s"mode $wantMode")
+      } finally spark.conf.unset("graft.cc.driverEdgeBudget")
+    }
   }
 
   test("loopPartsFor: floor on tiny graphs, core-bound middle, memory-bound top") {
@@ -40,9 +47,13 @@ class CorpusSpec extends SparkSuite {
     assert(seq === seq.sorted)
   }
 
-  test("connectedComponents: empty pair graph converges to an empty result, no crash") {
+  test("connectedComponents: empty pair graph converges to an empty result, no crash — both serve paths") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
-    assert(Corpus.connectedComponents(empty, "a", "b").count() === 0)
+    for (budget <- Seq("1000000", "-1")) {
+      spark.conf.set("graft.cc.driverEdgeBudget", budget)
+      try assert(Corpus.connectedComponents(empty, "a", "b").count() === 0)
+      finally spark.conf.unset("graft.cc.driverEdgeBudget")
+    }
   }
 
   test("CC loops use RELIABLE checkpoints when a checkpoint dir is configured") {
@@ -81,8 +92,12 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
-  test("connectedComponentsStar: known graph, long chain, empty graph") {
-    // same graph as the label-propagation test
+  test("connectedComponentsStar: known graph, long chain, empty graph — both serve paths") {
+    // same graph as the label-propagation test; each fixture runs under
+    // the driver fast path AND (budget -1) the distributed star loop
+    for (budget <- Seq("1000000", "-1")) {
+    spark.conf.set("graft.cc.driverEdgeBudget", budget)
+    try {
     val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
       .toDF("a", "b")
     val got = Corpus.connectedComponentsStar(pairs, "a", "b")
@@ -109,6 +124,36 @@ class CorpusSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cherryGot === Map(203L -> 203L, 409L -> 203L, 470L -> 203L),
       s"cherry graph must be ONE component rooted at the min: $cherryGot")
+    } finally spark.conf.unset("graft.cc.driverEdgeBudget")
+    }
+  }
+
+  test("CC driver fast path ≡ distributed loops on the real corpus, with mode witnesses") {
+    val pairs = graft.operators.Dedup.d2MinhashLshOn(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select("doc_a", "doc_b")
+    def runBoth(f: => org.apache.spark.sql.DataFrame)
+        : (Map[Long, Long], Map[Long, Long]) = {
+      spark.conf.set("graft.cc.driverEdgeBudget", "1000000")
+      val drv = try f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("graft.cc.driverEdgeBudget")
+      assert(Corpus.lastCcMode === "driver",
+        "inside the budget the fused take must admit the driver path")
+      spark.conf.set("graft.cc.driverEdgeBudget", "-1")
+      val dist = try f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("graft.cc.driverEdgeBudget")
+      assert(Corpus.lastCcMode === "distributed",
+        "over the budget the loop must serve — the scale path")
+      (drv, dist)
+    }
+    val (drvLp, distLp) = runBoth(Corpus.connectedComponents(pairs, "doc_a", "doc_b"))
+    assert(drvLp === distLp,
+      "union-find must emit the label-propagation fixpoint exactly")
+    val (drvSt, distSt) = runBoth(
+      Corpus.connectedComponentsStar(pairs, "doc_a", "doc_b"))
+    assert(drvSt === distSt,
+      "union-find must emit the star-contraction fixpoint exactly")
+    assert(drvLp === drvSt)
   }
 
   test("d9 star components == d7 label-propagation components on the real corpus") {
