@@ -92,7 +92,7 @@ object Corpus {
     * whose DEDUPED edge count fits the budget is collected (one fused
     * `take(budget+1)` job — one row over declines) and solved by
     * in-driver union-find; past it the distributed fixpoint/star loop
-    * runs unchanged. Session conf `graft.cc.driverEdgeBudget`.
+    * runs unchanged. Session conf `graft.graph.driverEdgeBudget`.
     *
     * Why this is the right 100 TB shape and not a small-data cheat:
     * the input here is never the corpus — it is the THRESHOLDED
@@ -103,13 +103,21 @@ object Corpus {
     * fused take IS the collect, the decline costs one bounded scan,
     * and the distributed loop — partitioned by [[loopPartsFor]] for
     * the billions-of-edges regime — is the path that then runs. The
-    * default (1M edges ≈ tens of MB of boxed rows) is sized for the
-    * 8g-driver convention; [[lastCcMode]] witnesses which path served
+    * default (2M edges — a few hundred MB of transient boxed rows
+    * plus the union-find maps; measured <2.8 GB total JVM heap at
+    * 1.9M edges including Spark overhead, tools/CcPathProbe) is
+    * sized for the 8g-driver convention, where the driver solve
+    * still measured ~2x under the distributed rounds at that size;
+    * [[lastCcMode]] witnesses which path served
     * a call (diagnostic only — both paths are exact and emit the
     * identical min-label assignment, spec-pinned in CorpusSpec).
+    *
+    * Shared by every pair-graph fixpoint loop (CC here, the k-core
+    * peel and rank loops in [[graft.operators.Graph]]) — one knob,
+    * one admission discipline.
     */
-  private def ccDriverEdgeBudget(s: org.apache.spark.sql.SparkSession): Int =
-    s.conf.get("graft.cc.driverEdgeBudget", "1000000").toInt
+  private[graft] def driverEdgeBudget(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("graft.graph.driverEdgeBudget", "2000000").toInt
 
   /** Which path served the most recent CC call in this JVM: "driver"
     * or "distributed". Diagnostic witness for specs/probes only —
@@ -170,7 +178,7 @@ object Corpus {
       .filter(col("u") =!= col("v"))
       .distinct()
       .truncated(true)
-    val budget = ccDriverEdgeBudget(pairs.sparkSession)
+    val budget = driverEdgeBudget(pairs.sparkSession)
     val probe = cn.take(budget + 1)
     if (probe.length <= budget) {
       lastCcMode = "driver"
@@ -296,7 +304,7 @@ object Corpus {
     // a pair graph inside the edge budget is solved by in-driver
     // union-find — identical min-label assignment, none of the star
     // rounds' per-round shuffle floor
-    val budget = ccDriverEdgeBudget(pairs.sparkSession)
+    val budget = driverEdgeBudget(pairs.sparkSession)
     val probe = raw.take(budget + 1)
     if (probe.length <= budget) {
       lastCcMode = "driver"

@@ -260,6 +260,25 @@ object Graph {
   def rankTablesOn(nodes: DataFrame, edges: DataFrame,
       isSeed: Column): (DataFrame, DataFrame) = {
     val s = nodes.sparkSession
+    // budgeted driver fast path (the CC loops' admission discipline,
+    // [[Corpus.driverEdgeBudget]]): the rank ROUNDS only move mass
+    // between edge-touched nodes — a node in no edge receives no
+    // contribution and contributes none, so its rank is the teleport
+    // constant every round. Inside the budget the rounds run in the
+    // driver over the collected edge list with the EXACT integer
+    // arithmetic of the distributed rounds (non-negative longs:
+    // Java / == Spark div), and the corpus-sized rank tables are
+    // completed with the constants through one broadcast left join —
+    // nodes never collect. pageRankOn/pprOn stay purely distributed
+    // as the independent formulations the specs cross-validate
+    // against; the g2/g6 oracles unroll the same arithmetic.
+    val budget = Corpus.driverEdgeBudget(s)
+    val eprobe = edges.select(col("src"), col("dst")).take(budget + 1)
+    if (eprobe.length <= budget) {
+      lastRankMode = "driver"
+      return driverRankTables(s, nodes, isSeed, eprobe)
+    }
+    lastRankMode = "distributed"
     val ed = edges.select(col("src"), col("dst"))
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
       .truncated(true)
@@ -292,6 +311,102 @@ object Graph {
     }
     (ranks.select(col("vec_id"), col("rank")),
       ranks.select(col("vec_id"), col("rank_s").as("rank")))
+  }
+
+  /** Which path served the most recent rank-table / k-core-peel call
+    * in this JVM: "driver" or "distributed". Diagnostic witnesses for
+    * specs/probes only — results are path-independent.
+    */
+  @volatile private[graft] var lastRankMode: String = ""
+  @volatile private[graft] var lastPeelMode: String = ""
+
+  /** The rank rounds in the driver over a collected edge list — see
+    * [[rankTablesOn]]. Holds only the edge subgraph (≤ budget rows);
+    * the returned frames complete every remaining node with its
+    * teleport constant via a broadcast join against `nodes`.
+    */
+  private def driverRankTables(s: SparkSession, nodes: DataFrame,
+      isSeed: Column, eprobe: Array[org.apache.spark.sql.Row])
+      : (DataFrame, DataFrame) = {
+    val nd = nodes.select(col("vec_id"), isSeed.as("seed")).truncated(true)
+    val n = nd.count()
+    val nSeeds = nd.filter(col("seed")).count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val r0 = PrScale / n
+    val base = 15L * r0 / 100L
+    val rs0 = PrScale / nSeeds
+    val baseS = 15L * rs0 / 100L
+    val m = eprobe.length
+    val src = new Array[Long](m); val dst = new Array[Long](m)
+    var i = 0
+    while (i < m) { src(i) = eprobe(i).getLong(0); dst(i) = eprobe(i).getLong(1); i += 1 }
+    val od = new java.util.HashMap[Long, Long]()
+    i = 0; while (i < m) { od.merge(src(i), 1L, _ + _); i += 1 }
+    // seed flags for the edge-touched nodes only (bounded by 2·budget):
+    // one broadcast join against the node frame, never a corpus collect
+    val idSet = new java.util.HashSet[Long]()
+    i = 0; while (i < m) { idSet.add(src(i)); idSet.add(dst(i)); i += 1 }
+    val ids = new Array[Long](idSet.size())
+    var j = 0
+    val idIt = idSet.iterator()
+    while (idIt.hasNext) { ids(j) = idIt.next(); j += 1 }
+    val idDf = s.createDataFrame(
+      java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val seedOf = new java.util.HashMap[Long, Boolean]()
+    nd.join(broadcast(idDf), "vec_id").collect()
+      .foreach(r => seedOf.put(r.getLong(0), r.getBoolean(1)))
+    // the node frame is the rank spine exactly as in the distributed
+    // loop: an edge endpoint outside it carries no rank, contributes
+    // nothing, and never appears in the output
+    val members = ids.filter(seedOf.containsKey(_))
+    var rank = new java.util.HashMap[Long, Long]()
+    var rankS = new java.util.HashMap[Long, Long]()
+    members.foreach { id =>
+      rank.put(id, r0)
+      rankS.put(id, if (seedOf.get(id)) rs0 else 0L)
+    }
+    for (_ <- 1 to PrIters) {
+      val sc = new java.util.HashMap[Long, Long]()
+      val scs = new java.util.HashMap[Long, Long]()
+      i = 0
+      while (i < m) {
+        val u = src(i); val v = dst(i)
+        if (rank.containsKey(u)) {
+          val o = od.get(u)
+          sc.merge(v, rank.get(u) / o, _ + _)
+          scs.merge(v, rankS.get(u) / o, _ + _)
+        }
+        i += 1
+      }
+      val nr = new java.util.HashMap[Long, Long]()
+      val nrs = new java.util.HashMap[Long, Long]()
+      members.foreach { id =>
+        nr.put(id, base + 85L * sc.getOrDefault(id, 0L) / 100L)
+        nrs.put(id, (if (seedOf.get(id)) baseS else 0L) +
+          85L * scs.getOrDefault(id, 0L) / 100L)
+      }
+      rank = nr; rankS = nrs
+    }
+    val outRows = members.map(id =>
+      org.apache.spark.sql.Row(id, rank.get(id), rankS.get(id)))
+    val outDf = s.createDataFrame(
+      java.util.Arrays.asList(outRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank_e",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank_se",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val joined = nd.join(broadcast(outDf), Seq("vec_id"), "left")
+    (joined.select(col("vec_id"),
+        coalesce(col("rank_e"), lit(base)).as("rank")),
+      joined.select(col("vec_id"),
+        coalesce(col("rank_se"),
+          when(col("seed"), baseS).otherwise(0L)).as("rank")))
   }
 
   // ------------------------------------------- stored graph artifact
@@ -1105,13 +1220,35 @@ object Graph {
           java.nio.file.Paths.get(target, "STATS_DECLINE"), r))
         ()
       }
-      ccGens match {
+      // small-graph admission (r17): below the driver edge budget the
+      // FULL path serves every fixpoint loop from the driver (CC
+      // union-find, driver peel, driver rank rounds) and measured at
+      // or under the incremental replay's wall (CensusProbe ×10: full
+      // 9.7-10.9 s vs incremental 10.3-12.8 s) — the delta machinery
+      // pays for itself only past the budget, which is the regime it
+      // exists for. One cheap row-count metadata job decides;
+      // witnessed as a decline so the mode stays observable. pairs is
+      // the CoreWmin-floored table, an upper bound on every loop's
+      // edge input (comm ⊆ core).
+      val smallGraph = {
+        val b = Corpus.driverEdgeBudget(s)
+        b >= 0 && pairs.count() <= b
+      }
+      if (smallGraph) declineFull(Some("small_graph"))
+      else ccGens match {
         case Some(gens) =>
           val delta =
             if (gens.isEmpty) pairs.limit(0)
             else s.read.parquet(
                 gens.map(g => s"$graphDir/pair_delta/gen=$g"): _*)
               .select("id_a", "id_b", "w")
+              // a duplicate-vec_id append (a caller ledger violation
+              // the append survives) stores self-pairs; they carry no
+              // connectivity and the full path's CC input drops them
+              // (u =!= v) — drop them here too or a self-pair whose
+              // node is new to the comm graph contracts to a
+              // zero-node group and the census divides by zero
+              .filter(col("id_a") =!= col("id_b"))
           // guard BEFORE the incremental path builds anything: the
           // contracted-merge formulation BROADCASTS delta-bounded
           // frames (contracted labels, affected clusters) into every
@@ -1580,12 +1717,16 @@ object Graph {
     val coreEdges = Dedup.cacheSlot("gstats-core-edges",
       pairs.filter(col("w") >= CoreWmin).select(col("id_a"), col("id_b")))
     floorWall(walls, "cc_kcore") {
-      sortedStatsWrite(kcoreOn(
-          coreEdges.select(col("id_a").as("src"), col("id_b").as("dst"))),
-        s"$target/kcore", col("vec_id"))
-      sortedStatsWrite(Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b")
-          .select(col("doc_id").as("vec_id"), col("cluster")),
-        s"$target/cc_core", col("vec_id"))
+      floorWall(walls, "cc_kcore_peel") {
+        sortedStatsWrite(kcoreOn(
+            coreEdges.select(col("id_a").as("src"), col("id_b").as("dst"))),
+          s"$target/kcore", col("vec_id"))
+      }
+      floorWall(walls, "cc_core_cc") {
+        sortedStatsWrite(Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b")
+            .select(col("doc_id").as("vec_id"), col("cluster")),
+          s"$target/cc_core", col("vec_id"))
+      }
     }
     floorWall(walls, "cc_comm") {
       val commEdges = Dedup.cacheSlot("gstats-comm-edges",
@@ -3215,6 +3356,19 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct().truncated(true)
+    // budgeted driver fast path (the CC loops' admission discipline):
+    // inside [[Corpus.driverEdgeBudget]] the peel runs in the driver
+    // over the collected undirected edge list with EXACTLY the
+    // bounded-round semantics below (synchronous removal rounds,
+    // CoreIters cap, converged flag, deg>0 output filter) — the
+    // distributed decrement loop is the past-budget scale path.
+    val budget = Corpus.driverEdgeBudget(s)
+    val probe = und0.take(budget + 1)
+    if (probe.length <= budget) {
+      lastPeelMode = "driver"
+      return driverKcore(s, probe, k)
+    }
+    lastPeelMode = "distributed"
     val loopParts = Corpus.loopPartsFor(und0.count(), s.sparkContext.defaultParallelism)
     // DEGREE-DECREMENT peel (r16): the edge set is never rebuilt.
     // The symmetric adjacency materializes ONCE; each round removes
@@ -3266,6 +3420,60 @@ object Graph {
     // filtered here too.
     deg.filter(col("deg") > 0)
       .select(col("v").as("vec_id"), col("deg"), lit(fixed).as("converged"))
+  }
+
+  /** The degree-decrement peel in the driver over a collected
+    * undirected edge list — see [[kcoreOn]]. Round-synchronous:
+    * every below-k node of a round is removed together, each
+    * removed-incident edge decrements its still-alive endpoint once,
+    * at most [[CoreIters]] rounds, unconverged exits keep the
+    * current degrees and drop zeros — the distributed loop's exact
+    * semantics, spec-pinned equal in GraphSpec.
+    */
+  private def driverKcore(s: SparkSession,
+      und: Array[org.apache.spark.sql.Row], k: Int): DataFrame = {
+    val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    val deg = new java.util.HashMap[Long, Long]()
+    und.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      adj.computeIfAbsent(a, _ => new java.util.ArrayList[Long]()).add(b)
+      adj.computeIfAbsent(b, _ => new java.util.ArrayList[Long]()).add(a)
+      deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+    }
+    var rounds = 0
+    var fixed = false
+    while (rounds < CoreIters && !fixed) {
+      val removed = new java.util.ArrayList[Long]()
+      val it = deg.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); if (e.getValue < k) removed.add(e.getKey)
+      }
+      if (removed.isEmpty) fixed = true
+      else {
+        removed.forEach(r => deg.remove(r))
+        removed.forEach { r =>
+          adj.get(r).forEach { nb =>
+            if (deg.containsKey(nb)) deg.merge(nb, -1L, _ + _)
+          }
+        }
+      }
+      rounds += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val it = deg.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > 0L)
+        out.add(org.apache.spark.sql.Row(e.getKey, e.getValue, fixed))
+    }
+    s.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("deg",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("converged",
+          org.apache.spark.sql.types.BooleanType, nullable = false))))
   }
 
   /** G4: k-core members of the thresholded similarity graph — the

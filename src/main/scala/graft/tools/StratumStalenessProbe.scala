@@ -45,19 +45,24 @@ object StratumStalenessProbe {
     val isQ = col("vec_id") < Graph.GannBatchQ
 
     // exact filtered top-K per query over the UNION corpus — the
-    // recall baseline both artifacts are judged against
-    val qv = full.filter(isQ)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val exact = full.filter(pred).select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(qv))
-      .select(col("qid"), col("vec_id"),
-        Graph.intDot(col("embedding"), col("qv")).as("sc"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("qid")
-          .orderBy(col("sc").desc, col("vec_id").asc)))
-      .filter(col("rk") <= Graph.GannTopK)
-      .select("qid", "vec_id").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // recall baseline both artifacts are judged against (computed
+    // AFTER the appends so adversarial-mode duplicates that land in
+    // the serve band are part of the truth set)
+    def exactOf(union: DataFrame): Map[Long, Set[Long]] = {
+      val qv = union.filter(isQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      union.filter(pred).select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(qv))
+        .select(col("qid"), col("vec_id"),
+          Graph.intDot(col("embedding"), col("qv")).as("sc"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("sc").desc, col("vec_id").asc)))
+        .filter(col("rk") <= Graph.GannTopK)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    var exact: Map[Long, Set[Long]] = Map.empty
 
     def recallOf(artifactDataset: String): (Double, Double, Double) = {
       val t0 = System.nanoTime()
@@ -76,38 +81,76 @@ object StratumStalenessProbe {
       (rs.sum / rs.size, rs.min, wall)
     }
 
-    // trickled fixture: 90% base, the held-out tenth appended in
-    // `tranches` label-mixed steps (the realistic ingest shape)
+    // two ingest shapes:
+    //  - "trickle" (default): 90% base, the held-out tenth appended in
+    //    `tranches` label-mixed steps — the realistic shape (r16:
+    //    zero crossings, recall parity);
+    //  - "adversarial" (SPARK_GRAFT_STRATUM_MODE=adversarial):
+    //    duplicate-heavy bursts — each tranche appends hundreds of
+    //    copies of the same base signatures, driving their
+    //    (stratum,tbl,bkt) occupancies across Dedup.MaxBucket so the
+    //    cumulative crossed counter exceeds the rebuild budget and
+    //    the r16 self-heal trigger FIRES mid-run (observable as a
+    //    gen jump + counter reset in the step trajectory). The final
+    //    recall compare against a fresh one-shot build of the same
+    //    union corpus measures whether the healed artifact restored
+    //    per-stratum exactness.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STRATUM_MODE", "trickle")
     val isHeld = pmod(xxhash64(col("vec_id")), lit(10L)) === 0
     val d = java.nio.file.Files.createTempDirectory("sst-trickle").toString
-    full.filter(!isHeld).write.mode("overwrite")
-      .parquet(s"$d/embeddings.parquet")
+    val baseTable = if (mode == "adversarial") full else full.filter(!isHeld)
+    baseTable.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     var corpus: DataFrame = Tables.embeddings(spark, d)
       .select("vec_id", "embedding")
+    // union of every appended tranche WITH all columns — the fresh
+    // one-shot fixture needs the identical corpus
+    var appendedAll: Option[DataFrame] = None
     Graph.ensureStratumGraph(spark, d)
+    def trancheOf(i: Int): DataFrame = mode match {
+      case "adversarial" =>
+        // 30 base signatures, copy windows per tranche: 3 establish
+        // old occupancy >= 2, then 499-copy bursts cross MaxBucket
+        // (old in [2,1000] and old+new > 1000 => counted) at step 2
+        val windows = Seq((0L, 3L), (3L, 502L), (502L, 1001L),
+          (1001L, 1100L), (1100L, 1200L))
+        val (lo, hi) = windows(math.min(i, windows.size - 1))
+        full.orderBy("vec_id").limit(30)
+          .crossJoin(spark.range(lo, hi).select(col("id").as("__cp")))
+          .withColumn("vec_id",
+            lit(10000000L) + col("vec_id") * 2000L + col("__cp"))
+          .drop("__cp")
+          .select(col("vec_id"), col("embedding"), col(Graph.StratumCol))
+      case _ =>
+        full.filter(isHeld &&
+            pmod(xxhash64(col("vec_id") + 7), lit(tranches.toLong)) === i)
+          .select(col("vec_id"), col("embedding"), col(Graph.StratumCol))
+    }
     for (i <- 0 until tranches) {
-      val tr = full.filter(isHeld &&
-          pmod(xxhash64(col("vec_id") + 7), lit(tranches.toLong)) === i)
-        .select(col("vec_id"), col("embedding"), col(Graph.StratumCol))
+      val tr = trancheOf(i)
       val n = tr.count()
       val t0 = System.nanoTime()
       val v = Graph.appendStratumGraph(spark, d, tr, corpus)
       val w = (System.nanoTime() - t0) / 1e9
       corpus = corpus.unionByName(tr.select("vec_id", "embedding"))
-      println(s"""{"probe":"stratum_staleness","step":$i,"rows":$n,""" +
+      appendedAll = Some(appendedAll.fold(tr)(_.unionByName(tr)))
+      println(s"""{"probe":"stratum_staleness","mode":"$mode","step":$i,"rows":$n,""" +
         s""""append_s":${math.round(w * 1000) / 1000.0},""" +
         s""""gen":${Graph.graphGen(v)},""" +
         s""""crossed":${Graph.graphCrossedBuckets(v)}}""")
       Dedup.releaseSlots()
     }
-    val (mT, minT, wT) = recallOf(d)
-
     // fresh one-shot build over the identical union corpus
     val d2 = java.nio.file.Files.createTempDirectory("sst-fresh").toString
-    full.write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val freshTable = (mode, appendedAll) match {
+      case ("adversarial", Some(app)) => full.unionByName(app)
+      case _ => full
+    }
+    freshTable.write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    exact = exactOf(Tables.embeddings(spark, d2))
+    val (mT, minT, wT) = recallOf(d)
     Graph.ensureStratumGraph(spark, d2)
     val (mF, minF, wF) = recallOf(d2)
-    println(s"""{"probe":"stratum_staleness","sf":"$sfDir","tranches":$tranches,""" +
+    println(s"""{"probe":"stratum_staleness","mode":"$mode","sf":"$sfDir","tranches":$tranches,""" +
       s""""recall_trickled_mean":${math.round(mT * 1000) / 1000.0},""" +
       s""""recall_trickled_min":${math.round(minT * 1000) / 1000.0},""" +
       s""""recall_fresh_mean":${math.round(mF * 1000) / 1000.0},""" +

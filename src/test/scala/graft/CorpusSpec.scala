@@ -16,14 +16,14 @@ class CorpusSpec extends SparkSuite {
     val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
       .toDF("a", "b")
     for ((budget, wantMode) <- Seq(("1000000", "driver"), ("-1", "distributed"))) {
-      spark.conf.set("graft.cc.driverEdgeBudget", budget)
+      spark.conf.set("graft.graph.driverEdgeBudget", budget)
       try {
         val got = Corpus.connectedComponents(pairs, "a", "b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(Corpus.lastCcMode === wantMode, s"budget $budget")
         assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
           5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L), s"mode $wantMode")
-      } finally spark.conf.unset("graft.cc.driverEdgeBudget")
+      } finally spark.conf.unset("graft.graph.driverEdgeBudget")
     }
   }
 
@@ -50,9 +50,9 @@ class CorpusSpec extends SparkSuite {
   test("connectedComponents: empty pair graph converges to an empty result, no crash — both serve paths") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     for (budget <- Seq("1000000", "-1")) {
-      spark.conf.set("graft.cc.driverEdgeBudget", budget)
+      spark.conf.set("graft.graph.driverEdgeBudget", budget)
       try assert(Corpus.connectedComponents(empty, "a", "b").count() === 0)
-      finally spark.conf.unset("graft.cc.driverEdgeBudget")
+      finally spark.conf.unset("graft.graph.driverEdgeBudget")
     }
   }
 
@@ -96,7 +96,7 @@ class CorpusSpec extends SparkSuite {
     // same graph as the label-propagation test; each fixture runs under
     // the driver fast path AND (budget -1) the distributed star loop
     for (budget <- Seq("1000000", "-1")) {
-    spark.conf.set("graft.cc.driverEdgeBudget", budget)
+    spark.conf.set("graft.graph.driverEdgeBudget", budget)
     try {
     val pairs = Seq((2L, 9L), (3L, 9L), (1L, 2L), (5L, 6L), (7L, 8L))
       .toDF("a", "b")
@@ -124,7 +124,7 @@ class CorpusSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cherryGot === Map(203L -> 203L, 409L -> 203L, 470L -> 203L),
       s"cherry graph must be ONE component rooted at the min: $cherryGot")
-    } finally spark.conf.unset("graft.cc.driverEdgeBudget")
+    } finally spark.conf.unset("graft.graph.driverEdgeBudget")
     }
   }
 
@@ -134,14 +134,14 @@ class CorpusSpec extends SparkSuite {
       .select("doc_a", "doc_b")
     def runBoth(f: => org.apache.spark.sql.DataFrame)
         : (Map[Long, Long], Map[Long, Long]) = {
-      spark.conf.set("graft.cc.driverEdgeBudget", "1000000")
+      spark.conf.set("graft.graph.driverEdgeBudget", "1000000")
       val drv = try f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        finally spark.conf.unset("graft.cc.driverEdgeBudget")
+        finally spark.conf.unset("graft.graph.driverEdgeBudget")
       assert(Corpus.lastCcMode === "driver",
         "inside the budget the fused take must admit the driver path")
-      spark.conf.set("graft.cc.driverEdgeBudget", "-1")
+      spark.conf.set("graft.graph.driverEdgeBudget", "-1")
       val dist = try f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        finally spark.conf.unset("graft.cc.driverEdgeBudget")
+        finally spark.conf.unset("graft.graph.driverEdgeBudget")
       assert(Corpus.lastCcMode === "distributed",
         "over the budget the loop must serve — the scale path")
       (drv, dist)

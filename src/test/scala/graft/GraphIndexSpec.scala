@@ -30,6 +30,17 @@ class GraphIndexSpec extends SparkSuite {
     df.select(col("id_a"), col("id_b"), col("w"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+  /** The incremental components machinery only runs past the driver
+    * edge budget (the r17 small-graph admission prefers the exact
+    * full path below it, where the driver-served loops measure at or
+    * under the replay) — the specs that exercise that machinery at
+    * sf-scale pin the budget out of the way.
+    */
+  private def pastDriverBudget[T](f: => T): T = {
+    spark.conf.set("graft.graph.driverEdgeBudget", "-1")
+    try f finally spark.conf.unset("graft.graph.driverEdgeBudget")
+  }
+
   test("append ≡ one-shot rebuild for edges and pairs") {
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
@@ -621,7 +632,38 @@ class GraphIndexSpec extends SparkSuite {
       "the recovered vector restores rebuild ≡ one-shot over the full union")
   }
 
+  test("small-graph admission: below the driver budget a refresh prefers the exact full path, witnessed; past it the replay readmits") {
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureGraphStats(spark, d)
+    Graph.appendKnnGraph(spark, d, heldOut, base)
+    // default budget: the sf-scale pair graph sits far below it, so
+    // the refresh runs the full path (driver-served loops) and says so
+    val stats1 = Graph.ensureGraphStats(spark, d)
+    assert(Graph.graphStatsMode(stats1) === "full",
+      "below the budget the full path is the cheaper exact path")
+    assert(Graph.graphStatsDecline(stats1) === "small_graph",
+      "the admission must be witnessed, not inferred from timing")
+    // past the budget (forced) the same logs admit the replay — the
+    // incremental machinery is reserved for the regime it exists for.
+    // `extra` deliberately DUPLICATES an existing vec_id (a caller
+    // ledger violation the append survives): the resulting stored
+    // self-pair once contracted a zero-node comm group and divided
+    // the census by zero — the replay must drop self-pairs like the
+    // full path's CC input does (regression)
+    val extra = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+      .orderBy(col("vec_id").desc).limit(1)
+    Graph.appendKnnGraph(spark, d, extra,
+      base.select("vec_id", "embedding").unionByName(heldOut))
+    val stats2 = pastDriverBudget { Graph.ensureGraphStats(spark, d) }
+    Dedup.releaseSlots()
+    assert(Graph.graphStatsMode(stats2) === "incremental",
+      "past the budget the pair-delta replay readmits")
+  }
+
   test("graph_stats incremental refresh: component-scoped recompute ≡ full; survives compaction via the gen-keyed pair-delta logs") {
+    pastDriverBudget {
     import org.apache.spark.sql.functions.{expr, least, greatest}
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
@@ -704,9 +746,10 @@ class GraphIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotCc2 === wantCc2,
       "post-compaction incremental assignments must equal live CC")
-  }
+  } }
 
   test("cc admission guard: an over-budget pair delta declines to the exact full path with its witness; restored budget readmits") {
+    pastDriverBudget {
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
     Graph.ensureGraphStats(spark, d)
@@ -749,9 +792,10 @@ class GraphIndexSpec extends SparkSuite {
       "restored budget must readmit the contracted-merge path")
     assert(Graph.graphStatsDecline(stats2) === "",
       "an admitted refresh must carry no decline witness")
-  }
+  } }
 
   test("triangle census replays the edge-delta logs: multi-gen incremental ≡ full, survives compaction") {
+    pastDriverBudget {
     val (d, heldOut) = splitDataset()
     val stats0 = Graph.ensureGraphStats(spark, d)
     assert(Graph.graphTriMode(stats0) === "full",
@@ -827,7 +871,7 @@ class GraphIndexSpec extends SparkSuite {
       "compaction must not force the component path back to full either " +
         "(gen-keyed pair-delta logs carried forward)")
     check(stats2)
-  }
+  } }
 
   test("census cost model declines a bulk delta: logs present and covering, yet the full path runs") {
     // a bulk append (90% of the corpus in one generation) nets far
@@ -1021,6 +1065,7 @@ class GraphIndexSpec extends SparkSuite {
   }
 
   test("build-lineage witness: a vacuumed-and-rebuilt graph whose generations climb back past a surviving stats stamp must NOT replay") {
+    pastDriverBudget {
     // the ADVICE scenario: stats stamped at pg=1 under build A; the
     // graph artifact is destroyed and rebuilt (generations restart at
     // 0 under build B); two appends bring gv to 2 with delta logs
@@ -1070,7 +1115,7 @@ class GraphIndexSpec extends SparkSuite {
     Dedup.releaseSlots()
     val row = spark.read.parquet(s"$stats2/triangles").collect().head
     assert((row.getLong(1), row.getLong(3)) === ((nE, nT)))
-  }
+  } }
 
   test("append is bounded: candidates come from the routing table, not a corpus pair scan") {
     val (d, heldOut) = splitDataset()
@@ -1165,6 +1210,7 @@ class GraphIndexSpec extends SparkSuite {
   }
 
   test("k-core floor decline chain: budget-declined seeded → subpeel; peel budget → exact full peel, all witnessed") {
+    pastDriverBudget {
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
     Graph.ensureGraphStats(spark, d)
@@ -1216,5 +1262,5 @@ class GraphIndexSpec extends SparkSuite {
       spark.conf.unset("graft.stats.kcoreDeltaBudget")
       spark.conf.unset("graft.stats.kcorePeelBudget")
     }
-  }
+  } }
 }

@@ -325,16 +325,21 @@ class GraphSpec extends SparkSuite {
             (math.min(a, b), math.max(a, b))
           }.toSet
         }
-    for (es <- cases) {
-      val df = es.toSeq.toDF("src", "dst")
-      val got = Graph.kcoreOn(df, k = 2).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-      val (wantDeg, wantConv) = refKcore(es, 2)
-      assert(got.map(t => (t._1, t._2)).toMap === wantDeg,
-        s"degrees diverge from the restriction reference on $es")
-      assert(got.forall(_._3 == wantConv),
-        s"converged bit must be $wantConv on $es")
-      Dedup.releaseSlots()
+    for (es <- cases;
+         (budget, wantMode) <- Seq(("1000000", "driver"), ("-1", "distributed"))) {
+      spark.conf.set("graft.graph.driverEdgeBudget", budget)
+      try {
+        val df = es.toSeq.toDF("src", "dst")
+        val got = Graph.kcoreOn(df, k = 2).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        assert(Graph.lastPeelMode === wantMode)
+        val (wantDeg, wantConv) = refKcore(es, 2)
+        assert(got.map(t => (t._1, t._2)).toMap === wantDeg,
+          s"degrees diverge from the restriction reference on $es ($wantMode)")
+        assert(got.forall(_._3 == wantConv),
+          s"converged bit must be $wantConv on $es ($wantMode)")
+        Dedup.releaseSlots()
+      } finally spark.conf.unset("graft.graph.driverEdgeBudget")
     }
   }
 
@@ -400,9 +405,22 @@ class GraphSpec extends SparkSuite {
     val ce = Graph.knnGraphEdgesOn(vecs).select("src", "dst")
     val nd = vecs.select("vec_id")
     val seed = col("vec_id") < Graph.PprSeedMax
-    val (cPr, cPpr) = Graph.rankTablesOn(nd, ce, seed)
-    assert(m(cPr) === m(Graph.pageRankOn(nd, ce)))
-    assert(m(cPpr) === m(Graph.pprOn(nd, ce, seed)))
+    // the fused loop's DRIVER fast path (default budget) and its
+    // DISTRIBUTED loop (budget -1) must both match the separate
+    // purely-distributed reference loops — cross-path equality on
+    // the stats refresh's exact inputs
+    val wantPr = m(Graph.pageRankOn(nd, ce))
+    val wantPpr = m(Graph.pprOn(nd, ce, seed))
+    for ((budget, wantMode) <- Seq(("1000000", "driver"), ("-1", "distributed"))) {
+      spark.conf.set("graft.graph.driverEdgeBudget", budget)
+      try {
+        val (cPr, cPpr) = Graph.rankTablesOn(nd, ce, seed)
+        val gotPr = m(cPr); val gotPpr = m(cPpr)
+        assert(Graph.lastRankMode === wantMode)
+        assert(gotPr === wantPr, s"PageRank diverges on the $wantMode path")
+        assert(gotPpr === wantPpr, s"PPR diverges on the $wantMode path")
+      } finally spark.conf.unset("graft.graph.driverEdgeBudget")
+    }
     Dedup.releaseSlots()
   }
 
