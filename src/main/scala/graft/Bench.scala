@@ -272,7 +272,8 @@ object Bench {
     // the recent-window min. SPARK_GRAFT_QUIET_REF overrides the
     // reference value itself for hosts where neither heuristic fits.
     val historySatRef: Option[Double] =
-      sys.env.get("SPARK_GRAFT_QUIET_REF").map(_.toDouble).orElse(try {
+      sys.env.get("SPARK_GRAFT_QUIET_REF").flatMap(_.toDoubleOption)
+        .orElse(try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         val hp = java.nio.file.Paths.get(

@@ -612,28 +612,34 @@ object Graph {
       if (missing.isEmpty)
         Some(callerVecs.select(col("vec_id"), col("embedding")).limit(0))
       else {
+        // ONE edges-join/aggregate pass: collect the recovered rows
+        // (bounded by the cross-process delta) and decide coverage by
+        // diffing the two driver-sized id sets in memory — a separate
+        // left-anti probe would re-run the join over the artifact's
+        // largest table
         val rec = s.read.parquet(s"$fresh/edges")
           .join(broadcast(missing.select(col("vec_id").as("dst"))), "dst")
           .groupBy(col("dst").as("vec_id"))
           .agg(first(col("dvec")).as("embedding"))
-        val uncovered = missing
-          .join(rec.select("vec_id"), Seq("vec_id"), "left_anti")
-          .take(1).nonEmpty
-        // materialize before unpersisting the probe frame the plan reads
+        val rows = rec.collect()
+        val recovered = rows.map(_.getLong(0)).toSet
+        val uncovered = missing.collect().exists(r => !recovered(r.getLong(0)))
         if (uncovered) None
         else Some(s.createDataFrame(
-          java.util.Arrays.asList(rec.collect(): _*), rec.schema))
+          java.util.Arrays.asList(rows: _*), rec.schema))
       }
     } finally missing.unpersist()
   }
 
   /** The rebuild-decline witness on a version dir, if any — written
     * when the cap-crossing self-heal found artifact ids it could not
-    * cover (see [[recoveredMissingVecs]]); the staleness counter is
+    * cover (see [[recoveredMissingVecs]]); stored as a dot-file so appendVersion
+    * does NOT hard-link it onto later versions that made no decline
+    * decision. The staleness counter is
     * left intact so a later append re-triggers the heal.
     */
   def graphRebuildDecline(versionDir: String): String =
-    readMetaString(versionDir, "REBUILD_DECLINE")
+    readMetaString(versionDir, ".rebuild_decline")
 
   def ensureKnnGraph(s: SparkSession, d: String): String = synchronized {
     graft.core.ArtifactStore.ensure(
@@ -964,7 +970,7 @@ object Graph {
             // the next append (whose caller reads the fuller corpus)
             // re-triggers the heal.
             java.nio.file.Files.writeString(java.nio.file.Paths.get(
-              fresh, "REBUILD_DECLINE"), "uncovered_ids")
+              fresh, ".rebuild_decline"), "uncovered_ids")
             fresh
           case Some(rec) => graft.core.ArtifactStore.publish(adir) { target =>
             writeGraphTables(s, allVecs.unionByName(rec), target,
@@ -2543,7 +2549,7 @@ object Graph {
           recoveredMissingVecs(s, fresh, base) match {
             case None =>
               java.nio.file.Files.writeString(java.nio.file.Paths.get(
-                fresh, "REBUILD_DECLINE"), "uncovered_ids")
+                fresh, ".rebuild_decline"), "uncovered_ids")
               fresh
             case Some(rec) =>
               val allVecs = base.unionByName(rec.join(oldLabels, "vec_id")
@@ -3073,9 +3079,8 @@ object Graph {
     * [[invalidateCorpusStamp]] (called by the graph append/rebuild
     * lifecycle, whose callers hand over the grown corpus).
     */
-  private def stampTtlNanos: Long =
-    1000L * 1000 * 1000 * org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.conf.get("graft.ann.stampTtlSec", "10").toLong).getOrElse(10L)
+  private def stampTtlNanos(s: SparkSession): Long =
+    1000L * 1000 * 1000 * s.conf.get("graft.ann.stampTtlSec", "10").toLong
   private val stampCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
@@ -3088,10 +3093,10 @@ object Graph {
     */
   def invalidateCorpusStamp(d: String): Unit = { stampCache.remove(d); () }
 
-  private[graft] def corpusStamp(d: String): String = {
+  private[graft] def corpusStamp(s: SparkSession, d: String): String = {
     val now = System.nanoTime()
     Option(stampCache.get(d)) match {
-      case Some((st, at)) if now - at < stampTtlNanos => st
+      case Some((st, at)) if now - at < stampTtlNanos(s) => st
       case _ =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def fold(f: java.io.File): Unit =
@@ -3142,7 +3147,7 @@ object Graph {
     // census memoized per (corpus version, predicate, stratum): the
     // cold call pays one column-pruned aggregate; every repeat serve
     // of the same predicate reads three longs
-    val key = (d, pred.toString, stratum.fold("")(_.toString), corpusStamp(d))
+    val key = (d, pred.toString, stratum.fold("")(_.toString), corpusStamp(s, d))
     val (n, elig, eligSt) = Option(eligCensusMemo.get(key)).getOrElse {
       val stratumHit = stratum.fold(lit(false))(st =>
         col(StratumCol) === st)

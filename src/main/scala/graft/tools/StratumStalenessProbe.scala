@@ -113,7 +113,13 @@ object StratumStalenessProbe {
         // (old in [2,1000] and old+new > 1000 => counted) at step 2
         val windows = Seq((0L, 3L), (3L, 502L), (502L, 1001L),
           (1001L, 1100L), (1100L, 1200L))
-        val (lo, hi) = windows(math.min(i, windows.size - 1))
+        // tranches past the scripted windows keep appending FRESH
+        // copy indices (never the same vec_ids twice — a duplicate-id
+        // append is a ledger violation this probe must not commit)
+        val (lo, hi) =
+          if (i < windows.size) windows(i)
+          else (1200L + (i - windows.size) * 100L,
+            1300L + (i - windows.size) * 100L)
         full.orderBy("vec_id").limit(30)
           .crossJoin(spark.range(lo, hi).select(col("id").as("__cp")))
           .withColumn("vec_id",
