@@ -31,6 +31,14 @@ object CensusProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r17: below graft.graph.driverEdgeBudget the refresh prefers the
+    // exact full path (small-graph admission) and the fixpoint loops
+    // serve from the driver — the default measures THAT behavior. To
+    // measure the past-budget regime (incremental replay vs
+    // distributed full, the r16 comparison), set
+    // SPARK_GRAFT_DRIVER_EDGE_BUDGET=-1.
+    sys.env.get("SPARK_GRAFT_DRIVER_EDGE_BUDGET").foreach(b =>
+      spark.conf.set("graft.graph.driverEdgeBudget", b))
     val wh = java.nio.file.Files.createTempDirectory("cns-wh").toString
     sys.props("graft.warehouse") = wh
 
