@@ -746,7 +746,8 @@ class GraphIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotCc2 === wantCc2,
       "post-compaction incremental assignments must equal live CC")
-  } }
+    }
+  }
 
   test("cc admission guard: an over-budget pair delta declines to the exact full path with its witness; restored budget readmits") {
     pastDriverBudget {
@@ -792,7 +793,8 @@ class GraphIndexSpec extends SparkSuite {
       "restored budget must readmit the contracted-merge path")
     assert(Graph.graphStatsDecline(stats2) === "",
       "an admitted refresh must carry no decline witness")
-  } }
+    }
+  }
 
   test("triangle census replays the edge-delta logs: multi-gen incremental ≡ full, survives compaction") {
     pastDriverBudget {
@@ -871,7 +873,8 @@ class GraphIndexSpec extends SparkSuite {
       "compaction must not force the component path back to full either " +
         "(gen-keyed pair-delta logs carried forward)")
     check(stats2)
-  } }
+    }
+  }
 
   test("census cost model declines a bulk delta: logs present and covering, yet the full path runs") {
     // a bulk append (90% of the corpus in one generation) nets far
@@ -1115,7 +1118,8 @@ class GraphIndexSpec extends SparkSuite {
     Dedup.releaseSlots()
     val row = spark.read.parquet(s"$stats2/triangles").collect().head
     assert((row.getLong(1), row.getLong(3)) === ((nE, nT)))
-  } }
+    }
+  }
 
   test("append is bounded: candidates come from the routing table, not a corpus pair scan") {
     val (d, heldOut) = splitDataset()
@@ -1262,5 +1266,6 @@ class GraphIndexSpec extends SparkSuite {
       spark.conf.unset("graft.stats.kcoreDeltaBudget")
       spark.conf.unset("graft.stats.kcorePeelBudget")
     }
-  } }
+    }
+  }
 }
