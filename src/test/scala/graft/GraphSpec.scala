@@ -343,6 +343,74 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("driver rank rounds ≡ distributed loops on random graphs with danglers, isolates, and off-edge seeds (property)") {
+    // the corpus equivalence spec covers one graph shape; random
+    // fixtures pin the edge cases the broadcast-fill formulation must
+    // get right — isolated nodes (teleport constant every round),
+    // dangling nodes (contribute nothing, still receive), seeds with
+    // no edges at all, and edge endpoints OUTSIDE the node frame
+    // (carry no rank on either path)
+    val rnd = new scala.util.Random(20260815L)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(10)
+      // node frame: 0..n-1 plus isolated ids 900..902 (never in edges)
+      val nodes = ((0L until n.toLong) ++ Seq(900L, 901L, 902L)).toDF("vec_id")
+      // directed edges incl. danglers; endpoint 777 is OUTSIDE nodes
+      val edges = ((0 until (2 * n)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(t => t._1 != t._2) ++ Seq((0L, 777L), (777L, 1L)))
+        .distinct.toDF("src", "dst")
+      // seed set includes an isolated node (901) — teleports in place
+      val seed = col("vec_id") === 901L || col("vec_id") < 3L
+      val wantPr = m(Graph.pageRankOn(nodes, edges))
+      val wantPpr = m(Graph.pprOn(nodes, edges, seed))
+      for ((budget, wantMode) <- Seq(("1000000", "driver"), ("-1", "distributed"))) {
+        spark.conf.set("graft.graph.driverEdgeBudget", budget)
+        try {
+          val (pr, ppr) = Graph.rankTablesOn(nodes, edges, seed)
+          val gotPr = m(pr); val gotPpr = m(ppr)
+          assert(Graph.lastRankMode === wantMode)
+          assert(gotPr === wantPr, s"trial $trial PageRank ($wantMode)")
+          assert(gotPpr === wantPpr, s"trial $trial PPR ($wantMode)")
+          assert(gotPr.keySet.contains(900L) && !gotPr.keySet.contains(777L),
+            "node frame is the spine: isolates present, foreign endpoints absent")
+        } finally spark.conf.unset("graft.graph.driverEdgeBudget")
+      }
+    }
+    Dedup.releaseSlots()
+  }
+
+  test("driver union-find ≡ distributed CC on random graphs (property, both variants)") {
+    val rnd = new scala.util.Random(4242L)
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(20)
+      val pairs = (0 until (n + rnd.nextInt(2 * n))).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = (a + 1 + rnd.nextInt(n - 1)) % n
+        (a, b)
+      }.distinct.toDF("a", "b")
+      var ref: Option[Map[Long, Long]] = None
+      for (budget <- Seq("1000000", "-1")) {
+        spark.conf.set("graft.graph.driverEdgeBudget", budget)
+        try {
+          val lp = got(graft.operators.Corpus.connectedComponents(pairs, "a", "b"))
+          val st = got(graft.operators.Corpus.connectedComponentsStar(pairs, "a", "b"))
+          assert(lp === st, s"trial $trial: label-prop ≠ star at budget $budget")
+          ref match {
+            case None => ref = Some(lp)
+            case Some(r) => assert(lp === r,
+              s"trial $trial: assignment changed across serve paths")
+          }
+        } finally spark.conf.unset("graft.graph.driverEdgeBudget")
+      }
+    }
+    Dedup.releaseSlots()
+  }
+
   test("seededKcore ≡ full peel on random graphs with append-shaped random deltas (property)") {
     val rnd = new scala.util.Random(777L)
     var admitted = 0
