@@ -1340,12 +1340,75 @@ object Graph {
     df.repartitionByRange(by: _*).sortWithinPartitions(by: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Which path served the most recent FULL triangle census in this
+    * JVM: "driver" or "distributed". Diagnostic witness only.
+    */
+  @volatile private[graft] var lastCensusMode: String = ""
+
   private def fullCensus(s: SparkSession, nodes: DataFrame,
       edges: DataFrame, target: String): Unit = {
     val und = Dedup.cacheSlot("gstats-und-edges", edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct())
+    // budgeted driver fast path (the fixpoint loops' admission
+    // discipline): under the edge budget the canonical edge list is
+    // driver-sized, the deg table is bounded by its ENDPOINTS (≤ 2×
+    // budget — never the corpus; only the node COUNT below stays a
+    // distributed scalar), and exact triangle counting by
+    // greater-neighbor intersection replaces the 3-way wedge join:
+    // a triangle a<b<c is counted once at edge (a,b) as
+    // c ∈ adj⁺(a) ∩ adj⁺(b), exactly the ordered join's convention.
+    val budget = Corpus.driverEdgeBudget(s)
+    val probe = und.take(budget + 1)
+    if (probe.length <= budget) {
+      lastCensusMode = "driver"
+      val deg = new java.util.HashMap[Long, Long]()
+      val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+      probe.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+        adj.computeIfAbsent(a, _ => new java.util.HashSet[Long]()).add(b)
+      }
+      val degRows = new java.util.ArrayList[org.apache.spark.sql.Row](deg.size())
+      var nWedges = 0L
+      val dit = deg.entrySet().iterator()
+      while (dit.hasNext) {
+        val e = dit.next()
+        degRows.add(org.apache.spark.sql.Row(e.getKey, e.getValue))
+        nWedges += e.getValue * (e.getValue - 1L) / 2L
+      }
+      sortedStatsWrite(s.createDataFrame(degRows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("dg",
+              org.apache.spark.sql.types.LongType, nullable = false)))),
+        s"$target/deg", col("v"))
+      var nTriangles = 0L
+      probe.foreach { r =>
+        val sa = adj.get(r.getLong(0)); val sb = adj.get(r.getLong(1))
+        if (sa != null && sb != null) {
+          val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+          val it = small.iterator()
+          while (it.hasNext) if (large.contains(it.next())) nTriangles += 1
+        }
+      }
+      val nNodes = nodes.agg(count(lit(1))).head().getLong(0)
+      val nEdges = probe.length.toLong
+      val closure = if (nWedges > 0) 3000000L * nTriangles / nWedges else 0L
+      s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          nNodes, nEdges, nWedges, nTriangles, closure)),
+        org.apache.spark.sql.types.StructType(Seq("n_nodes", "n_edges",
+          "n_wedges", "n_triangles", "closure_ppm").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$target/triangles")
+      return
+    }
+    lastCensusMode = "distributed"
     sortedStatsWrite(und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("dg")),

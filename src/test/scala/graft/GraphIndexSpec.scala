@@ -632,6 +632,34 @@ class GraphIndexSpec extends SparkSuite {
       "the recovered vector restores rebuild ≡ one-shot over the full union")
   }
 
+  test("full triangle census: driver greater-neighbor intersection ≡ distributed 3-way wedge join, table for table") {
+    // identical corpus in two dataset dirs → two independent stats
+    // builds, one per serve path; deg/ and triangles/ must be
+    // row-identical
+    val fifty = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").orderBy("vec_id").limit(120)
+    def build(budget: String): (Set[(Long, Long)], Seq[Long]) = {
+      val d = tmpDir("gtc")
+      fifty.write.parquet(s"$d/embeddings.parquet")
+      spark.conf.set("graft.graph.driverEdgeBudget", budget)
+      try {
+        val v = Graph.ensureGraphStats(spark, d)
+        Dedup.releaseSlots()
+        val deg = spark.read.parquet(s"$v/deg")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val tri = spark.read.parquet(s"$v/triangles").head()
+        (deg, (0 until 5).map(tri.getLong))
+      } finally spark.conf.unset("graft.graph.driverEdgeBudget")
+    }
+    val (degD, triD) = build("1000000")
+    assert(Graph.lastCensusMode === "driver")
+    val (degX, triX) = build("-1")
+    assert(Graph.lastCensusMode === "distributed")
+    assert(degD === degX, "deg tables diverge across census serve paths")
+    assert(triD === triX, "triangle census rows diverge across serve paths")
+    assert(triD(3) > 0L, "fixture must actually contain triangles")
+  }
+
   test("small-graph admission: below the driver budget a refresh prefers the exact full path, witnessed; past it the replay readmits") {
     val (d, heldOut) = splitDataset()
     val base = graft.core.Tables.embeddings(spark, d)
