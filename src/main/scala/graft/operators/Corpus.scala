@@ -167,6 +167,86 @@ object Corpus {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Partition-local contraction before the distributed star loop
+    * (default on; session conf — CorpusSpec drives both settings).
+    * Applies ONLY to [[connectedComponentsStar]], the declared scale
+    * path: [[connectedComponents]] stays a pure min-label fixpoint so
+    * the two distributed algorithms remain INDEPENDENT
+    * cross-validation references for each other (the same reason
+    * pageRankOn/pprOn carry no driver fast path).
+    */
+  private[graft] def ccLocalContract(s: SparkSession): Boolean =
+    s.conf.get("graft.graph.ccLocalContract", "true").toBoolean
+
+  /** Contraction levels cap, and the stall ratio past which another
+    * level is not worth its shuffle: a level that keeps more than
+    * [[ContractStallRatio]] of its input edges (a graph that is
+    * already mostly forest — E ≈ V) hands over to the star loop,
+    * whose rounds then do the restructuring work contraction can't.
+    */
+  val MaxContractLevels = 3
+  val ContractStallRatio = 0.7
+
+  /** How many contraction levels the most recent over-budget star CC
+    * ran (0 = none: below budget or knob off; a level that stalled
+    * still counts — its forest replaced the input). Diagnostic
+    * witness, same contract as [[lastCcMode]].
+    */
+  @volatile private[graft] var lastCcContractLevels: Int = 0
+
+  /** One partition-local union-find pass: every task solves the
+    * components of ITS OWN edge partition exactly and emits that
+    * partition's spanning forest — one `(node, partition-local
+    * component minimum)` edge per non-root node, so the output is
+    * bounded by the partition's distinct-node count and never exceeds
+    * its edge count. Global connectivity is preserved: an input edge
+    * (u,v) handled by task p keeps u and v connected through p's
+    * forest (u—root—v), so the union of per-partition forests has
+    * exactly the input's components. On duplication-heavy pair graphs
+    * (E ≫ V — the regime that blows the driver budget in the first
+    * place) one pass contracts the edge set toward the node count
+    * before any distributed round runs; this is the local-contraction
+    * prelude of the MapReduce-CC literature (Kiveris et al. SoCC'14's
+    * ALTERNATING-algorithm input reduction; Stergiou et al. VLDB'18).
+    * Task memory is bounded by the partition's distinct nodes (≤ 2×
+    * its edges; [[loopPartsFor]] caps edges per task at
+    * [[LoopEdgesPerPartition]] = a few MB of long pairs), and the
+    * emitted orientation node > root matches the star loop's u > v
+    * input contract because the root is the local minimum.
+    */
+  private def localForest(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        val kit = parent.keySet().iterator()
+        while (kit.hasNext) {
+          val n = kit.next()
+          val r = find(n)
+          if (n != r) out += ((n, r))
+        }
+        out.result()
+      }
+      .toDF("u", "v")
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     // canonical deduped edges once: the driver fast path collects
@@ -291,6 +371,14 @@ object Corpus {
     * optimizer itself OOMs after a handful of rounds. On a cluster
     * the round checkpoints reliably whenever `sc.setCheckpointDir` is
     * configured (see TruncOps).
+    *
+    * Over the driver budget, a [[localForest]] contraction prelude
+    * runs first (knob: [[ccLocalContract]]): each level shrinks the
+    * edge set toward the node count for one shuffle, re-probing the
+    * budget after every level — so a duplication-heavy graph usually
+    * ends in the driver solve anyway (`lastCcMode =
+    * "driver_contracted"`) and only a genuinely node-rich graph pays
+    * star rounds, on the contracted forest instead of the raw pairs.
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // edge-count-derived round partitioning — same two-regime sizing
@@ -308,12 +396,50 @@ object Corpus {
     val probe = raw.take(budget + 1)
     if (probe.length <= budget) {
       lastCcMode = "driver"
+      lastCcContractLevels = 0
       return driverUnionFind(pairs.sparkSession, probe)
     }
     lastCcMode = "distributed"
-    val loopParts = loopPartsFor(raw.count(),
-      pairs.sparkSession.sparkContext.defaultParallelism)
-    var edges = raw.repartition(loopParts, col("u"))
+    val s = pairs.sparkSession
+    val par = s.sparkContext.defaultParallelism
+    var work = raw
+    var workCount = raw.count()
+    // over-budget prelude: contract partition-locally until the edge
+    // set stops shrinking (or the level cap); each level is one
+    // mapPartitions + distinct against star rounds that each pay a
+    // symmetrize + two grouped shuffles + a probe. The re-probe after
+    // a level matters as much as the shrink itself: a duplication-
+    // heavy graph that entered 10× over budget routinely contracts to
+    // WITHIN it (E → ≤ V per level), and then the driver solve ends
+    // the job with zero distributed rounds. Budget < 0 (the forced-
+    // distributed spec/probe setting) skips the re-probe, never the
+    // contraction — the asymptote path is contraction + star loop.
+    lastCcContractLevels = 0
+    if (ccLocalContract(s)) {
+      var stalled = false
+      while (!stalled && lastCcContractLevels < MaxContractLevels) {
+        val next = localForest(
+            work.repartition(loopPartsFor(workCount, par), col("u")))
+          .distinct()
+          .truncated(true)
+        val nextCount = next.count()
+        if (budget >= 0 && nextCount <= budget) {
+          lastCcMode = "driver_contracted"
+          lastCcContractLevels += 1
+          return driverUnionFind(s, next.collect())
+        }
+        // >= so the empty graph and the already-a-forest graph (next
+        // == work) both stall on their first level
+        stalled = nextCount >= workCount * ContractStallRatio
+        lastCcContractLevels += 1
+        // a stalled level's forest still replaces the input (it is
+        // never larger and the work is already spent)
+        work = next
+        workCount = nextCount
+      }
+    }
+    val loopParts = loopPartsFor(workCount, par)
+    var edges = work.repartition(loopParts, col("u"))
       // EAGER: sym and the probe each reference the edge set twice; a
       // lazy checkpoint would let both consumers race to compute the
       // partitions before the cache fills (measured +0.5s vs eager)

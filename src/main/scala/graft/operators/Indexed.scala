@@ -1240,9 +1240,20 @@ object Indexed {
     */
   val v19RecallGrid: Relational.Q = (s, d) => {
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
-    def exactTop(base: DataFrame): DataFrame = base
+    // the exact baselines collect as K-row id sets (bounded by K=10,
+    // never corpus-sized): five of the six grid legs score against
+    // the SAME unfiltered baseline, and a TakeOrderedAndProject has
+    // no exchange for Spark to reuse across union legs — inlining the
+    // ids as an isin literal runs the full-scan exact top-K once per
+    // baseline instead of once per leg, and turns each leg's recall
+    // join into a codegen'd filter. Wall-neutral at sf0.1 (the scan
+    // is small next to the six serve plans); what it fixes is the
+    // 100 TB term, where the exact scan dominates and 5 copies of it
+    // would dominate five-fold
+    def exactTop(base: DataFrame): Seq[Long] = base
       .withColumn("dist", euclidean(col("embedding"), q))
       .orderBy(col("dist").asc, col("vec_id").asc).limit(K).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
     val exact = exactTop(embeddings(s, d))
     val exactF = exactTop(embeddings(s, d).filter(col("label").isin(FilterLabels: _*)))
 
@@ -1270,8 +1281,9 @@ object Indexed {
 
     def row(variant: String, readsDf: DataFrame,
         docReads: org.apache.spark.sql.Column,
-        ann: DataFrame, truth: DataFrame): DataFrame =
-      readsDf.crossJoin(ann.select("vec_id").join(truth, "vec_id")
+        ann: DataFrame, truth: Seq[Long]): DataFrame =
+      readsDf.crossJoin(ann.select("vec_id")
+          .filter(col("vec_id").isin(truth: _*))
           .agg(count(lit(1)).as("recall10")))
         .select(lit(variant).as("variant"), col("code_reads"),
           docReads.cast("long").as("doc_reads"), col("recall10"))

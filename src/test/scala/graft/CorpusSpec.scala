@@ -128,6 +128,38 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("over-budget star CC: local contraction shrinks a dense graph below the budget and serves the driver solve") {
+    // K50: 1225 canonical edges over 50 nodes. One contraction level
+    // emits ≤ (distinct nodes − components) forest edges PER PARTITION
+    // — ≤ 8 partitions × 49 = 392 < the 400 budget BY CONSTRUCTION,
+    // whatever the hash partitioning did — so the re-probe must admit
+    // the driver solve (mode witness), and the labels must be the
+    // exact component minimum (all 0). Knob off: the same over-budget
+    // graph must take the star loop (levels witness 0) to the same
+    // answer.
+    val k50 = (for {
+      a <- 0L until 50L; b <- (a + 1) until 50L
+    } yield (a, b)).toDF("a", "b")
+    val expect = (0L until 50L).map(_ -> 0L).toMap
+    def run(): Map[Long, Long] =
+      Corpus.connectedComponentsStar(k50, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.graph.driverEdgeBudget", "400")
+    try {
+      assert(run() === expect)
+      assert(Corpus.lastCcMode === "driver_contracted",
+        "1225 edges over budget 400 must contract (≤392 forest edges) and re-admit")
+      assert(Corpus.lastCcContractLevels === 1)
+      spark.conf.set("graft.graph.ccLocalContract", "false")
+      try {
+        assert(run() === expect)
+        assert(Corpus.lastCcMode === "distributed",
+          "knob off: the star loop must serve")
+        assert(Corpus.lastCcContractLevels === 0)
+      } finally spark.conf.unset("graft.graph.ccLocalContract")
+    } finally spark.conf.unset("graft.graph.driverEdgeBudget")
+  }
+
   test("CC driver fast path ≡ distributed loops on the real corpus, with mode witnesses") {
     val pairs = graft.operators.Dedup.d2MinhashLshOn(
       spark.read.parquet(s"$sf0001/documents.parquet"))

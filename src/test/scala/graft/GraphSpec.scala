@@ -394,18 +394,29 @@ class GraphSpec extends SparkSuite {
         (a, b)
       }.distinct.toDF("a", "b")
       var ref: Option[Map[Long, Long]] = None
-      for (budget <- Seq("1000000", "-1")) {
+      // budget -1 forces the distributed loops; the contract axis
+      // drives the star path both with the local-contraction prelude
+      // (cross-partition forest merge) and as the raw star loop
+      for (budget <- Seq("1000000", "-1"); contract <- Seq("true", "false")) {
         spark.conf.set("graft.graph.driverEdgeBudget", budget)
+        spark.conf.set("graft.graph.ccLocalContract", contract)
         try {
           val lp = got(graft.operators.Corpus.connectedComponents(pairs, "a", "b"))
           val st = got(graft.operators.Corpus.connectedComponentsStar(pairs, "a", "b"))
-          assert(lp === st, s"trial $trial: label-prop ≠ star at budget $budget")
+          assert(lp === st,
+            s"trial $trial: label-prop ≠ star at budget $budget contract $contract")
+          if (budget == "-1" && contract == "true")
+            assert(graft.operators.Corpus.lastCcContractLevels >= 1,
+              s"trial $trial: forced-distributed star must have contracted")
           ref match {
             case None => ref = Some(lp)
             case Some(r) => assert(lp === r,
               s"trial $trial: assignment changed across serve paths")
           }
-        } finally spark.conf.unset("graft.graph.driverEdgeBudget")
+        } finally {
+          spark.conf.unset("graft.graph.driverEdgeBudget")
+          spark.conf.unset("graft.graph.ccLocalContract")
+        }
       }
     }
     Dedup.releaseSlots()
