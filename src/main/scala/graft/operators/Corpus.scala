@@ -133,9 +133,16 @@ object Corpus {
     * compression keeps it near-linear; output is one (doc_id,
     * cluster) row per distinct endpoint, the loops' exact contract.
     */
-  private def driverUnionFind(s: org.apache.spark.sql.SparkSession,
-      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
-    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+  /** The exactness-critical union-find core, shared by the driver
+    * solve and the per-task contraction pass: union-by-min with path
+    * compression over an edge iterator. Returns the parent map (every
+    * endpoint present) and the compressing `find`; union-by-min keeps
+    * every root its component's MINIMUM, so `find(n)` is exactly the
+    * label both distributed loops converge to.
+    */
+  private def unionByMin(edges: Iterator[(Long, Long)],
+      sizeHint: Int): (java.util.HashMap[Long, Long], Long => Long) = {
+    val parent = new java.util.HashMap[Long, Long](sizeHint)
     def find(x: Long): Long = {
       var r = x
       while (parent.get(r) != r) r = parent.get(r)
@@ -143,8 +150,7 @@ object Corpus {
       while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    edges.foreach { e =>
-      val a = e.getLong(0); val b = e.getLong(1)
+    edges.foreach { case (a, b) =>
       if (!parent.containsKey(a)) parent.put(a, a)
       if (!parent.containsKey(b)) parent.put(b, b)
       val ra = find(a); val rb = find(b)
@@ -152,6 +158,13 @@ object Corpus {
         if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
       }
     }
+    (parent, find)
+  }
+
+  private def driverUnionFind(s: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val (parent, find) = unionByMin(
+      edges.iterator.map(e => (e.getLong(0), e.getLong(1))), edges.length * 2)
     val out = new Array[org.apache.spark.sql.Row](parent.size())
     var i = 0
     val it = parent.keySet().iterator()
@@ -187,10 +200,11 @@ object Corpus {
   val MaxContractLevels = 3
   val ContractStallRatio = 0.7
 
-  /** How many contraction levels the most recent over-budget star CC
-    * ran (0 = none: below budget or knob off; a level that stalled
-    * still counts — its forest replaced the input). Diagnostic
-    * witness, same contract as [[lastCcMode]].
+  /** How many contraction levels the most recent CC call ran (0
+    * unless that call was an over-budget star CC with the knob on; a
+    * level that stalled still counts — its forest replaced the
+    * input). Reset by BOTH variants so it always pairs consistently
+    * with [[lastCcMode]]'s most-recent-call contract.
     */
   @volatile private[graft] var lastCcContractLevels: Int = 0
 
@@ -219,22 +233,7 @@ object Corpus {
     import s.implicits._
     edges.select(col("u"), col("v")).as[(Long, Long)]
       .mapPartitions { it =>
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.get(r) != r) r = parent.get(r)
-          var c = x
-          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
-          r
-        }
-        it.foreach { case (a, b) =>
-          if (!parent.containsKey(a)) parent.put(a, a)
-          if (!parent.containsKey(b)) parent.put(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra != rb) {
-            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-          }
-        }
+        val (parent, find) = unionByMin(it, 1024)
         val out = Iterator.newBuilder[(Long, Long)]
         val kit = parent.keySet().iterator()
         while (kit.hasNext) {
@@ -260,11 +259,17 @@ object Corpus {
       .truncated(true)
     val budget = driverEdgeBudget(pairs.sparkSession)
     val probe = cn.take(budget + 1)
+    // lastCcContractLevels resets on BOTH paths: lastCcMode's contract
+    // is "the most recent CC call of either algorithm", and a stale
+    // level count from an earlier star call would pair inconsistently
+    // with this call's mode (this variant never contracts)
     if (probe.length <= budget) {
       lastCcMode = "driver"
+      lastCcContractLevels = 0
       return driverUnionFind(pairs.sparkSession, probe)
     }
     lastCcMode = "distributed"
+    lastCcContractLevels = 0
     // LOCAL-CHECKPOINT, not persist: each round's labels plan embeds the
     // previous round's, so with a mere persist the LOGICAL plan (which
     // the cache does not truncate) grows per round and every lblSum
@@ -418,8 +423,14 @@ object Corpus {
     if (ccLocalContract(s)) {
       var stalled = false
       while (!stalled && lastCcContractLevels < MaxContractLevels) {
+        // UNKEYED round-robin repartition: localForest is partitioning-
+        // agnostic (any partition's forest preserves connectivity), and
+        // keying by an endpoint would funnel a hub node's entire edge
+        // list into one task — round-robin is what actually enforces
+        // the LoopEdgesPerPartition per-task memory bound the
+        // union-find's HashMap relies on
         val next = localForest(
-            work.repartition(loopPartsFor(workCount, par), col("u")))
+            work.repartition(loopPartsFor(workCount, par)))
           .distinct()
           .truncated(true)
         val nextCount = next.count()
