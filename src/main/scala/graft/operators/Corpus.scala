@@ -523,6 +523,49 @@ object Corpus {
     connectedComponentsStar(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
+  // ---------------------------------------- d17: dedup-shrinkage audit
+
+  /** D17: dedup-shrinkage audit — the corpus-curation number every
+    * dedup pipeline reports before anyone signs off on a keep-one-
+    * canonical policy: per source, how many documents and characters
+    * the policy would remove. The drop rule is the d7/d9 contract
+    * applied directly — a clustered doc is DROPPED iff it is not its
+    * cluster's canonical (`doc_id ≠ cluster`, the component minimum)
+    * — so the per-source numbers stay well-defined even when a
+    * cluster spans sources (exactly one member is canonical,
+    * whichever source holds it). `n_clusters` counts the distinct
+    * clusters the source's docs TOUCH (a spanning cluster counts in
+    * each source it touches — descriptive, not a drop count).
+    *
+    * Scale shape: the pair graph feeds [[connectedComponentsStar]]
+    * (budgeted driver solve / contraction prelude / star rounds —
+    * this query serves from whichever the budget admits), the
+    * assignment joins the corpus on `doc_id` (one keyed shuffle at
+    * 100 TB; the assignment side is bounded by docs-in-pairs), and
+    * the audit is one partial-aggregating groupBy on `source`.
+    * Character counts use the stored `n_chars` column, not
+    * `length(text)`, so both engines aggregate identical integers.
+    */
+  val d17DedupShrinkage: Relational.Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val pairs = Dedup.d2MinhashLshOn(documents(s, d)).select("doc_a", "doc_b")
+    val cc = connectedComponentsStar(pairs, "doc_a", "doc_b")
+    val dropped = col("cluster").isNotNull && col("doc_id") =!= col("cluster")
+    docs.join(cc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("cluster")).as("n_clustered"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(dropped, col("n_chars")).otherwise(0L)).as("chars_dropped"))
+      .withColumn("shrink_pmil",
+        expr("chars_dropped * 1000 div chars_total"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------ d8: decontamination
 
   /** Benchmark set = doc_id < BenchIdMax; everything else is "train". */
@@ -898,6 +941,7 @@ object Corpus {
     "q_d11_fuzzy_edit" -> d11FuzzyEdit,
     "q_d13_leakage" -> d13Leakage,
     "q_d15_overlap_kmv" -> d15OverlapKmv,
+    "q_d17_dedup_shrinkage" -> d17DedupShrinkage,
   )
 
   /** Transitive closure to the minimum reachable id via recursive CTE —
@@ -905,7 +949,7 @@ object Corpus {
     * d7 label-propagation fixpoint and the d9 star fixpoint), so one
     * oracle holds both implementations to the same exact answer.
     */
-  private val ccOracle: String = {
+  private val ccCte: String = {
     val base = Dedup.d2VerifiedCte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$base,
        |pairs AS (
@@ -919,14 +963,43 @@ object Corpus {
        |  SELECT src, dst FROM edges
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |)
-       |SELECT src AS doc_id, least(src, min(dst)) AS cluster
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+       |),
+       |cc AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
   }
+
+  private val ccOracle: String =
+    s"$ccCte\nSELECT doc_id, cluster FROM cc ORDER BY doc_id"
+
+  /** d17 oracle: the same transitive closure, LEFT-joined onto the
+    * corpus and folded per source — the drop rule (`doc_id <>
+    * cluster`) and the stored `n_chars` integers mirror the Spark
+    * plan exactly, and every aggregate casts to BIGINT for the
+    * dtype-sensitive hash compare.
+    */
+  private val d17Oracle: String =
+    s"""$ccCte
+       |SELECT d.source AS source,
+       |  count(*)::BIGINT AS n_docs,
+       |  count(c.cluster)::BIGINT AS n_clustered,
+       |  count(DISTINCT c.cluster)::BIGINT AS n_clusters,
+       |  CAST(coalesce(sum(CASE WHEN c.cluster IS NOT NULL AND d.doc_id <> c.cluster
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+       |  CAST(coalesce(sum(CASE WHEN c.cluster IS NOT NULL AND d.doc_id <> c.cluster
+       |    THEN d.n_chars ELSE 0 END), 0) AS BIGINT) AS chars_dropped,
+       |  (CAST(coalesce(sum(CASE WHEN c.cluster IS NOT NULL AND d.doc_id <> c.cluster
+       |    THEN d.n_chars ELSE 0 END), 0) AS BIGINT) * 1000)
+       |    // CAST(sum(d.n_chars) AS BIGINT) AS shrink_pmil
+       |FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id
+       |GROUP BY d.source ORDER BY source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_d7_dedup_clusters" -> ccOracle,
     "q_d9_cc_bigstar" -> ccOracle,
+    "q_d17_dedup_shrinkage" -> d17Oracle,
     // d15: the sketch is a pure function of the distinct-hash set (k
     // smallest), so SQL min-k reproduces the Scala bounded-heap
     // aggregate bit-for-bit

@@ -188,6 +188,35 @@ class CorpusSpec extends SparkSuite {
     assert(drvLp === drvSt)
   }
 
+  test("d17 shrinkage audit: per-source folds reconcile with the raw cluster assignment") {
+    val got = Corpus.d17DedupShrinkage(spark, sf0001).collect()
+    val cc = Corpus.d9CcBigstar(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // global reconciliation against the independent d9 assignment
+    val clusterOf = cc.toMap
+    assert(got.map(_.getLong(1)).sum === docs.length.toLong, "n_docs covers the corpus")
+    assert(got.map(_.getLong(2)).sum === cc.length.toLong, "n_clustered = assignment rows")
+    assert(got.map(_.getLong(4)).sum ===
+      cc.count { case (id, cl) => id != cl }.toLong,
+      "total dropped = non-canonical assignment rows")
+    assert(got.map(_.getLong(6)).sum ===
+      docs.collect { case (id, _, ch) if clusterOf.get(id).exists(_ != id) => ch }.sum,
+      "chars_dropped folds the stored n_chars of exactly the dropped docs")
+    // per-source sanity
+    got.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(2) <= r.getLong(1),
+        s"${r.getString(0)}: dropped <= clustered <= docs")
+      assert(r.getLong(6) <= r.getLong(5), "chars_dropped <= chars_total")
+      val pmil = r.getLong(7)
+      assert(pmil >= 0 && pmil <= 1000 && pmil === r.getLong(6) * 1000 / r.getLong(5))
+    }
+    graft.operators.Dedup.releaseSlots()
+  }
+
   test("d9 star components == d7 label-propagation components on the real corpus") {
     val d7 = Corpus.d7DedupClusters(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
