@@ -116,14 +116,52 @@ object Corpus {
     * peel and rank loops in [[graft.operators.Graph]]) — one knob,
     * one admission discipline.
     */
-  private[graft] def driverEdgeBudget(s: org.apache.spark.sql.SparkSession): Int =
-    s.conf.get("graft.graph.driverEdgeBudget", "2000000").toInt
-
-  /** Which path served the most recent CC call in this JVM: "driver"
-    * or "distributed". Diagnostic witness for specs/probes only —
-    * results are path-independent.
+  /** Heap bytes budgeted per collected edge when deriving the DEFAULT
+    * driver budget from the JVM's actual heap: ~1.5 KB/edge measured
+    * (boxed probe rows + union-find maps + Spark overhead,
+    * tools/CcPathProbe: <2.8 GB at 1.9M edges), budgeted at 4 KB so
+    * the collect plus the solve never exceeds ~a quarter of the heap.
     */
-  @volatile private[graft] var lastCcMode: String = ""
+  val DriverBytesPerEdge = 4096L
+  /** The 2M ceiling the 8g-driver convention was probed at. */
+  val DriverEdgeBudgetCeiling = 2000000L
+
+  /** Heap supplier — a hook only so a spec can drive the small-driver
+    * degradation without forking a tiny `-Xmx` JVM.
+    */
+  @volatile private[graft] var maxHeapBytes: () => Long =
+    () => Runtime.getRuntime.maxMemory
+
+  /** An EXPLICIT session conf wins verbatim (operator override — the
+    * spec/probe contract); the DEFAULT is derived from the driver's
+    * real heap, min(2M, maxMemory / 4KB-per-edge), so a driver
+    * smaller than the 8g sizing convention degrades to a witnessed
+    * distributed-path decline instead of an OOM (r17 VERDICT #7). On
+    * the bench rig (≥8g driver) the derived default is the probed 2M
+    * ceiling exactly.
+    */
+  private[graft] def driverEdgeBudget(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("graft.graph.driverEdgeBudget") match {
+      case Some(v) => v.toInt
+      case None =>
+        math.min(DriverEdgeBudgetCeiling,
+          maxHeapBytes() / DriverBytesPerEdge).toInt
+    }
+
+  /** Which path served the most recent successfully-COMPLETED CC call
+    * in this JVM, paired atomically with how many contraction levels
+    * that call ran (r17 ADVICE: two separate volatile vars updated
+    * across Spark jobs let a concurrent reader observe a mode from
+    * one call with a level count from another). One immutable value,
+    * written exactly once per call at its return point — a reader
+    * always sees a consistent (mode, levels) pair; a call that throws
+    * (non-convergence) leaves the previous call's witness in place.
+    * Diagnostic for specs/probes only — results are path-independent.
+    */
+  final case class CcWitness(mode: String, contractLevels: Int)
+  @volatile private[graft] var lastCcWitness: CcWitness = CcWitness("", 0)
+  private[graft] def lastCcMode: String = lastCcWitness.mode
+  private[graft] def lastCcContractLevels: Int = lastCcWitness.contractLevels
 
   /** In-driver union-find over a collected canonical edge list.
     * Union-by-min keeps every root the component MINIMUM, so the
@@ -200,14 +238,6 @@ object Corpus {
   val MaxContractLevels = 3
   val ContractStallRatio = 0.7
 
-  /** How many contraction levels the most recent CC call ran (0
-    * unless that call was an over-budget star CC with the knob on; a
-    * level that stalled still counts — its forest replaced the
-    * input). Reset by BOTH variants so it always pairs consistently
-    * with [[lastCcMode]]'s most-recent-call contract.
-    */
-  @volatile private[graft] var lastCcContractLevels: Int = 0
-
   /** One partition-local union-find pass: every task solves the
     * components of ITS OWN edge partition exactly and emits that
     * partition's spanning forest — one `(node, partition-local
@@ -259,17 +289,13 @@ object Corpus {
       .truncated(true)
     val budget = driverEdgeBudget(pairs.sparkSession)
     val probe = cn.take(budget + 1)
-    // lastCcContractLevels resets on BOTH paths: lastCcMode's contract
-    // is "the most recent CC call of either algorithm", and a stale
-    // level count from an earlier star call would pair inconsistently
-    // with this call's mode (this variant never contracts)
+    // witness level count is 0 on BOTH paths: lastCcWitness's contract
+    // is "the most recent CC call of either algorithm", and this
+    // variant never contracts
     if (probe.length <= budget) {
-      lastCcMode = "driver"
-      lastCcContractLevels = 0
+      lastCcWitness = CcWitness("driver", 0)
       return driverUnionFind(pairs.sparkSession, probe)
     }
-    lastCcMode = "distributed"
-    lastCcContractLevels = 0
     // LOCAL-CHECKPOINT, not persist: each round's labels plan embeds the
     // previous round's, so with a mere persist the LOGICAL plan (which
     // the cache does not truncate) grows per round and every lblSum
@@ -326,13 +352,25 @@ object Corpus {
     require(converged,
       s"connected components did not converge within $MaxCcIters rounds " +
         "— pair-graph diameter exceeds the cap; raise MaxCcIters")
+    lastCcWitness = CcWitness("distributed", 0)
     labels.select(col("doc_id"), col("lbl").as("cluster"))
   }
 
-  /** D7: cluster assignment over the d2 MinHash-LSH verified pairs. */
+  /** D7: cluster assignment over the d2 MinHash-LSH verified pairs.
+    *
+    * Serves from [[connectedComponentsStar]] — the declared 100 TB
+    * path (budgeted driver solve / contraction prelude / O(log²n)
+    * star rounds). The min-label fixpoint [[connectedComponents]] is
+    * NOT the production path (r17 VERDICT: past the driver budget its
+    * round count is the graph DIAMETER and it hard-fails past
+    * [[MaxCcIters]] on exactly the chain-shaped boilerplate families
+    * crawl dedup produces); it remains the independent spec-side
+    * cross-validation reference, pinned ≡ star in `CorpusSpec` on
+    * known graphs, deep chains, and the real corpus.
+    */
   val d7DedupClusters: Relational.Q = (s, d) => {
     val pairs = Dedup.d2MinhashLshOn(documents(s, d)).select("doc_a", "doc_b")
-    connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    connectedComponentsStar(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
   // ------------------------------------- d9: components, star algorithm
@@ -400,11 +438,9 @@ object Corpus {
     val budget = driverEdgeBudget(pairs.sparkSession)
     val probe = raw.take(budget + 1)
     if (probe.length <= budget) {
-      lastCcMode = "driver"
-      lastCcContractLevels = 0
+      lastCcWitness = CcWitness("driver", 0)
       return driverUnionFind(pairs.sparkSession, probe)
     }
-    lastCcMode = "distributed"
     val s = pairs.sparkSession
     val par = s.sparkContext.defaultParallelism
     var work = raw
@@ -419,10 +455,10 @@ object Corpus {
     // the job with zero distributed rounds. Budget < 0 (the forced-
     // distributed spec/probe setting) skips the re-probe, never the
     // contraction — the asymptote path is contraction + star loop.
-    lastCcContractLevels = 0
+    var levels = 0
     if (ccLocalContract(s)) {
       var stalled = false
-      while (!stalled && lastCcContractLevels < MaxContractLevels) {
+      while (!stalled && levels < MaxContractLevels) {
         // UNKEYED round-robin repartition: localForest is partitioning-
         // agnostic (any partition's forest preserves connectivity), and
         // keying by an endpoint would funnel a hub node's entire edge
@@ -435,14 +471,13 @@ object Corpus {
           .truncated(true)
         val nextCount = next.count()
         if (budget >= 0 && nextCount <= budget) {
-          lastCcMode = "driver_contracted"
-          lastCcContractLevels += 1
+          lastCcWitness = CcWitness("driver_contracted", levels + 1)
           return driverUnionFind(s, next.collect())
         }
         // >= so the empty graph and the already-a-forest graph (next
         // == work) both stall on their first level
         stalled = nextCount >= workCount * ContractStallRatio
-        lastCcContractLevels += 1
+        levels += 1
         // a stalled level's forest still replaces the input (it is
         // never larger and the work is already spent)
         work = next
@@ -451,10 +486,15 @@ object Corpus {
     }
     val loopParts = loopPartsFor(workCount, par)
     var edges = work.repartition(loopParts, col("u"))
-      // EAGER: sym and the probe each reference the edge set twice; a
-      // lazy checkpoint would let both consumers race to compute the
-      // partitions before the cache fills (measured +0.5s vs eager)
-      .truncated(true)
+      // EAGER only when the prelude did NOT run: sym and the probe each
+      // reference the edge set twice, and a lazy checkpoint lets both
+      // consumers race to compute partitions before the cache fills
+      // (measured +0.5s vs eager). When the prelude DID run, `work` is
+      // already an eager checkpoint of the final contraction level, so
+      // the second eager materialization here was pure redundancy (r17
+      // ADVICE): truncate lazily — the round-0 convergence probe fills
+      // the cache from one cheap shuffle read of checkpointed blocks.
+      .truncated(eager = levels == 0)
     // star forest ⟺ fixpoint (see scaladoc): no root also hangs as a
     // child, AND every child hangs on exactly one root. The second
     // conjunct is part of the star-forest definition, not an
@@ -506,6 +546,7 @@ object Corpus {
     }
     require(converged,
       s"star connected components did not converge within $MaxStarIters rounds")
+    lastCcWitness = CcWitness("distributed", levels)
     // at the fixpoint the edge set IS the component assignment: every
     // non-root points straight at its component minimum (checkpointed
     // RDDs of dropped rounds are reclaimed by the ContextCleaner)
@@ -513,10 +554,11 @@ object Corpus {
       .union(edges.select(col("v"), col("v")).distinct())
   }
 
-  /** D9: the same cluster assignment as d7, computed by the star
-    * algorithm — oracle-checked against the identical recursive-CTE
-    * transitive closure, and spec-checked equal to d7's fixpoint
-    * (CorpusSpec), so the scale path is held to the exact answer.
+  /** D9: the same cluster assignment as d7, both served by the star
+    * algorithm since r18 (d7 was re-routed off the min-label fixpoint
+    * — see [[d7DedupClusters]]) — oracle-checked against the identical
+    * recursive-CTE transitive closure; the fixpoint cross-validation
+    * lives in CorpusSpec.
     */
   val d9CcBigstar: Relational.Q = (s, d) => {
     val pairs = Dedup.d2MinhashLshOn(documents(s, d)).select("doc_a", "doc_b")
@@ -561,8 +603,12 @@ object Corpus {
         sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
         sum(col("n_chars")).as("chars_total"),
         sum(when(dropped, col("n_chars")).otherwise(0L)).as("chars_dropped"))
+      // zero-guard (r17 ADVICE, the d15 jacc_*_ppm discipline): a
+      // source whose docs all have n_chars = 0 must yield a defined 0,
+      // not a Spark-NULL-vs-DuckDB-division-error engine divergence
       .withColumn("shrink_pmil",
-        expr("chars_dropped * 1000 div chars_total"))
+        when(col("chars_total") > 0,
+          expr("chars_dropped * 1000 div chars_total")).otherwise(0L))
       .orderBy("source")
   }
 
@@ -990,9 +1036,11 @@ object Corpus {
        |  CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
        |  CAST(coalesce(sum(CASE WHEN c.cluster IS NOT NULL AND d.doc_id <> c.cluster
        |    THEN d.n_chars ELSE 0 END), 0) AS BIGINT) AS chars_dropped,
-       |  (CAST(coalesce(sum(CASE WHEN c.cluster IS NOT NULL AND d.doc_id <> c.cluster
-       |    THEN d.n_chars ELSE 0 END), 0) AS BIGINT) * 1000)
-       |    // CAST(sum(d.n_chars) AS BIGINT) AS shrink_pmil
+       |  CASE WHEN CAST(sum(d.n_chars) AS BIGINT) > 0 THEN
+       |    (CAST(coalesce(sum(CASE WHEN c.cluster IS NOT NULL AND d.doc_id <> c.cluster
+       |      THEN d.n_chars ELSE 0 END), 0) AS BIGINT) * 1000)
+       |      // CAST(sum(d.n_chars) AS BIGINT)
+       |  ELSE 0 END AS shrink_pmil
        |FROM documents d LEFT JOIN cc c ON d.doc_id = c.doc_id
        |GROUP BY d.source ORDER BY source""".stripMargin
 

@@ -217,12 +217,87 @@ class CorpusSpec extends SparkSuite {
     graft.operators.Dedup.releaseSlots()
   }
 
-  test("d9 star components == d7 label-propagation components on the real corpus") {
+  test("d7 production path (star since r18) == min-label fixpoint reference on the real corpus") {
+    // r18: q_d7 serves connectedComponentsStar (the declared scale
+    // path); the min-label fixpoint stays the independent spec-side
+    // cross-validation reference — this test IS that cross-check
     val d7 = Corpus.d7DedupClusters(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.operators.Dedup.d2MinhashLshOn(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+      .select("doc_a", "doc_b")
+    val ref = Corpus.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d7 === ref, "the scale-path algorithm must give the exact same clustering")
     val d9 = Corpus.d9CcBigstar(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(d9 === d7, "the scale-path algorithm must give the exact same clustering")
+    assert(d9 === d7)
+  }
+
+  test("driver budget default derives from the real heap: a small driver declines, never OOM-collects") {
+    // no explicit conf → budget = min(2M, maxMemory / 4KB-per-edge).
+    // Mock a 4 MB heap (budget 1024): K50's 1225 canonical edges must
+    // overflow the raw probe — the driver path is DECLINED and the
+    // contraction prelude / star loop serves instead (witnessed).
+    assert(spark.conf.getOption("graft.graph.driverEdgeBudget").isEmpty,
+      "suite assumes no lingering explicit budget")
+    val k50 = (for {
+      a <- 0L until 50L; b <- (a + 1) until 50L
+    } yield (a, b)).toDF("a", "b")
+    val expect = (0L until 50L).map(_ -> 0L).toMap
+    val realHeap = Corpus.maxHeapBytes
+    Corpus.maxHeapBytes = () => 4L * 1024 * 1024
+    try {
+      assert(Corpus.driverEdgeBudget(spark) === 1024)
+      val got = Corpus.connectedComponentsStar(k50, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect)
+      assert(Corpus.lastCcMode !== "driver",
+        "1225 edges must overflow the heap-derived 1024 budget")
+      // contraction gets K50 under 1024, so the admitted form is the
+      // budget-sized contracted forest, not the raw collect
+      assert(Corpus.lastCcMode === "driver_contracted")
+      // with the prelude off, the same graph runs fully distributed
+      spark.conf.set("graft.graph.ccLocalContract", "false")
+      try {
+        val got2 = Corpus.connectedComponentsStar(k50, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got2 === expect)
+        assert(Corpus.lastCcMode === "distributed")
+      } finally spark.conf.unset("graft.graph.ccLocalContract")
+      // an EXPLICIT conf is an operator override and wins verbatim,
+      // even over the heap derivation
+      spark.conf.set("graft.graph.driverEdgeBudget", "5000000")
+      try assert(Corpus.driverEdgeBudget(spark) === 5000000)
+      finally spark.conf.unset("graft.graph.driverEdgeBudget")
+    } finally Corpus.maxHeapBytes = realHeap
+    // the real test JVM (-Xmx8g, the driver convention) derives the
+    // probed ceiling: positive, never above 2M
+    val real = Corpus.driverEdgeBudget(spark)
+    assert(real > 0 && real <= Corpus.DriverEdgeBudgetCeiling.toInt)
+  }
+
+  test("d17 shrink_pmil zero-guard: an all-zero-chars source yields 0, not a NULL/error divergence") {
+    // a metadata-only ingest whose char counts were never backfilled:
+    // source "z" is one near-dup pair (identical text → jac 1.0, so
+    // doc 2 is dropped) with stored n_chars = 0 — shrink_pmil must be
+    // the DEFINED 0 on both engines, not Spark NULL vs DuckDB's
+    // integer-division-by-zero error
+    val dir = tmpDir("d17-zero")
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq(
+      (1L, "z", 0L, t), (2L, "z", 0L, t),
+      (3L, "n", 40L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "source", "n_chars", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Corpus.d17DedupShrinkage(spark, dir).collect()
+    val z = got.find(_.getString(0) == "z").get
+    assert(z.getLong(4) === 1L, "one non-canonical doc dropped in z")
+    assert(z.getLong(5) === 0L && !z.isNullAt(7) && z.getLong(7) === 0L,
+      "zero chars_total must yield shrink_pmil = 0, never NULL")
+    val n = got.find(_.getString(0) == "n").get
+    assert(n.getLong(7) === 0L, "nothing dropped in n")
+    graft.operators.Dedup.releaseSlots()
   }
 
   test("d7 clusters: every doc labeled with the min id of its d2 pair component") {

@@ -419,6 +419,45 @@ class GraphSpec extends SparkSuite {
         }
       }
     }
+    // d7-shaped axis (r18): random CHAIN-spined graphs whose diameter
+    // exceeds MaxCcIters — the boilerplate-family crawl pathology that
+    // got q_d7 re-routed onto the star path. The star loop must solve
+    // them forced-distributed (with and without the contraction
+    // prelude) to the exact in-budget union-find answer, while the
+    // min-label fixpoint — kept only as the spec-side reference —
+    // provably CANNOT: past the budget it must fail loudly at the cap.
+    for (trial <- 1 to 3) {
+      val len = 25 + rnd.nextInt(30) // diameter > MaxCcIters = 20
+      val chain = (0L until len.toLong).map(i => (i, i + 1))
+      // a few random shortcuts between NEARBY nodes keep the diameter
+      // deep (long-range shortcuts would collapse it below the cap)
+      val extra = (0 until 4).map { _ =>
+        val a = rnd.nextInt(len - 2).toLong
+        (a, a + 2L)
+      }
+      val pairs = (chain ++ extra).distinct.toDF("a", "b")
+      spark.conf.set("graft.graph.driverEdgeBudget", "1000000")
+      val want = try got(graft.operators.Corpus.connectedComponents(pairs, "a", "b"))
+        finally spark.conf.unset("graft.graph.driverEdgeBudget")
+      assert(want.values.forall(_ == 0L), s"chain trial $trial: one component")
+      spark.conf.set("graft.graph.driverEdgeBudget", "-1")
+      try {
+        for (contract <- Seq("true", "false")) {
+          spark.conf.set("graft.graph.ccLocalContract", contract)
+          try {
+            val st = got(graft.operators.Corpus.connectedComponentsStar(pairs, "a", "b"))
+            assert(st === want,
+              s"chain trial $trial: star ≠ reference at contract $contract")
+            assert(graft.operators.Corpus.lastCcMode === "distributed")
+          } finally spark.conf.unset("graft.graph.ccLocalContract")
+        }
+        val e = intercept[IllegalArgumentException] {
+          graft.operators.Corpus.connectedComponents(pairs, "a", "b")
+        }
+        assert(e.getMessage.contains("did not converge"),
+          s"chain trial $trial: fixpoint past the cap must fail loudly")
+      } finally spark.conf.unset("graft.graph.driverEdgeBudget")
+    }
     Dedup.releaseSlots()
   }
 
