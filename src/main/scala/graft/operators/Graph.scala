@@ -258,7 +258,7 @@ object Graph {
     * oracles unroll the separate formulations and still hash-match).
     */
   def rankTablesOn(nodes: DataFrame, edges: DataFrame,
-      isSeed: Column): (DataFrame, DataFrame) = {
+      isSeed: Column, edgeFloor: Option[Long] = None): (DataFrame, DataFrame) = {
     val s = nodes.sparkSession
     // budgeted driver fast path (the CC loops' admission discipline,
     // [[Corpus.driverEdgeBudget]]): the rank ROUNDS only move mass
@@ -273,10 +273,17 @@ object Graph {
     // as the independent formulations the specs cross-validate
     // against; the g2/g6 oracles unroll the same arithmetic.
     val budget = Corpus.driverEdgeBudget(s)
-    val eprobe = edges.select(col("src"), col("dst")).take(budget + 1)
-    if (eprobe.length <= budget) {
-      lastRankMode = "driver"
-      return driverRankTables(s, nodes, isSeed, eprobe)
+    // stored-count pre-check (r17 VERDICT): the probed DIRECTED edge
+    // count is never below the deduped undirected count an artifact
+    // stores, so a floor over the budget skips the probe collect —
+    // the steady-state decline on an over-budget graph is free
+    if (!edgeFloor.exists(_ > budget)) {
+      val eprobe = edges.select(col("src"), col("dst")).take(budget + 1)
+      if (eprobe.length <= budget) {
+        lastRankMode = "driver"
+        return driverRankTables(s, nodes, isSeed, eprobe)
+      }
+      Corpus.declinedProbes.incrementAndGet()
     }
     lastRankMode = "distributed"
     val ed = edges.select(col("src"), col("dst"))
@@ -1170,11 +1177,39 @@ object Graph {
       val t0 = System.nanoTime(); val r = f
       phaseWall(name) = (System.nanoTime() - t0) / 1e9; r
     }
+    // stored-count pre-check floors (r17 VERDICT): counts the previous
+    // stats version OBSERVED are lower bounds on the live deduped edge
+    // sets — edges/ and pairs/ are append-only within a build lineage
+    // — so an over-budget floor lets every admission below decline
+    // without its budget-sized probe collect. Gated on GRAPH_BUILD
+    // equality (the statsDeltaGens lineage witness): a rebuilt graph's
+    // counts say nothing about the new lineage. Floors are hints with
+    // both paths exact — a stale-but-same-lineage floor can only cost
+    // speed, never correctness.
+    val sameLineagePrev = prev.filter { p =>
+      val lb = graphBuildId(graphDir)
+      lb.nonEmpty && readMetaString(p, "GRAPH_BUILD") == lb
+    }
+    // the census row (full or incrementally maintained) counts the
+    // deduped undirected edge set — also a floor for the rank probe's
+    // DIRECTED row count
+    val edgesFloor = sameLineagePrev.flatMap { p =>
+      try Some(s.read.parquet(s"$p/triangles")
+        .select("n_edges").head().getLong(0))
+      catch { case _: Throwable => None }
+    }
+    val (coreFloor, commFloor) = sameLineagePrev.map { p =>
+      val m = readMetaString(p, "PAIR_EDGE_COUNTS")
+      def num(k: String): Option[Long] =
+        s""""$k":(\\d+)""".r.findFirstMatchIn(m).map(_.group(1).toLong)
+      (num("core"), num("comm"))
+    }.getOrElse((None, None))
     // fused rank loop (r16): one set of PrIters rounds carries both
     // rank columns — pageRankOn/pprOn arithmetic per column, spec-
     // pinned equal; the final checkpointed frame feeds both writes
     phase("rank") {
-      val (pr, ppr) = rankTablesOn(nodes, edges, col("vec_id") < PprSeedMax)
+      val (pr, ppr) =
+        rankTablesOn(nodes, edges, col("vec_id") < PprSeedMax, edgesFloor)
       sortedStatsWrite(pr, s"$target/pagerank",
         col("rank").desc, col("vec_id").asc)
       sortedStatsWrite(ppr, s"$target/ppr",
@@ -1197,7 +1232,7 @@ object Graph {
         case Some(gens) => incrementalCensus(s, graphDir, gens, prev.get, target)
         case None => Some("uncovered")
       }
-      out.foreach(_ => fullCensus(s, nodes, edges, target))
+      out.foreach(_ => fullCensus(s, nodes, edges, target, edgesFloor))
       out
     }
     java.nio.file.Files.writeString(
@@ -1219,7 +1254,7 @@ object Graph {
         "pair_delta", Seq("cc_core", "cc_comm")))
     phase("components") {
       def declineFull(reason: Option[String]): Unit = {
-        phaseWall ++= fullComponentTables(s, pairs, target)
+        phaseWall ++= fullComponentTables(s, pairs, target, coreFloor, commFloor)
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(target, "STATS_MODE"), "full")
         reason.foreach(r => java.nio.file.Files.writeString(
@@ -1273,6 +1308,14 @@ object Graph {
               incrementalComponentTables(s, pairs, delta, prev.get, target)
             java.nio.file.Files.writeString(
               java.nio.file.Paths.get(target, "STATS_MODE"), "incremental")
+            // carry the pair-count floors forward verbatim: pairs are
+            // append-only within the lineage, so the previous
+            // version's observed counts stay valid lower bounds for
+            // the NEXT refresh's admission pre-check even though this
+            // version never ran the full loops
+            val pf = readMetaString(prev.get, "PAIR_EDGE_COUNTS")
+            if (pf.nonEmpty) java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(target, "PAIR_EDGE_COUNTS"), pf)
           }
         case None => declineFull(None)
       }
@@ -1346,7 +1389,8 @@ object Graph {
   @volatile private[graft] var lastCensusMode: String = ""
 
   private def fullCensus(s: SparkSession, nodes: DataFrame,
-      edges: DataFrame, target: String): Unit = {
+      edges: DataFrame, target: String,
+      edgeFloor: Option[Long] = None): Unit = {
     val und = Dedup.cacheSlot("gstats-und-edges", edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -1360,8 +1404,15 @@ object Graph {
     // a triangle a<b<c is counted once at edge (a,b) as
     // c ∈ adj⁺(a) ∩ adj⁺(b), exactly the ordered join's convention.
     val budget = Corpus.driverEdgeBudget(s)
-    val probe = und.take(budget + 1)
-    if (probe.length <= budget) {
+    // stored-count pre-check (r17 VERDICT): the artifact's previous
+    // census row counts exactly this deduped undirected set at an
+    // earlier generation of the same append-only lineage — a floor
+    // over the budget declines with zero driver collect
+    val floored = edgeFloor.exists(_ > budget)
+    val probe =
+      if (floored) Array.empty[org.apache.spark.sql.Row]
+      else und.take(budget + 1)
+    if (!floored && probe.length <= budget) {
       lastCensusMode = "driver"
       val deg = new java.util.HashMap[Long, Long]()
       val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
@@ -1408,6 +1459,7 @@ object Graph {
         .write.mode("overwrite").parquet(s"$target/triangles")
       return
     }
+    if (!floored) Corpus.declinedProbes.incrementAndGet()
     lastCensusMode = "distributed"
     sortedStatsWrite(und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
@@ -1807,31 +1859,50 @@ object Graph {
     * per-floor sub-walls for the refresh's TIMINGS meta.
     */
   private def fullComponentTables(s: SparkSession, pairs: DataFrame,
-      target: String): Seq[(String, Double)] = {
+      target: String, coreFloor: Option[Long] = None,
+      commFloor: Option[Long] = None): Seq[(String, Double)] = {
     val walls = collection.mutable.Buffer.empty[(String, Double)]
     val coreEdges = Dedup.cacheSlot("gstats-core-edges",
       pairs.filter(col("w") >= CoreWmin).select(col("id_a"), col("id_b")))
+    var coreCount = -1L
     floorWall(walls, "cc_kcore") {
       floorWall(walls, "cc_kcore_peel") {
         sortedStatsWrite(kcoreOn(
-            coreEdges.select(col("id_a").as("src"), col("id_b").as("dst"))),
+            coreEdges.select(col("id_a").as("src"), col("id_b").as("dst")),
+            edgeFloor = coreFloor),
           s"$target/kcore", col("vec_id"))
       }
       floorWall(walls, "cc_core_cc") {
-        sortedStatsWrite(Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b")
+        sortedStatsWrite(
+          Corpus.connectedComponentsStar(coreEdges, "id_a", "id_b", coreFloor)
             .select(col("doc_id").as("vec_id"), col("cluster")),
           s"$target/cc_core", col("vec_id"))
+        // the star call's witness carries the deduped canonical count
+        // it observed (exactly kcoreOn's und0 set — same edge table,
+        // same canonicalization); recorded for the NEXT refresh's
+        // pre-check. The witness is best-effort JVM-global state — a
+        // concurrent query's CC call could clobber it between the
+        // call and this read, which at worst stores a floor for a
+        // DIFFERENT graph: the pre-check then mis-skips or mis-probes
+        // one admission, both exact by construction.
+        coreCount = Corpus.lastCcWitness.edges
       }
     }
+    var commCount = -1L
     floorWall(walls, "cc_comm") {
       val commEdges = Dedup.cacheSlot("gstats-comm-edges",
         pairs.filter(col("w") >= CommWmin).select(col("id_a"), col("id_b")))
       val cc = Dedup.cacheSlot("gstats-comm-cc",
-        Corpus.connectedComponentsStar(commEdges, "id_a", "id_b"))
+        Corpus.connectedComponentsStar(commEdges, "id_a", "id_b", commFloor))
+      commCount = Corpus.lastCcWitness.edges
       sortedStatsWrite(censusOf(cc, commEdges),
         s"$target/communities", col("cluster"))
       sortedStatsWrite(cc, s"$target/cc_comm", col("doc_id"))
     }
+    if (coreCount >= 0 && commCount >= 0)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(target, "PAIR_EDGE_COUNTS"),
+        s"""{"core":$coreCount,"comm":$commCount}""")
     walls.toSeq
   }
 
@@ -3444,7 +3515,8 @@ object Graph {
     * its predecessor — is exactly the fixed-CoreIters unroll the
     * oracle computes.
     */
-  def kcoreOn(edges: DataFrame, k: Int = CoreK): DataFrame = {
+  def kcoreOn(edges: DataFrame, k: Int = CoreK,
+      edgeFloor: Option[Long] = None): DataFrame = {
     val s = edges.sparkSession
     val und0 = edges
       .select(least(col("src"), col("dst")).as("a"),
@@ -3456,11 +3528,16 @@ object Graph {
     // bounded-round semantics below (synchronous removal rounds,
     // CoreIters cap, converged flag, deg>0 output filter) — the
     // distributed decrement loop is the past-budget scale path.
+    // edgeFloor: stored-count pre-check, the Corpus CC contract — a
+    // lower bound over the budget skips the probe collect entirely.
     val budget = Corpus.driverEdgeBudget(s)
-    val probe = und0.take(budget + 1)
-    if (probe.length <= budget) {
-      lastPeelMode = "driver"
-      return driverKcore(s, probe, k)
+    if (!edgeFloor.exists(_ > budget)) {
+      val probe = und0.take(budget + 1)
+      if (probe.length <= budget) {
+        lastPeelMode = "driver"
+        return driverKcore(s, probe, k)
+      }
+      Corpus.declinedProbes.incrementAndGet()
     }
     lastPeelMode = "distributed"
     val loopParts = Corpus.loopPartsFor(und0.count(), s.sparkContext.defaultParallelism)

@@ -690,6 +690,56 @@ class GraphIndexSpec extends SparkSuite {
       "past the budget the pair-delta replay readmits")
   }
 
+  test("stored-count pre-check: a known-over-budget refresh declines every loop with zero probe collects") {
+    // r17 VERDICT #2: the first over-budget refresh pays one fused
+    // take(budget+1) collect per loop to learn "no"; the counts it
+    // OBSERVES (census n_edges, PAIR_EDGE_COUNTS) must make every
+    // subsequent same-lineage refresh's decline free — zero probe
+    // collects, witnesses unchanged.
+    val (d, heldOut) = splitDataset()
+    val base = graft.core.Tables.embeddings(spark, d)
+    Graph.ensureKnnGraph(spark, d)
+    def refresh(): (String, Long) = {
+      spark.conf.set("graft.graph.driverEdgeBudget", "1")
+      try {
+        val before = Corpus.declinedProbes.get()
+        val v = Graph.ensureGraphStats(spark, d)
+        (v, Corpus.declinedProbes.get() - before)
+      } finally spark.conf.unset("graft.graph.driverEdgeBudget")
+    }
+    val (stats1, paid1) = refresh()
+    assert(Graph.graphStatsMode(stats1) === "full")
+    assert(paid1 === 5L,
+      "first refresh has no stored counts: rank + census + peel + " +
+        s"core-cc + comm-cc must each pay one declined probe, got $paid1")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stats1, "PAIR_EDGE_COUNTS")),
+      "the full build must record the pair counts it observed")
+    // append (same lineage, gen+1), then force BOTH incremental paths
+    // to decline so the full loops run again — now with floors
+    Graph.appendKnnGraph(spark, d, heldOut, base)
+    spark.conf.set("graft.stats.ccDeltaBudget", "0")
+    spark.conf.set("graft.census.adjBudget", "0")
+    val (stats2, paid2) = try refresh() finally {
+      spark.conf.unset("graft.stats.ccDeltaBudget")
+      spark.conf.unset("graft.census.adjBudget")
+    }
+    Dedup.releaseSlots()
+    assert(stats2 !== stats1)
+    assert(Graph.graphStatsMode(stats2) === "full")
+    assert(paid2 === 0L,
+      s"steady-state over-budget refresh must run ZERO probe collects, paid $paid2")
+    // witnesses unchanged: every loop still reports the scale path
+    assert(Graph.lastRankMode === "distributed")
+    assert(Graph.lastCensusMode === "distributed")
+    assert(Graph.lastPeelMode === "distributed")
+    assert(Corpus.lastCcMode === "distributed")
+    // and the floored distributed loops still wrote the same tables a
+    // probed distributed refresh writes: spot-check the census row
+    val t1 = spark.read.parquet(s"$stats2/triangles").head()
+    assert(t1.getLong(1) > 0L, "census n_edges must be live, not zeroed")
+  }
+
   test("graph_stats incremental refresh: component-scoped recompute ≡ full; survives compaction via the gen-keyed pair-delta logs") {
     pastDriverBudget {
     import org.apache.spark.sql.functions.{expr, least, greatest}
