@@ -76,6 +76,13 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // v19 has been the sweep's biggest wall and noisiest row since r14
+    // (r17 VERDICT #3): run it with its per-leg instrumentation on, so
+    // every bench artifact carries the six-serve-legs + baseline split
+    // and a cross-round move is attributable to a leg. Total work is
+    // unchanged — the legs are 1-row frames the union ran once anyway,
+    // just serialized instead of interleaved.
+    spark.conf.set("graft.v19.timings", "true")
 
     // Process-CPU time alongside wall time (r9 verdict #1): on a shared
     // sandbox, wall time alone cannot distinguish "the code got slower"
@@ -356,6 +363,10 @@ object Bench {
       // the per-query record survives even when the big combined line
       // below is truncated (the r7 artifact lost its first ~28 queries).
       println(s"""{"q":"$n","sec":${r3(t)},"cpu":${r3(cpu)}}""")
+      if (n == "q_v19_recall_grid" && operators.Indexed.lastV19Timings.nonEmpty)
+        println(operators.Indexed.lastV19Timings.map { case (k, v) =>
+          "\"" + k + "\":" + r3(v)
+        }.mkString("""{"v19_legs":{""", ",", "}}"))
       n -> (t, cpu)
     }
     calibrate(names.size) // closing sample: drift at run END is recorded too
@@ -536,8 +547,11 @@ object Bench {
       .orElse(prior.map(_._1).minOption)
     val bestCmp = bestPrior.map(v => r3(math.min(v, total))).getOrElse(r3(total))
 
+    val v19Legs = operators.Indexed.lastV19Timings.map { case (k, v) =>
+      "\"" + k + "\":" + r3(v)
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"sat_floor":${r3(satFloor)},"sat_prewait":${r3(satPrewait)},"quiet_wait_s":$quietWaited,"pipeline":$ps,"latency":$latJson,"code":"$codeFp","best_comparable":$bestCmp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"sat_floor":${r3(satFloor)},"sat_prewait":${r3(satPrewait)},"quiet_wait_s":$quietWaited,"pipeline":$ps,"latency":$latJson,"v19_legs":$v19Legs,"code":"$codeFp","best_comparable":$bestCmp,"sf":"$sfDir"}"""
     println(full)
     // Belt-and-braces: the complete itemized record also goes to a file
     // in the repo (the driver commits the working tree each round, so
@@ -603,6 +617,13 @@ object Bench {
       try java.nio.file.Files.writeString(historyPath0, full + "\n",
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       catch { case e: Throwable => System.err.println(s"[bench] write history: ${e.getMessage}") }
+      // Floor-matched round-over-round comparison (r17 VERDICT): the
+      // newest two distinct fingerprints' quietest matched run pair →
+      // common-set totals + top movers, the table the NOTES previously
+      // hand-built. Fail-soft; see graft.tools.BenchCompare.
+      tools.BenchCompare.writeCompare(historyPath0,
+        java.nio.file.Paths.get(benchFile0).resolveSibling("BENCH_COMPARE.json"))
+        .foreach(println)
     }
     // Print a short, complete JSON object LAST so a parseable record
     // always sits inside any tail window. It reports the CANONICAL

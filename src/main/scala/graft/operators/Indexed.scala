@@ -1238,7 +1238,27 @@ object Indexed {
     * 100 TB this is the recurring index-quality job that decides
     * nprobe/topn retuning after drift or re-clustering.
     */
+  /** Per-leg wall split of the most recent [[v19RecallGrid]] call in
+    * this JVM (seconds), populated only when the session conf
+    * `graft.v19.timings` is true: the six serve-leg keys plus
+    * "baseline" (the exact top-K scans + probe selection). v19 has
+    * been the sweep's biggest wall AND its noisiest row since r14
+    * (2.5–4.4 s band, r17 VERDICT #3) — without a sub-split every
+    * cross-round move was unattributable to a leg. Bench enables the
+    * conf and emits this map per run, the refresh-TIMINGS discipline
+    * applied to the audit query.
+    */
+  @volatile private[graft] var lastV19Timings: Map[String, Double] = Map.empty
+
   val v19RecallGrid: Relational.Q = (s, d) => {
+    val timed = s.conf.get("graft.v19.timings", "false").toBoolean
+    val walls = collection.mutable.LinkedHashMap.empty[String, Double]
+    def leg[T](name: String)(f: => T): T =
+      if (!timed) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        walls(name) = (System.nanoTime() - t0) / 1e9; r
+      }
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
     // the exact baselines collect as K-row id sets (bounded by K=10,
     // never corpus-sized): five of the six grid legs score against
@@ -1254,16 +1274,16 @@ object Indexed {
       .withColumn("dist", euclidean(col("embedding"), q))
       .orderBy(col("dist").asc, col("vec_id").asc).limit(K).select("vec_id")
       .collect().map(_.getLong(0)).toSeq
-    val exact = exactTop(embeddings(s, d))
-    val exactF = exactTop(embeddings(s, d).filter(col("label").isin(FilterLabels: _*)))
-
-    // probe sets exactly as the serving plans select them
-    val cents = ensureCentroids(s, d)
-    val qd = queryDists(s, d, cents.map(c => typedlit(c)))
-    def probesOf(n: Int): Seq[Int] =
-      qd.zipWithIndex.sortBy { case (dd, cid) => (dd, cid) }.take(n).map(_._2)
-    val probes2 = probesOf(NProbe)
-    val probes4 = probesOf(FilteredNProbe)
+    val (exact, exactF, probes2, probes4) = leg("baseline") {
+      val e = exactTop(embeddings(s, d))
+      val ef = exactTop(embeddings(s, d).filter(col("label").isin(FilterLabels: _*)))
+      // probe sets exactly as the serving plans select them
+      val cents = ensureCentroids(s, d)
+      val qd = queryDists(s, d, cents.map(c => typedlit(c)))
+      def probesOf(n: Int): Seq[Int] =
+        qd.zipWithIndex.sortBy { case (dd, cid) => (dd, cid) }.take(n).map(_._2)
+      (e, ef, probesOf(NProbe), probesOf(FilteredNProbe))
+    }
 
     val assign = s.read.parquet(ensureAssignments(s, d))
     val codes = s.read.parquet(ensurePqCodes(s, d))
@@ -1288,14 +1308,26 @@ object Indexed {
         .select(lit(variant).as("variant"), col("code_reads"),
           docReads.cast("long").as("doc_reads"), col("recall10"))
 
-    Seq(
-      row("v10_ivf", pc2, col("code_reads"), v10IvfKmeans(s, d), exact),
-      row("v12_pq_adc", reads(codes), topNCap, v12PqAdc(s, d), exact),
-      row("v13_sq8", reads(sq8), topNCap, v13Sq8(s, d), exact),
-      row("v14_ivfpq", pc2, topNCap, v14IvfPq(s, d), exact),
-      row("v16_filtered", pc4f, topNCap, v16FilteredIvf(s, d), exactF),
-      row("v18_ivfadc", pr2, topNCap, v18IvfAdcResidual(s, d), exact),
-    ).reduce(_ union _).orderBy("variant")
+    val legs = Seq[(String, () => DataFrame)](
+      ("v10_ivf", () => row("v10_ivf", pc2, col("code_reads"), v10IvfKmeans(s, d), exact)),
+      ("v12_pq_adc", () => row("v12_pq_adc", reads(codes), topNCap, v12PqAdc(s, d), exact)),
+      ("v13_sq8", () => row("v13_sq8", reads(sq8), topNCap, v13Sq8(s, d), exact)),
+      ("v14_ivfpq", () => row("v14_ivfpq", pc2, topNCap, v14IvfPq(s, d), exact)),
+      ("v16_filtered", () => row("v16_filtered", pc4f, topNCap, v16FilteredIvf(s, d), exactF)),
+      ("v18_ivfadc", () => row("v18_ivfadc", pr2, topNCap, v18IvfAdcResidual(s, d), exact)),
+    ).map { case (name, mk) =>
+      if (!timed) mk()
+      else leg(name) {
+        // each leg frame is exactly ONE row: materialize it inside its
+        // timed block and hand the union a literal — total work is
+        // unchanged (the union ran each leg once anyway), the legs
+        // just execute serialized so their walls are attributable
+        val df = mk()
+        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      }
+    }
+    if (timed) lastV19Timings = walls.toMap
+    legs.reduce(_ union _).orderBy("variant")
   }
 
   /** V20: index-coverage audit — the staleness check continuous ingest
