@@ -450,12 +450,18 @@ object Dedup {
     // work feeds both sides of the candidate self-join. All buckets come
     // from ONE fused kernel eval per row (SrpKernel) — the composed
     // 96-expression form is the tested reference semantics
+    // id-ordered representatives for over-cap buckets (r18): same
+    // quadratic bound, capped buckets identical, duplicate families
+    // stay pair-connected through their lowest ids — see
+    // Graph.scoredPairsOn's rationale (this slot and that one must
+    // stay rule-identical: both mirror srpCandCte's `buckets`)
     val buckets = cacheSlot("srp-buckets", e.select(col("vec_id"),
         posexplode(graft.functions.SrpKernel.srpBuckets(
           col("embedding"), SrpProj)).as(Seq("tbl", "bkt")))
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "bkt")))
-      .filter(col("bsz") <= MaxBucket)
-      .drop("bsz"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tbl", "bkt").orderBy(col("vec_id").asc)))
+      .filter(col("rn") <= MaxBucket)
+      .drop("rn"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -774,9 +780,10 @@ object Dedup {
        |),
        |buckets AS (
        |  SELECT vec_id, tbl, bkt FROM (
-       |    SELECT vec_id, tbl, bkt, count(*) OVER (PARTITION BY tbl, bkt) AS bsz
+       |    SELECT vec_id, tbl, bkt,
+       |           row_number() OVER (PARTITION BY tbl, bkt ORDER BY vec_id ASC) AS rn
        |    FROM buckets_all
-       |  ) WHERE bsz <= $MaxBucket
+       |  ) WHERE rn <= $MaxBucket
        |),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

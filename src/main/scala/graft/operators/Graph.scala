@@ -93,12 +93,27 @@ object Graph {
     val s = e.sparkSession
     val ids = e.select(col("vec_id"), col("embedding"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    // Bucket cap by ID-ORDERED REPRESENTATIVES (r18, the r17
+    // adversarial-ingest finding): an over-cap bucket contributes its
+    // MaxBucket LOWEST vec_ids to pair candidacy instead of being
+    // dropped whole. Dropping made every duplicate-heavy signature
+    // family (whose buckets all blow the cap) an EDGELESS ISLAND the
+    // ANN walk could never reach, while the exact baseline's
+    // (score DESC, id ASC) tie-break kept naming the family's lowest
+    // ids as truth. Representatives keep the exact quadratic bound
+    // (Σ min(bsz, cap)² ≤ Σ cap², the same worst case), keep capped
+    // buckets bit-identical (rn ≤ cap ⟺ bsz ≤ cap admits everyone),
+    // and pick the SAME ids the serve-side tie-break prefers — so at
+    // equal score the stored graph connects exactly the ids the
+    // baseline serves. Window shape unchanged (one shuffle on
+    // (tbl, bkt), rank instead of count).
     val buckets = Dedup.cacheSlot("graph-srp-buckets", ids.select(col("vec_id"),
         posexplode(graft.functions.SrpKernel.srpBuckets(
           col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("tbl", "bkt")))
-      .filter(col("bsz") <= Dedup.MaxBucket)
-      .drop("bsz"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tbl", "bkt").orderBy(col("vec_id").asc)))
+      .filter(col("rn") <= Dedup.MaxBucket)
+      .drop("rn"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -775,15 +790,19 @@ object Graph {
         val newB = bucketRowsOf(nv).persist()
         try {
           val newCnt = newB.groupBy("tbl", "bkt").agg(count(lit(1)).as("nn"))
-          // cap-crossing staleness witness: buckets whose OLD occupancy
-          // generated old×old pairs at build time (2 ≤ n ≤ MaxBucket)
-          // and whose total now exceeds the cap — a rebuild would drop
-          // those pairs; the append keeps them. One bounded driver
-          // scalar (an aggregate over the bsizes-joined delta keys).
+          // cap-crossing staleness witness: any delta bucket whose
+          // TOTAL occupancy exceeds the cap — under the r18
+          // representative semantics a rebuild re-selects that
+          // bucket's MaxBucket lowest ids and re-pairs them, which an
+          // append can neither generate nor retract, so every such
+          // key is (conservatively) stale: the old [2, MaxBucket]
+          // lower bound matched the drop-the-bucket era, where an
+          // over-cap bucket held no pairs under EITHER lineage. One
+          // bounded driver scalar (an aggregate over the
+          // bsizes-joined delta keys).
           val crossedNow = newCnt
             .join(s.read.parquet(s"$target/bsizes"), Seq("tbl", "bkt"), "left")
-            .filter(coalesce(col("n"), lit(0L)).between(2L, Dedup.MaxBucket.toLong) &&
-              col("nn") + coalesce(col("n"), lit(0L)) > Dedup.MaxBucket)
+            .filter(col("nn") + coalesce(col("n"), lit(0L)) > Dedup.MaxBucket)
             .count()
           writeMetaLong(target, ".gen", prevGen + 1)
           writeMetaLong(target, ".crossed", prevCrossed + crossedNow)
@@ -2431,11 +2450,13 @@ object Graph {
         .parquet(s"$target/bsizes")
       // pair generation: the global build's capped-bucket self-join
       // with stratum equality as an extra join key; caps evaluated on
-      // per-stratum occupancy (the slice's own graph, exactly)
+      // per-stratum occupancy (the slice's own graph, exactly) — and,
+      // r18, over-cap buckets admit their MaxBucket lowest vec_ids as
+      // id-ordered representatives (see scoredPairsOn's rationale)
       val capped = routing
-        .withColumn("bsz", count(lit(1)).over(
-          Window.partitionBy("stratum", "tbl", "bkt")))
-        .filter(col("bsz") <= Dedup.MaxBucket).drop("bsz")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("stratum", "tbl", "bkt").orderBy(col("vec_id").asc)))
+        .filter(col("rn") <= Dedup.MaxBucket).drop("rn")
       val cand = capped.as("a").join(capped.as("b"),
           col("a.stratum") === col("b.stratum") &&
             col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -2544,15 +2565,13 @@ object Graph {
           val newCnt = newB.groupBy(key.map(col): _*)
             .agg(count(lit(1)).as("nn"))
           // cap-crossing staleness witness, per (stratum, tbl, bkt) —
-          // the main append's rule with the stratum in the key: old
-          // occupancy generated old×old pairs (2 ≤ n ≤ MaxBucket) and
-          // the total now exceeds the cap, so a rebuild would drop
-          // pairs this append keeps
+          // the main append's r18 rule with the stratum in the key:
+          // any delta bucket whose total exceeds the cap is stale
+          // under representative semantics (a rebuild re-selects and
+          // re-pairs the lowest MaxBucket ids)
           val crossedNow = newCnt
             .join(s.read.parquet(s"$target/bsizes"), key, "left")
-            .filter(coalesce(col("n"), lit(0L))
-                .between(2L, Dedup.MaxBucket.toLong) &&
-              col("nn") + coalesce(col("n"), lit(0L)) > Dedup.MaxBucket)
+            .filter(col("nn") + coalesce(col("n"), lit(0L)) > Dedup.MaxBucket)
             .count()
           writeMetaLong(target, ".gen", prevGen + 1)
           writeMetaLong(target, ".crossed", prevCrossed + crossedNow)
@@ -2787,8 +2806,10 @@ object Graph {
   }
 
   /** Seeded beam-search entries: for each query, EVERY vec_id sharing
-    * a CAPPED LSH bucket with it (occupancy ≤ [[Dedup.MaxBucket]] —
-    * the same pair-generation cap the build applies), excluding the
+    * a CAPPED LSH bucket with it (occupancy ≤ [[Dedup.MaxBucket]]),
+    * plus — r18 — each OVER-cap shared bucket's [[Dedup.MaxBucket]]
+    * lowest vec_ids as id-ordered representatives (see the inline
+    * rationale at the over-cap fetch below), excluding the
     * query's own id; fallback, the smallest vec_id in the routing
     * table. Returns qid → candidate seeds (≤ SrpTables·MaxBucket per
     * query); the caller scores them all and keeps the top-beam as the
@@ -2848,15 +2869,49 @@ object Graph {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val qids = qb.map(_._1).distinct.toSeq
     val keys = qb.map(_._2).distinct.toSeq
-    val capped = bsizes
-      .filter(keyPred(keys) && col("n") <= Dedup.MaxBucket.toLong)
-      .select(keyCol(col("tbl"), col("bkt")).as("key"))
-      .collect().map(_.getLong(0)).toSet
-    val cohab = routing
+    val bszRows = bsizes
+      .filter(keyPred(keys))
+      .select(keyCol(col("tbl"), col("bkt")).as("key"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val capped = bszRows.filter(_._2 <= Dedup.MaxBucket.toLong).map(_._1).toSet
+    val over = bszRows.filter(_._2 > Dedup.MaxBucket.toLong).map(_._1).toSet
+    val cohabCapped = routing
       .filter(keyPred(capped))
       .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
       .collect().map(r => (r.getLong(1), r.getLong(0)))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // Over-cap buckets (r18, the r17 adversarial-ingest finding): a
+    // duplicate-heavy corpus drives whole signature families' buckets
+    // past MaxBucket, and EXCLUDING those buckets — the old rule, the
+    // pair-generation cap applied verbatim to seeding — made every
+    // family an unreachable island: no seeds (here) and no edges (the
+    // build's cap), while the exact baseline's (score DESC, id ASC)
+    // tie-break kept serving the family's lowest ids as truth
+    // (adversarial probe: band recall 0.15-0.625 against a healthy
+    // corpus's ~1.0). Seeding is a CANDIDATE admission, not a pair
+    // product — it is linear in the bucket, so the cap's quadratic-
+    // blowup rationale does not apply; what must stay bounded is the
+    // driver collect. Admit each over-cap bucket's MaxBucket LOWEST
+    // vec_ids as its representatives: deterministic, id-ordered —
+    // exactly the tie-break order the final (sc DESC, vec_id ASC)
+    // selection and the exact baseline use, so at equal score the
+    // walk serves the same ids the baseline names — and bounded by
+    // the same ≤ MaxBucket-per-bucket collect as a full capped
+    // bucket. The truncation runs distributed (one window over the
+    // selected buckets' rows only) and ONLY when an over-cap bucket
+    // is actually selected — zero extra jobs on a healthy corpus.
+    val cohabOver =
+      if (over.isEmpty) Map.empty[Long, Array[Long]]
+      else routing
+        .filter(keyPred(over))
+        .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("vec_id").asc)))
+        .filter(col("rn") <= Dedup.MaxBucket)
+        .select("vec_id", "key")
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cohab = cohabCapped ++ cohabOver
     val seeded: Map[Long, Seq[Long]] = qids.flatMap { q =>
       val peers = qb.collect { case (v, key) if v == q => key }
         .flatMap(k => cohab.getOrElse(k, Array.empty[Long]))
@@ -3848,9 +3903,11 @@ object Graph {
   /** The beam search unrolled: MATERIALIZED per hop (each hop's beam
     * feeds the neighbor expansion, the pool union, and the visited
     * union — inlining would multiply the base scan per hop). The
-    * seeded entry mirrors [[seededEntries]]: min co-bucketed vec_id
-    * in a CAPPED bucket (the `buckets` CTE is the capped routing),
-    * excluding the query, falling back to the global routing min.
+    * seeded entry mirrors [[seededEntries]]: co-bucketed vec_ids via
+    * the `seedbk` CTE — each bucket's MaxBucket lowest ids, which for
+    * a capped bucket is its whole membership and for an over-cap
+    * bucket the r18 id-ordered representatives — excluding the query,
+    * falling back to the global routing min.
     * `hops_n` is recomputed from per-round beam signatures — the
     * first round whose (count, Σsc, Σvec_id) matches its predecessor
     * (signature equality ⟺ beam-set equality, see [[beamSigs]]) —
@@ -3908,8 +3965,15 @@ object Graph {
     val visUnion = (1 to GannHops).map(k => s"SELECT * FROM nb$k").mkString(" UNION ALL ")
     s"""$edgesCte,
        |q AS (SELECT ed AS qv FROM e WHERE vec_id = $GannQueryId),
+       |seedbk AS (
+       |  SELECT vec_id, tbl, bkt FROM (
+       |    SELECT vec_id, tbl, bkt,
+       |           row_number() OVER (PARTITION BY tbl, bkt ORDER BY vec_id ASC) AS rn
+       |    FROM buckets_all
+       |  ) WHERE rn <= ${Dedup.MaxBucket}
+       |),
        |peers AS (
-       |  SELECT DISTINCT r.vec_id FROM buckets r
+       |  SELECT DISTINCT r.vec_id FROM seedbk r
        |  JOIN (SELECT tbl, bkt FROM buckets_all WHERE vec_id = $GannQueryId) qb
        |    ON r.tbl = qb.tbl AND r.bkt = qb.bkt
        |  WHERE r.vec_id <> $GannQueryId
@@ -3997,9 +4061,10 @@ object Graph {
        |),
        |sbuckets AS (
        |  SELECT vec_id, tbl, bkt FROM (
-       |    SELECT vec_id, tbl, bkt, count(*) OVER (PARTITION BY tbl, bkt) AS bsz
+       |    SELECT vec_id, tbl, bkt,
+       |           row_number() OVER (PARTITION BY tbl, bkt ORDER BY vec_id ASC) AS rn
        |    FROM smem
-       |  ) WHERE bsz <= ${Dedup.MaxBucket}
+       |  ) WHERE rn <= ${Dedup.MaxBucket}
        |),
        |scand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -4030,8 +4095,7 @@ object Graph {
     graphAnnBatchSqlWhere(
       s"WHERE vec_id IN (SELECT vec_id FROM embeddings " +
         s"WHERE label = $StratumServeLabel AND vec_id % 10 = 0)",
-      walkCtes = stratumEdgesCte, routingRel = "sbuckets",
-      memberRel = "smem")
+      walkCtes = stratumEdgesCte, memberRel = "smem")
 
   /** g14's oracle: the selector's EXACT band in SQL — the registered
     * predicate's slice is scan-sized at every gate scale, so the auto
@@ -4085,7 +4149,6 @@ object Graph {
   private def graphAnnBatchSqlWhere(finalWhere: String,
       stableK: Option[Int] = None,
       walkCtes: String = edgesCte,
-      routingRel: String = "buckets",
       memberRel: String = "buckets_all"): String = {
     val dot = sqlIntDot("x.ed", "q.qv")
     val hops = (1 to GannHops).map { k =>
@@ -4145,11 +4208,18 @@ object Graph {
     }
     s"""$walkCtes,
        |q AS (SELECT vec_id AS qid, ed AS qv FROM e WHERE vec_id < $GannBatchQ),
+       |seedbk AS (
+       |  SELECT vec_id, tbl, bkt FROM (
+       |    SELECT vec_id, tbl, bkt,
+       |           row_number() OVER (PARTITION BY tbl, bkt ORDER BY vec_id ASC) AS rn
+       |    FROM $memberRel
+       |  ) WHERE rn <= ${Dedup.MaxBucket}
+       |),
        |peers AS (
        |  SELECT DISTINCT qb.qid, r.vec_id
        |  FROM (SELECT vec_id AS qid, tbl, bkt FROM buckets_all
        |        WHERE vec_id < $GannBatchQ) qb
-       |  JOIN $routingRel r ON r.tbl = qb.tbl AND r.bkt = qb.bkt
+       |  JOIN seedbk r ON r.tbl = qb.tbl AND r.bkt = qb.bkt
        |   AND r.vec_id <> qb.qid
        |),
        |sd AS MATERIALIZED (

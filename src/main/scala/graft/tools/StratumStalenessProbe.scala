@@ -64,9 +64,17 @@ object StratumStalenessProbe {
     }
     var exact: Map[Long, Set[Long]] = Map.empty
 
-    def recallOf(artifactDataset: String): (Double, Double, Double) = {
+    // serve with the artifact's LIVE corpus frame, not the base table
+    // (r18 probe fix): the adversarial appends add vectors `full`
+    // never held, and graphAnnBatchOn scores seeds by joining `e` on
+    // vec_id — a stale `e` silently DROPPED every appended seed from
+    // scoring, so the walk was handicapped against a union-corpus
+    // exact baseline and the measured recall floor was the probe's
+    // own artifact, not the engine's
+    def recallOf(artifactDataset: String,
+        corpusE: DataFrame): (Double, Double, Double) = {
       val t0 = System.nanoTime()
-      val got = Graph.graphAnnBatchOn(full,
+      val got = Graph.graphAnnBatchOn(corpusE,
           Graph.stratumEdgesOf(spark, artifactDataset, st),
           Graph.stratumRoutingOf(spark, artifactDataset, st),
           Graph.stratumBucketSizesOf(spark, artifactDataset, st),
@@ -100,8 +108,10 @@ object StratumStalenessProbe {
     val d = java.nio.file.Files.createTempDirectory("sst-trickle").toString
     val baseTable = if (mode == "adversarial") full else full.filter(!isHeld)
     baseTable.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // carries the stratum/label column too: the serve-side `e` frame
+    // must evaluate the band predicate over appended vectors as well
     var corpus: DataFrame = Tables.embeddings(spark, d)
-      .select("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"), col(Graph.StratumCol))
     // union of every appended tranche WITH all columns — the fresh
     // one-shot fixture needs the identical corpus
     var appendedAll: Option[DataFrame] = None
@@ -137,7 +147,8 @@ object StratumStalenessProbe {
       val t0 = System.nanoTime()
       val v = Graph.appendStratumGraph(spark, d, tr, corpus)
       val w = (System.nanoTime() - t0) / 1e9
-      corpus = corpus.unionByName(tr.select("vec_id", "embedding"))
+      corpus = corpus.unionByName(
+        tr.select(col("vec_id"), col("embedding"), col(Graph.StratumCol)))
       appendedAll = Some(appendedAll.fold(tr)(_.unionByName(tr)))
       println(s"""{"probe":"stratum_staleness","mode":"$mode","step":$i,"rows":$n,""" +
         s""""append_s":${math.round(w * 1000) / 1000.0},""" +
@@ -153,9 +164,11 @@ object StratumStalenessProbe {
     }
     freshTable.write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
     exact = exactOf(Tables.embeddings(spark, d2))
-    val (mT, minT, wT) = recallOf(d)
+    val (mT, minT, wT) = recallOf(d, corpus)
     Graph.ensureStratumGraph(spark, d2)
-    val (mF, minF, wF) = recallOf(d2)
+    val (mF, minF, wF) = recallOf(d2,
+      Tables.embeddings(spark, d2)
+        .select(col("vec_id"), col("embedding"), col(Graph.StratumCol)))
     println(s"""{"probe":"stratum_staleness","mode":"$mode","sf":"$sfDir","tranches":$tranches,""" +
       s""""recall_trickled_mean":${math.round(mT * 1000) / 1000.0},""" +
       s""""recall_trickled_min":${math.round(minT * 1000) / 1000.0},""" +
