@@ -461,6 +461,59 @@ class GraphSpec extends SparkSuite {
     Dedup.releaseSlots()
   }
 
+  test("over-cap buckets admit id-ordered representatives: duplicate families keep pairs and seeds") {
+    // r18: 1050 copies of one vector — every bucket the family hashes
+    // into holds ≥1050 members, past Dedup.MaxBucket=1000. Under the
+    // old drop-the-bucket rule the family had NO pairs and NO seeds
+    // (an unreachable island, the r17 adversarial-probe pathology);
+    // under id-ordered representatives its 1000 lowest ids stay
+    // pair-connected and seedable, and capped buckets are untouched.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val famVec = Array.tabulate(64)(i => (if (i % 3 == 0) 1.0f else -0.5f) * (1 + i % 5))
+    // near-zero outsiders: their dot with the family is far below the
+    // family's self-dot, so they can never displace a family dst from
+    // any rep's top-G, whatever buckets they land in
+    val otherVec = Array.tabulate(64)(i => if (i == 0) 0.01f else 0.0f)
+    val rows: Seq[Row] =
+      (100L until 1150L).map(id => Row(id, famVec.toSeq)) ++
+        Seq(Row(1L, otherVec.toSeq), Row(2L, otherVec.map(_ * 0.9f).toSeq))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val e = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8), schema)
+    val edges = Graph.knnGraphEdgesOn(e)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    Dedup.releaseSlots()
+    val famSrcs = edges.filter(_._1 >= 100L).map(_._1).distinct
+    assert(famSrcs.nonEmpty,
+      "family representatives must have out-edges (old rule: pairless island)")
+    // representatives = ids 100..1099; overflow ids 1100..1149 are not
+    // admitted to pair candidacy anywhere, so they never appear
+    assert(edges.forall { case (s, d) => s < 1100L && d < 1100L },
+      "non-representative family members must stay outside pair candidacy")
+    // all family pair weights tie (identical vectors): each rep's
+    // GraphTopG out-edges break ties by dst ASC — the lowest ids, the
+    // same ids the serve-side (sc DESC, vec_id ASC) selection prefers
+    val dstsOfMin = edges.filter(_._1 == 100L).map(_._2).sorted.toSeq
+    assert(dstsOfMin === (101L to (100L + Graph.GraphTopG)).toSeq,
+      s"tie-broken out-edges must be the lowest family ids, got $dstsOfMin")
+    // seeding: a family query's over-cap buckets contribute their
+    // lowest-id representatives, bounded per bucket by MaxBucket
+    val qv = e.filter(col("vec_id") === 100L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val routing = e.select(col("vec_id"),
+      posexplode(graft.functions.SrpKernel.srpBuckets(
+        col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
+    val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
+    val seeds = Graph.seededEntries(qv, routing, bsizes)(100L)
+    assert(seeds.nonEmpty && seeds.forall(v => v != 100L),
+      "over-cap bucket must still seed (old rule: empty → min-id fallback)")
+    assert(seeds.contains(101L) && !seeds.exists(_ >= 1100L),
+      "seeds are the id-ordered representatives, never the overflow tail")
+  }
+
   test("seededKcore ≡ full peel on random graphs with append-shaped random deltas (property)") {
     val rnd = new scala.util.Random(777L)
     var admitted = 0
