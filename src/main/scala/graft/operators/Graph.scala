@@ -789,21 +789,51 @@ object Graph {
         val nv = newVecs.select(col("vec_id"), col("embedding")).persist()
         val newB = bucketRowsOf(nv).persist()
         try {
-          val newCnt = newB.groupBy("tbl", "bkt").agg(count(lit(1)).as("nn"))
-          // cap-crossing staleness witness: any delta bucket whose
-          // TOTAL occupancy exceeds the cap — under the r18
-          // representative semantics a rebuild re-selects that
-          // bucket's MaxBucket lowest ids and re-pairs them, which an
-          // append can neither generate nor retract, so every such
-          // key is (conservatively) stale: the old [2, MaxBucket]
-          // lower bound matched the drop-the-bucket era, where an
-          // over-cap bucket held no pairs under EITHER lineage. One
-          // bounded driver scalar (an aggregate over the
-          // bsizes-joined delta keys).
-          val crossedNow = newCnt
-            .join(s.read.parquet(s"$target/bsizes"), Seq("tbl", "bkt"), "left")
-            .filter(col("nn") + coalesce(col("n"), lit(0L)) > Dedup.MaxBucket)
-            .count()
+          val newCnt = newB.groupBy("tbl", "bkt")
+            .agg(count(lit(1)).as("nn"), min("vec_id").as("mn"))
+          // cap-crossing staleness witness under the r18 representative
+          // semantics (a rebuild re-selects and re-pairs each over-cap
+          // bucket's MaxBucket lowest ids, which an append can neither
+          // generate nor retract). Two stale shapes:
+          //  1. the delta pushes a bucket ACROSS the cap — its reps
+          //     change from "everyone" to "the lowest MaxBucket", and
+          //     the append generated none of the new pairs;
+          //  2. an ALREADY-over-cap bucket receives an id BELOW its
+          //     rep boundary (the cap-th smallest stored id) — the new
+          //     id would displace a representative in a rebuild. New
+          //     ids at or above the boundary change nothing (the
+          //     monotone-id ingest case) and are NOT counted — without
+          //     the boundary check every over-cap append re-healed
+          //     spuriously (probe: 4 s appends became ~80 s).
+          // Shape 1 and the shape-2 trigger come from ONE aggregate
+          // over the bsizes-joined delta keys (the single job a
+          // healthy corpus pays, as before); the boundary job — a
+          // window over the affected buckets' stored rows only — runs
+          // only when an over-cap delta key exists.
+          val oldBsz = s.read.parquet(s"$target/bsizes")
+          val keyed = newCnt.join(oldBsz, Seq("tbl", "bkt"), "left")
+            .select(col("tbl"), col("bkt"), col("nn"), col("mn"),
+              coalesce(col("n"), lit(0L)).as("old_n"))
+          val shapes = keyed.agg(
+            sum(when(col("old_n") <= Dedup.MaxBucket &&
+              col("nn") + col("old_n") > Dedup.MaxBucket, 1L)
+              .otherwise(0L)).as("newly"),
+            sum(when(col("old_n") > Dedup.MaxBucket, 1L).otherwise(0L))
+              .as("over")).head()
+          val crossedNow = (if (shapes.isNullAt(0)) 0L else shapes.getLong(0)) + (
+            if (shapes.isNullAt(1) || shapes.getLong(1) == 0L) 0L
+            else {
+              val overKeys = keyed.filter(col("old_n") > Dedup.MaxBucket)
+                .select("tbl", "bkt", "mn")
+              val bound = s.read.parquet(s"$target/buckets")
+                .join(overKeys.select("tbl", "bkt"), Seq("tbl", "bkt"))
+                .withColumn("rn", row_number().over(
+                  Window.partitionBy("tbl", "bkt").orderBy(col("vec_id").asc)))
+                .filter(col("rn") === Dedup.MaxBucket)
+                .select(col("tbl"), col("bkt"), col("vec_id").as("bnd"))
+              overKeys.join(bound, Seq("tbl", "bkt"))
+                .filter(col("mn") < col("bnd")).count()
+            })
           writeMetaLong(target, ".gen", prevGen + 1)
           writeMetaLong(target, ".crossed", prevCrossed + crossedNow)
           // append = same lineage: carry the build identity forward
@@ -2563,16 +2593,40 @@ object Graph {
             col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt"))).persist()
         try {
           val newCnt = newB.groupBy(key.map(col): _*)
-            .agg(count(lit(1)).as("nn"))
+            .agg(count(lit(1)).as("nn"), min("vec_id").as("mn"))
           // cap-crossing staleness witness, per (stratum, tbl, bkt) —
-          // the main append's r18 rule with the stratum in the key:
-          // any delta bucket whose total exceeds the cap is stale
-          // under representative semantics (a rebuild re-selects and
-          // re-pairs the lowest MaxBucket ids)
-          val crossedNow = newCnt
+          // the main append's r18 two-shape rule with the stratum in
+          // the key: (1) the delta pushes a bucket across the cap;
+          // (2) an already-over-cap bucket receives an id below its
+          // rep boundary (cap-th smallest stored id) — monotone-id
+          // over-cap appends count nothing and trigger no spurious
+          // heal. See the main append for the full rationale.
+          val keyed = newCnt
             .join(s.read.parquet(s"$target/bsizes"), key, "left")
-            .filter(col("nn") + coalesce(col("n"), lit(0L)) > Dedup.MaxBucket)
-            .count()
+            .select(col("stratum"), col("tbl"), col("bkt"), col("nn"),
+              col("mn"), coalesce(col("n"), lit(0L)).as("old_n"))
+          val shapes = keyed.agg(
+            sum(when(col("old_n") <= Dedup.MaxBucket &&
+              col("nn") + col("old_n") > Dedup.MaxBucket, 1L)
+              .otherwise(0L)).as("newly"),
+            sum(when(col("old_n") > Dedup.MaxBucket, 1L).otherwise(0L))
+              .as("over")).head()
+          val crossedNow = (if (shapes.isNullAt(0)) 0L else shapes.getLong(0)) + (
+            if (shapes.isNullAt(1) || shapes.getLong(1) == 0L) 0L
+            else {
+              val overKeys = keyed.filter(col("old_n") > Dedup.MaxBucket)
+                .select(col("stratum"), col("tbl"), col("bkt"), col("mn"))
+              val bound = s.read.parquet(s"$target/buckets")
+                .join(overKeys.select(key.map(col): _*), key)
+                .withColumn("rn", row_number().over(
+                  Window.partitionBy(key.map(col): _*)
+                    .orderBy(col("vec_id").asc)))
+                .filter(col("rn") === Dedup.MaxBucket)
+                .select(col("stratum"), col("tbl"), col("bkt"),
+                  col("vec_id").as("bnd"))
+              overKeys.join(bound, key)
+                .filter(col("mn") < col("bnd")).count()
+            })
           writeMetaLong(target, ".gen", prevGen + 1)
           writeMetaLong(target, ".crossed", prevCrossed + crossedNow)
           java.nio.file.Files.writeString(
