@@ -1315,19 +1315,40 @@ object Indexed {
       ("v14_ivfpq", () => row("v14_ivfpq", pc2, topNCap, v14IvfPq(s, d), exact)),
       ("v16_filtered", () => row("v16_filtered", pc4f, topNCap, v16FilteredIvf(s, d), exactF)),
       ("v18_ivfadc", () => row("v18_ivfadc", pr2, topNCap, v18IvfAdcResidual(s, d), exact)),
-    ).map { case (name, mk) =>
-      if (!timed) mk()
-      else leg(name) {
+    )
+    val legFrames: Seq[DataFrame] =
+      if (!timed) legs.map(_._2())
+      else {
         // each leg frame is exactly ONE row: materialize it inside its
-        // timed block and hand the union a literal — total work is
-        // unchanged (the union ran each leg once anyway), the legs
-        // just execute serialized so their walls are attributable
-        val df = mk()
-        s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+        // own timed span and hand the union a literal. Spans run on
+        // CONCURRENT threads (Spark schedules jobs from separate
+        // threads in parallel), so the measured total keeps the
+        // overlap the plain union plan gets from parallel stage
+        // scheduling — a sequential first cut measured v19 +0.7-1.4 s
+        // of pure lost overlap — while a stalling leg still shows its
+        // own inflated span for attribution.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+        try {
+          val futs = legs.map { case (name, mk) =>
+            name -> pool.submit(
+              new java.util.concurrent.Callable[(DataFrame, Double)] {
+                def call(): (DataFrame, Double) = {
+                  val t0 = System.nanoTime()
+                  val df = mk()
+                  val rows = df.collect()
+                  val w = (System.nanoTime() - t0) / 1e9
+                  (s.createDataFrame(
+                    java.util.Arrays.asList(rows: _*), df.schema), w)
+                }
+              })
+          }
+          futs.map { case (name, f) =>
+            val (df, w) = f.get(); walls(name) = w; df
+          }
+        } finally { pool.shutdown(); () }
       }
-    }
     if (timed) lastV19Timings = walls.toMap
-    legs.reduce(_ union _).orderBy("variant")
+    legFrames.reduce(_ union _).orderBy("variant")
   }
 
   /** V20: index-coverage audit — the staleness check continuous ingest
