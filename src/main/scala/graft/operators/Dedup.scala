@@ -139,6 +139,39 @@ object Dedup {
     */
   @transient private val cacheSlots =
     scala.collection.mutable.Map.empty[String, DataFrame]
+  /** Bucket-cap admission by id-ordered representatives (r18),
+    * two-regime so the healthy path never sorts:
+    *
+    *  - bucket sizes come from a partial-aggregating `groupBy` whose
+    *    output is bounded by the BUCKET KEY DOMAIN (SrpTables ×
+    *    2^SrpBits ≤ 3072 rows; × strata for the stratified build) —
+    *    broadcast back onto the rows, so an at-or-under-cap bucket's
+    *    rows pass with NO shuffle of the bucket table at all (the
+    *    pre-r18 count-window shuffled every row on the bucket key);
+    *  - only OVER-cap buckets' rows pay the ordered rank window that
+    *    keeps their [[MaxBucket]] lowest vec_ids — an empty stream on
+    *    every healthy corpus (no gate/bench-scale bucket exceeds the
+    *    cap), the duplicate-family representatives otherwise.
+    *
+    * Semantically identical to `rank-by-vec_id ≤ MaxBucket` over all
+    * rows (an under-cap bucket's every rank is within the cap), which
+    * is the form the DuckDB oracles state.
+    */
+  private[operators] def capByLowestIds(all: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val sizes = all.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
+    val withSz = all.join(broadcast(sizes), keys)
+    val under = withSz.filter(col("bsz") <= MaxBucket).drop("bsz")
+    val over = withSz.filter(col("bsz") > MaxBucket)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(kc: _*).orderBy(col("vec_id").asc)))
+      .filter(col("rn") <= MaxBucket)
+      .drop("rn", "bsz")
+    under.unionByName(over)
+  }
+
   private[graft] def cacheSlot(slot: String, df: DataFrame): DataFrame = synchronized {
     cacheSlots.remove(slot).foreach(_.unpersist())
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -455,13 +488,11 @@ object Dedup {
     // stay pair-connected through their lowest ids — see
     // Graph.scoredPairsOn's rationale (this slot and that one must
     // stay rule-identical: both mirror srpCandCte's `buckets`)
-    val buckets = cacheSlot("srp-buckets", e.select(col("vec_id"),
-        posexplode(graft.functions.SrpKernel.srpBuckets(
-          col("embedding"), SrpProj)).as(Seq("tbl", "bkt")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("tbl", "bkt").orderBy(col("vec_id").asc)))
-      .filter(col("rn") <= MaxBucket)
-      .drop("rn"))
+    val bucketsAll = cacheSlot("srp-buckets-all", e.select(col("vec_id"),
+      posexplode(graft.functions.SrpKernel.srpBuckets(
+        col("embedding"), SrpProj)).as(Seq("tbl", "bkt"))))
+    val buckets = cacheSlot("srp-buckets",
+      capByLowestIds(bucketsAll, Seq("tbl", "bkt")))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -105,15 +105,15 @@ object Graph {
     // buckets bit-identical (rn ≤ cap ⟺ bsz ≤ cap admits everyone),
     // and pick the SAME ids the serve-side tie-break prefers — so at
     // equal score the stored graph connects exactly the ids the
-    // baseline serves. Window shape unchanged (one shuffle on
-    // (tbl, bkt), rank instead of count).
-    val buckets = Dedup.cacheSlot("graph-srp-buckets", ids.select(col("vec_id"),
+    // baseline serves. Two-regime plan (Dedup.capByLowestIds): the
+    // healthy path broadcasts the ≤3072-row size table — no per-row
+    // shuffle at all — and only over-cap rows pay the ordered window.
+    val bucketsAll = Dedup.cacheSlot("graph-srp-buckets-all",
+      ids.select(col("vec_id"),
         posexplode(graft.functions.SrpKernel.srpBuckets(
-          col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("tbl", "bkt").orderBy(col("vec_id").asc)))
-      .filter(col("rn") <= Dedup.MaxBucket)
-      .drop("rn"))
+          col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt"))))
+    val buckets = Dedup.cacheSlot("graph-srp-buckets",
+      Dedup.capByLowestIds(bucketsAll, Seq("tbl", "bkt")))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -2482,11 +2482,11 @@ object Graph {
       // with stratum equality as an extra join key; caps evaluated on
       // per-stratum occupancy (the slice's own graph, exactly) — and,
       // r18, over-cap buckets admit their MaxBucket lowest vec_ids as
-      // id-ordered representatives (see scoredPairsOn's rationale)
-      val capped = routing
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("stratum", "tbl", "bkt").orderBy(col("vec_id").asc)))
-        .filter(col("rn") <= Dedup.MaxBucket).drop("rn")
+      // id-ordered representatives (see scoredPairsOn's rationale;
+      // two-regime plan, the healthy path never sorts)
+      val capped = Dedup.capByLowestIds(routing
+          .select(col("vec_id"), col("stratum"), col("tbl"), col("bkt")),
+        Seq("stratum", "tbl", "bkt"))
       val cand = capped.as("a").join(capped.as("b"),
           col("a.stratum") === col("b.stratum") &&
             col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
