@@ -95,4 +95,5 @@ class DedupPropertySpec extends SparkSuite {
         s"seed $s: prefix-subset doc must be contained at 1.0, got ${out.toSeq}")
     }
   }
+
 }
