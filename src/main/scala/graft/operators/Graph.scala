@@ -761,19 +761,24 @@ object Graph {
     * ingest path.
     *
     * Exactness contract: append ≡ one-shot rebuild (proven in
-    * GraphIndexSpec) whenever no bucket's occupancy CROSSES the cap as
-    * the delta lands. A crossing bucket's old×old pairs would be
-    * dropped by a rebuild but persist in the stored tables until the
-    * next full rebuild — the standard LSH-index staleness, bounded by
-    * the cap itself. That staleness is now OBSERVABLE and SELF-HEALING:
-    * every append counts the buckets that crossed (old occupancy in
-    * [2, MaxBucket] — i.e. the build generated their old×old pairs —
-    * and old+new past the cap), accumulates the count in the version
-    * meta ([[graphCrossedBuckets]]), and when the cumulative crossings
-    * exceed `rebuildCrossedFrac` of the populated buckets the append
-    * triggers a full rebuild into a fresh version (generation bumped,
-    * counter reset) — restoring exactness without an operator in the
-    * loop. Each append also bumps the content generation
+    * GraphIndexSpec) whenever no bucket's REPRESENTATIVE SET changes as
+    * the delta lands (the r18 rule: a rebuild re-selects each over-cap
+    * bucket's [[Dedup.MaxBucket]] lowest ids and re-pairs them, which
+    * an append can neither generate nor retract). That staleness is
+    * OBSERVABLE and SELF-HEALING: every append counts the buckets whose
+    * representatives a rebuild would pick differently — two shapes,
+    * matching the code below: (1) the delta pushes a bucket ACROSS the
+    * cap (old occupancy ≤ MaxBucket, old+new past it — including old
+    * occupancy 0 or 1, whose members become capped-out non-candidates
+    * only under a rebuild); (2) an ALREADY-over-cap bucket receives an
+    * id BELOW its representative boundary (the cap-th smallest stored
+    * id), which would displace a representative in a rebuild; arrivals
+    * at or above the boundary change nothing and are not counted. The
+    * count accumulates in the version meta ([[graphCrossedBuckets]]),
+    * and when the cumulative crossings exceed `rebuildCrossedFrac` of
+    * the populated buckets the append triggers a full rebuild into a
+    * fresh version (generation bumped, counter reset) — restoring
+    * exactness without an operator in the loop. Each append also bumps the content generation
     * ([[graphGen]]) that the stats artifact keys its freshness on.
     */
   def appendKnnGraph(s: SparkSession, d: String, newVecs: DataFrame,

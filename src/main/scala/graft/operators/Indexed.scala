@@ -1238,26 +1238,42 @@ object Indexed {
     * 100 TB this is the recurring index-quality job that decides
     * nprobe/topn retuning after drift or re-clustering.
     */
-  /** Per-leg wall split of the most recent [[v19RecallGrid]] call in
+  /** Per-leg timing split of the most recent [[v19RecallGrid]] call in
     * this JVM (seconds), populated only when the session conf
-    * `graft.v19.timings` is true: the six serve-leg keys plus
-    * "baseline" (the exact top-K scans + probe selection). v19 has
-    * been the sweep's biggest wall AND its noisiest row since r14
+    * `graft.v19.timings` is true: for each of the six serve legs plus
+    * "baseline" (the exact top-K scans + probe selection), the leg's
+    * driver-side WALL span under its key, plus `<leg>_job` (summed
+    * Spark job wall inside the leg's job group) and `<leg>_task`
+    * (summed executor task run time — on-core work, no queueing). v19
+    * has been the sweep's biggest wall AND its noisiest row since r14
     * (2.5–4.4 s band, r17 VERDICT #3) — without a sub-split every
     * cross-round move was unattributable to a leg. Bench enables the
-    * conf and emits this map per run, the refresh-TIMINGS discipline
-    * applied to the audit query.
+    * conf and emits this map per run.
+    *
+    * CAVEAT (r18 ADVICE): the timed legs run on concurrent threads
+    * sharing one executor pool, so each wall includes scheduler
+    * contention from the other five and the walls are NON-ADDITIVE.
+    * That is what the `_task` split resolves: a leg whose wall moves
+    * across rounds while its `_task` stays flat was co-scheduling /
+    * environment, not code.
     */
   @volatile private[graft] var lastV19Timings: Map[String, Double] = Map.empty
 
   val v19RecallGrid: Relational.Q = (s, d) => {
     val timed = s.conf.get("graft.v19.timings", "false").toBoolean
     val walls = collection.mutable.LinkedHashMap.empty[String, Double]
+    val metrics = if (timed)
+      Some(new graft.core.JobGroupMetrics(s.sparkContext, "v19:")) else None
     def leg[T](name: String)(f: => T): T =
       if (!timed) f
       else {
-        val t0 = System.nanoTime(); val r = f
-        walls(name) = (System.nanoTime() - t0) / 1e9; r
+        s.sparkContext.setJobGroup("v19:" + name, "v19 leg " + name)
+        val t0 = System.nanoTime()
+        try f
+        finally {
+          walls(name) = (System.nanoTime() - t0) / 1e9
+          s.sparkContext.clearJobGroup()
+        }
       }
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
     // the exact baselines collect as K-row id sets (bounded by K=10,
@@ -1333,21 +1349,38 @@ object Indexed {
             name -> pool.submit(
               new java.util.concurrent.Callable[(DataFrame, Double)] {
                 def call(): (DataFrame, Double) = {
-                  val t0 = System.nanoTime()
-                  val df = mk()
-                  val rows = df.collect()
-                  val w = (System.nanoTime() - t0) / 1e9
-                  (s.createDataFrame(
-                    java.util.Arrays.asList(rows: _*), df.schema), w)
+                  s.sparkContext.setJobGroup("v19:" + name, "v19 leg " + name)
+                  try {
+                    val t0 = System.nanoTime()
+                    val df = mk()
+                    val rows = df.collect()
+                    val w = (System.nanoTime() - t0) / 1e9
+                    (s.createDataFrame(
+                      java.util.Arrays.asList(rows: _*), df.schema), w)
+                  } finally s.sparkContext.clearJobGroup()
                 }
               })
           }
           futs.map { case (name, f) =>
-            val (df, w) = f.get(); walls(name) = w; df
+            // unwrap: the leg's real failure, not the pool's envelope
+            val (df, w) = try f.get() catch {
+              case ee: java.util.concurrent.ExecutionException =>
+                throw Option(ee.getCause).getOrElse(ee)
+            }
+            walls(name) = w; df
           }
         } finally { pool.shutdown(); () }
       }
-    if (timed) lastV19Timings = walls.toMap
+    if (timed) {
+      metrics.foreach { m =>
+        for ((g, (job, task)) <- m.finishAndDetach()) {
+          val nm = g.stripPrefix("v19:")
+          walls(nm + "_job") = job
+          walls(nm + "_task") = task
+        }
+      }
+      lastV19Timings = walls.toMap
+    }
     legFrames.reduce(_ union _).orderBy("variant")
   }
 

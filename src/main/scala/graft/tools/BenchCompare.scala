@@ -37,14 +37,22 @@ object BenchCompare {
     */
   val MatchRatio = 1.15
 
+  /** Per-line parse; a malformed or field-less line yields None (skip)
+    * rather than aborting the whole history — a mixed-vintage history
+    * file is the normal case, not an error. No non-local `return` in
+    * the lambda (the r18 form's `return Seq.empty` threw
+    * NonLocalReturnControl, which the catch-all silently absorbed into
+    * a per-line skip — same behavior, by accident), and the catch is
+    * NonFatal so a genuine VM error still propagates.
+    */
   def parseRuns(historyPath: java.nio.file.Path): Seq[Run] =
     if (!java.nio.file.Files.isRegularFile(historyPath)) Seq.empty
     else scala.jdk.CollectionConverters.ListHasAsScala(
       java.nio.file.Files.readAllLines(historyPath)).asScala.toSeq.flatMap { line =>
       try {
         val j = JsonMethods.parse(line)
-        val JDouble(v) = j \ "value"
-        val code = j \ "code" match { case JString(c) => c; case _ => return Seq.empty }
+        val v = j \ "value" match { case JDouble(x) => x; case _ => -1.0 }
+        val code = j \ "code" match { case JString(c) => c; case _ => "" }
         val sf = j \ "sf" match { case JString(x) => x; case _ => "" }
         val env = j \ "env_suspect" match { case JBool(b) => b; case _ => true }
         val floor = j \ "sat_floor" match { case JDouble(x) => x; case _ => -1.0 }
@@ -52,8 +60,9 @@ object BenchCompare {
           case JObject(fs) => fs.collect { case (k, JDouble(x)) => k -> x }.toMap
           case _ => Map.empty[String, Double]
         }
-        if (qs.nonEmpty) Some(Run(code, sf, v, env, floor, qs)) else None
-      } catch { case _: Throwable => None }
+        if (qs.nonEmpty && code.nonEmpty && v >= 0) Some(Run(code, sf, v, env, floor, qs))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** The two most recent DISTINCT fingerprints, newest first. */
