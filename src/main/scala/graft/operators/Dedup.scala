@@ -36,13 +36,17 @@ object Dedup {
   val JaccardThreshold = 0.5
   val CosineThreshold = 0.4
 
-  /** LSH band-bucket size cap: a bucket with more members than this is
-    * dropped before the self-join. On an adversarial duplicate-heavy
-    * corpus one degenerate bucket otherwise costs |bucket|^2 pairs (the
-    * classic LSH blowup); docs sharing a band with >cap near-identical
-    * twins still collide in their other bands with overwhelming
-    * probability, so recall loss is negligible. Integer-exact (a count
-    * compare), mirrored in the oracle SQL.
+  /** LSH band-bucket size cap: a bucket with more members than this
+    * admits only its [[MaxBucket]] LOWEST ids ("representatives") to
+    * the self-join — see [[capByLowestIds]]. On an adversarial
+    * duplicate-heavy corpus one degenerate bucket otherwise costs
+    * |bucket|² pairs (the classic LSH blowup); the cap bounds that at
+    * MaxBucket² while keeping the family pair-connected through its
+    * lowest ids (r18 on the vector side, r19 on text — the pre-r19
+    * text rule dropped over-cap buckets WHOLE, which erased >cap
+    * boilerplate families from production dedup entirely).
+    * Integer-exact (a count compare + id rank), mirrored in the
+    * oracle SQL's rn-form.
     */
   val MaxBucket = 1000
 
@@ -139,36 +143,52 @@ object Dedup {
     */
   @transient private val cacheSlots =
     scala.collection.mutable.Map.empty[String, DataFrame]
-  /** Bucket-cap admission by id-ordered representatives (r18),
-    * two-regime so the healthy path never sorts:
+  /** Bucket-cap admission by id-ordered representatives (r18; extended
+    * to the text-LSH generators in r19), two-regime so the healthy
+    * path never sorts:
     *
-    *  - bucket sizes come from a partial-aggregating `groupBy` whose
-    *    output is bounded by the BUCKET KEY DOMAIN (SrpTables ×
-    *    2^SrpBits ≤ 3072 rows; × strata for the stratified build) —
-    *    broadcast back onto the rows, so an at-or-under-cap bucket's
-    *    rows pass with NO shuffle of the bucket table at all (the
-    *    pre-r18 count-window shuffled every row on the bucket key);
+    *  - bucket sizes come from a partial-aggregating `groupBy`;
+    *    only the OVER-cap keys — bounded by |rows| / [[MaxBucket]]
+    *    regardless of the key domain, and in practice the rare
+    *    boilerplate/duplicate families — are broadcast back onto the
+    *    rows, so an at-or-under-cap bucket's rows pass with NO shuffle
+    *    of the bucket table at all (the pre-r18 count-window shuffled
+    *    every row on the bucket key). The SRP callers' key domain is
+    *    itself driver-bounded (SrpTables × 2^SrpBits ≤ 3072), but the
+    *    text band-hash domain is NOT — broadcasting only the over-cap
+    *    keys is what keeps this shape safe there: a corpus would need
+    *    >MaxBucket-fold duplication of most of its mass before the
+    *    over-key set grew material, at which point dedup has bigger
+    *    answers (raise the cap / pre-partition) than this plan;
     *  - only OVER-cap buckets' rows pay the ordered rank window that
-    *    keeps their [[MaxBucket]] lowest vec_ids — an empty stream on
+    *    keeps their [[MaxBucket]] lowest ids — an empty stream on
     *    every healthy corpus (no gate/bench-scale bucket exceeds the
     *    cap), the duplicate-family representatives otherwise.
     *
-    * Semantically identical to `rank-by-vec_id ≤ MaxBucket` over all
-    * rows (an under-cap bucket's every rank is within the cap), which
-    * is the form the DuckDB oracles state.
+    * Semantically identical to `rank-by-id ≤ MaxBucket` over all rows
+    * (an under-cap bucket's every rank is within the cap), which is
+    * the form the DuckDB oracles state. Ids beyond a bucket's cap-th
+    * smallest stay outside pair candidacy BY CONTRACT (the bounded
+    * |bucket|² cost): a >cap duplicate family keeps its lowest
+    * MaxBucket members pair-connected — its canonical min-id lives
+    * there — while the tail is invisible to that bucket (and, for an
+    * exact-copy family, to every bucket; the r18 probe quantified the
+    * honest residual).
     */
-  private[operators] def capByLowestIds(all: DataFrame,
-      keys: Seq[String]): DataFrame = {
+  private[graft] def capByLowestIds(all: DataFrame,
+      keys: Seq[String], idCol: String = "vec_id"): DataFrame = {
     val kc = keys.map(col)
-    val sizes = all.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
-    val withSz = all.join(broadcast(sizes), keys)
-    val under = withSz.filter(col("bsz") <= MaxBucket).drop("bsz")
-    val over = withSz.filter(col("bsz") > MaxBucket)
+    val overKeys = all.groupBy(kc: _*).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxBucket)
+      .select((kc :+ lit(true).as("__over")): _*)
+    val flagged = all.join(broadcast(overKeys), keys, "left")
+    val under = flagged.filter(col("__over").isNull).drop("__over")
+    val over = flagged.filter(col("__over") === true)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(kc: _*).orderBy(col("vec_id").asc)))
+          .partitionBy(kc: _*).orderBy(col(idCol).asc)))
       .filter(col("rn") <= MaxBucket)
-      .drop("rn", "bsz")
+      .drop("rn", "__over")
     under.unionByName(over)
   }
 
@@ -218,11 +238,14 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.TextHashKernels.minhashBands(
           col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
-    val buckets = bucketsAll
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= MaxBucket)
-      .drop("bsz")
+    // r19: id-ordered representative admission (the r18 vector/SRP rule
+    // extended to text) — an over-cap band bucket keeps its MaxBucket
+    // lowest doc_ids in pair candidacy instead of being dropped whole,
+    // so a >cap boilerplate family stays pair-connected through its
+    // lowest ids (the old rule made it an edgeless island, invisible
+    // to production dedup in exactly the duplicate-heavy regime dedup
+    // exists for). Oracle `buckets` CTE states the identical rn-form.
+    val buckets = capByLowestIds(bucketsAll, Seq("band", "bh"), "doc_id")
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -285,9 +308,11 @@ object Dedup {
   /** Band explosion for d6: one (band, bh) row per signature band.
     * Shared with DedupEdgeSpec, which asserts the OBSERVED max
     * band-bucket size against [[MaxBucket]] — the pigeonhole exactness
-    * contract below silently degrades for pairs whose every shared
-    * band bucket is capped, so the precondition is verified on the
-    * tested corpora, not assumed.
+    * contract holds in full only while every band bucket is within the
+    * cap (verified on the tested corpora, not assumed); past it the
+    * result narrows to pairs among each over-cap bucket's id-ordered
+    * representatives ([[capByLowestIds]], spec-pinned on a 1050-copy
+    * family).
     */
   private[graft] def d6Bands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("simhash"),
@@ -296,21 +321,23 @@ object Dedup {
         .as(Seq("band", "bh")))
 
   val d6SimhashPairs: Relational.Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     // persist: bands self-join would otherwise run the whole md5
     // simhash pipeline once per side (measured: 4 scans, 0 reused
     // exchanges)
     val sigs = cacheSlot("simhash-sigs", d3SimhashOn(documents(s, d)))
-    val bands = d6Bands(sigs)
-      // d2-style degenerate-bucket cap: on a duplicate-heavy corpus a
-      // single signature family makes one bucket (and the true pair set)
-      // O(copies²) — ScaleProbe x20 measured 192s uncapped. Capped
-      // buckets bound the join; the pigeonhole exactness then holds for
-      // every pair whose shared band bucket is within the cap (all of
-      // them at the tested sf corpora — max bucket ~140 at sf0.01).
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= MaxBucket)
-      .drop("bsz")
+    // d2-style degenerate-bucket cap: on a duplicate-heavy corpus a
+    // single signature family makes one bucket (and the true pair set)
+    // O(copies²) — ScaleProbe x20 measured 192s uncapped. r19: the cap
+    // admits each over-cap bucket's MaxBucket lowest doc_ids as
+    // representatives (capByLowestIds) instead of dropping the bucket
+    // whole, so the join stays bounded AND a >cap signature family
+    // keeps its lowest ids pair-connected. The pigeonhole ham≤3
+    // exactness holds for every pair whose shared band bucket is
+    // within the cap (all of them at the tested sf corpora — max
+    // bucket ~140 at sf0.01); past it, exactness degrades to the
+    // representative subset — observable, spec-pinned, and strictly
+    // more complete than the old drop-whole rule.
+    val bands = capByLowestIds(d6Bands(sigs), Seq("band", "bh"), "doc_id")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -674,14 +701,16 @@ object Dedup {
     * Jaccard ≥ [[JaccardThreshold]] on the exact shingle sets.
     *
     * Scale shape: the batch side computes signatures for ITS OWN docs
-    * only (one fused-kernel pass); the stored side is read back, df-
-    * capped at [[MaxBucket]] per (band, bh) — the posting-list
-    * boilerplate cap, computed over the stable stored corpus — and
+    * only (one fused-kernel pass); the stored side is read back with
+    * over-cap buckets reduced to their [[MaxBucket]] lowest-id
+    * representatives ([[capByLowestIds]], computed over the stable
+    * stored corpus — r19; the pre-r19 drop-whole rule made a >cap
+    * boilerplate family in the holdings invisible to every batch) and
     * joined on the band-hash key, so candidates are bounded by
     * |batch|·Bands·MaxBucket (linear in the batch, independent of
     * corpus size). Only candidate corpus docs are hydrated for the
     * verify join. The batch side needs no cap: each of its band rows
-    * meets a ≤MaxBucket stored bucket by construction.
+    * meets ≤MaxBucket stored representatives by construction.
     */
   /** Near-dup matches of an arbitrary (doc_id, text) batch against the
     * LIVE stored signature index of dataset `d` (built over the corpus
@@ -695,10 +724,14 @@ object Dedup {
   def probeSigIndex(s: SparkSession, d: String, batchDocs: DataFrame,
       corpusText: DataFrame): DataFrame = {
     val idx = ensureSigIndex(s, d)
-    val corpb = s.read.parquet(s"$idx/bands")
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= MaxBucket)
+    // r19: over-cap stored buckets contribute their MaxBucket lowest
+    // doc_ids as representatives (was: dropped whole — a >cap
+    // boilerplate family in the HOLDINGS was invisible to every
+    // incoming batch). Candidate bound unchanged:
+    // |batch|·Bands·MaxBucket.
+    val corpb = capByLowestIds(
+        s.read.parquet(s"$idx/bands").select("doc_id", "band", "bh"),
+        Seq("band", "bh"), "doc_id")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
     val bsh = cacheSlot("sig-batch-shingles", batchDocs
       .select(col("doc_id"), shingles(col("text")).as("gs"))
@@ -744,12 +777,16 @@ object Dedup {
   private[graft] def intraBatchMatches(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("gs"))
       .filter(size(col("gs")) > 0)
-    val bands = sh.select(col("doc_id"),
-      posexplode(graft.functions.TextHashKernels.minhashBands(
-        col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= MaxBucket)
+    // r19 representative admission, as in d2/d6/probeSigIndex: a burst
+    // of >cap same-text arrivals in ONE batch keeps its lowest ids
+    // pair-connected (ids beyond the cap-th smallest stay outside
+    // candidacy — the bounded-cost contract; they surface on their
+    // next encounter once the family's early ids are quarantined)
+    val bands = capByLowestIds(
+      sh.select(col("doc_id"),
+        posexplode(graft.functions.TextHashKernels.minhashBands(
+          col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh"))),
+      Seq("band", "bh"), "doc_id")
       .select("doc_id", "band", "bh")
     val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bh")),
@@ -885,9 +922,10 @@ object Dedup {
        |),
        |buckets AS (
        |  SELECT doc_id, band, bh FROM (
-       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS bsz
+       |    SELECT doc_id, band, bh,
+       |           row_number() OVER (PARTITION BY band, bh ORDER BY doc_id ASC) AS rn
        |    FROM buckets_all
-       |  ) WHERE bsz <= $MaxBucket
+       |  ) WHERE rn <= $MaxBucket
        |),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -915,8 +953,9 @@ object Dedup {
          |WHERE jac >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin,
     // d16: the d2 band formulation recomputed from raw text (the
     // stored index is the thing under test — the oracle never reads
-    // it), restricted to batch(b=9) × corpus(b<8) pairs with the df
-    // cap on the CORPUS side only (see the Scala scaladoc)
+    // it), restricted to batch(b=9) × corpus(b<8) pairs with the
+    // representative cap (rn-form) on the CORPUS side only (see the
+    // Scala scaladoc)
     "q_d16_incremental_neardup" ->
       s"""$d2VerifiedCte,
          |sideof AS (
@@ -926,9 +965,9 @@ object Dedup {
          |corpb AS (
          |  SELECT doc_id, band, bh FROM (
          |    SELECT ba.doc_id, ba.band, ba.bh,
-         |           count(*) OVER (PARTITION BY ba.band, ba.bh) AS bsz
+         |           row_number() OVER (PARTITION BY ba.band, ba.bh ORDER BY ba.doc_id ASC) AS rn
          |    FROM buckets_all ba JOIN sideof so USING (doc_id) WHERE so.sb < 8
-         |  ) z WHERE bsz <= $MaxBucket
+         |  ) z WHERE rn <= $MaxBucket
          |),
          |batchb AS (
          |  SELECT ba.doc_id, ba.band, ba.bh
@@ -961,9 +1000,9 @@ object Dedup {
          |bands AS (
          |  SELECT doc_id, simhash, band, bh FROM (
          |    SELECT doc_id, simhash, band, bh,
-         |           count(*) OVER (PARTITION BY band, bh) AS bsz
+         |           row_number() OVER (PARTITION BY band, bh ORDER BY doc_id ASC) AS rn
          |    FROM bands_all
-         |  ) WHERE bsz <= $MaxBucket
+         |  ) WHERE rn <= $MaxBucket
          |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,

@@ -84,15 +84,16 @@ object ScaleProbe {
       }
       // 5. simhash prefix-band pairs (r3 shape: band join, no payload block)
       val tSimPairs = timeIf("simpairs") {
-        import org.apache.spark.sql.expressions.Window
         val sigs = graft.operators.Dedup.d3SimhashOn(docs)
-        val bands = sigs.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until graft.operators.Dedup.SimBands).map(b =>
-            shiftright(col("simhash"), b * graft.operators.Dedup.SimBandBits)
-              .bitwiseAND(lit(255L))): _*)).as(Seq("band", "bh")))
-          .withColumn("bsz", count(lit(1)).over(Window.partitionBy("band", "bh")))
-          .filter(col("bsz") <= graft.operators.Dedup.MaxBucket)
-          .drop("bsz")
+        // r19: the probe caps exactly as production does (id-ordered
+        // representative admission), so the measured candidate bound
+        // is the real one
+        val bands = graft.operators.Dedup.capByLowestIds(
+          sigs.select(col("doc_id"), col("simhash"),
+            posexplode(array((0 until graft.operators.Dedup.SimBands).map(b =>
+              shiftright(col("simhash"), b * graft.operators.Dedup.SimBandBits)
+                .bitwiseAND(lit(255L))): _*)).as(Seq("band", "bh"))),
+          Seq("band", "bh"), "doc_id")
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col("a.doc_id") < col("b.doc_id"))

@@ -92,6 +92,81 @@ class DedupEdgeSpec extends SparkSuite {
     info(s"SRP recall on sf0.001: ${got.size}/${truth.size}")
   }
 
+  // ---- r19: >MaxBucket duplicate families keep representatives ------
+  // The GraphSpec 1050-copy fixture ported to the TEXT generators: under
+  // the pre-r19 drop-whole-bucket rule a family whose every band bucket
+  // exceeds MaxBucket contributed ZERO pairs (an edgeless island —
+  // invisible to production dedup in exactly the duplicate-heavy regime
+  // dedup exists for); under id-ordered representative admission its
+  // MaxBucket lowest ids stay pair-connected, and the tail beyond the
+  // cap-th smallest id stays outside candidacy (the bounded-|bucket|²
+  // contract).
+
+  private val FamLo = 100L
+  private val FamN = Dedup.MaxBucket + 50 // 1050 copies — every bucket over cap
+  private val FamHi = FamLo + Dedup.MaxBucket // first NON-representative id
+  private val FamText = "the quick brown fox jumps over the lazy dog repeatedly"
+  // outsiders sit ABOVE the family id range: even if one lands in a
+  // family band bucket, the bucket's 1000 lowest ids — the admitted
+  // representatives — are still exactly FamLo until FamHi
+  private def familyDocs = (
+    (FamLo until FamLo + FamN).map(id => (id, FamText)) ++
+      Seq((5000L, "completely unrelated first outsider document text"),
+        (5001L, "another disjoint outsider phrase with different words"))
+  ).toDF("doc_id", "text")
+
+  private def inFamilyOverflow(c: org.apache.spark.sql.Column) =
+    c >= FamHi && c < FamLo + FamN
+
+  test("d2 minhash-LSH: 1050-copy family keeps its 1000 lowest ids pair-connected") {
+    val pairs = Dedup.d2MinhashLshOn(familyDocs)
+    val fam = pairs.filter(col("doc_a") >= FamLo && col("doc_b") < FamHi)
+    val r = fam.agg(count(lit(1)), min("doc_a"), max("doc_b"), min("jac")).head()
+    val reps = Dedup.MaxBucket.toLong
+    // all C(1000,2) representative pairs verify at jac = 1 (identical text)
+    assert(r.getLong(0) === reps * (reps - 1) / 2,
+      s"expected the full representative pair set, got ${r.getLong(0)} (old rule: 0)")
+    assert(r.getLong(1) === FamLo && r.getLong(2) === FamHi - 1)
+    assert(r.getDouble(3) === 1.0)
+    // overflow family ids (beyond the cap-th smallest) appear in NO pair
+    assert(pairs.filter(
+        inFamilyOverflow(col("doc_a")) || inFamilyOverflow(col("doc_b")))
+      .count() === 0L,
+      "non-representative family members must stay outside pair candidacy")
+    Dedup.releaseSlots()
+  }
+
+  test("d6 simhash pairs: 1050-copy family keeps its 1000 lowest ids pair-connected") {
+    val dir = tmpDir("d6fam")
+    familyDocs.write.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.d6SimhashPairs(spark, dir)
+    val fam = pairs.filter(col("doc_a") >= FamLo && col("doc_b") < FamHi)
+    val fr = fam.agg(count(lit(1)), max("doc_b"), max("ham")).head()
+    val reps = Dedup.MaxBucket.toLong
+    assert(fr.getLong(0) === reps * (reps - 1) / 2,
+      s"family representatives must pair (old rule: 0), got ${fr.getLong(0)}")
+    assert(fr.getLong(1) === FamHi - 1)
+    assert(fr.getLong(2) === 0L, "identical text ⇒ ham 0 on every family pair")
+    assert(pairs.filter(
+        inFamilyOverflow(col("doc_a")) || inFamilyOverflow(col("doc_b")))
+      .count() === 0L,
+      "non-representative family members must stay outside pair candidacy")
+    Dedup.releaseSlots()
+  }
+
+  test("intra-batch matches: a >cap same-text burst quarantines every representative loser") {
+    val m = Dedup.intraBatchMatches(familyDocs)
+      .filter(col("batch_id") >= FamLo && col("batch_id") < FamLo + FamN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // losers = representatives minus the min id; each records the min id
+    // as its winner at jac 1. Overflow ids (beyond the cap-th smallest)
+    // are outside candidacy — the documented bounded-cost contract: they
+    // surface on their next encounter once the early ids are quarantined.
+    assert(m.map(_._1).sorted.toSeq === ((FamLo + 1) until FamHi).toSeq)
+    assert(m.forall(_._2 == FamLo), "every loser's winner must be the family min id")
+    assert(m.forall(_._3 == 1.0))
+  }
+
   test("quality/token queries never divide by zero on empty docs") {
     val q = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).as("n"))

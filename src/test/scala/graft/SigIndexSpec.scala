@@ -81,6 +81,67 @@ class SigIndexSpec extends SparkSuite {
     assert(bandSet(s"$vc/bands") === bandSet(s"$vf/bands"))
   }
 
+  test("probe against a >cap stored family: batch doc matches the 1000 lowest representatives") {
+    // r19: a boilerplate family larger than MaxBucket in the HOLDINGS.
+    // Pre-r19 the probe dropped its buckets whole — an incoming copy of
+    // the boilerplate matched NOTHING; under representative admission it
+    // matches the family's MaxBucket lowest stored ids.
+    import spark.implicits._
+    val b = Dedup.baseHash(col("doc_id").cast("string")) % 10
+    val split = spark.range(0, 4000).select(col("id").as("doc_id"))
+      .withColumn("b", b).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val famIds = split.filter(_._2 < 8).map(_._1).sorted
+      .take(Dedup.MaxBucket + 10) // 1010 corpus-split copies: over cap
+    val batchId = split.filter(_._2 == 9).map(_._1).min
+    val famText = "boilerplate licensing header repeated across the whole crawl corpus"
+    val docs = (famIds.map((_, famText)).toSeq :+ ((batchId, famText)))
+      .toDF("doc_id", "text")
+    val base = tmpDir("sigidx-fam")
+    docs.write.parquet(s"$base/documents.parquet")
+    val got = Dedup.d16IncrementalNearDup(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Dedup.releaseSlots()
+    assert(got.nonEmpty, "old drop-whole rule: a >cap stored family matched nothing")
+    assert(got.map(_._2).sorted.toSeq ===
+      famIds.take(Dedup.MaxBucket).toSeq,
+      "matches must be exactly the family's MaxBucket lowest stored ids")
+    assert(got.forall(m => m._1 == batchId && m._3 == 1.0))
+  }
+
+  test("append across the cap: probe(appended) == probe(rebuilt) — representatives derive at serve time") {
+    // The graph index needs a crossing-counter + self-heal because its
+    // PAIRS are materialized at build time; the sig index stores only
+    // BAND ROWS and applies the representative cap at probe time over
+    // the live rows — so an append that pushes a bucket across the cap
+    // cannot leave stale representatives behind. This pins that:
+    // grow 600 → 1200 copies by append vs a one-shot 1200 build, and
+    // the probe results are identical (and = the 1000 lowest ids).
+    import spark.implicits._
+    val b = Dedup.baseHash(col("doc_id").cast("string")) % 10
+    val split = spark.range(0, 5000).select(col("id").as("doc_id"))
+      .withColumn("b", b).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val famIds = split.filter(_._2 < 8).map(_._1).sorted.take(1200)
+    val famText = "terms of service boilerplate duplicated across every mirror site"
+    def docsOf(ids: Seq[Long]) = ids.map((_, famText)).toDF("doc_id", "text")
+    val (part1, part2) = famIds.splitAt(600) // append crosses the 1000 cap
+    val dirA = tmpDir("sigidx-append")
+    docsOf(part1.toSeq).write.parquet(s"$dirA/documents.parquet")
+    Dedup.ensureSigIndex(spark, dirA)
+    Dedup.appendSigIndex(spark, dirA, docsOf(part2.toSeq))
+    val dirB = tmpDir("sigidx-oneshot")
+    docsOf(famIds.toSeq).write.parquet(s"$dirB/documents.parquet")
+    Dedup.ensureSigIndex(spark, dirB)
+    val batch = Seq((999999L, famText)).toDF("doc_id", "text")
+    val all = docsOf(famIds.toSeq)
+    def probe(d: String) = Dedup.probeSigIndex(spark, d, batch, all)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val gotA = probe(dirA)
+    val gotB = probe(dirB)
+    Dedup.releaseSlots()
+    assert(gotA === gotB, "appended and one-shot indexes must serve identically")
+    assert(gotA.map(_._2) === famIds.take(Dedup.MaxBucket).toSeq)
+  }
+
   test("empty ingest batch: no candidates, no crash, empty result") {
     // fixture with corpus-split docs only — the batch split (b = 9) is
     // empty, so the probe join must yield an empty frame, not an error
