@@ -83,6 +83,11 @@ object Bench {
     // unchanged — the legs are 1-row frames the union ran once anyway,
     // just serialized instead of interleaved.
     spark.conf.set("graft.v19.timings", "true")
+    // r19 (r18 VERDICT #3): the g-serve family — five of r18's ten
+    // slowest rows, on the noise watch since r16 — gets the same
+    // per-phase split: seed / seed_score / per-hop walls plus Spark
+    // job/task attribution, emitted per g-serve query below.
+    spark.conf.set("graft.gserve.timings", "true")
 
     // Process-CPU time alongside wall time (r9 verdict #1): on a shared
     // sandbox, wall time alone cannot distinguish "the code got slower"
@@ -334,9 +339,13 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; if (s.isEmpty) 0.0 else s(s.size / 2)
     }
+    // per-query g-serve phase maps for the artifact (cleared before
+    // each query so a row is attributed only to the query that ran it)
+    val gserve = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, Double]]
     val results = names.zipWithIndex.map { case (n, i) =>
       if (i % CalibEvery == 0) calibrate(i)
       hygiene()
+      operators.Graph.lastGServeTimings = Map.empty
       val (t1, c1) = force(n)
       val med = median(kept.toSeq)
       val (t, cpu) =
@@ -367,6 +376,12 @@ object Bench {
         println(operators.Indexed.lastV19Timings.map { case (k, v) =>
           "\"" + k + "\":" + r3(v)
         }.mkString("""{"v19_legs":{""", ",", "}}"))
+      if (operators.Graph.lastGServeTimings.nonEmpty) {
+        gserve(n) = operators.Graph.lastGServeTimings
+        println(operators.Graph.lastGServeTimings.map { case (k, v) =>
+          "\"" + k + "\":" + r3(v)
+        }.mkString(s"""{"gserve":"$n","phases":{""", ",", "}}"))
+      }
       n -> (t, cpu)
     }
     calibrate(names.size) // closing sample: drift at run END is recorded too
@@ -550,8 +565,12 @@ object Bench {
     val v19Legs = operators.Indexed.lastV19Timings.map { case (k, v) =>
       "\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
+    val gserveJson = gserve.map { case (q, m) =>
+      "\"" + q + "\":" + m.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"sat_floor":${r3(satFloor)},"sat_prewait":${r3(satPrewait)},"quiet_wait_s":$quietWaited,"pipeline":$ps,"latency":$latJson,"v19_legs":$v19Legs,"code":"$codeFp","best_comparable":$bestCmp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"reruns":$rr,"calibration":$calibJson,"env_suspect":$envSuspect,"sat_floor":${r3(satFloor)},"sat_prewait":${r3(satPrewait)},"quiet_wait_s":$quietWaited,"pipeline":$ps,"latency":$latJson,"v19_legs":$v19Legs,"gserve":$gserveJson,"code":"$codeFp","best_comparable":$bestCmp,"sf":"$sfDir"}"""
     println(full)
     // Belt-and-braces: the complete itemized record also goes to a file
     // in the repo (the driver commits the working tree each round, so

@@ -3057,6 +3057,23 @@ object Graph {
     * score set. Determinism: bit-exact integer scores, every
     * selection tie-broken (score DESC, vec_id ASC).
     */
+  /** Per-phase timing split of the most recent [[graphAnnBatchOn]]
+    * walk in this JVM (seconds), populated only when the session conf
+    * `graft.gserve.timings` is true — the v19-legs discipline applied
+    * to the g-serve family (five of r18's ten slowest bench rows, on
+    * the noise watch since r16, with no attribution split): `seed`
+    * (LSH probe/seed selection), `seed_score` (the seed-scoring point
+    * fetch), per-hop `hop<k>` walls and their `hops` total,
+    * `hops_rounds` (executed rounds), plus `<phase>_job`/`<phase>_task`
+    * Spark-side splits from [[graft.core.JobGroupMetrics]] (a phase
+    * whose wall inflates while `_task` stays flat was queued, not
+    * working). The final top-K selection + hydration is LAZY — it
+    * executes in the caller's action, so its cost is the query wall
+    * minus this map's `seed`+`seed_score`+`hops`. Bench enables the
+    * conf and emits the map after each g-serve query.
+    */
+  @volatile private[graft] var lastGServeTimings: Map[String, Double] = Map.empty
+
   def graphAnnBatchOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
       bsizes: DataFrame, isQuery: Column,
       allowed: Option[Column] = None,
@@ -3064,6 +3081,25 @@ object Graph {
       stableK: Option[Int] = None): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
+    val timed = s.conf.get("graft.gserve.timings", "false").toBoolean
+    val phaseWalls = collection.mutable.LinkedHashMap.empty[String, Double]
+    val phaseMetrics = if (timed)
+      Some(new graft.core.JobGroupMetrics(s.sparkContext, "gserve:")) else None
+    // wallKey: where the span accumulates; group: the Spark job-group
+    // bucket (per-hop walls share one "hops" group so the job/task
+    // split stays per-phase, not per-round)
+    def span[T](wallKey: String, group: String)(f: => T): T =
+      if (!timed) f
+      else {
+        s.sparkContext.setJobGroup("gserve:" + group, "gserve " + group)
+        val t0 = System.nanoTime()
+        try f
+        finally {
+          phaseWalls(wallKey) =
+            phaseWalls.getOrElse(wallKey, 0.0) + (System.nanoTime() - t0) / 1e9
+          s.sparkContext.clearJobGroup()
+        }
+      }
     // materialized once (lazily, by the seed-scoring job); every hop
     // job rereads the Q-row checkpoint, not the corpus
     val qv = e.filter(isQuery)
@@ -3072,7 +3108,7 @@ object Graph {
     val edSel = edges.select(col("src"), col("dst"), col("dvec"),
       (if (edges.columns.contains("bucket")) col("bucket")
        else edgeBucketOf(col("src"))).as("bucket"))
-    val seeds = seededEntries(qv, routing, bsizes)
+    val seeds = span("seed", "seed") { seededEntries(qv, routing, bsizes) }
     // driver-held search state — every structure bounded by
     // Q·(seeds + hops·beam·G) with seeds ≤ SrpTables·MaxBucket,
     // never corpus-proportional
@@ -3094,13 +3130,13 @@ object Graph {
       else e.join(broadcast(spDf.select("vec_id").distinct()),
         Seq("vec_id"), "left_semi")
     val pool = collection.mutable.Map.empty[Long, List[(Long, Long)]]
-    for (r <- spDf
+    for (r <- span("seed_score", "seed_score") { spDf
         .join(eSeeds, "vec_id")
         .join(broadcast(qv), "qid")
         .select(col("qid"), col("vec_id"),
           intDot(col("embedding"), col("qv")).as("sc"),
           edgeBucketOf(col("vec_id")).cast("int").as("ebkt"))
-        .collect()) {
+        .collect() }) {
       val (qid, vid, sc, bkt) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
       visitedSc((qid, vid)) = sc
       nodeBkt(vid) = bkt
@@ -3136,7 +3172,7 @@ object Graph {
       for ((q2, srcId) <- pairs) expanded(q2) = expanded(q2) + srcId
       val bkts = pairs.map(p => nodeBkt(p._2)).distinct
       // the hop job: partition-pruned expand + score, one pass
-      val scored = pairs.toDF("qid", "src")
+      val scored = span(s"hop$k", "hops") { pairs.toDF("qid", "src")
         .join(edSel.filter(col("bucket").isin(bkts.map(Integer.valueOf): _*)),
           "src")
         .join(broadcast(qv), "qid")
@@ -3144,7 +3180,7 @@ object Graph {
           intDot(col("dvec"), col("qv")).as("sc"),
           edgeBucketOf(col("dst")).cast("int").as("ebkt"))
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))) }
       val byQid = scored.groupBy(_._1)
       val stillActive = collection.mutable.Set.empty[Long]
       for (qid <- active) {
@@ -3178,6 +3214,19 @@ object Graph {
       active = stillActive.toSet
     }
     hopsOf ++= active.map(_ -> hops.toLong)
+    if (timed) {
+      phaseWalls("hops") =
+        phaseWalls.collect { case (key, w) if key.startsWith("hop") => w }.sum
+      phaseWalls("hops_rounds") = k.toDouble
+      phaseMetrics.foreach { m =>
+        for ((g, (job, task)) <- m.finishAndDetach()) {
+          val nm = g.stripPrefix("gserve:")
+          phaseWalls(nm + "_job") = job
+          phaseWalls(nm + "_task") = task
+        }
+      }
+      lastGServeTimings = phaseWalls.toMap
+    }
     // final selection in-plan over the attested visited score set
     val visDf = visitedSc.toSeq.map { case ((qid, vid), sc) => (qid, vid, sc) }
       .sorted.toDF("qid", "vec_id", "sc")

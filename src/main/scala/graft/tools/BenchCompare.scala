@@ -111,7 +111,7 @@ object BenchCompare {
   private def r3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
-  def render(c: Compare): String = {
+  def render(c: Compare, paired: Option[String] = None): String = {
     val mv = c.movers.map { case (q, va, vb) =>
       s"""{"q":"$q","a":${r3(va)},"b":${r3(vb)},"delta":${r3(va - vb)}}"""
     }.mkString("[", ",", "]")
@@ -119,8 +119,36 @@ object BenchCompare {
       s""""floor_b":${r3(c.floorB)},"env_a":${c.envA},"env_b":${c.envB},""" +
       s""""n_common":${c.nCommon},"total_a":${r3(c.totalA)},""" +
       s""""total_b":${r3(c.totalB)},"ratio_a_over_b":${r3(c.totalA / c.totalB)},""" +
-      s""""top_movers":$mv}"""
+      s""""top_movers":$mv""" +
+      paired.fold("")(pj => s""","paired":$pj""") + "}"
   }
+
+  /** A PAIRED_BENCH.json produced by [[PairedBench]] covering the
+    * CURRENT fingerprint beats any floor-matched history pair — the
+    * paired run shares every load window by construction, which is
+    * the inference the floor label can only approximate. When one
+    * matches, its record is embedded under `"paired"` so the round
+    * artifact carries the decisive number alongside the floor-matched
+    * one. Matching is on the current side's fp only (either slot):
+    * the OLD side of a paired run is a clean rebuild whose fp cannot
+    * reproduce the incremental build the history recorded (synthetic
+    * class names depend on compile history) — that side is pinned by
+    * its `label_b` commit tag inside the embedded record instead.
+    */
+  def pairedFor(pairedPath: java.nio.file.Path, fpA: String,
+      fpB: String): Option[String] =
+    try {
+      if (!java.nio.file.Files.isRegularFile(pairedPath)) None
+      else {
+        val raw = java.nio.file.Files.readString(pairedPath).trim
+        val j = JsonMethods.parse(raw)
+        (j \ "fp_a", j \ "fp_b") match {
+          case (JString(pa), JString(pb))
+              if Set(pa, pb).intersect(Set(fpA, fpB)).nonEmpty => Some(raw)
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Bench's post-sweep hook: newest two fingerprints → out file.
     * Fail-soft — a malformed history must never fail the bench run.
@@ -133,7 +161,8 @@ object BenchCompare {
         (fpA, fpB) <- latestFingerprints(runs)
         c <- compare(runs, fpA, fpB)
       } yield {
-        val json = render(c)
+        val json = render(c,
+          pairedFor(outPath.resolveSibling("PAIRED_BENCH.json"), fpA, fpB))
         java.nio.file.Files.writeString(outPath, json + "\n")
         json
       }

@@ -219,6 +219,34 @@ class GraphSpec extends SparkSuite {
       "an edgeless seed is its own fixpoint on hop 1")
   }
 
+  test("graph ANN: timed mode records per-phase walls + job/task split, result unchanged") {
+    import spark.implicits._
+    val v = Array.fill(64)(0.1f)
+    val nv = v.map(-_)
+    val e = Seq((0L, nv), (1L, v), (2L, v), (3L, v)).toDF("vec_id", "embedding")
+    val routing = Graph.bucketRowsOf(e.filter(col("vec_id").isin(0L, 2L, 3L)))
+    val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
+    val edges = Seq((2L, 3L, 0L, 1, v), (3L, 2L, 0L, 1, v))
+      .toDF("src", "dst", "w", "rk", "dvec")
+    def serve() = Graph.graphAnnBatchOn(e, edges, routing, bsizes,
+      col("vec_id") === 1L).collect().map(_.toString).sorted.toSeq
+    val untimed = serve()
+    spark.conf.set("graft.gserve.timings", "true")
+    try {
+      val timed = serve()
+      assert(timed === untimed, "instrumentation must not change the served rows")
+      val ph = Graph.lastGServeTimings
+      for (k <- Seq("seed", "seed_score", "hop1", "hops", "hops_rounds"))
+        assert(ph.contains(k), s"missing phase $k in $ph")
+      assert(ph("hops_rounds") === 1.0, "this fixture fixpoints on hop 1")
+      // Spark-side attribution arrived for each phase group
+      for (g <- Seq("seed", "seed_score", "hops")) {
+        assert(ph.contains(g + "_job"), s"missing ${g}_job in $ph")
+        assert(ph.contains(g + "_task"), s"missing ${g}_task in $ph")
+      }
+    } finally spark.conf.set("graft.gserve.timings", "false")
+  }
+
   test("graph ANN: entrant-only expansion ≡ full re-expansion reference on random graphs") {
     import spark.implicits._
     // The shipped hop loop expands only NEW beam entrants, arguing a
