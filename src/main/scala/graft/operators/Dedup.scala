@@ -234,10 +234,6 @@ object Dedup {
     // 16 affine minima + 4 band digests) instead of 16 interpreted
     // transform passes over a hash array — same integer/hex results
     // (TextHashKernelsSpec proves equivalence with the HOF form)
-    val bucketsAll = sh
-      .select(col("doc_id"),
-        posexplode(graft.functions.TextHashKernels.minhashBands(
-          col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
     // r19: id-ordered representative admission (the r18 vector/SRP rule
     // extended to text) — an over-cap band bucket keeps its MaxBucket
     // lowest doc_ids in pair candidacy instead of being dropped whole,
@@ -245,7 +241,22 @@ object Dedup {
     // lowest ids (the old rule made it an edgeless island, invisible
     // to production dedup in exactly the duplicate-heavy regime dedup
     // exists for). Oracle `buckets` CTE states the identical rn-form.
-    val buckets = capByLowestIds(bucketsAll, Seq("band", "bh"), "doc_id")
+    //
+    // The d5 two-slot discipline: capByLowestIds references its input
+    // TWICE (sizes branch + admission branch) and the result feeds
+    // both self-join sides — uncached that is 4 passes of the fused
+    // md5+minima kernel per row vs the old count-window's 2 (the first
+    // r19 cut measured q_d2 +31% CPU paired against r18; d9/d7/d17
+    // inherit the pipeline and paid the same). Caching the raw band
+    // rows (1 kernel pass total) and the capped admission separately
+    // restores — and with the empty over-cap broadcast, beats — the
+    // old shape.
+    val bucketsAll = cacheSlot("minhash-bands-all", sh
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextHashKernels.minhashBands(
+          col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh"))))
+    val buckets = cacheSlot("minhash-buckets",
+      capByLowestIds(bucketsAll, Seq("band", "bh"), "doc_id"))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -336,8 +347,12 @@ object Dedup {
     // within the cap (all of them at the tested sf corpora — max
     // bucket ~140 at sf0.01); past it, exactness degrades to the
     // representative subset — observable, spec-pinned, and strictly
-    // more complete than the old drop-whole rule.
-    val bands = capByLowestIds(d6Bands(sigs), Seq("band", "bh"), "doc_id")
+    // more complete than the old drop-whole rule. Cached (the d2
+    // two-slot discipline): the cap's two branches times the
+    // self-join's two sides would otherwise re-project the cached
+    // sigs four times.
+    val bands = cacheSlot("simhash-bands",
+      capByLowestIds(d6Bands(sigs), Seq("band", "bh"), "doc_id"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -728,10 +743,20 @@ object Dedup {
     // doc_ids as representatives (was: dropped whole — a >cap
     // boilerplate family in the HOLDINGS was invisible to every
     // incoming batch). Candidate bound unchanged:
-    // |batch|·Bands·MaxBucket.
-    val corpb = capByLowestIds(
-        s.read.parquet(s"$idx/bands").select("doc_id", "band", "bh"),
-        Seq("band", "bh"), "doc_id")
+    // |batch|·Bands·MaxBucket. Deliberately the PLAIN rank-window
+    // form (the oracle's literal corpb CTE), not the two-regime
+    // capByLowestIds: here the input is a stored parquet table read
+    // once per probe, and the two-regime's second pass + aggregate +
+    // broadcast join measured +67% CPU paired against the one-scan,
+    // one-shuffle window — the exact cost shape the r18 count-window
+    // paid, so no scale regression either (the window's shuffle is
+    // the same band-key shuffle as before; at 100 TB a deployment
+    // amortizes it by storing the capped view at append/compact time).
+    val corpb = s.read.parquet(s"$idx/bands")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh").orderBy(col("doc_id").asc)))
+      .filter(col("rn") <= MaxBucket)
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
     val bsh = cacheSlot("sig-batch-shingles", batchDocs
       .select(col("doc_id"), shingles(col("text")).as("gs"))

@@ -3100,6 +3100,9 @@ object Graph {
           s.sparkContext.clearJobGroup()
         }
       }
+    // the walk body, wrapped so a failing phase cannot leave the
+    // metrics listener registered for the session's lifetime
+    def walk(): DataFrame = {
     // materialized once (lazily, by the seed-scoring job); every hop
     // job rereads the Q-row checkpoint, not the corpus
     val qv = e.filter(isQuery)
@@ -3259,6 +3262,11 @@ object Graph {
       .join(broadcast(hopsDf), "qid")
       .select(col("qid"), col("vec_id"), col("sc"),
         col("rk").cast("long").as("rk"), col("visited_n"), col("hops_n"))
+    }
+    try walk()
+    catch { case t: Throwable =>
+      phaseMetrics.foreach(_.finishAndDetach(0)); throw t
+    }
   }
 
   /** G8: batch graph-ANN — [[GannBatchQ]] queries, one shared-hop

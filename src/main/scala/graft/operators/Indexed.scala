@@ -1332,9 +1332,10 @@ object Indexed {
       ("v16_filtered", () => row("v16_filtered", pc4f, topNCap, v16FilteredIvf(s, d), exactF)),
       ("v18_ivfadc", () => row("v18_ivfadc", pr2, topNCap, v18IvfAdcResidual(s, d), exact)),
     )
-    val legFrames: Seq[DataFrame] =
-      if (!timed) legs.map(_._2())
-      else {
+    // detach-on-failure: a throwing leg must not leave the metrics
+    // listener registered for the session's lifetime
+    var metricsDone = false
+    def legFramesTimed(): Seq[DataFrame] = {
         // each leg frame is exactly ONE row: materialize it inside its
         // own timed span and hand the union a literal. Spans run on
         // CONCURRENT threads (Spark schedules jobs from separate
@@ -1370,17 +1371,20 @@ object Indexed {
             walls(name) = w; df
           }
         } finally { pool.shutdown(); () }
-      }
-    if (timed) {
-      metrics.foreach { m =>
-        for ((g, (job, task)) <- m.finishAndDetach()) {
-          val nm = g.stripPrefix("v19:")
-          walls(nm + "_job") = job
-          walls(nm + "_task") = task
-        }
-      }
-      lastV19Timings = walls.toMap
     }
+    val legFrames: Seq[DataFrame] =
+      try { if (timed) legFramesTimed() else legs.map(_._2()) }
+      finally if (timed && !metricsDone) {
+        metricsDone = true
+        metrics.foreach { m =>
+          for ((g, (job, task)) <- m.finishAndDetach()) {
+            val nm = g.stripPrefix("v19:")
+            walls(nm + "_job") = job
+            walls(nm + "_task") = task
+          }
+        }
+        lastV19Timings = walls.toMap
+      }
     legFrames.reduce(_ union _).orderBy("variant")
   }
 

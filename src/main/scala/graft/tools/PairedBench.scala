@@ -162,8 +162,13 @@ object PairedBench {
       }
     }
 
-    // 1. publish my query set; compute the common set once both exist
+    // 1. publish my query set; compute the common set once both exist.
+    //    SPARK_GRAFT_ONLY narrows a dev iteration exactly as in Bench
+    //    (set it identically on both sides).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val myNames = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     java.nio.file.Files.writeString(p(s"names-$role.txt"), myNames.mkString("\n"))
     mark(s"up-$role")
     await(s"names-$other.txt"); await(s"up-$other")
