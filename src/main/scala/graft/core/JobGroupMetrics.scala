@@ -48,6 +48,16 @@ final class JobGroupMetrics(sc: SparkContext, prefix: String)
     }
   }
 
+  // AQE submits stages the jobStart event never listed (runtime
+  // re-planning creates them mid-job), and stage submission carries
+  // the submitting thread's properties — attribute from here too so
+  // task-run sums cover the adaptively-added stages
+  override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+    val g = Option(e.properties)
+      .map(_.getProperty("spark.jobGroup.id")).orNull
+    if (g != null && g.startsWith(prefix)) stageGroup(e.stageInfo.stageId) = g
+  }
+
   override def onJobEnd(e: SparkListenerJobEnd): Unit =
     jobGroup.get(e.jobId).foreach { g =>
       jobMs(g) = jobMs.getOrElse(g, 0L) +
