@@ -192,6 +192,48 @@ object Dedup {
     under.unionByName(over)
   }
 
+  /** [[capByLowestIds]] plus the LINEAR tail link (r19, d2 + the
+    * intra-batch burst check): alongside the admitted representative
+    * rows, return one candidate pair (bucket-min id, tail id) for
+    * every over-cap row BEYOND the cap-th smallest — so a >cap
+    * duplicate family is FULLY connected in the verified pair output
+    * (reps pair quadratically among themselves, the tail hangs off
+    * the family's canonical min id at |tail| extra pairs), closing
+    * the "tail invisible to dedup" residual the rep-only form
+    * documents. Cost: the over branch it already computes, plus one
+    * min per over-cap key riding the same broadcast — ZERO extra
+    * passes on a healthy corpus (over branch empty).
+    *
+    * Applies where bucket membership is a STRONG duplicate signal (d2:
+    * a shared 128-bit band digest means identical minhash band — the
+    * Jaccard verify then confirms each tail pair). NOT applied to d6
+    * (8-bit band buckets are DIVERSE at scale — a tail-min pair there
+    * carries no ham ≤ 3 evidence) or the vector/SRP side (ANN serving
+    * needs best-scored ids REACHABLE, which representatives provide;
+    * dedup needs every member CLUSTERED, which is what the tail link
+    * buys).
+    */
+  private[operators] def capWithTailLinks(all: DataFrame, keys: Seq[String],
+      idCol: String): (DataFrame, DataFrame) = {
+    val kc = keys.map(col)
+    val overKeys = all.groupBy(kc: _*)
+      .agg(count(lit(1)).as("bsz"), min(col(idCol)).as("__bmin"))
+      .filter(col("bsz") > MaxBucket)
+      .select((kc :+ col("__bmin")): _*)
+    val flagged = all.join(broadcast(overKeys), keys, "left")
+    val under = flagged.filter(col("__bmin").isNull).drop("__bmin")
+    val overRanked = flagged.filter(col("__bmin").isNotNull)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(kc: _*).orderBy(col(idCol).asc)))
+    val admitted = overRanked.filter(col("rn") <= MaxBucket)
+      .drop("rn", "__bmin")
+    val tailCand = overRanked.filter(col("rn") > MaxBucket)
+      .select(col("__bmin").as("doc_a"), col(idCol).as("doc_b"))
+      .distinct()
+    (under.unionByName(admitted), tailCand)
+  }
+
   private[graft] def cacheSlot(slot: String, df: DataFrame): DataFrame = synchronized {
     cacheSlots.remove(slot).foreach(_.unpersist())
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -255,13 +297,18 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(graft.functions.TextHashKernels.minhashBands(
           col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh"))))
-    val buckets = cacheSlot("minhash-buckets",
-      capByLowestIds(bucketsAll, Seq("band", "bh"), "doc_id"))
+    // admitted representatives + the linear tail link: a >cap family
+    // is fully connected (reps quadratic among themselves, tail hangs
+    // off the family min id) — see capWithTailLinks; oracle states
+    // the identical ranked/tail form
+    val (capped, tailCand) = capWithTailLinks(bucketsAll, Seq("band", "bh"), "doc_id")
+    val buckets = cacheSlot("minhash-buckets", capped)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .unionByName(tailCand)
       .distinct()
     // verify candidates with true Jaccard; candidate side is small →
     // broadcast it into the shingle table, twice, instead of shuffling
@@ -802,22 +849,26 @@ object Dedup {
   private[graft] def intraBatchMatches(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("gs"))
       .filter(size(col("gs")) > 0)
-    // r19 representative admission, as in d2/d6/probeSigIndex: a burst
-    // of >cap same-text arrivals in ONE batch keeps its lowest ids
-    // pair-connected (ids beyond the cap-th smallest stay outside
-    // candidacy — the bounded-cost contract; they surface on their
-    // next encounter once the family's early ids are quarantined)
-    val bands = capByLowestIds(
+    // r19 representative admission + tail link, as in d2: a burst of
+    // >cap same-text arrivals in ONE batch keeps its lowest ids
+    // pair-connected AND hangs the tail off the family min id — so
+    // every copy of the burst beyond the first is quarantined, not
+    // just the representatives (the batch-sized cost adds |tail|
+    // linear pairs)
+    val (bandsCapped, tailCand) = capWithTailLinks(
       sh.select(col("doc_id"),
         posexplode(graft.functions.TextHashKernels.minhashBands(
           col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh"))),
       Seq("band", "bh"), "doc_id")
-      .select("doc_id", "band", "bh")
+    val bands = bandsCapped.select("doc_id", "band", "bh")
     val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      .unionByName(tailCand
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+      .distinct()
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("gs").as("gs_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("gs").as("gs_b")), "id_b")
@@ -945,17 +996,23 @@ object Dedup {
        |buckets_all AS (
        |  $bandRows
        |),
+       |ranked AS (
+       |  SELECT doc_id, band, bh,
+       |         row_number() OVER (PARTITION BY band, bh ORDER BY doc_id ASC) AS rn,
+       |         min(doc_id) OVER (PARTITION BY band, bh) AS bmin
+       |  FROM buckets_all
+       |),
        |buckets AS (
-       |  SELECT doc_id, band, bh FROM (
-       |    SELECT doc_id, band, bh,
-       |           row_number() OVER (PARTITION BY band, bh ORDER BY doc_id ASC) AS rn
-       |    FROM buckets_all
-       |  ) WHERE rn <= $MaxBucket
+       |  SELECT doc_id, band, bh FROM ranked WHERE rn <= $MaxBucket
        |),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM buckets a JOIN buckets b
-       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM buckets a JOIN buckets b
+       |      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT bmin AS doc_a, doc_id AS doc_b FROM ranked WHERE rn > $MaxBucket
+       |  ) u
        |),
        |verified AS (
        |  SELECT c.doc_a, c.doc_b,

@@ -118,7 +118,7 @@ class DedupEdgeSpec extends SparkSuite {
   private def inFamilyOverflow(c: org.apache.spark.sql.Column) =
     c >= FamHi && c < FamLo + FamN
 
-  test("d2 minhash-LSH: 1050-copy family keeps its 1000 lowest ids pair-connected") {
+  test("d2 minhash-LSH: 1050-copy family is FULLY connected — quadratic reps + linear tail links") {
     val pairs = Dedup.d2MinhashLshOn(familyDocs)
     val fam = pairs.filter(col("doc_a") >= FamLo && col("doc_b") < FamHi)
     val r = fam.agg(count(lit(1)), min("doc_a"), max("doc_b"), min("jac")).head()
@@ -128,11 +128,17 @@ class DedupEdgeSpec extends SparkSuite {
       s"expected the full representative pair set, got ${r.getLong(0)} (old rule: 0)")
     assert(r.getLong(1) === FamLo && r.getLong(2) === FamHi - 1)
     assert(r.getDouble(3) === 1.0)
-    // overflow family ids (beyond the cap-th smallest) appear in NO pair
-    assert(pairs.filter(
+    // every overflow id (beyond the cap-th smallest) appears in EXACTLY
+    // one pair — the tail link to the family's canonical min id — so
+    // the whole family clusters, at |tail| linear extra pairs
+    val tail = pairs.filter(
         inFamilyOverflow(col("doc_a")) || inFamilyOverflow(col("doc_b")))
-      .count() === 0L,
-      "non-representative family members must stay outside pair candidacy")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(tail.length === FamN - Dedup.MaxBucket,
+      s"expected one tail link per overflow id, got ${tail.length}")
+    assert(tail.forall(_._1 == FamLo), "tail links anchor at the family min id")
+    assert(tail.map(_._2).sorted.toSeq === (FamHi until FamLo + FamN).toSeq)
+    assert(tail.forall(_._3 == 1.0))
     Dedup.releaseSlots()
   }
 
@@ -154,15 +160,15 @@ class DedupEdgeSpec extends SparkSuite {
     Dedup.releaseSlots()
   }
 
-  test("intra-batch matches: a >cap same-text burst quarantines every representative loser") {
+  test("intra-batch matches: a >cap same-text burst quarantines EVERY copy beyond the first") {
     val m = Dedup.intraBatchMatches(familyDocs)
       .filter(col("batch_id") >= FamLo && col("batch_id") < FamLo + FamN)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    // losers = representatives minus the min id; each records the min id
-    // as its winner at jac 1. Overflow ids (beyond the cap-th smallest)
-    // are outside candidacy — the documented bounded-cost contract: they
-    // surface on their next encounter once the early ids are quarantined.
-    assert(m.map(_._1).sorted.toSeq === ((FamLo + 1) until FamHi).toSeq)
+    // losers = the whole family minus the min id: representatives pair
+    // quadratically, overflow ids arrive via their linear tail link to
+    // the family min — so a duplicate burst cannot leak copies past
+    // the quarantine through the cap
+    assert(m.map(_._1).sorted.toSeq === ((FamLo + 1) until (FamLo + FamN)).toSeq)
     assert(m.forall(_._2 == FamLo), "every loser's winner must be the family min id")
     assert(m.forall(_._3 == 1.0))
   }
