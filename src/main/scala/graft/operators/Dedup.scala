@@ -213,26 +213,46 @@ object Dedup {
     * dedup needs every member CLUSTERED, which is what the tail link
     * buys).
     */
+  /** Output: ONE marked frame — admitted rows carry `__bmin` NULL,
+    * tail rows carry their bucket's min id — so a single cacheSlot
+    * materialization serves both the self-join's admitted sides and
+    * the tail-pair extraction; splitting into two frames made every
+    * candidate evaluation re-derive the over-cap keys with a fresh
+    * aggregate pass outside the cache (paired-measured on the
+    * d2-consumer family).
+    */
   private[operators] def capWithTailLinks(all: DataFrame, keys: Seq[String],
-      idCol: String): (DataFrame, DataFrame) = {
+      idCol: String): DataFrame = {
     val kc = keys.map(col)
     val overKeys = all.groupBy(kc: _*)
       .agg(count(lit(1)).as("bsz"), min(col(idCol)).as("__bmin"))
       .filter(col("bsz") > MaxBucket)
       .select((kc :+ col("__bmin")): _*)
     val flagged = all.join(broadcast(overKeys), keys, "left")
-    val under = flagged.filter(col("__bmin").isNull).drop("__bmin")
+    val under = flagged // __bmin already NULL: no over-cap key matched
     val overRanked = flagged.filter(col("__bmin").isNotNull)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(kc: _*).orderBy(col(idCol).asc)))
     val admitted = overRanked.filter(col("rn") <= MaxBucket)
-      .drop("rn", "__bmin")
-    val tailCand = overRanked.filter(col("rn") > MaxBucket)
+      .withColumn("__bmin", lit(null).cast("long")).drop("rn")
+    val tail = overRanked.filter(col("rn") > MaxBucket).drop("rn")
+    under.filter(col("__bmin").isNull).unionByName(admitted)
+      .unionByName(tail)
+  }
+
+  /** The admitted-representative rows of a [[capWithTailLinks]] frame. */
+  private[operators] def admittedOf(marked: DataFrame): DataFrame =
+    marked.filter(col("__bmin").isNull).drop("__bmin")
+
+  /** The (bucket-min, tail-id) candidate pairs of a
+    * [[capWithTailLinks]] frame.
+    */
+  private[operators] def tailPairsOf(marked: DataFrame,
+      idCol: String): DataFrame =
+    marked.filter(col("__bmin").isNotNull)
       .select(col("__bmin").as("doc_a"), col(idCol).as("doc_b"))
       .distinct()
-    (under.unionByName(admitted), tailCand)
-  }
 
   private[graft] def cacheSlot(slot: String, df: DataFrame): DataFrame = synchronized {
     cacheSlots.remove(slot).foreach(_.unpersist())
@@ -300,15 +320,17 @@ object Dedup {
     // admitted representatives + the linear tail link: a >cap family
     // is fully connected (reps quadratic among themselves, tail hangs
     // off the family min id) — see capWithTailLinks; oracle states
-    // the identical ranked/tail form
-    val (capped, tailCand) = capWithTailLinks(bucketsAll, Seq("band", "bh"), "doc_id")
-    val buckets = cacheSlot("minhash-buckets", capped)
+    // the identical ranked/tail form. ONE cached marked frame serves
+    // the two self-join sides and the tail extraction.
+    val marked = cacheSlot("minhash-buckets",
+      capWithTailLinks(bucketsAll, Seq("band", "bh"), "doc_id"))
+    val buckets = admittedOf(marked)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .unionByName(tailCand)
+      .unionByName(tailPairsOf(marked, "doc_id"))
       .distinct()
     // verify candidates with true Jaccard; candidate side is small →
     // broadcast it into the shingle table, twice, instead of shuffling
@@ -855,18 +877,18 @@ object Dedup {
     // every copy of the burst beyond the first is quarantined, not
     // just the representatives (the batch-sized cost adds |tail|
     // linear pairs)
-    val (bandsCapped, tailCand) = capWithTailLinks(
+    val marked = capWithTailLinks(
       sh.select(col("doc_id"),
         posexplode(graft.functions.TextHashKernels.minhashBands(
           col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh"))),
       Seq("band", "bh"), "doc_id")
-    val bands = bandsCapped.select("doc_id", "band", "bh")
+    val bands = admittedOf(marked).select("doc_id", "band", "bh")
     val cand = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("id_b"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .unionByName(tailCand
+      .unionByName(tailPairsOf(marked, "doc_id")
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
       .distinct()
     cand
