@@ -498,24 +498,13 @@ object Bench {
     // bench runs are COMPARABLE iff this matches — the canonical-
     // artifact selection below must never pick a faster run of OLDER
     // code over the current diff's honest number.
-    val codeFp: String = try {
-      val loc = new java.io.File(
-        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def walk(f: java.io.File): Unit = {
-        val cs = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-        for (c <- cs) {
-          if (c.isDirectory) walk(c)
-          else if (c.getName.endsWith(".class")) {
-            md.update(c.getName.getBytes("UTF-8"))
-            md.update(java.nio.file.Files.readAllBytes(c.toPath))
-          }
-        }
-      }
-      if (loc.isDirectory) walk(loc)
-      else md.update(java.nio.file.Files.readAllBytes(loc.toPath))
-      md.digest().take(6).map("%02x".format(_)).mkString
-    } catch { case _: Throwable => "unknown" }
+    //
+    // r19: the canonical, runner-independent fingerprint (sbt's forked
+    // `run` executes a packaged jar under target/bg-jobs, so the old
+    // ProtectionDomain walk hashed the jar container, not the code,
+    // and could never match a plain-java run of the same classes) —
+    // see graft.tools.CodeFp.
+    val codeFp: String = tools.CodeFp.fingerprint(getClass.getClassLoader)
 
     // Comparable history runs: same code fingerprint, same sf, same
     // query set — scanned BEFORE composing the record so the artifact

@@ -52,28 +52,12 @@ object PairedBench {
   private def r3(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
-  /** Content fingerprint of the classes dir THIS JVM resolves graft
-    * classes from — byte-identical walk to Bench.codeFp (names +
-    * bytes of every .class, sorted per level), so it matches the
-    * fingerprints recorded in BENCH_FULL_HISTORY.jsonl.
+  /** Content fingerprint of the build THIS JVM resolves graft classes
+    * from — the canonical [[CodeFp]] form, identical to what Bench
+    * records in BENCH_FULL_HISTORY.jsonl regardless of runner (sbt
+    * packaged jar vs plain-java classes dir).
     */
-  private def codeFp: String = try {
-    val url = getClass.getClassLoader.getResource("graft/SparkEntry.class")
-    val root = new java.io.File(url.toURI).getParentFile.getParentFile
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def walk(f: java.io.File): Unit = {
-      val cs = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
-      for (c <- cs) {
-        if (c.isDirectory) walk(c)
-        else if (c.getName.endsWith(".class")) {
-          md.update(c.getName.getBytes("UTF-8"))
-          md.update(java.nio.file.Files.readAllBytes(c.toPath))
-        }
-      }
-    }
-    walk(root)
-    md.digest().take(6).map("%02x".format(_)).mkString
-  } catch { case _: Throwable => "unknown" }
+  private def codeFp: String = CodeFp.fingerprint(getClass.getClassLoader)
 
   def main(args: Array[String]): Unit = {
     val role = args(0)
