@@ -21,14 +21,29 @@ import org.apache.spark.scheduler._
   * the section genuinely computed more.
   *
   * Usage: construct (self-registers), run the sections with
-  * `sc.setJobGroup(prefix + name, …)` set in each section's thread,
-  * then [[finishAndDetach]] once all sections' actions returned.
+  * `sc.setJobGroup(group(name), …)` set in each section's thread,
+  * then [[finishAndDetach]] once all sections' actions returned —
+  * it returns SECTION names (the instance prefix stripped).
   * Listener callbacks are invoked serially on the listener-bus thread,
   * so the unsynchronized maps are safe; the caller thread only reads
   * after the drain-wait in [[finishAndDetach]].
+  *
+  * The effective prefix carries a per-instance id (r19 ADVICE: two
+  * live instances sharing a bare prefix — e.g. overlapping timed
+  * graphAnnBatchOn calls in one session — would each observe the
+  * other's job groups and double-attribute job/task time; with the
+  * id, each instance matches only groups minted by its own
+  * [[group]]). The remaining drain caveat stands as documented
+  * best-effort telemetry: a jobStart still in the bus queue when all
+  * observed jobs have ended can escape the drain-wait.
   */
 final class JobGroupMetrics(sc: SparkContext, prefix: String)
     extends SparkListener {
+  private val runPrefix =
+    prefix + JobGroupMetrics.ids.incrementAndGet() + ":"
+
+  /** The job-group name sections must set for this instance. */
+  def group(section: String): String = runPrefix + section
   private val stageGroup = scala.collection.concurrent.TrieMap.empty[Int, String]
   private val jobGroup = scala.collection.concurrent.TrieMap.empty[Int, String]
   private val jobStartMs = scala.collection.concurrent.TrieMap.empty[Int, Long]
@@ -40,7 +55,7 @@ final class JobGroupMetrics(sc: SparkContext, prefix: String)
   override def onJobStart(e: SparkListenerJobStart): Unit = {
     val g = Option(e.properties)
       .map(_.getProperty("spark.jobGroup.id")).orNull
-    if (g != null && g.startsWith(prefix)) {
+    if (g != null && g.startsWith(runPrefix)) {
       started.incrementAndGet()
       jobGroup(e.jobId) = g
       jobStartMs(e.jobId) = e.time
@@ -55,7 +70,7 @@ final class JobGroupMetrics(sc: SparkContext, prefix: String)
   override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
     val g = Option(e.properties)
       .map(_.getProperty("spark.jobGroup.id")).orNull
-    if (g != null && g.startsWith(prefix)) stageGroup(e.stageInfo.stageId) = g
+    if (g != null && g.startsWith(runPrefix)) stageGroup(e.stageInfo.stageId) = g
   }
 
   override def onJobEnd(e: SparkListenerJobEnd): Unit =
@@ -87,7 +102,12 @@ final class JobGroupMetrics(sc: SparkContext, prefix: String)
       Thread.sleep(10)
     sc.removeSparkListener(this)
     (jobMs.keySet ++ taskMs.keySet).map { g =>
-      g -> (jobMs.getOrElse(g, 0L) / 1e3, taskMs.getOrElse(g, 0L) / 1e3)
+      g.stripPrefix(runPrefix) ->
+        (jobMs.getOrElse(g, 0L) / 1e3, taskMs.getOrElse(g, 0L) / 1e3)
     }.toMap
   }
+}
+
+object JobGroupMetrics {
+  private val ids = new java.util.concurrent.atomic.AtomicLong
 }

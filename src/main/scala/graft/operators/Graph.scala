@@ -3091,7 +3091,9 @@ object Graph {
     def span[T](wallKey: String, group: String)(f: => T): T =
       if (!timed) f
       else {
-        s.sparkContext.setJobGroup("gserve:" + group, "gserve " + group)
+        s.sparkContext.setJobGroup(
+          phaseMetrics.fold("gserve:" + group)(_.group(group)),
+          "gserve " + group)
         val t0 = System.nanoTime()
         try f
         finally {
@@ -3222,8 +3224,7 @@ object Graph {
         phaseWalls.collect { case (key, w) if key.startsWith("hop") => w }.sum
       phaseWalls("hops_rounds") = k.toDouble
       phaseMetrics.foreach { m =>
-        for ((g, (job, task)) <- m.finishAndDetach()) {
-          val nm = g.stripPrefix("gserve:")
+        for ((nm, (job, task)) <- m.finishAndDetach()) {
           phaseWalls(nm + "_job") = job
           phaseWalls(nm + "_task") = task
         }

@@ -1264,10 +1264,12 @@ object Indexed {
     val walls = collection.mutable.LinkedHashMap.empty[String, Double]
     val metrics = if (timed)
       Some(new graft.core.JobGroupMetrics(s.sparkContext, "v19:")) else None
+    def legGroup(name: String): String =
+      metrics.fold("v19:" + name)(_.group(name))
     def leg[T](name: String)(f: => T): T =
       if (!timed) f
       else {
-        s.sparkContext.setJobGroup("v19:" + name, "v19 leg " + name)
+        s.sparkContext.setJobGroup(legGroup(name), "v19 leg " + name)
         val t0 = System.nanoTime()
         try f
         finally {
@@ -1350,7 +1352,7 @@ object Indexed {
             name -> pool.submit(
               new java.util.concurrent.Callable[(DataFrame, Double)] {
                 def call(): (DataFrame, Double) = {
-                  s.sparkContext.setJobGroup("v19:" + name, "v19 leg " + name)
+                  s.sparkContext.setJobGroup(legGroup(name), "v19 leg " + name)
                   try {
                     val t0 = System.nanoTime()
                     val df = mk()
@@ -1377,8 +1379,7 @@ object Indexed {
       finally if (timed && !metricsDone) {
         metricsDone = true
         metrics.foreach { m =>
-          for ((g, (job, task)) <- m.finishAndDetach()) {
-            val nm = g.stripPrefix("v19:")
+          for ((nm, (job, task)) <- m.finishAndDetach()) {
             walls(nm + "_job") = job
             walls(nm + "_task") = task
           }

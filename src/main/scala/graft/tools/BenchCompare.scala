@@ -72,9 +72,9 @@ object BenchCompare {
     byLast match { case a +: b +: _ => Some((a, b)); case _ => None }
   }
 
-  final case class Compare(fpA: String, fpB: String, floorA: Double,
-      floorB: Double, envA: Boolean, envB: Boolean, nCommon: Int,
-      totalA: Double, totalB: Double,
+  final case class Compare(fpA: String, fpB: String, sf: String,
+      floorA: Double, floorB: Double, envA: Boolean, envB: Boolean,
+      nCommon: Int, totalA: Double, totalB: Double,
       movers: Seq[(String, Double, Double)])
 
   /** Pick the floor-matched pair and compute the common-set delta.
@@ -104,8 +104,9 @@ object BenchCompare {
     val movers = common.toSeq
       .map(q => (q, a.queries(q), b.queries(q)))
       .sortBy { case (_, va, vb) => -math.abs(va - vb) }
-    Some(Compare(fpA, fpB, a.floor, b.floor, a.env, b.env, common.size,
-      movers.map(_._2).sum, movers.map(_._3).sum, movers.take(10)))
+    Some(Compare(fpA, fpB, a.sf, a.floor, b.floor, a.env, b.env,
+      common.size, movers.map(_._2).sum, movers.map(_._3).sum,
+      movers.take(10)))
   }
 
   private def r3(v: Double): String =
@@ -134,17 +135,22 @@ object BenchCompare {
     * reproduce the incremental build the history recorded (synthetic
     * class names depend on compile history) — that side is pinned by
     * its `label_b` commit tag inside the embedded record instead.
+    * The record must also carry the SAME sf dir as the compare (r19
+    * ADVICE: fp is code-only, so a paired run at another scale factor
+    * would otherwise embed as the "decisive" number next to a
+    * floor-matched compare at this one).
     */
   def pairedFor(pairedPath: java.nio.file.Path, fpA: String,
-      fpB: String): Option[String] =
+      fpB: String, sf: String): Option[String] =
     try {
       if (!java.nio.file.Files.isRegularFile(pairedPath)) None
       else {
         val raw = java.nio.file.Files.readString(pairedPath).trim
         val j = JsonMethods.parse(raw)
-        (j \ "fp_a", j \ "fp_b") match {
-          case (JString(pa), JString(pb))
-              if Set(pa, pb).intersect(Set(fpA, fpB)).nonEmpty => Some(raw)
+        (j \ "fp_a", j \ "fp_b", j \ "sf") match {
+          case (JString(pa), JString(pb), JString(psf))
+              if Set(pa, pb).intersect(Set(fpA, fpB)).nonEmpty &&
+                psf == sf => Some(raw)
           case _ => None
         }
       }
@@ -161,8 +167,18 @@ object BenchCompare {
         (fpA, fpB) <- latestFingerprints(runs)
         c <- compare(runs, fpA, fpB)
       } yield {
-        val json = render(c,
-          pairedFor(outPath.resolveSibling("PAIRED_BENCH.json"), fpA, fpB))
+        val paired = pairedFor(
+          outPath.resolveSibling("PAIRED_BENCH.json"), fpA, fpB, c.sf)
+        if (paired.isEmpty)
+          // said loudly (r19 VERDICT): a floor-matched compare without
+          // a same-window paired record is the WEAKER evidence, and a
+          // reader of the round artifact should know a paired run is
+          // owed for this fingerprint pair
+          System.err.println(s"[bench] NO PAIRED RECORD for fp pair " +
+            s"($fpA, $fpB) at sf ${c.sf} — the compare below is " +
+            "floor-matched only; run tools/paired_launch.sh for the " +
+            "decisive same-window number")
+        val json = render(c, paired)
         java.nio.file.Files.writeString(outPath, json + "\n")
         json
       }

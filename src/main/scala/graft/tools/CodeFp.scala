@@ -26,9 +26,13 @@ object CodeFp {
     val md = java.security.MessageDigest.getInstance("MD5")
     url.getProtocol match {
       case "jar" =>
-        val path = url.getPath // file:/abs/path.jar!/graft/SparkEntry.class
-        val jarPath = java.net.URLDecoder.decode(
-          path.stripPrefix("file:").takeWhile(_ != '!'), "UTF-8")
+        // getPath is file:/abs/path.jar!/graft/SparkEntry.class — the part
+        // before '!' is itself a file: URI. Resolve it through URI→File
+        // (not URLDecoder, whose application/x-www-form-urlencoded rules
+        // turn '+' into a space — '+' is common in ivy/sbt cache paths and
+        // a mangled path would degrade the fingerprint to "unknown")
+        val jarPath = new java.io.File(
+          new java.net.URI(url.getPath.takeWhile(_ != '!')))
         val jf = new java.util.jar.JarFile(jarPath)
         try {
           val entries = scala.jdk.CollectionConverters

@@ -59,6 +59,21 @@ object PairedBench {
     */
   private def codeFp: String = CodeFp.fingerprint(getClass.getClassLoader)
 
+  /** Stale-marker guard (r19 ADVICE): a previously-used sync dir would
+    * satisfy every await() instantly on old turn-N / ready / done-b
+    * markers, silently losing the paired guarantee while the output
+    * still claims paired:true. Before a side writes anything, the dir
+    * may contain ONLY the peer's step-1 files (the peer cannot advance
+    * past step 1 — its first await is on OUR names file): anything
+    * else is residue from an earlier run. Returns the offending names
+    * (sorted); non-empty → the run must abort.
+    */
+  def staleFiles(sync: java.nio.file.Path, other: String): Seq[String] = {
+    val allowed = Set(s"label-$other.txt", s"names-$other.txt", s"up-$other")
+    Option(sync.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filterNot(allowed.contains).sorted.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val role = args(0)
     require(role == "a" || role == "b", s"role must be a|b, got $role")
@@ -72,6 +87,10 @@ object PairedBench {
     val waitMs = sys.env.getOrElse("SPARK_GRAFT_PAIR_WAIT_SEC", "900").toLong * 1000
 
     def p(name: String) = sync.resolve(name)
+    val stale = staleFiles(sync, other)
+    require(stale.isEmpty,
+      s"[paired:$role] sync dir $sync holds stale run state " +
+        s"(${stale.mkString(", ")}) — use a fresh empty dir")
     def mark(name: String): Unit = {
       try java.nio.file.Files.createFile(p(name))
       catch { case _: java.nio.file.FileAlreadyExistsException => () }
@@ -241,6 +260,18 @@ object PairedBench {
     val qa = readSide("a"); val qb = readSide("b")
     val common = names.filter(n => qa.contains(n) && qb.contains(n))
     val totalA = common.map(qa).sum; val totalB = common.map(qb).sum
+    // r19 ADVICE: an empty common set (or a side whose every run
+    // failed) would put "NaN" in the ratio — invalid JSON that
+    // BenchCompare.pairedFor then silently discards. Refuse to write
+    // a record instead: a paired file with no evidence is worse than
+    // no file.
+    if (common.isEmpty || totalB <= 0 || totalA <= 0) {
+      System.err.println(s"[paired:a] no usable common results " +
+        s"(common=${common.size}, totalA=$totalA, totalB=$totalB) — " +
+        "not writing a paired record")
+      spark.stop()
+      return
+    }
     val movers = common.map(n => (n, qa(n), qb(n)))
       .sortBy { case (_, va, vb) => -math.abs(va - vb) }.take(12)
       .map { case (n, va, vb) =>

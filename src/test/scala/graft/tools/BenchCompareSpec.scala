@@ -66,4 +66,72 @@ class BenchCompareSpec extends AnyFunSuite {
       assert(BenchCompare.compare(runs, "new1", "old0").isEmpty)
     }
   }
+
+  private def withPaired(json: String)(f: java.nio.file.Path => Unit): Unit = {
+    val p = java.nio.file.Files.createTempFile("paired", ".json")
+    try { java.nio.file.Files.writeString(p, json + "\n"); f(p) }
+    finally { java.nio.file.Files.deleteIfExists(p); () }
+  }
+
+  test("pairedFor embeds only a record matching fingerprint AND sf (r19 ADVICE)") {
+    val rec = """{"paired":true,"fp_a":"new1","fp_b":"oldX","sf":"/x/sf0.1",""" +
+      """"ratio_a_over_b":1.01}"""
+    withPaired(rec) { p =>
+      // fp matches either slot, same sf -> embedded
+      assert(BenchCompare.pairedFor(p, "new1", "old0", "/x/sf0.1").contains(rec))
+      assert(BenchCompare.pairedFor(p, "zzz", "oldX", "/x/sf0.1").contains(rec))
+      // same fp pair, DIFFERENT sf -> rejected (a paired run at another
+      // scale factor must not pose as this compare's decisive number)
+      assert(BenchCompare.pairedFor(p, "new1", "old0", "/x/sf0.01").isEmpty)
+      // no fp overlap -> rejected
+      assert(BenchCompare.pairedFor(p, "aaa", "bbb", "/x/sf0.1").isEmpty)
+    }
+  }
+
+  test("pairedFor rejects a record with no sf field (pre-guard vintage)") {
+    withPaired("""{"paired":true,"fp_a":"new1","fp_b":"oldX"}""") { p =>
+      assert(BenchCompare.pairedFor(p, "new1", "old0", "/x/sf0.1").isEmpty)
+    }
+  }
+
+  test("PairedBench refuses a sync dir holding stale run state (r19 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("paired-sync")
+    try {
+      // residue only a FINISHED (or crashed) earlier run could leave:
+      // without the guard, await() on these returns instantly and the
+      // two sides free-run — "paired" in name only
+      java.nio.file.Files.createFile(dir.resolve("turn-0"))
+      java.nio.file.Files.createFile(dir.resolve("done-b"))
+      val e = intercept[IllegalArgumentException] {
+        PairedBench.main(Array("a", dir.toString))
+      }
+      assert(e.getMessage.contains("stale run state"))
+      assert(e.getMessage.contains("turn-0"))
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve("turn-0"))
+      java.nio.file.Files.deleteIfExists(dir.resolve("done-b"))
+      java.nio.file.Files.deleteIfExists(dir)
+      ()
+    }
+  }
+
+  test("PairedBench stale guard allows only the peer's step-1 files") {
+    val dir = java.nio.file.Files.createTempDirectory("paired-sync")
+    val mk = Seq("label-b.txt", "names-b.txt", "up-b", // peer step-1: legit
+      "turn-3", "result-a.jsonl", "ready-b", "warm-a") // any-run residue
+    try {
+      assert(PairedBench.staleFiles(dir, "b").isEmpty) // empty dir ok
+      mk.foreach(n => java.nio.file.Files.createFile(dir.resolve(n)))
+      // side a (peer=b): the peer's step-1 trio passes, the rest is stale
+      assert(PairedBench.staleFiles(dir, "b") ==
+        Seq("ready-b", "result-a.jsonl", "turn-3", "warm-a"))
+      // side b (peer=a): now even label-b/names-b/up-b are OWN-side
+      // residue — a role rerun in a used dir is stale too
+      assert(PairedBench.staleFiles(dir, "a").size == mk.size)
+    } finally {
+      mk.foreach(n => java.nio.file.Files.deleteIfExists(dir.resolve(n)))
+      java.nio.file.Files.deleteIfExists(dir)
+      ()
+    }
+  }
 }
