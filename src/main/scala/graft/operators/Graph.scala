@@ -2488,8 +2488,13 @@ object Graph {
       // per-stratum occupancy (the slice's own graph, exactly) — and,
       // r18, over-cap buckets admit their MaxBucket lowest vec_ids as
       // id-ordered representatives (see scoredPairsOn's rationale;
-      // two-regime plan, the healthy path never sorts)
-      val capped = Dedup.capByLowestIds(routing
+      // two-regime plan, the healthy path never sorts). r20: the cap
+      // reads the just-written buckets PARQUET, not the pre-write
+      // lineage — the lineage form re-ran the SRP kernel once per cap
+      // branch and self-join side (the shape capByLowestIds now
+      // rejects); the stored table is the same rows, kernel-free.
+      val capped = Dedup.capByLowestIds(
+        s.read.parquet(s"$target/buckets")
           .select(col("vec_id"), col("stratum"), col("tbl"), col("bkt")),
         Seq("stratum", "tbl", "bkt"))
       val cand = capped.as("a").join(capped.as("b"),
@@ -2928,17 +2933,6 @@ object Graph {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val qids = qb.map(_._1).distinct.toSeq
     val keys = qb.map(_._2).distinct.toSeq
-    val bszRows = bsizes
-      .filter(keyPred(keys))
-      .select(keyCol(col("tbl"), col("bkt")).as("key"), col("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val capped = bszRows.filter(_._2 <= Dedup.MaxBucket.toLong).map(_._1).toSet
-    val over = bszRows.filter(_._2 > Dedup.MaxBucket.toLong).map(_._1).toSet
-    val cohabCapped = routing
-      .filter(keyPred(capped))
-      .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
-      .collect().map(r => (r.getLong(1), r.getLong(0)))
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // Over-cap buckets (r18, the r17 adversarial-ingest finding): a
     // duplicate-heavy corpus drives whole signature families' buckets
     // past MaxBucket, and EXCLUDING those buckets — the old rule, the
@@ -2954,23 +2948,32 @@ object Graph {
     // vec_ids as its representatives: deterministic, id-ordered —
     // exactly the tie-break order the final (sc DESC, vec_id ASC)
     // selection and the exact baseline use, so at equal score the
-    // walk serves the same ids the baseline names — and bounded by
-    // the same ≤ MaxBucket-per-bucket collect as a full capped
-    // bucket. The truncation runs distributed (one window over the
-    // selected buckets' rows only) and ONLY when an over-cap bucket
-    // is actually selected — zero extra jobs on a healthy corpus.
-    val cohabOver =
-      if (over.isEmpty) Map.empty[Long, Array[Long]]
-      else routing
-        .filter(keyPred(over))
-        .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("key").orderBy(col("vec_id").asc)))
-        .filter(col("rn") <= Dedup.MaxBucket)
-        .select("vec_id", "key")
-        .collect().map(r => (r.getLong(1), r.getLong(0)))
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val cohab = cohabCapped ++ cohabOver
+    // walk serves the same ids the baseline names.
+    //
+    // r20 (the NOTES_r19 lever, taken): the cohabitant fetch is ONE
+    // ranked job over the selected buckets' rows — rank ≤ MaxBucket
+    // admits a ≤cap bucket whole (every rank is within the cap) and
+    // truncates an over-cap bucket to its representatives, so the
+    // r18 two-regime's separate bsizes read + capped collect +
+    // over-cap window (2-3 sequential jobs, each ~0.15-0.2 s local
+    // scheduler latency — the g-serve family's measured cost shape)
+    // collapse into one barrier with IDENTICAL output. The rank
+    // window shuffles only rows the old capped path collected to the
+    // driver anyway (≤ |keys|·MaxBucket by the same bound), and the
+    // attribute-level keyPred still prunes row groups at the scan.
+    // `bsizes` stays in the signature: it is the append-maintained
+    // occupancy artifact the GRAPH maintenance path reads; the serve
+    // path simply no longer needs a separate sizes job.
+    val _ = bsizes
+    val cohab = routing
+      .filter(keyPred(keys))
+      .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("vec_id").asc)))
+      .filter(col("rn") <= Dedup.MaxBucket)
+      .select("vec_id", "key")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val seeded: Map[Long, Seq[Long]] = qids.flatMap { q =>
       val peers = qb.collect { case (v, key) if v == q => key }
         .flatMap(k => cohab.getOrElse(k, Array.empty[Long]))
@@ -3067,10 +3070,13 @@ object Graph {
     * `hops_rounds` (executed rounds), plus `<phase>_job`/`<phase>_task`
     * Spark-side splits from [[graft.core.JobGroupMetrics]] (a phase
     * whose wall inflates while `_task` stays flat was queued, not
-    * working). The final top-K selection + hydration is LAZY — it
-    * executes in the caller's action, so its cost is the query wall
-    * minus this map's `seed`+`seed_score`+`hops`. Bench enables the
-    * conf and emits the map after each g-serve query.
+    * working). r20: the final top-K selection + hydration — lazy when
+    * untimed — executes under timing inside its own `final` job group
+    * (the walk materializes the ≤ Q·TopK result rows in-span and
+    * returns a literal frame), so the map carries measured
+    * `final`/`final_job`/`final_task` instead of leaving 40-45% of the
+    * query wall as an unattributed residual. Bench enables the conf
+    * and emits the map after each g-serve query.
     */
   @volatile private[graft] var lastGServeTimings: Map[String, Double] = Map.empty
 
@@ -3223,13 +3229,6 @@ object Graph {
       phaseWalls("hops") =
         phaseWalls.collect { case (key, w) if key.startsWith("hop") => w }.sum
       phaseWalls("hops_rounds") = k.toDouble
-      phaseMetrics.foreach { m =>
-        for ((nm, (job, task)) <- m.finishAndDetach()) {
-          phaseWalls(nm + "_job") = job
-          phaseWalls(nm + "_task") = task
-        }
-      }
-      lastGServeTimings = phaseWalls.toMap
     }
     // final selection in-plan over the attested visited score set
     val visDf = visitedSc.toSeq.map { case ((qid, vid), sc) => (qid, vid, sc) }
@@ -3256,13 +3255,35 @@ object Graph {
           .filter(pred).select("vec_id")
       visDf.join(ok, Seq("vec_id"), "left_semi")
     }
-    keep.withColumn("rk", row_number().over(
+    val served = keep.withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sc").desc, col("vec_id").asc)))
       .filter(col("rk") <= GannTopK)
       .join(audit, "qid")
       .join(broadcast(hopsDf), "qid")
       .select(col("qid"), col("vec_id"), col("sc"),
         col("rk").cast("long").as("rk"), col("visited_n"), col("hops_n"))
+    if (!timed) served
+    else {
+      // r20 (r19 VERDICT what's-missing #3): under timing, EXECUTE the
+      // final top-K + attestation + hydration here, under its own job
+      // group, so the 40-45% of g-serve wall that was only ever a
+      // RESIDUAL (query wall − seed − seed_score − hops) becomes a
+      // measured `final` span with `final_job`/`final_task` splits. The
+      // result is ≤ Q·GannTopK rows — the v19 legFramesTimed pattern:
+      // materialize inside the span, hand back a literal frame with the
+      // identical schema and values (the caller's action then touches
+      // only local rows, so the query's total work is unchanged — it
+      // moved inside the instrumented section).
+      val rows = span("final", "final") { served.collect() }
+      phaseMetrics.foreach { m =>
+        for ((nm, (job, task)) <- m.finishAndDetach()) {
+          phaseWalls(nm + "_job") = job
+          phaseWalls(nm + "_task") = task
+        }
+      }
+      lastGServeTimings = phaseWalls.toMap
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), served.schema)
+    }
     }
     try walk()
     catch { case t: Throwable =>

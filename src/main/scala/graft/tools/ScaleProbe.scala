@@ -84,7 +84,11 @@ object ScaleProbe {
       }
       // 5. simhash prefix-band pairs (r3 shape: band join, no payload block)
       val tSimPairs = timeIf("simpairs") {
-        val sigs = graft.operators.Dedup.d3SimhashOn(docs)
+        // cached, as production d6 does (and capByLowestIds now
+        // requires): the cap's branches + self-join sides must not
+        // re-run the simhash kernel per pass
+        val sigs = graft.operators.Dedup.cacheSlot("scaleprobe-simhash-sigs",
+          graft.operators.Dedup.d3SimhashOn(docs))
         // r19: the probe caps exactly as production does (id-ordered
         // representative admission), so the measured candidate bound
         // is the real one
@@ -208,6 +212,24 @@ object ScaleProbe {
         graft.operators.Corpus.connectedComponentsStar(ccGraph(nDocs), "a", "b")
           .write.format("noop").mode("overwrite").save()
       }
+      // 17: d16 sig-index probe — a FIXED batch (the base corpus's
+      // b=9 split, constant across scales) probed against a GROWING
+      // stored index. The bands_capped claim (r20): the corpus-sized
+      // cap window runs at BUILD time (sigb should grow ~linearly);
+      // the PROBE partition-prunes the materialized capped view and
+      // shuffles batch-proportional data only, so sigp should stay
+      // FLAT as the stored corpus grows n×.
+      val (tSigBuild, tSigProbe) =
+        if (only.forall(_.contains("sigprobe"))) {
+          val tb = time { graft.operators.Dedup.ensureSigIndex(spark, sfLike) }
+          val batch = docs0.filter(
+            graft.operators.Dedup.baseHash(col("doc_id").cast("string")) % 10 === 9)
+          val tp = time {
+            graft.operators.Dedup.probeSigIndex(spark, sfLike, batch, docs)
+              .write.format("noop").mode("overwrite").save()
+          }
+          (tb, tp)
+        } else (0.0, 0.0)
       graft.operators.Dedup.releaseSlots()
       println(f"[scale] x$n%-3d docs=$nDocs%-8d vecs=$nVec%-8d " +
         f"minhash=$tMinhash%6.1fs (${nDocs / tMinhash}%8.0f docs/s)  " +
@@ -226,7 +248,8 @@ object ScaleProbe {
         f"t19=$tT19%5.1fs (${nDocs / tT19}%8.0f docs/s)  " +
         f"d14=$tD14%6.1fs (${nDocs / tD14}%8.0f docs/s)  " +
         f"cc=$tCc%5.1fs (${nDocs / tCc}%8.0f docs/s)  " +
-        f"ccstar=$tCcStar%5.1fs (${nDocs / tCcStar}%8.0f docs/s)")
+        f"ccstar=$tCcStar%5.1fs (${nDocs / tCcStar}%8.0f docs/s)  " +
+        f"sigb=$tSigBuild%5.1fs  sigp=$tSigProbe%5.1fs")
     }
     spark.stop()
   }

@@ -173,6 +173,31 @@ class DedupEdgeSpec extends SparkSuite {
     assert(m.forall(_._3 == 1.0))
   }
 
+  test("cap helpers reject input whose re-evaluation re-runs a kernel (r20 contract)") {
+    // the r19 +31% CPU regression shape: a fused kernel in the cap
+    // input's UNCACHED lineage runs once per cap branch and once per
+    // downstream join side — 4 passes. The helpers now refuse it.
+    val sigs = Dedup.d3SimhashOn(docs) // simhash kernel in lineage
+    val bandsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"), col("simhash").as("bh"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.capByLowestIds(bandsOf(sigs), Seq("bh"), "doc_id")
+    }
+    assert(e.getMessage.contains("re-evaluates a graft kernel"))
+    // a persisted kernel frame passes: re-evaluation reads the cache
+    val cached = Dedup.cacheSlot("spec-cap-contract", sigs)
+    assert(Dedup.capByLowestIds(bandsOf(cached), Seq("bh"), "doc_id")
+      .count() > 0)
+    // a file-backed kernel frame passes: re-evaluation is a parquet
+    // scan, the kernel ran once at write time
+    val p = tmpDir("cap-contract")
+    sigs.write.parquet(s"$p/sigs.parquet")
+    assert(Dedup.capByLowestIds(
+        bandsOf(spark.read.parquet(s"$p/sigs.parquet")), Seq("bh"), "doc_id")
+      .count() > 0)
+    Dedup.releaseSlots()
+  }
+
   test("quality/token queries never divide by zero on empty docs") {
     val q = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).as("n"))

@@ -42,6 +42,11 @@ class SigIndexSpec extends SparkSuite {
     spark.read.parquet(dir).select("doc_id", "band", "bh")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
 
+  private def cappedSet(dir: String): Set[(Long, Int, String, Long, Long)] =
+    spark.read.parquet(dir).select("doc_id", "band", "bh", "bsz", "bmin")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+
   test("sig-index lifecycle: delta append == one-shot build; snapshots immutable; trickle ingest auto-compacts") {
     val full = graft.core.Tables.documents(spark, sf0001)
       .filter(Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8)
@@ -69,6 +74,11 @@ class SigIndexSpec extends SparkSuite {
     val vf = Dedup.ensureSigIndex(spark, fullDir)
     assert(bandSet(s"$live/bands") === bandSet(s"$vf/bands"),
       "grown index must equal the one-shot build")
+    // the materialized capped view (incl. bsz/bmin evidence) must also
+    // be append-path-independent: per bucket it is a pure function of
+    // the live band rows, and append refreshes every touched bucket
+    assert(cappedSet(s"$live/bands_capped") === cappedSet(s"$vf/bands_capped"),
+      "grown capped view must equal the one-shot build's")
 
     val frags = Option(new java.io.File(s"$live/bands").listFiles()).get
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
@@ -166,5 +176,75 @@ class SigIndexSpec extends SparkSuite {
     // it; the only md5-split filter in the serve plan is the batch's
     assert(!plan.contains("< 8)"), s"corpus-side recompute in serve plan:\n${plan.take(2000)}")
     assert(plan.contains("= 9)"))
+  }
+
+  test("probe plan reads bands_capped only, partition-pruned, with no window (r20)") {
+    Dedup.ensureSigIndex(spark, sf0001)
+    // the default 100-char metadata truncation cuts scan Locations
+    // before the .../bands_capped suffix — widen for this inspection
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = try Dedup.probeSigIndex(spark, sf0001,
+        graft.core.Tables.documents(spark, sf0001)
+          .filter(Dedup.baseHash(col("doc_id").cast("string")) % 10 === 9),
+        graft.core.Tables.documents(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    Dedup.releaseSlots()
+    // the stored side is the materialized capped view...
+    assert(plan.contains("bands_capped"), s"no bands_capped scan:\n${plan.take(1500)}")
+    // ...partition-pruned to the batch's dir-buckets (the isin on the
+    // `bucket` dir-partition column lands in PartitionFilters, never a
+    // post-scan row filter)
+    assert("""PartitionFilters: \[[^\]]*bucket[^\]]* IN """.r.findFirstIn(plan).isDefined,
+      s"bucket pruning missing from PartitionFilters:\n${plan.take(2000)}")
+    // ...and the per-probe corpus-sized rank window is GONE — the one
+    // r19-verdict `weak`: a probe must shuffle batch-proportional data
+    // only, with the cap computed at index maintenance time
+    assert(!plan.contains("Window"),
+      s"corpus-sized window back in the probe plan:\n${plan.take(2000)}")
+    // the raw bands table is not scanned by the probe (every stored-
+    // side scan path goes through bands_capped: `/bands` is always
+    // followed by `_capped` in the plan's scan locations)
+    assert("""/bands([^_]|$)""".r.findFirstIn(plan).isEmpty,
+      s"probe scans raw bands:\n${plan.take(2000)}")
+  }
+
+  test("over-cap family: capped view carries tail evidence (bsz, bmin) and the canonical min is a match witness") {
+    import spark.implicits._
+    val b = Dedup.baseHash(col("doc_id").cast("string")) % 10
+    val split = spark.range(0, 4000).select(col("id").as("doc_id"))
+      .withColumn("b", b).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val famIds = split.filter(_._2 < 8).map(_._1).sorted
+      .take(Dedup.MaxBucket + 10)
+    val batchId = split.filter(_._2 == 9).map(_._1).min
+    val famText = "identical mirror boilerplate paragraph for the capped-view evidence test"
+    val docs = (famIds.map((_, famText)).toSeq :+ ((batchId, famText)))
+      .toDF("doc_id", "text")
+    val base = tmpDir("sigidx-evidence")
+    docs.write.parquet(s"$base/documents.parquet")
+    val idx = Dedup.ensureSigIndex(spark, base)
+    // the stored capped view: per over-cap bucket exactly MaxBucket
+    // rows, each carrying the bucket's true size and canonical min id
+    val capped = spark.read.parquet(s"$idx/bands_capped")
+      .filter(col("bsz") > Dedup.MaxBucket)
+      .select("band", "bh", "doc_id", "bsz", "bmin")
+      .collect()
+    assert(capped.nonEmpty, "over-cap fixture produced no over-cap buckets")
+    val byBucket = capped.groupBy(r => (r.getInt(0), r.getString(1)))
+    for ((_, rows) <- byBucket) {
+      assert(rows.length == Dedup.MaxBucket)
+      assert(rows.forall(_.getLong(3) == famIds.length.toLong)) // bsz = family size
+      assert(rows.forall(_.getLong(4) == famIds.min))           // bmin = canonical min
+      assert(rows.map(_.getLong(2)).min == famIds.min)          // min id admitted
+    }
+    // serve-time witness: a batch copy of the >cap family reports the
+    // family's canonical min id among its verified matches — the d16
+    // audit trail stays consistent with d2's tail-link clustering,
+    // where every tail member hangs off exactly that id
+    val got = Dedup.d16IncrementalNearDup(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    Dedup.releaseSlots()
+    assert(got.exists { case (bid, cid) => bid == batchId && cid == famIds.min },
+      "canonical family min missing from the probe's match witnesses")
   }
 }
