@@ -94,6 +94,29 @@ class GraphIndexSpec extends SparkSuite {
       s"g1 must not re-score edges:\n${p1.take(2000)}")
   }
 
+  test("timed g-serve: identical rows to untimed, with the final phase measured (r20)") {
+    // r20: under graft.gserve.timings the walk executes its final
+    // top-K + attestation in-span (own job group) and returns a
+    // LITERAL frame — values must be bit-identical to the lazy plan,
+    // and the timing map must carry the measured final/_job (the
+    // 40-45% of wall that was only ever a residual before)
+    val d = sf0001
+    Graph.ensureKnnGraph(spark, d)
+    def rows() = SparkEntry.queries("q_g8_graph_ann_batch")(spark, d)
+      .collect().map(_.toString).toSeq
+    val untimed = rows()
+    spark.conf.set("graft.gserve.timings", "true")
+    val timed = try rows() finally
+      spark.conf.set("graft.gserve.timings", "false")
+    assert(timed === untimed, "timed serve changed the served rows")
+    val m = Graph.lastGServeTimings
+    assert(m.contains("final") && m.contains("final_job"),
+      s"final phase not measured: ${m.keys.toSeq.sorted}")
+    assert(m.contains("seed") && m.contains("seed_job") && m.contains("hops"),
+      s"phase map incomplete: ${m.keys.toSeq.sorted}")
+    Dedup.releaseSlots()
+  }
+
   test("adaptive exit (g12) stops no later than the full fixpoint (g8) and keeps the top-K when the exit rounds coincide") {
     val d = sf0001
     Graph.ensureKnnGraph(spark, d)
