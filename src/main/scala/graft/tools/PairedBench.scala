@@ -69,7 +69,11 @@ object PairedBench {
     * (sorted); non-empty → the run must abort.
     */
   def staleFiles(sync: java.nio.file.Path, other: String): Seq[String] = {
-    val allowed = Set(s"label-$other.txt", s"names-$other.txt", s"up-$other")
+    // log-a/log-b are the launcher's stdout/stderr redirects, created
+    // at process start BY this run (paired_launch.sh rm -rf's the dir
+    // first) — they carry no protocol state, so they can't unpair a run
+    val allowed = Set(s"label-$other.txt", s"names-$other.txt", s"up-$other",
+      "log-a.txt", "log-b.txt")
     Option(sync.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
       .map(_.getName).filterNot(allowed.contains).sorted.toSeq
   }
