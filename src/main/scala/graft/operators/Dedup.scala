@@ -823,6 +823,12 @@ object Dedup {
           // from-scratch rebuild is structural: per bucket the capped
           // view is a pure function of the live band rows
           // (SigIndexSpec pins append == one-shot across the cap).
+          // The per-bucket rewrite is the irreducible unit of this
+          // layout (a partition's file set is replaced whole — a
+          // key-level recompute would still sort and write the same
+          // rows), so the production scale knob is [[SigBuckets]]:
+          // file-size-bound like Hybrid.LexBuckets, keeping the
+          // per-bucket rewrite flat as the corpus grows.
           val touched = delta.select("bucket").distinct()
             .collect().map(_.getInt(0)).sorted
           if (touched.nonEmpty)

@@ -219,7 +219,7 @@ object ScaleProbe {
       // the PROBE partition-prunes the materialized capped view and
       // shuffles batch-proportional data only, so sigp should stay
       // FLAT as the stored corpus grows n×.
-      val (tSigBuild, tSigProbe) =
+      val (tSigBuild, tSigProbe, tSigAppend) =
         if (only.forall(_.contains("sigprobe"))) {
           val tb = time { graft.operators.Dedup.ensureSigIndex(spark, sfLike) }
           val batch = docs0.filter(
@@ -228,8 +228,18 @@ object ScaleProbe {
             graft.operators.Dedup.probeSigIndex(spark, sfLike, batch, docs)
               .write.format("noop").mode("overwrite").save()
           }
-          (tb, tp)
-        } else (0.0, 0.0)
+          // append a FIXED batch onto the grown index: the capped-view
+          // refresh rewrites the touched dir-buckets whole, so at the
+          // fixture's SigBuckets=8 this cost tracks corpus/8 per bucket
+          // — the honest number; the production knob is SigBuckets
+          // (file-size-bound, so per-bucket rewrite cost stays flat as
+          // the corpus grows). Runs last: it mutates the artifact.
+          val ta = time {
+            graft.operators.Dedup.appendSigIndex(spark, sfLike,
+              batch.withColumn("doc_id", col("doc_id") + 100000000L))
+          }
+          (tb, tp, ta)
+        } else (0.0, 0.0, 0.0)
       graft.operators.Dedup.releaseSlots()
       println(f"[scale] x$n%-3d docs=$nDocs%-8d vecs=$nVec%-8d " +
         f"minhash=$tMinhash%6.1fs (${nDocs / tMinhash}%8.0f docs/s)  " +
@@ -249,7 +259,7 @@ object ScaleProbe {
         f"d14=$tD14%6.1fs (${nDocs / tD14}%8.0f docs/s)  " +
         f"cc=$tCc%5.1fs (${nDocs / tCc}%8.0f docs/s)  " +
         f"ccstar=$tCcStar%5.1fs (${nDocs / tCcStar}%8.0f docs/s)  " +
-        f"sigb=$tSigBuild%5.1fs  sigp=$tSigProbe%5.1fs")
+        f"sigb=$tSigBuild%5.1fs  sigp=$tSigProbe%5.1fs  siga=$tSigAppend%5.1fs")
     }
     spark.stop()
   }
