@@ -115,19 +115,21 @@ class BenchCompareSpec extends AnyFunSuite {
     }
   }
 
-  test("PairedBench stale guard allows only the peer's step-1 files") {
+  test("PairedBench stale guard allows only the peer's step-1 files and the launcher logs") {
     val dir = java.nio.file.Files.createTempDirectory("paired-sync")
     val mk = Seq("label-b.txt", "names-b.txt", "up-b", // peer step-1: legit
+      "log-a.txt", "log-b.txt",                        // launcher redirects: legit
       "turn-3", "result-a.jsonl", "ready-b", "warm-a") // any-run residue
     try {
       assert(PairedBench.staleFiles(dir, "b").isEmpty) // empty dir ok
       mk.foreach(n => java.nio.file.Files.createFile(dir.resolve(n)))
-      // side a (peer=b): the peer's step-1 trio passes, the rest is stale
+      // side a (peer=b): the peer's step-1 trio and both launcher
+      // stdout/stderr redirects pass; the rest is stale
       assert(PairedBench.staleFiles(dir, "b") ==
         Seq("ready-b", "result-a.jsonl", "turn-3", "warm-a"))
-      // side b (peer=a): now even label-b/names-b/up-b are OWN-side
-      // residue — a role rerun in a used dir is stale too
-      assert(PairedBench.staleFiles(dir, "a").size == mk.size)
+      // side b (peer=a): label-b/names-b/up-b become OWN-side residue
+      // — a role rerun in a used dir is stale too; logs stay allowed
+      assert(PairedBench.staleFiles(dir, "a").size == mk.size - 2)
     } finally {
       mk.foreach(n => java.nio.file.Files.deleteIfExists(dir.resolve(n)))
       java.nio.file.Files.deleteIfExists(dir)
