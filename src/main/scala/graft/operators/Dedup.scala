@@ -834,7 +834,7 @@ object Dedup {
           if (touched.nonEmpty)
             writeCapped(
               cappedBandsOf(s.read.parquet(s"$target/bands")
-                .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))),
+                .filter(col("bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))),
               target, dynamic = true)
           newDocs.select(col("doc_id")).distinct()
             .coalesce(1).sortWithinPartitions("doc_id")
@@ -936,7 +936,7 @@ object Dedup {
     val touched = batchb.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val corpb = s.read.parquet(s"$idx/bands_capped")
-      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .filter(col("bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
     val cand = batchb.join(corpb, Seq("band", "bh"))
       .select(col("batch_id"), col("corpus_id"))

@@ -931,7 +931,7 @@ object Graph {
               .distinct().collect().map(_.getInt(0))
             if (affBuckets.nonEmpty) {
               val oldPart = s.read.parquet(s"$target/edges")
-                .filter(col("bucket").isin(affBuckets.map(Integer.valueOf): _*))
+                .filter(col("bucket").isin(affBuckets.map(Integer.valueOf).toIndexedSeq: _*))
               val rer = oldPart.join(affected, Seq("src"))
                 .select("src", "dst", "w", "dvec")
                 .unionByName(sym)
