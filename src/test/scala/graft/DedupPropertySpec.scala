@@ -96,4 +96,78 @@ class DedupPropertySpec extends SparkSuite {
     }
   }
 
+  // ---- r20: bands_capped invariants on random corpora ----
+
+  /** Docs of 1-40 tokens: sub-3-token docs yield NO shingles (and so
+    * no band rows) — the empty-delta edge the append path must absorb.
+    */
+  private val genDocAnyLen: Gen[String] = for {
+    n <- Gen.choose(1, 40)
+    toks <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield toks.mkString(" ")
+
+  private def anyLenCorpus(seed: Long, n: Int) = {
+    import spark.implicits._
+    Gen.listOfN(n, genDocAnyLen)
+      .apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(fail(s"generator exhausted at seed $seed"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def cappedRows(dir: String) =
+    spark.read.parquet(s"$dir/bands_capped")
+      .select("doc_id", "band", "bh", "bucket", "bsz", "bmin")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+
+  test("bands_capped invariants + random-split append parity (3 seeded corpora)") {
+    for (seed <- Seq(11L, 2718L, 31415L)) {
+      val docs = anyLenCorpus(seed, 40)
+      // split point from the seed: exercises carry-forward + dynamic
+      // partition overwrite at arbitrary boundaries, including deltas
+      // that are entirely shingle-less (zero band rows -> the touched
+      // set is empty and the capped view must carry forward intact)
+      val cut = (seed % 37 + 2).toInt
+      // ensureSigIndex indexes the CORPUS SPLIT (baseHash % 10 < 8) of
+      // its dir's documents; an appended increment is indexed as given
+      // — so the grown path must append the same split's remainder, as
+      // a real ingester does (StreamingNearDup appends its accepted
+      // corpus docs)
+      val split = Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8
+      val oneShot = tmpDir(s"capprop-one-$seed")
+      docs.write.parquet(s"$oneShot/documents.parquet")
+      val v1 = Dedup.ensureSigIndex(spark, oneShot)
+      val grown = tmpDir(s"capprop-grow-$seed")
+      docs.filter(col("doc_id") < cut).write.parquet(s"$grown/documents.parquet")
+      Dedup.ensureSigIndex(spark, grown)
+      val v2 = Dedup.appendSigIndex(spark, grown,
+        docs.filter(col("doc_id") >= cut && split))
+      // 1. append-path independence, full row content incl. evidence
+      assert(cappedRows(v2).toSet === cappedRows(v1).toSet,
+        s"seed $seed cut $cut: grown capped view != one-shot")
+      // 2. per-bucket evidence invariants against the raw bands table
+      val bands = spark.read.parquet(s"$v1/bands")
+        .select("doc_id", "band", "bh", "bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      val byKey = bands.groupBy(r => (r._2, r._3))
+      val capped = cappedRows(v1)
+      assert(capped.nonEmpty, s"seed $seed: degenerate corpus (no bands)")
+      for ((k, rows) <- capped.groupBy(r => (r._2, r._3))) {
+        val raw = byKey(k)
+        // under the cap (40 docs << MaxBucket): every raw row admitted
+        assert(rows.map(_._1).sorted.toSeq === raw.map(_._1).sorted.toSeq)
+        assert(rows.forall(_._5 == raw.length.toLong), s"$k: bsz wrong")
+        assert(rows.forall(_._6 == raw.map(_._1).min), s"$k: bmin wrong")
+        // dir-bucket column consistent with the layout hash
+        assert(rows.map(_._4).distinct.length == 1 &&
+          raw.map(_._4).distinct.length == 1 &&
+          rows.head._4 == raw.head._4, s"$k: bucket drift")
+      }
+      // 3. the docs manifest counts every INDEXED doc (the corpus
+      // split), shingle-less included
+      assert(Dedup.sigIndexManifest(spark, grown).count() ===
+        docs.filter(split).count())
+    }
+  }
 }
