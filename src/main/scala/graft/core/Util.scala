@@ -14,6 +14,17 @@ object Util {
   def exportJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** A literal (lineage-free) frame over already-collected rows — the
+    * materialize-in-span idiom shared by the timed v19 legs, the timed
+    * g-serve final phase, and the rebuild self-heal: values and schema
+    * identical to the source plan, but an action on the result touches
+    * only local rows (the distributed work was paid where the rows
+    * were collected, inside whatever instrumented section owns it).
+    */
+  def literalFrame(spark: SparkSession, rows: Array[org.apache.spark.sql.Row],
+      schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   /** Import a JSON dump, enforcing the expected schema (the analogue of
     * RxDB's schema-hash check on importJSON: a dump taken under a
     * different schema is rejected, not silently coerced).

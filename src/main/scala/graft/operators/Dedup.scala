@@ -700,6 +700,34 @@ object Dedup {
       posexplode(graft.functions.TextHashKernels.minhashBands(
         col("gs"), HashCoeffs, HashPrime, RowsPerBand)).as(Seq("band", "bh")))
 
+  // Explicit read schemas for the index's stored tables: a corpus (or
+  // version) whose every doc is shingle-less writes ZERO band rows —
+  // a partitioned parquet dir holding only _SUCCESS — and a
+  // schema-inferring read of it throws. With the schema supplied, an
+  // empty table reads back as an empty frame and the index stays
+  // buildable/probe-able for such corpora (the manifest still lists
+  // the docs: "indexed" and "has shingles" are separate concepts).
+  private val sigBandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bh",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private val sigCappedSchema = org.apache.spark.sql.types.StructType(
+    sigBandsSchema.fields.toSeq ++ Seq(
+      org.apache.spark.sql.types.StructField("bsz",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bmin",
+        org.apache.spark.sql.types.LongType)))
+
+  private val sigDocsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType)))
+
   /** The CAPPED representative view of a bands frame — per (band, bh)
     * bucket its [[MaxBucket]] lowest doc_ids (the plain rank-window
     * form, semantically the oracle's literal `corpb` CTE), each row
@@ -758,7 +786,8 @@ object Dedup {
         .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/bands")
       // the capped representative view, from the just-written rows (a
       // read-back, not a second kernel pass over the corpus text)
-      writeCapped(cappedBandsOf(s.read.parquet(s"$target/bands")), target)
+      writeCapped(cappedBandsOf(
+        s.read.schema(sigBandsSchema).parquet(s"$target/bands")), target)
       // doc-id manifest: every doc this version has INDEXED — including
       // shingle-less docs, which produce zero band rows but are known.
       // Membership questions (the streaming reconcile) read this, not a
@@ -774,7 +803,7 @@ object Dedup {
     * doc (`doc_id`), maintained by every build/append/compact.
     */
   def sigIndexManifest(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${ensureSigIndex(s, d)}/docs")
+    s.read.schema(sigDocsSchema).parquet(s"${ensureSigIndex(s, d)}/docs")
 
   /** Append-fragmentation threshold for the band index's bucket dirs
     * (the [[graft.operators.Hybrid]] lex-index discipline).
@@ -815,27 +844,65 @@ object Dedup {
           // Refresh the capped view for TOUCHED dir-buckets only (the
           // delta's distinct `bucket` values — ≤ SigBuckets, a tiny
           // collect): a dynamic partition overwrite replaces exactly
-          // those bucket dirs' carried-forward links with a recompute
-          // over the post-append rows, leaving untouched buckets'
-          // hard links (and every prior version) intact. Append work
-          // is therefore proportional to the touched buckets' band
-          // rows, not the whole index — and probe-time parity with a
-          // from-scratch rebuild is structural: per bucket the capped
-          // view is a pure function of the live band rows
-          // (SigIndexSpec pins append == one-shot across the cap).
-          // The per-bucket rewrite is the irreducible unit of this
-          // layout (a partition's file set is replaced whole — a
-          // key-level recompute would still sort and write the same
-          // rows), so the production scale knob is [[SigBuckets]]:
-          // file-size-bound like Hybrid.LexBuckets, keeping the
-          // per-bucket rewrite flat as the corpus grows.
+          // those bucket dirs' carried-forward links with the merged
+          // view, leaving untouched buckets' hard links (and every
+          // prior version) intact.
+          //
+          // The refresh is INCREMENTAL — its inputs are the PRIOR
+          // version's capped view (carried forward by the publish)
+          // plus the delta, never the corpus-sized `bands` table.
+          // Correct because per (band, bh):
+          //  - the new MaxBucket-lowest id set ⊆ (old capped ∪ delta):
+          //    an old beyond-cap id exceeds every old capped id, so ≥
+          //    MaxBucket smaller ids already exist in the union and it
+          //    can never enter the new cap;
+          //  - bsz' = old bsz + |delta rows in the group| (the stored
+          //    bsz is the group's FULL size, constant on its rows);
+          //  - bmin' = min over (old capped ∪ delta): the old capped
+          //    rows contain the old group min (its rank-1 row).
+          // Groups the delta does not touch pass through verbatim, so
+          // the rank window runs over delta-hit groups only — append
+          // COMPUTE is delta-proportional; append I/O is the touched
+          // dir-buckets' capped rows (the partition-overwrite unit —
+          // a partition's file set is replaced whole, so the
+          // production scale knob is [[SigBuckets]]: file-size-bound
+          // like Hybrid.LexBuckets, keeping the per-bucket rewrite
+          // flat as the corpus grows). Probe-time parity with a
+          // from-scratch rebuild stays structural (SigIndexSpec pins
+          // append == one-shot for bands AND bands_capped incl.
+          // bsz/bmin; DedupPropertySpec randomizes the split).
           val touched = delta.select("bucket").distinct()
             .collect().map(_.getInt(0)).sorted
-          if (touched.nonEmpty)
-            writeCapped(
-              cappedBandsOf(s.read.parquet(s"$target/bands")
-                .filter(col("bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))),
-              target, dynamic = true)
+          if (touched.nonEmpty) {
+            val oldCap = s.read.schema(sigCappedSchema)
+              .parquet(s"$target/bands_capped")
+              .filter(col("bucket").isin(
+                touched.map(Integer.valueOf).toIndexedSeq: _*))
+            val dkeys = delta.select("band", "bh").distinct()
+            val pass = oldCap
+              .join(broadcast(dkeys), Seq("band", "bh"), "left_anti")
+              .select("doc_id", "band", "bh", "bucket", "bsz", "bmin")
+            val hit = oldCap
+              .join(broadcast(dkeys), Seq("band", "bh"), "left_semi")
+            val unioned = hit
+              .select("doc_id", "band", "bh", "bucket")
+              .withColumn("__d", lit(0L))
+              .unionByName(delta.select("doc_id", "band", "bh", "bucket")
+                .withColumn("__d", lit(1L)))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("band", "bh")
+            val merged = unioned
+              .withColumn("rn", row_number().over(w.orderBy(col("doc_id").asc)))
+              .withColumn("__dn", sum(col("__d")).over(w))
+              .withColumn("__umin", min(col("doc_id")).over(w))
+              .filter(col("rn") <= MaxBucket)
+              .join(hit.groupBy("band", "bh").agg(max(col("bsz")).as("__obsz")),
+                Seq("band", "bh"), "left")
+              .withColumn("bsz", coalesce(col("__obsz"), lit(0L)) + col("__dn"))
+              .withColumn("bmin", col("__umin"))
+              .select("doc_id", "band", "bh", "bucket", "bsz", "bmin")
+            writeCapped(pass.unionByName(merged), target, dynamic = true)
+          }
           newDocs.select(col("doc_id")).distinct()
             .coalesce(1).sortWithinPartitions("doc_id")
             .write.mode("append").parquet(s"$target/docs")
@@ -859,13 +926,14 @@ object Dedup {
         throw new IllegalStateException(s"nothing to compact: minhash_bands for $d"))
       if (onlyIfFragmented && sigFileCount(s"$cur/bands") <= SigCompactFiles) cur
       else {
-        val bands = s.read.parquet(s"$cur/bands")
-        val docs = s.read.parquet(s"$cur/docs")
+        val bands = s.read.schema(sigBandsSchema).parquet(s"$cur/bands")
+        val docs = s.read.schema(sigDocsSchema).parquet(s"$cur/docs")
         graft.core.ArtifactStore.publish(adir) { target =>
           bands.repartition(col("bucket"))
             .sortWithinPartitions("bucket", "band", "bh")
             .write.partitionBy("bucket").mode("overwrite").parquet(s"$target/bands")
-          writeCapped(cappedBandsOf(s.read.parquet(s"$target/bands")), target)
+          writeCapped(cappedBandsOf(
+            s.read.schema(sigBandsSchema).parquet(s"$target/bands")), target)
           docs.distinct()
             .coalesce(1).sortWithinPartitions("doc_id")
             .write.mode("overwrite").parquet(s"$target/docs")
@@ -904,6 +972,17 @@ object Dedup {
     * (for the base index that is the corpus split of `documents`; a
     * streaming ingester unions its accepted store — see
     * [[graft.streaming.StreamingNearDup]]).
+    *
+    * Construction is EAGER and probes are SEQUENTIAL: building the
+    * returned frame runs the batch's signature kernel once (into the
+    * shared probe cache slots) and one batch-sized distinct job — the
+    * touched-bucket set must be a literal at plan time for the
+    * `bands_capped` read to partition-prune. Constructing the next
+    * probe retires the previous probe's cached working set (cacheSlot
+    * replacement — the bounded lifecycle a per-batch ingest loop
+    * needs), so execute each probe's result before constructing the
+    * next; a retired frame still computes correct values through
+    * lineage, it just re-runs the kernel it was caching.
     */
   def probeSigIndex(s: SparkSession, d: String, batchDocs: DataFrame,
       corpusText: DataFrame): DataFrame = {
@@ -935,7 +1014,7 @@ object Dedup {
     // moved to index maintenance, where a deployment amortizes it.
     val touched = batchb.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    val corpb = s.read.parquet(s"$idx/bands_capped")
+    val corpb = s.read.schema(sigCappedSchema).parquet(s"$idx/bands_capped")
       .filter(col("bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
     val cand = batchb.join(corpb, Seq("band", "bh"))

@@ -647,8 +647,7 @@ object Graph {
         val recovered = rows.map(_.getLong(0)).toSet
         val uncovered = missing.collect().exists(r => !recovered(r.getLong(0)))
         if (uncovered) None
-        else Some(s.createDataFrame(
-          java.util.Arrays.asList(rows: _*), rec.schema))
+        else Some(graft.core.Util.literalFrame(s, rows, rec.schema))
       }
     } finally missing.unpersist()
   }
@@ -2907,8 +2906,8 @@ object Graph {
     * frame still holds: the kernel here touches Q query rows, never
     * the corpus.
     */
-  private[graft] def seededEntries(qv: DataFrame, routing: DataFrame,
-      bsizes: DataFrame): Map[Long, Seq[Long]] = {
+  private[graft] def seededEntries(qv: DataFrame,
+      routing: DataFrame): Map[Long, Seq[Long]] = {
     // composite bucket key for DRIVER-side grouping, exact: bkt <
     // 2^SrpBits by construction
     def keyCol(t: Column, b: Column): Column =
@@ -2961,10 +2960,9 @@ object Graph {
     // window shuffles only rows the old capped path collected to the
     // driver anyway (≤ |keys|·MaxBucket by the same bound), and the
     // attribute-level keyPred still prunes row groups at the scan.
-    // `bsizes` stays in the signature: it is the append-maintained
-    // occupancy artifact the GRAPH maintenance path reads; the serve
-    // path simply no longer needs a separate sizes job.
-    val _ = bsizes
+    // The serve path no longer needs a separate sizes job; `bsizes`
+    // remains a maintenance-path artifact ([[storedBucketSizes]]) and
+    // is no longer part of the serve signature.
     val cohab = routing
       .filter(keyPred(keys))
       .select(col("vec_id"), keyCol(col("tbl"), col("bkt")).as("key"))
@@ -2998,9 +2996,9 @@ object Graph {
     * hop-rounds the walk actually executed before its fixpoint
     * (≤ [[GannHops]]).
     */
-  def graphAnnOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
-      bsizes: DataFrame): DataFrame =
-    graphAnnBatchOn(e, edges, routing, bsizes,
+  def graphAnnOn(e: DataFrame, edges: DataFrame,
+      routing: DataFrame): DataFrame =
+    graphAnnBatchOn(e, edges, routing,
       col("vec_id") === GannQueryId)
       .drop("qid")
 
@@ -3009,7 +3007,7 @@ object Graph {
     */
   lazy val g7GraphAnn: Relational.Q = (s, d) =>
     graphAnnOn(embeddings(s, d), storedEdgesPartitioned(s, d),
-      storedBuckets(s, d), storedBucketSizes(s, d)).orderBy("rk")
+      storedBuckets(s, d)).orderBy("rk")
 
   /** g8's query set: the benchmark-prefix ids (the d8/d13/g6 "first N"
     * convention), each served its own beam.
@@ -3081,7 +3079,7 @@ object Graph {
   @volatile private[graft] var lastGServeTimings: Map[String, Double] = Map.empty
 
   def graphAnnBatchOn(e: DataFrame, edges: DataFrame, routing: DataFrame,
-      bsizes: DataFrame, isQuery: Column,
+      isQuery: Column,
       allowed: Option[Column] = None,
       beam: Int = GannBeam, hops: Int = GannHops,
       stableK: Option[Int] = None): DataFrame = {
@@ -3119,7 +3117,7 @@ object Graph {
     val edSel = edges.select(col("src"), col("dst"), col("dvec"),
       (if (edges.columns.contains("bucket")) col("bucket")
        else edgeBucketOf(col("src"))).as("bucket"))
-    val seeds = span("seed", "seed") { seededEntries(qv, routing, bsizes) }
+    val seeds = span("seed", "seed") { seededEntries(qv, routing) }
     // driver-held search state — every structure bounded by
     // Q·(seeds + hops·beam·G) with seeds ≤ SrpTables·MaxBucket,
     // never corpus-proportional
@@ -3282,7 +3280,7 @@ object Graph {
         }
       }
       lastGServeTimings = phaseWalls.toMap
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), served.schema)
+      graft.core.Util.literalFrame(s, rows, served.schema)
     }
     }
     try walk()
@@ -3297,7 +3295,7 @@ object Graph {
     */
   lazy val g8GraphAnnBatch: Relational.Q = (s, d) =>
     graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
-      storedBuckets(s, d), storedBucketSizes(s, d),
+      storedBuckets(s, d),
       col("vec_id") < GannBatchQ)
       .orderBy("qid", "rk")
 
@@ -3314,7 +3312,7 @@ object Graph {
     */
   lazy val g9GraphAnnFiltered: Relational.Q = (s, d) =>
     graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
-      storedBuckets(s, d), storedBucketSizes(s, d),
+      storedBuckets(s, d),
       col("vec_id") === GannQueryId,
       allowed = Some(col("label").isin(Indexed.FilterLabels: _*)))
       .drop("qid").orderBy("rk")
@@ -3331,7 +3329,7 @@ object Graph {
     */
   lazy val g11GraphAnnFilteredBatch: Relational.Q = (s, d) =>
     graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
-      storedBuckets(s, d), storedBucketSizes(s, d),
+      storedBuckets(s, d),
       col("vec_id") < GannBatchQ,
       allowed = Some(col("label").isin(Indexed.FilterLabels: _*)))
       .orderBy("qid", "rk")
@@ -3352,7 +3350,7 @@ object Graph {
     */
   lazy val g12GraphAnnAdaptiveBatch: Relational.Q = (s, d) =>
     graphAnnBatchOn(embeddings(s, d), storedEdgesPartitioned(s, d),
-      storedBuckets(s, d), storedBucketSizes(s, d),
+      storedBuckets(s, d),
       col("vec_id") < GannBatchQ, stableK = Some(GannTopK))
       .orderBy("qid", "rk")
 
@@ -3372,7 +3370,6 @@ object Graph {
     graphAnnBatchOn(embeddings(s, d),
       stratumEdgesOf(s, d, StratumServeLabel.toLong),
       stratumRoutingOf(s, d, StratumServeLabel.toLong),
-      stratumBucketSizesOf(s, d, StratumServeLabel.toLong),
       col("vec_id") < GannBatchQ,
       allowed = Some(col(StratumCol) === StratumServeLabel &&
         pmod(col("vec_id"), lit(10)) === 0))
@@ -3528,7 +3525,7 @@ object Graph {
       Some(GannTopK) else None
     val pfMode = if (stableK.isDefined) "postfilter_adaptive" else "postfilter"
     def postFilter = graphAnnBatchOn(e, storedEdgesPartitioned(s, d),
-      storedBuckets(s, d), storedBucketSizes(s, d), isQuery,
+      storedBuckets(s, d), isQuery,
       allowed = Some(pred), stableK = stableK)
     if (elig <= autoExactMaxRows(s)) {
       val qv = e.filter(isQuery)
@@ -3556,7 +3553,7 @@ object Graph {
       // walk (which reaches the whole corpus).
       case Some(st) if eligSt == elig =>
         ("stratum", graphAnnBatchOn(e, stratumEdgesOf(s, d, st),
-          stratumRoutingOf(s, d, st), stratumBucketSizesOf(s, d, st),
+          stratumRoutingOf(s, d, st),
           isQuery, allowed = Some(pred)))
       case _ => (pfMode, postFilter)
     }

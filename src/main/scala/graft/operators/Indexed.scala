@@ -1358,8 +1358,7 @@ object Indexed {
                     val df = mk()
                     val rows = df.collect()
                     val w = (System.nanoTime() - t0) / 1e9
-                    (s.createDataFrame(
-                      java.util.Arrays.asList(rows: _*), df.schema), w)
+                    (graft.core.Util.literalFrame(s, rows, df.schema), w)
                   } finally s.sparkContext.clearJobGroup()
                 }
               })

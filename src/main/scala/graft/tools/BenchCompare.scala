@@ -116,7 +116,8 @@ object BenchCompare {
     val mv = c.movers.map { case (q, va, vb) =>
       s"""{"q":"$q","a":${r3(va)},"b":${r3(vb)},"delta":${r3(va - vb)}}"""
     }.mkString("[", ",", "]")
-    s"""{"fp_a":"${c.fpA}","fp_b":"${c.fpB}","floor_a":${r3(c.floorA)},""" +
+    s"""{"fp_a":"${c.fpA}","fp_b":"${c.fpB}","sf":"${c.sf}",""" +
+      s""""floor_a":${r3(c.floorA)},""" +
       s""""floor_b":${r3(c.floorB)},"env_a":${c.envA},"env_b":${c.envB},""" +
       s""""n_common":${c.nCommon},"total_a":${r3(c.totalA)},""" +
       s""""total_b":${r3(c.totalB)},"ratio_a_over_b":${r3(c.totalA / c.totalB)},""" +

@@ -61,7 +61,7 @@ object FilteredRecallProbe {
         val t0 = System.nanoTime()
         rows = Graph.graphAnnBatchOn(e,
           Graph.storedEdgesPartitioned(spark, d),
-          Graph.storedBuckets(spark, d), Graph.storedBucketSizes(spark, d),
+          Graph.storedBuckets(spark, d),
           col("vec_id") < q, allowed = Some(pred)).collect()
         wall = (System.nanoTime() - t0) / 1e9
       }
@@ -125,7 +125,7 @@ object FilteredRecallProbe {
         val t0 = System.nanoTime()
         rows = Graph.graphAnnBatchOn(e,
           Graph.storedEdgesPartitioned(spark, d),
-          Graph.storedBuckets(spark, d), Graph.storedBucketSizes(spark, d),
+          Graph.storedBuckets(spark, d),
           col("vec_id") < q, allowed = Some(onePct), beam = b).collect()
         wall = (System.nanoTime() - t0) / 1e9
       }
@@ -153,15 +153,13 @@ object FilteredRecallProbe {
       .persist()
     edgesSub.count()
     val routingSub = Graph.bucketRowsOf(sub).persist()
-    val bsizesSub = routingSub.groupBy("tbl", "bkt")
-      .agg(count(lit(1)).as("n")).persist()
-    bsizesSub.count()
+    routingSub.count()
     val buildWall = (System.nanoTime() - tb0) / 1e9
     var wallS = 0.0
     var rowsS: Array[org.apache.spark.sql.Row] = Array.empty
     for (_ <- 1 to 2) {
       val t0 = System.nanoTime()
-      rowsS = Graph.graphAnnBatchOn(e, edgesSub, routingSub, bsizesSub,
+      rowsS = Graph.graphAnnBatchOn(e, edgesSub, routingSub,
         col("vec_id") < q, allowed = Some(onePct)).collect()
       wallS = (System.nanoTime() - t0) / 1e9
     }

@@ -50,7 +50,6 @@ object GannRecallProbe {
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val routing = Graph.bucketRowsOf(e).persist()
-    val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n")).persist()
     val scored = Graph.scoredPairsOn(e)
     println(s"corpus n=$n  shipped G=${Graph.GraphTopG} beam=${Graph.GannBeam}")
     val gSweep = sys.env.get("SPARK_GRAFT_PROBE_G")
@@ -77,7 +76,7 @@ object GannRecallProbe {
         var rows: Array[org.apache.spark.sql.Row] = Array.empty
         for (_ <- 1 to 2) { // rep 1 warms codegen/JIT; rep 2 is reported
           val t0 = System.nanoTime()
-          rows = Graph.graphAnnBatchOn(e, edges, routing, bsizes,
+          rows = Graph.graphAnnBatchOn(e, edges, routing,
             col("vec_id") < q, beam = beam, hops = hops,
             stableK = stableK).collect()
           wall = (System.nanoTime() - t0) / 1e9

@@ -32,7 +32,7 @@ object GraphBatchProbe {
       val rows = Graph.graphAnnBatchOn(
           graft.core.Tables.embeddings(spark, d),
           Graph.storedEdgesPartitioned(spark, d),
-          Graph.storedBuckets(spark, d), Graph.storedBucketSizes(spark, d),
+          Graph.storedBuckets(spark, d),
           col("vec_id") < q)
         .collect()
       val wall = (System.nanoTime() - t0) / 1e9

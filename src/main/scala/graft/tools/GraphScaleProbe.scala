@@ -56,13 +56,12 @@ object GraphScaleProbe {
           .filter(col("w") >= Graph.CoreWmin)
           .select(col("id_a").as("src"), col("id_b").as("dst"))))) }
       val routing = Graph.bucketRowsOf(e)
-      val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
       // live edges lack the stored layout's denormalized dst vector —
       // compose it, as the artifact build does
       val annEdges = Graph.knnGraphEdgesOn(e)
         .join(e.select(col("vec_id").as("dst"), col("embedding").as("dvec")),
           "dst")
-      val tAnn = time { noop(Graph.graphAnnOn(e, annEdges, routing, bsizes)) }
+      val tAnn = time { noop(Graph.graphAnnOn(e, annEdges, routing)) }
       println(f"x$n%-3d vecs=$nv%7d  graph=${tGraph}%6.2fs (${nv / tGraph}%8.0f v/s)  " +
         f"pagerank=${tPr}%6.2fs  kcore=${tCore}%6.2fs  ann=${tAnn}%6.2fs")
       graft.operators.Dedup.releaseSlots()

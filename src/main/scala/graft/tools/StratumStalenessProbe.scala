@@ -77,7 +77,6 @@ object StratumStalenessProbe {
       val got = Graph.graphAnnBatchOn(corpusE,
           Graph.stratumEdgesOf(spark, artifactDataset, st),
           Graph.stratumRoutingOf(spark, artifactDataset, st),
-          Graph.stratumBucketSizesOf(spark, artifactDataset, st),
           isQ, allowed = Some(pred))
         .select("qid", "vec_id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

@@ -351,7 +351,6 @@ class GraphIndexSpec extends SparkSuite {
       val directS = Graph.graphAnnBatchOn(e,
         Graph.stratumEdgesOf(spark, d, Graph.StratumServeLabel.toLong),
         Graph.stratumRoutingOf(spark, d, Graph.StratumServeLabel.toLong),
-        Graph.stratumBucketSizesOf(spark, d, Graph.StratumServeLabel.toLong),
         isQ, allowed = Some(predS))
       assert(rows(r2) === rows(directS),
         "stratum band must serve the stratum walk's result")
@@ -364,7 +363,7 @@ class GraphIndexSpec extends SparkSuite {
       assert(m3 === "postfilter_adaptive")
       val directP = Graph.graphAnnBatchOn(e,
         Graph.storedEdgesPartitioned(spark, d), Graph.storedBuckets(spark, d),
-        Graph.storedBucketSizes(spark, d), isQ, allowed = Some(predP),
+        isQ, allowed = Some(predP),
         stableK = Some(Graph.GannTopK))
       assert(rows(r3) === rows(directP),
         "post-filter band must serve the adaptive full-graph walk's result")
@@ -376,7 +375,7 @@ class GraphIndexSpec extends SparkSuite {
         assert(m3f === "postfilter")
         val directFix = Graph.graphAnnBatchOn(e,
           Graph.storedEdgesPartitioned(spark, d), Graph.storedBuckets(spark, d),
-          Graph.storedBucketSizes(spark, d), isQ, allowed = Some(predP))
+          isQ, allowed = Some(predP))
         assert(rows(r3f) === rows(directFix),
           "knob-off must serve the fixpoint walk's result")
       } finally spark.conf.unset("graft.ann.autoAdaptive")

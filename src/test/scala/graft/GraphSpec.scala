@@ -193,12 +193,10 @@ class GraphSpec extends SparkSuite {
     // external-query serve path; a corpus query hashes identically)
     def routingOf(ids: Long*) =
       Graph.bucketRowsOf(e.filter(col("vec_id").isin(ids.map(Long.box): _*)))
-    def sizesOf(r: org.apache.spark.sql.DataFrame) =
-      r.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
     val routing = routingOf(0L, 2L, 3L)
     val edges = Seq((2L, 3L, 0L, 1, v), (3L, 2L, 0L, 1, v))
       .toDF("src", "dst", "w", "rk", "dvec")
-    val out = Graph.graphAnnBatchOn(e, edges, routing, sizesOf(routing),
+    val out = Graph.graphAnnBatchOn(e, edges, routing,
       col("vec_id") === 1L).collect()
     // seeds = BOTH co-bucketed ids {2, 3}; hop 1 expands them into
     // each other (beam unchanged → immediate fixpoint) — never node 0
@@ -211,7 +209,7 @@ class GraphSpec extends SparkSuite {
     // complement-bucketed node 0) falls back to the global routing
     // minimum as its seed
     val r0 = routingOf(0L)
-    val out0 = Graph.graphAnnBatchOn(e, edges, r0, sizesOf(r0),
+    val out0 = Graph.graphAnnBatchOn(e, edges, r0,
       col("vec_id") === 1L).collect()
     assert(out0.map(_.getLong(1)).toSet === Set(0L),
       "isolated query must seed at the global routing min (node 0)")
@@ -225,10 +223,9 @@ class GraphSpec extends SparkSuite {
     val nv = v.map(-_)
     val e = Seq((0L, nv), (1L, v), (2L, v), (3L, v)).toDF("vec_id", "embedding")
     val routing = Graph.bucketRowsOf(e.filter(col("vec_id").isin(0L, 2L, 3L)))
-    val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
     val edges = Seq((2L, 3L, 0L, 1, v), (3L, 2L, 0L, 1, v))
       .toDF("src", "dst", "w", "rk", "dvec")
-    def serve() = Graph.graphAnnBatchOn(e, edges, routing, bsizes,
+    def serve() = Graph.graphAnnBatchOn(e, edges, routing,
       col("vec_id") === 1L).collect().map(_.toString).sorted.toSeq
     val untimed = serve()
     spark.conf.set("graft.gserve.timings", "true")
@@ -274,10 +271,9 @@ class GraphSpec extends SparkSuite {
         .select("src", "dst", "w", "rk", "dvec")
         .persist()
       val routing = Graph.bucketRowsOf(e).persist()
-      val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
       val (beamW, hopB, topK) = (8, 6, Graph.GannTopK)
       val isQ = col("vec_id") < 4L
-      val got = Graph.graphAnnBatchOn(e, edges, routing, bsizes, isQ,
+      val got = Graph.graphAnnBatchOn(e, edges, routing, isQ,
           beam = beamW, hops = hopB)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -289,7 +285,7 @@ class GraphSpec extends SparkSuite {
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       val seeds = Graph.seededEntries(
         e.filter(isQ).select(col("vec_id").as("qid"), col("embedding").as("qv")),
-        routing, bsizes)
+        routing)
       def topB(pool: Iterable[(Long, Long)], b: Int): Set[(Long, Long)] =
         pool.toSeq.distinct.sortBy { case (vid, sc) => (-sc, vid) }
           .take(b).toSet
@@ -534,8 +530,7 @@ class GraphSpec extends SparkSuite {
     val routing = e.select(col("vec_id"),
       posexplode(graft.functions.SrpKernel.srpBuckets(
         col("embedding"), Dedup.SrpProj)).as(Seq("tbl", "bkt")))
-    val bsizes = routing.groupBy("tbl", "bkt").agg(count(lit(1)).as("n"))
-    val seeds = Graph.seededEntries(qv, routing, bsizes)(100L)
+    val seeds = Graph.seededEntries(qv, routing)(100L)
     assert(seeds.nonEmpty && seeds.forall(v => v != 100L),
       "over-cap bucket must still seed (old rule: empty → min-id fallback)")
     assert(seeds.contains(101L) && !seeds.exists(_ >= 1100L),

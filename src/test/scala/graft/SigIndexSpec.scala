@@ -152,6 +152,41 @@ class SigIndexSpec extends SparkSuite {
     assert(gotA.map(_._2) === famIds.take(Dedup.MaxBucket).toSeq)
   }
 
+  test("all-shingle-less corpus: index builds, manifest lists docs, append merges into the empty capped view (r20)") {
+    import spark.implicits._
+    // every doc < 3 tokens -> zero shingles -> zero band rows: the
+    // bands/bands_capped tables are EMPTY partitioned dirs (_SUCCESS
+    // only) and every read-back must survive on the explicit schema —
+    // pre-r20 regression shape: ensureSigIndex threw schema-inference
+    // on its own read-back and the whole build aborted
+    val docs = (0L until 20L).map(i => (i, s"tok$i")).toDF("doc_id", "text")
+    val base = tmpDir("sigidx-noshingle")
+    docs.write.parquet(s"$base/documents.parquet")
+    Dedup.ensureSigIndex(spark, base)
+    val corpusN = docs
+      .filter(Dedup.baseHash(col("doc_id").cast("string")) % 10 < 8).count()
+    assert(corpusN > 0, "degenerate fixture: empty corpus split")
+    assert(Dedup.sigIndexManifest(spark, base).count() === corpusN,
+      "manifest must list shingle-less docs: indexed and has-shingles are separate")
+    // a shingled batch against the empty index: no candidates, no crash
+    val probe0 = Dedup.probeSigIndex(spark, base,
+      Seq((999L, "one two three four five six")).toDF("doc_id", "text"), docs)
+      .collect()
+    Dedup.releaseSlots()
+    assert(probe0.isEmpty)
+    // append a shingled delta: the incremental capped refresh merges
+    // into the EMPTY prior view (obsz null -> bsz from the delta alone)
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val delta = Seq((100L, t), (101L, t)).toDF("doc_id", "text")
+    Dedup.appendSigIndex(spark, base, delta)
+    val got = Dedup.probeSigIndex(spark, base,
+        Seq((999L, t)).toDF("doc_id", "text"), docs.unionByName(delta))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Dedup.releaseSlots()
+    assert(got.sorted.toSeq === Seq((999L, 100L, 1.0), (999L, 101L, 1.0)),
+      "appended family must be probe-visible with exact jaccard 1.0")
+  }
+
   test("empty ingest batch: no candidates, no crash, empty result") {
     // fixture with corpus-split docs only — the batch split (b = 9) is
     // empty, so the probe join must yield an empty frame, not an error
