@@ -46,8 +46,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * HDFS/object-store URI, where the `CURRENT` flip maps to the
   * conditional-put / commit-log primitive of the store (the simplified
   * form of a Delta/Iceberg pointer commit). Two processes racing the
-  * same build each publish a complete version and the later pointer
-  * flip wins — wasted work, never a torn read.
+  * same FIRST build serialize on the maintenance lock and the loser
+  * re-checks `CURRENT` under it — so a slow duplicate build can
+  * neither tear a read nor flip the pointer over a version that
+  * locked maintenance has since appended to.
   */
 /** Outcome of a [[ArtifactStore.vacuumAll]] sweep: version dirs
   * reclaimed per swept artifact, and artifacts the sweep could NOT
@@ -120,10 +122,25 @@ object ArtifactStore {
 
   /** The build-once guard: an existing on-disk version IS the build
     * (cross-process; no in-memory memo to lose). Per-JVM `synchronized`
-    * only collapses duplicate concurrent builds inside one process.
+    * collapses duplicate concurrent builds inside one process; the
+    * first-build path ALSO takes the cross-process maintenance lock
+    * and re-checks `CURRENT` under it — without that, a slow
+    * concurrent first build in another process could flip `CURRENT`
+    * AFTER a locked [[appendVersion]] committed on top of the fast
+    * build, silently discarding the appended deltas (the lost-update
+    * the lock exists to close, reopened through the build path; the
+    * sig-index and knn-graph artifacts would self-heal via their
+    * per-batch reconcile, but the lex index has no reconcile). Once
+    * `CURRENT` exists the lock is never touched, so a maintenance op
+    * that holds it may safely call `ensure` on its own (built)
+    * artifact, and readers stay lock-free.
     */
   def ensure(dir: String)(build: String => Unit): String = synchronized {
-    current(dir).getOrElse(publish(dir)(build))
+    current(dir).getOrElse {
+      withMaintenanceLock(dir) {
+        current(dir).getOrElse(publish(dir)(build))
+      }
+    }
   }
 
   /** Cross-process mutual exclusion for maintenance mutations (append /

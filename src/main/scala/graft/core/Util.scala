@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.types.StructType
 
@@ -34,6 +34,49 @@ object Util {
     val missing = schema.fieldNames.toSet -- inferred.schema.fieldNames.toSet
     require(missing.isEmpty, s"dump at $path missing fields: $missing")
     spark.read.schema(schema).json(path)
+  }
+
+  /** A parquet table that may not exist yet — None on PATH_NOT_FOUND
+    * (the table was never written), any other read failure propagates.
+    * The shared form of the idiom the streaming ingesters and
+    * [[graft.streaming.RxState]] each hand-rolled: a fix to the
+    * missing-path discrimination (e.g. a renamed Spark error
+    * condition) now lands once.
+    */
+  def readParquetIfExists(spark: SparkSession, dir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(dir))
+    catch {
+      case e: AnalysisException
+          if Option(e.getCondition).contains("PATH_NOT_FOUND") => None
+    }
+
+  /** Recursive local-filesystem delete (missing path is a no-op). */
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Reclaim orphaned decision-staging directories next to a ledger
+    * dir: the streaming ingesters stage each batch's acceptance
+    * decision at `<ledgerDir>.staging-<uuid>` and delete it in a
+    * `finally`, but a hard crash (kill -9, host loss) between the
+    * staging write and the cleanup strands the dir with no other
+    * reclaim path — unlike ArtifactStore debris, which gcVersions
+    * ages out. Called at ingest-batch start: under the single-ingester
+    * contract (T7 leader election is out of scope — one process owns
+    * a ledger) any staging dir present when a NEW batch begins is by
+    * definition an orphan of a crashed run, never a live peer's.
+    */
+  def sweepStagingDirs(ledgerDir: String): Unit = {
+    val ledger = new java.io.File(ledgerDir)
+    val prefix = ledger.getName + ".staging-"
+    Option(ledger.getAbsoluteFile.getParentFile)
+      .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .foreach(f => deleteRecursively(f.getPath))
   }
 
   /** docReads analogue: total rows produced by the leaf scans of an

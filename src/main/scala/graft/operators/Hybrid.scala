@@ -497,6 +497,12 @@ object Hybrid {
     */
   val h3MmrRerank: Relational.Q = (s, d) => {
     val q = Knn.embeddingLit(s, d, Knn.QueryId)
+    // persisted: the MmrCand-row candidate frame is consumed THREE
+    // times — the rel collect plus both self-join sides of `pairs` —
+    // and each uncached consumer would re-run the corpus-wide cosine
+    // top-k scan that dominates the query (the d2 cache discipline;
+    // everything after the two collects is driver-side, so the cache
+    // is released before returning)
     val cand = embeddings(s, d)
       .filter(col("vec_id") =!= Knn.QueryId)
       .withColumn("sim", cosine(col("embedding"), q))
@@ -504,6 +510,7 @@ object Hybrid {
       .select(col("vec_id").as("id"),
         round(col("sim") * 1000, 0).cast("long").as("rel_m"),
         col("embedding"))
+      .persist()
     val a = cand.select(col("id").as("a"), col("embedding").as("ea"))
     val b = cand.select(col("id").as("b"), col("embedding").as("eb"))
     val pairs = a.join(broadcast(b), col("a") =!= col("b"))
@@ -513,6 +520,7 @@ object Hybrid {
       .map(r => (r.getLong(0), r.getLong(1)))
     val sim = pairs.collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    cand.unpersist()
     var selected = Vector.empty[(Int, Long, Long)] // (rank, id, rel_m)
     var remaining = cs.toList
     for (k <- 1 to MmrSelect) {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Durable key-value state — the reference's RxState
   * (`/root/reference/src/database.ts:120-133`: a reactive
@@ -43,11 +43,7 @@ class RxState(spark: SparkSession, path: String) {
     * (PATH_NOT_FOUND). Any other read failure propagates.
     */
   private def readLog(): Option[DataFrame] =
-    try Some(spark.read.parquet(path))
-    catch {
-      case e: AnalysisException
-          if Option(e.getCondition).contains("PATH_NOT_FOUND") => None
-    }
+    graft.core.Util.readParquetIfExists(spark, path)
 
   /** Current value of every key (latest seq wins). */
   def all(): Map[String, String] = {

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Graph
-import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
@@ -67,21 +67,6 @@ object StreamingGraphIngest {
       }
       .start()
 
-  private def readIfExists(s: SparkSession, dir: String): Option[DataFrame] =
-    try Some(s.read.parquet(dir))
-    catch {
-      case e: AnalysisException
-          if Option(e.getCondition).contains("PATH_NOT_FOUND") => None
-    }
-
-  private def rmDir(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
-
   /** Corpus frame the graph append hydrates old-side candidates from:
     * the base embeddings table plus everything accepted so far (the
     * [[StreamingNearDup]] corpusText convention).
@@ -101,7 +86,10 @@ object StreamingGraphIngest {
     */
   def ingestBatch(s: SparkSession, d: String, acceptedDir: String,
       batchRaw: DataFrame): Unit = {
-    val ledger = readIfExists(s, acceptedDir)
+    // reclaim any decision-staging dir a crashed previous run stranded
+    // (single-ingester contract: nothing live can own one at batch start)
+    graft.core.Util.sweepStagingDirs(acceptedDir)
+    val ledger = graft.core.Util.readParquetIfExists(s, acceptedDir)
     // reconcile FIRST: heal accepted vectors whose graph append was
     // lost to a crash, so this batch's candidates see them. The
     // routing table IS the graph's membership manifest.
@@ -154,10 +142,11 @@ object StreamingGraphIngest {
         // batch on a cache-loss recompute (the self-read-write
         // hazard; a duplicate id in the hydration frame would
         // duplicate candidate rows and corrupt the top-G re-rank)
-        val corpus = corpusOf(s, d, readIfExists(s, acceptedDir))
+        val corpus = corpusOf(s, d,
+          graft.core.Util.readParquetIfExists(s, acceptedDir))
           .join(frozen.select("vec_id"), Seq("vec_id"), "left_anti")
         Graph.appendKnnGraph(s, d, frozen, corpus)
-      } finally rmDir(staging)
+      } finally graft.core.Util.deleteRecursively(staging)
     } finally {
       fresh.unpersist()
       graft.operators.Dedup.releaseSlots()

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types.StructType
@@ -10,8 +10,12 @@ import org.apache.spark.sql.types.StructType
   * and the signature-index lifecycle driven from Structured Streaming.
   * Each micro-batch of (doc_id, text) documents is:
   *
-  *  1. id-anti-joined against the ACCEPTED STORE (the S4 idempotence
-  *     ledger — a re-delivered batch is a no-op);
+  *  1. id-anti-joined against BOTH the ACCEPTED STORE (the S4
+  *     idempotence ledger — a re-delivered batch is a no-op) and the
+  *     index's own doc-id MANIFEST (a base-split doc replayed
+  *     upstream, or an id collision, must not self-quarantine or
+  *     re-append its bands — the [[StreamingGraphIngest]] two-gate
+  *     discipline);
   *  2. near-dup-probed against the LIVE band-signature index
   *     ([[Dedup.probeSigIndex]]: batch-only signature compute, the
   *     corpus is never scanned);
@@ -70,27 +74,15 @@ object StreamingNearDup {
       }
       .start()
 
-  private def readIfExists(s: SparkSession, dir: String): Option[DataFrame] =
-    try Some(s.read.parquet(dir))
-    catch {
-      case e: AnalysisException
-          if Option(e.getCondition).contains("PATH_NOT_FOUND") => None
-    }
-
-  private def rmDir(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
-
   /** One ingest step (also the crash-recovery unit — the spec drives
     * it directly to simulate failure windows).
     */
   def ingestBatch(s: SparkSession, d: String, acceptedDir: String,
       rejectedDir: String, batchRaw: DataFrame): Unit = {
-    val ledger = readIfExists(s, acceptedDir)
+    // reclaim any decision-staging dir a crashed previous run stranded
+    // (single-ingester contract: nothing live can own one at batch start)
+    graft.core.Util.sweepStagingDirs(acceptedDir)
+    val ledger = graft.core.Util.readParquetIfExists(s, acceptedDir)
     // reconcile FIRST: heal any accepted docs whose index publish was
     // lost to a crash, so this batch probes against a complete index.
     // Membership comes from the index's doc-id manifest, so a
@@ -101,13 +93,29 @@ object StreamingNearDup {
         Seq("doc_id"), "left_anti")
       if (!unindexed.isEmpty) Dedup.appendSigIndex(s, d, unindexed)
     }
-    // S4 idempotence: drop docs the ledger already holds. Persisted —
-    // consumed by the probe, the accepted anti-join, and both writes.
+    // S4 idempotence, TWO gates (the [[StreamingGraphIngest]]
+    // discipline). The ledger gate alone is not enough: a batch id
+    // already present in the INDEX but not the ledger — a base-split
+    // doc replayed upstream, or an id collision — would pass the
+    // ledger anti-join and (if shingled) quarantine as a duplicate of
+    // ITSELF, or (if shingle-less) be accepted and re-appended to the
+    // index, double-counting the merge-maintained capped-view `bsz`
+    // and duplicating its text in the corpusText hydration frame. So
+    // the batch is also anti-joined against the index's own doc-id
+    // MANIFEST — re-resolved AFTER the reconcile above so a
+    // just-healed id counts as present. An indexed id is dropped
+    // entirely (not ledgered: ledgering a base-split id would
+    // duplicate its text in the corpusText union and produce
+    // duplicate verify rows in every later probe's hydration join).
+    // After the reconcile, ledger ⊆ manifest, so this gate subsumes
+    // the ledger one — both stay: the ledger anti-join documents the
+    // S4 contract and shrinks the frame the manifest join sees.
+    val indexed = Dedup.sigIndexManifest(s, d).select("doc_id")
     val fresh = (ledger match {
       case Some(acc) =>
         batchRaw.join(acc.select("doc_id"), Seq("doc_id"), "left_anti")
       case None => batchRaw
-    }).persist()
+    }).join(indexed, Seq("doc_id"), "left_anti").persist()
     try {
       if (fresh.isEmpty) return
       // hydration text = base corpus split + everything accepted so far
@@ -135,7 +143,13 @@ object StreamingNearDup {
       // quarantine (at-least-once) → durable decision staging →
       // ledger (exactly-once) → index (healed by the next batch's
       // reconcile if we die before it)
-      matches.unionByName(intra).write.mode(SaveMode.Append).parquet(rejectedDir)
+      // guard like the accepted branch below: an unconditional append
+      // would commit an empty file set per CLEAN batch — unbounded
+      // _SUCCESS/empty-part churn in the quarantine log over a
+      // long-running stream of mostly-unique docs
+      val quarantine = matches.unionByName(intra)
+      if (!quarantine.isEmpty)
+        quarantine.write.mode(SaveMode.Append).parquet(rejectedDir)
       if (!accepted.isEmpty) {
         // freeze the decision durably BEFORE the ledger append: the
         // re-read staging frame's lineage is the staged files alone,
@@ -147,7 +161,7 @@ object StreamingNearDup {
           val frozen = s.read.parquet(staging)
           frozen.write.mode(SaveMode.Append).parquet(acceptedDir)
           Dedup.appendSigIndex(s, d, frozen)
-        } finally rmDir(staging)
+        } finally graft.core.Util.deleteRecursively(staging)
       }
       matches.unpersist()
       intra.unpersist()

@@ -309,6 +309,61 @@ class ArtifactStoreSpec extends AnyFunSuite {
     } finally child.waitFor()
   }
 
+  test("ensure's first build waits on the maintenance lock and re-checks CURRENT under it") {
+    val dir = freshDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val child = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.tools.LockHolder", dir, "1500")
+      .redirectErrorStream(true).start()
+    try {
+      val held = java.nio.file.Paths.get(dir, "held")
+      val t0 = System.nanoTime()
+      while (!java.nio.file.Files.exists(held) &&
+          (System.nanoTime() - t0) < 30e9.toLong) Thread.sleep(20)
+      assert(java.nio.file.Files.exists(held))
+      // ensure() from a background thread: CURRENT is absent, so the
+      // build path must BLOCK on the child's lock instead of racing a
+      // publish over whatever the lock holder is doing
+      val built = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val result = new java.util.concurrent.CompletableFuture[String]()
+      new Thread(() =>
+        try result.complete(ArtifactStore.ensure(dir) { t =>
+          built.set(true)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+        }) catch { case e: Throwable => result.completeExceptionally(e) }
+      ).start()
+      // while ensure waits, "another process" completes the build
+      // (publish itself is lock-free — the version flip is atomic)
+      Thread.sleep(300)
+      val v1 = ArtifactStore.publish(dir) { t =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+      }
+      val got = result.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(got === v1,
+        "ensure must adopt the version published while it waited")
+      assert(!built.get,
+        "ensure must NOT run its own build after the under-lock re-check " +
+          "finds CURRENT — a duplicate publish could overwrite appended deltas")
+    } finally child.waitFor()
+  }
+
+  test("ensure on a BUILT artifact inside a same-JVM maintenance hold does not re-lock") {
+    val dir = freshDir()
+    val v1 = ArtifactStore.ensure(dir) { t =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    }
+    // the maintenance-op pattern: ensure first, then mutate under the
+    // lock — code inside the hold may call ensure again (e.g. a shared
+    // read path); with CURRENT present it must resolve WITHOUT touching
+    // the non-reentrant file lock (an overlap would throw)
+    val got = ArtifactStore.withMaintenanceLock(dir) {
+      ArtifactStore.ensure(dir)(_ => fail("built artifact must not rebuild"))
+    }
+    assert(got === v1)
+  }
+
   test("withMaintenanceLock serializes mutations across lock scopes") {
     val dir = freshDir()
     // sequential re-acquisition must work (lock released both times)

@@ -148,6 +148,56 @@ class StreamingNearDupSpec extends SparkSuite {
       "post-heal batches must not churn further versions")
   }
 
+  test("manifest gate: a replayed base-split doc id is dropped, not self-quarantined or re-indexed") {
+    val (d, (corpusId, corpusText)) = freshDataset()
+    val (acc, rej) = (tmpDir("snd-gate-acc") + "/a", tmpDir("snd-gate-rej") + "/r")
+    graft.operators.Dedup.ensureSigIndex(spark, d)
+    val adir = Option(new java.io.File(graft.core.ArtifactStore.root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith("minhash_bands_" + new java.io.File(d).getName))
+      .map(_.getPath).head
+    val v0 = graft.core.ArtifactStore.current(adir)
+    // upstream replays a doc the INDEX already holds (base split, so
+    // it is in the manifest but NOT the ledger): the ledger gate alone
+    // would pass it through and quarantine it as a duplicate of ITSELF
+    // (batch_id = corpus_id), polluting the audit log — the manifest
+    // gate drops it before the probe
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq((corpusId, corpusText)).toDF("doc_id", "text"))
+    assert(ids(acc).isEmpty, "a replayed indexed doc must not be accepted")
+    assert(ids(rej, "batch_id").isEmpty,
+      "a replayed indexed doc must not self-quarantine")
+    assert(graft.core.ArtifactStore.current(adir) === v0,
+      "nothing to append: the index version must not churn")
+  }
+
+  test("orphaned staging dir is reclaimed at batch start; a clean batch writes no quarantine files") {
+    val (d, _) = freshDataset()
+    val (acc, rej) = (tmpDir("snd-stage-acc") + "/a", tmpDir("snd-stage-rej") + "/r")
+    // a crashed previous run stranded its decision-staging dir (the
+    // crash window between the staging write and the finally-delete);
+    // nothing else ever deletes it — the batch-start sweep must
+    val orphan = acc + ".staging-00000000-dead-beef-0000-000000000000"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(orphan))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(orphan, "part-00000.parquet"), "junk")
+    val novel = "staging sweep wave text with wholly invented vocabulary " +
+      "wherein copper metronomes audit the siestas of polite comets " +
+      "and origami lighthouses subpoena the morning fog"
+    StreamingNearDup.ingestBatch(spark, d, acc, rej,
+      Seq((940001L, novel)).toDF("doc_id", "text"))
+    assert(!new java.io.File(orphan).exists(),
+      "orphaned staging dir must be swept at batch start")
+    assert(ids(acc) === Set(940001L))
+    // the batch was CLEAN (no corpus or intra-batch matches): the
+    // quarantine append is guarded, so the log dir is never created —
+    // an unconditional append would commit an empty file set per clean
+    // batch, unbounded churn over a long-running stream
+    assert(!new java.io.File(rej).exists(),
+      "a clean batch must not create/append to the quarantine log")
+  }
+
   test("crash window between ledger append and index publish self-heals on the next batch") {
     val (d, _) = freshDataset()
     val (acc, rej) = (tmpDir("snd-heal-acc") + "/a", tmpDir("snd-heal-rej") + "/r")
