@@ -301,22 +301,40 @@ object Advanced {
     * final aggregate carries one t-digest sketch plus four scalars per
     * group.
     */
+  /** Opt r20: the sketch aggregation is SPLIT from the band window —
+    * the previous single pipeline put the `approx_percentile` partial
+    * aggregation ABOVE the flag-partitioned rank window, so every
+    * sketch insert ran on |distinct flag| = 3 post-window partitions
+    * (measured cpu/wall ≈ 3.8 on 32 cores). The sketch branch now
+    * aggregates straight off the scan — partial sketches build
+    * map-side across every scan partition, the final merge touches 3
+    * groups — and joins the unchanged exact-band branch on `flag`
+    * (3 rows × 3 rows). This is the oracle's own shape (separate
+    * `bands`/`sk` CTEs joined on flag). The attested booleans are
+    * unchanged: the sketch estimate may shift within its accuracy
+    * envelope when partials merge in a different order, but the
+    * attestation bands are ±10 percentiles wide — re-verified against
+    * the oracle at both gate scales.
+    */
   val aggApproxPercentile: Relational.Q = (s, d) => {
     val w = Window.partitionBy("flag")
       .orderBy(col("price").asc, col("l_orderkey").asc, col("l_linenumber").asc)
     def bandAt(q: Double): Column =
       min(when(col("rn") === ceil(col("n") * q), col("price")))
-    lineitem(s, d)
+    def base = lineitem(s, d)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
         col("l_orderkey"), col("l_linenumber"))
+    val sk = base.groupBy("flag")
+      .agg(approx_percentile(col("price"), typedlit(Seq(0.5, 0.95)), lit(1000)).as("ap"))
+    val bands = base
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
       .groupBy("flag")
       .agg(
         max("n").as("n"),
-        approx_percentile(col("price"), typedlit(Seq(0.5, 0.95)), lit(1000)).as("ap"),
         bandAt(0.4).as("p40"), bandAt(0.6).as("p60"),
         bandAt(0.90).as("p90"), bandAt(0.99).as("p99"))
+    bands.join(sk, "flag")
       .select(col("flag"), col("n"),
         (col("ap")(0) >= col("p40") && col("ap")(0) <= col("p60")).as("p50_ok"),
         (col("ap")(1) >= col("p90") && col("ap")(1) <= col("p99")).as("p95_ok"))

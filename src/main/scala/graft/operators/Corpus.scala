@@ -955,19 +955,34 @@ object Corpus {
     val ta = docs.select(col("doc_id").as("doc_a"), col("t").as("ta"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("t").as("tb"))
     // threshold-banded DP: cost O(len·k) not O(len²), early-exits and
-    // returns -1 for pairs beyond the bound (the common case)
-    val pairs = cand.join(ta, "doc_a").join(tb, "doc_b")
+    // returns -1 for pairs beyond the bound (the common case).
+    //
+    // Single-pass finish (opt r20): the previous form fed an UNCACHED
+    // `pairs` frame to two consumers (the best-partner window and the
+    // partner-count aggregate, re-joined on doc_a), and its pushed-down
+    // `edit != -1` filter sat below the projection re-evaluating the
+    // DP — up to 4 banded-levenshtein evaluations per candidate pair.
+    // Both summary columns now come out of ONE window pass over ONE
+    // levenshtein projection: out-of-bound pairs ride through the
+    // window (ok=false sorts last, the conditional count skips them)
+    // and the rn=1 row's own `ok` drops partner-less docs afterwards —
+    // no filter ever sits below the DP projection. Output rows are
+    // identical: doc_a appears iff it has an in-bound pair; n_fuzzy
+    // counts in-bound pairs; (min_edit, best_partner) is the
+    // (edit asc, doc_b asc) minimum — the oracle's f/best/cnt CTEs.
+    val w = Window.partitionBy("doc_a")
+      .orderBy(col("ok").desc, col("edit").asc, col("doc_b").asc)
+    val wAll = Window.partitionBy("doc_a")
+    cand.join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("edit", levenshtein(col("ta"), col("tb"), FuzzyMaxEdit))
-      .filter(col("edit") =!= -1)
-    val w = Window.partitionBy("doc_a").orderBy(col("edit").asc, col("doc_b").asc)
-    val best = pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_a"), col("doc_b").as("best_partner"),
-        col("edit").cast("long").as("min_edit"))
-    pairs.groupBy("doc_a").agg(count(lit(1)).as("n_fuzzy"))
-      .join(best, "doc_a")
-      .select(col("doc_a").as("doc_id"), col("n_fuzzy"), col("min_edit"),
-        col("best_partner"))
+      .withColumn("ok", col("edit") =!= -1)
+      .select(col("doc_a"), col("doc_b"), col("edit"), col("ok"))
+      .withColumn("n_fuzzy", count(when(col("ok"), lit(1))).over(wAll))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("ok"))
+      .select(col("doc_a").as("doc_id"), col("n_fuzzy"),
+        col("edit").cast("long").as("min_edit"),
+        col("doc_b").as("best_partner"))
       .orderBy("doc_id")
   }
 

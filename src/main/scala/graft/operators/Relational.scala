@@ -282,10 +282,26 @@ object Relational {
     * true error AdvancedSpec measures against 3× rsd, a far tighter
     * band than the attestation's).
     */
+  /** Opt r20: pre-deduplicate on (flag, partkey) instead of mixing the
+    * distinct and sketch aggregates in one Aggregate. The mixed form
+    * planned through RewriteDistinctAggregates' Expand — every scan row
+    * emitted twice (one projection per aggregate class) — and the final
+    * 3-group phase did the heavy merging. The explicit `.distinct()`
+    * dedups map-side across every scan partition, then one ordinary
+    * aggregate counts rows (= countDistinct) and sketches partkey.
+    * The HLL++ sketch is IDENTICAL bit-for-bit on the deduplicated
+    * input: registers take a max over hashed values, so duplicate
+    * partkeys are no-ops and merge order cannot change the register
+    * state — approx, exact, and the attested boolean all hash-match
+    * the previous form.
+    */
   val aggApproxDistinct: Q = (s, d) =>
-    lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+    lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_partkey"))
+      .distinct()
+      .groupBy("flag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .select(col("flag"), col("exact_parts"),
         (abs(col("approx") - col("exact_parts")) <= col("exact_parts") * 0.1)
           .as("within_bound"))
