@@ -29,32 +29,36 @@ object Advanced {
     * v_lo + (v_hi - v_lo) * frac with the same formula in both engines.
     * Scale shape: one window over the group ordering + one group-agg —
     * both on the same partitioning key, one shuffle total.
+    *
+    * Opt r21: the group ordering was `Window.partitionBy(flag)` — a
+    * 3-task whole-group sort at any scale, the same serial shape the
+    * r20 VERDICT flagged on q_agg_approx_percentile ("audit
+    * q_agg_median / q_agg_percentiles for the same |groups|-partition
+    * window shape"). Both bracketing ranks now come from the
+    * distributed histogram selection ([[RankSelect.selectAtRanks]]):
+    * the bracket values are the identical rank-lo / rank-lo+1 values
+    * (tie-invariant — the output is the ordering value), the absent
+    * hi bracket at lo+1 > n stays null, and the interpolation
+    * expression tree is untouched, so the IEEE doubles and the oracle
+    * hash are unchanged. The tiebreak columns leave the projection —
+    * they never influenced the bracket values.
     */
   val aggPercentiles: Relational.Q = (s, d) => {
-    val w = Window.partitionBy("flag")
-      .orderBy(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    val wn = Window.partitionBy("flag")
     val r = lineitem(s, d)
-      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wn))
-
-    def brackets(q: Double, tag: String): Seq[Column] = {
-      val lo = floor((col("n") - 1) * lit(q)) + 1
-      Seq(
-        max(when(col("rn") === lo, col("v"))).as(s"vlo_$tag"),
-        max(when(col("rn") === lo + 1, col("v"))).as(s"vhi_$tag"))
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+    def brackets(q: Double, tag: String): Seq[(String, Column => Column)] = {
+      def lo(n: Column) = floor((n - 1) * lit(q)) + 1
+      Seq(s"vlo_$tag" -> (n => lo(n)), s"vhi_$tag" -> (n => lo(n) + 1))
     }
-    val aggs = brackets(0.25, "p25") ++ brackets(0.5, "p50") ++
-      brackets(0.95, "p95") :+ max(col("n")).as("n")
+    val ranks = brackets(0.25, "p25") ++ brackets(0.5, "p50") ++
+      brackets(0.95, "p95")
     def interp(tag: String, q: Double): Column = {
       val idx = (col("n") - 1) * lit(q)
       val f = idx - floor(idx)
       round(col(s"vlo_$tag") +
         (coalesce(col(s"vhi_$tag"), col(s"vlo_$tag")) - col(s"vlo_$tag")) * f, 4)
     }
-    r.groupBy("flag").agg(aggs.head, aggs.tail: _*)
+    RankSelect.selectAtRanks(r, Seq("flag"), "v", ranks)
       .select(col("flag"),
         interp("p25", 0.25).as("p25"),
         interp("p50", 0.5).as("p50"),
@@ -315,25 +319,28 @@ object Advanced {
     * envelope when partials merge in a different order, but the
     * attestation bands are ±10 percentiles wide — re-verified against
     * the oracle at both gate scales.
+    *
+    * Opt r21 (r20 VERDICT next-round #1): the exact-band branch's
+    * 3-task `Window.partitionBy(flag)` rank sort — the remaining
+    * serial half after r20 fixed the sketch half — is replaced by the
+    * distributed histogram rank selection ([[RankSelect.selectAtRanks]],
+    * its scaladoc carries the equivalence argument and measurements).
+    * The selected band values are the identical rank-ceil(n·q) prices
+    * (the rank's value is tie-invariant because the output IS the
+    * ordering value), so the attested booleans and the oracle hash are
+    * unchanged. The tiebreak columns (l_orderkey, l_linenumber) leave
+    * the projection entirely — they never influenced the selected
+    * price.
     */
   val aggApproxPercentile: Relational.Q = (s, d) => {
-    val w = Window.partitionBy("flag")
-      .orderBy(col("price").asc, col("l_orderkey").asc, col("l_linenumber").asc)
-    def bandAt(q: Double): Column =
-      min(when(col("rn") === ceil(col("n") * q), col("price")))
     def base = lineitem(s, d)
-      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"),
-        col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("price"))
     val sk = base.groupBy("flag")
       .agg(approx_percentile(col("price"), typedlit(Seq(0.5, 0.95)), lit(1000)).as("ap"))
-    val bands = base
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
-      .groupBy("flag")
-      .agg(
-        max("n").as("n"),
-        bandAt(0.4).as("p40"), bandAt(0.6).as("p60"),
-        bandAt(0.90).as("p90"), bandAt(0.99).as("p99"))
+    def bandAt(q: Double): (String, Column => Column) =
+      (s"p${(q * 100).round}", n => ceil(n * q))
+    val bands = RankSelect.selectAtRanks(base, Seq("flag"), "price",
+      Seq(bandAt(0.4), bandAt(0.6), bandAt(0.90), bandAt(0.99)))
     bands.join(sk, "flag")
       .select(col("flag"), col("n"),
         (col("ap")(0) >= col("p40") && col("ap")(0) <= col("p60")).as("p50_ok"),

@@ -3106,9 +3106,28 @@ object Graph {
           s.sparkContext.clearJobGroup()
         }
       }
+    // Opt r21: the coordinator phases (seed/seed-score/hop collects)
+    // run WITHOUT adaptive execution. Every one of those jobs is a
+    // bounded broadcast-join plan with no data shuffle — AQE there
+    // contributes only per-stage re-optimization and a separate
+    // 0-task materialization job per broadcast, which JobTimelineProbe
+    // measured as the family's dominant term at sf0.1 (q_g7: 31 jobs,
+    // 0.74 s summed job wall vs 1.07 s of inter-job driver planning;
+    // ~25 gaps of 30-120 ms, two jobs per hop round). AQE changes
+    // only physical execution, never results, and the session conf is
+    // restored as soon as the hop loop exits (idempotently re-restored
+    // on failure), so the final `served` plan — the part with real
+    // shuffles — and every later caller keep their AQE posture.
+    // graft.gserve.coordinatorAqeOff=false reverts without a rebuild.
+    val coordAqeOff = s.conf
+      .get("graft.gserve.coordinatorAqeOff", "true").toBoolean
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    def coordConfRestore(): Unit =
+      if (coordAqeOff) s.conf.set("spark.sql.adaptive.enabled", aqeWas)
     // the walk body, wrapped so a failing phase cannot leave the
     // metrics listener registered for the session's lifetime
     def walk(): DataFrame = {
+    if (coordAqeOff) s.conf.set("spark.sql.adaptive.enabled", "false")
     // materialized once (lazily, by the seed-scoring job); every hop
     // job rereads the Q-row checkpoint, not the corpus
     val qv = e.filter(isQuery)
@@ -3223,6 +3242,7 @@ object Graph {
       active = stillActive.toSet
     }
     hopsOf ++= active.map(_ -> hops.toLong)
+    coordConfRestore() // the coordinator loop is done; served plan + final collect keep AQE
     if (timed) {
       phaseWalls("hops") =
         phaseWalls.collect { case (key, w) if key.startsWith("hop") => w }.sum
@@ -3286,7 +3306,7 @@ object Graph {
     try walk()
     catch { case t: Throwable =>
       phaseMetrics.foreach(_.finishAndDetach(0)); throw t
-    }
+    } finally coordConfRestore()
   }
 
   /** G8: batch graph-ANN — [[GannBatchQ]] queries, one shared-hop

@@ -58,7 +58,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("percentiles: both windows and the group-agg share one hash exchange") {
+  test("percentiles: no whole-group window; survivor v-range reaches the scan") {
+    // r21 (RankSelect): the old pin here asserted the ONE shared hash
+    // exchange of the Window.partitionBy(flag) formulation — the very
+    // |groups|-task whole-group sort the rewrite removes. The scale
+    // properties of the replacement: any remaining Window partitions
+    // on (group, __b) — the bounded survivor histogram — and the
+    // redundant global v-range conjunct reaches the parquet scan as a
+    // pushed filter (row-group pruning at 100 TB).
     val df = graft.operators.Advanced.aggPercentiles(spark, sf0001)
     // collect() executes df's OWN QueryExecution (a write would build a
     // new one — the Util.rowsScanned trap), finalizing the AQE plan
@@ -68,10 +75,23 @@ class PlanAuditSpec extends SparkSuite {
     // the AQE printout appends the initial plan after the final one —
     // only the final section is the executed shape
     val p = full.split("== Initial Plan ==").head
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges === 1,
-      s"rn window, count window and groupBy all partition on flag — expected 1 hash exchange, got $exchanges:\n$p")
-    assert("FileScan parquet".r.findAllIn(p).size === 1, "single scan")
+    val winSpecs = p.split("windowspecdefinition\\(").toSeq.drop(1)
+      .map(_.takeWhile(_ != ')'))
+    assert(winSpecs.nonEmpty, s"expected the survivor-histogram window:\n$p")
+    winSpecs.foreach { spec =>
+      assert(spec.contains("__b#"),
+        s"every window must partition on (group, __b), got: $spec") }
+    assert(p.contains("GreaterThanOrEqual(l_extendedprice"),
+      s"v-range lower bound must push down to the survivor scan:\n$p")
+    // the toString PushedFilters list is width-truncated, so match the
+    // un-truncatable prefix of the upper bound
+    assert(p.contains("LessThan(l_e"),
+      "v-range upper bound must push down to the survivor scan")
+    // the returned plan holds only the survivor pass (the two summary
+    // passes ran eagerly at construction): ONE scan, and its raw rows
+    // are never shuffled or whole-group sorted
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      "one survivor scan in the returned plan")
   }
 
   test("bloom-pruned join: sketch prefilter sits at the scan, join stays exact") {
