@@ -359,6 +359,7 @@ object Advanced {
     val bg = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
       (a, b) => concat(a, lit(" "), b))
     documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(bg).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 10)

@@ -766,10 +766,20 @@ object Corpus {
     val sk = ex.agg(
       graft.functions.KmvSketch.kmv(when(col("is_a"), col("h")), KmvK).as("sk_a"),
       graft.functions.KmvSketch.kmv(when(!col("is_a"), col("h")), KmvK).as("sk_b"))
-    // exact path (verification columns): distinct (side, h) pairs, one
-    // hash shuffle — the cost the sketch avoids
-    val p = Dedup.cacheSlot("kmv-distinct-pairs", ex.distinct())
-    val sides = p.groupBy("h").agg(count(lit(1)).as("ns"))
+    // exact path (verification columns). Opt r21: the previous form —
+    // distinct() into a single-consumer cacheSlot, then a SECOND
+    // shuffle for groupBy(h) — paid two full shuffles of the hash
+    // space plus a pointless cache materialization barrier (one
+    // consumer = nothing to share). One max-aggregation per h computes
+    // the same per-hash side count (ns = hasA + hasB — is_a is 2-valued
+    // and non-null, so countDistinct(side) ≡ that sum) with map-side
+    // partials: ONE shuffle, duplicate (side, h) pairs collapse in the
+    // partial phase (guide §2.3 "aggregate before you shuffle").
+    // n_union = |distinct h| = the group count, n_inter = both-sides
+    // groups — identical values, oracle unchanged.
+    val sides = ex.groupBy("h").agg(
+      (max(when(col("is_a"), 1L).otherwise(0L)) +
+        max(when(!col("is_a"), 1L).otherwise(0L))).as("ns"))
     val exact = sides.agg(
       count(lit(1)).as("n_union"),
       sum(when(col("ns") === 2, 1L).otherwise(0L)).as("n_inter"))
@@ -805,7 +815,11 @@ object Corpus {
     * engines, and ties break on the term string).
     */
   val t11Tfidf: Relational.Q = (s, d) => {
+    // opt r21: single-row-group scan → repartition before the tokenize
+    // + explode so the partial aggregation runs on every core (the
+    // TextAnalysis.parDocs rationale)
     val tf = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -67,7 +67,16 @@ object Hybrid {
     * re-splits the full text per consuming expression).
     */
   private def perDoc(s: SparkSession, d: String): DataFrame = {
+    // Opt r21: the per-row tokenize work is embarrassingly parallel →
+    // explicit repartition so a single-file parquet scan doesn't
+    // serialize it (the d2/d8 idiom — a one-row-group documents file
+    // is ONE scan task however small maxPartitionBytes is; h4's probe
+    // showed 0.5-0.6 s single-task tokenize jobs inside every bm25
+    // pass). At 100 TB the scan is naturally parallel and the
+    // repartition moves text bytes once — same trade the d-family
+    // already accepts for its kernels.
     val t = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val tfs = QueryTerms.map(q =>
       size(filter(col("toks"), x => x === q)).cast("long").as(s"tf_$q"))
@@ -412,7 +421,12 @@ object Hybrid {
         size(filter(col("toks"), x => x === q)).cast("long").as(s"tf_$i") }
       t.select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfs: _*)
     }
-    val stats = pdIdx(documents(s, d)).agg(count(lit(1)).as("n_docs"),
+    // full-corpus df scan: repartition for the same single-row-group
+    // reason as [[perDoc]]; the In()-pruned candidate scan below stays
+    // un-shuffled (≤ PrfCand rows)
+    val stats = pdIdx(documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .agg(count(lit(1)).as("n_docs"),
       (sum("dl").as("t_tokens") +:
         all.indices.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))): _*)
     def contrib(i: Int, den: Long): Column = expr(

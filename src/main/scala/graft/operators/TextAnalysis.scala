@@ -23,6 +23,22 @@ object TextAnalysis {
   /** Whitespace tokens of the (trimmed, lowercased) text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** `documents` fanned out for per-row tokenizer/kernel work (opt
+    * r21): the sf-scale documents.parquet is ONE row group, so however
+    * small `maxPartitionBytes` is, an un-repartitioned scan runs the
+    * whole tokenize pass in ONE task — JobTimelineProbe measured
+    * 0.2-0.6 s single-task jobs inside every text query (q_t1's two
+    * range-sort passes were 2 × 0.24 s serial). The d2/d8 idiom: one
+    * explicit exchange of the raw text parallelizes every kernel
+    * above it; at 100 TB the scan is naturally parallel and the
+    * repartition moves text bytes once — the same trade the d-family
+    * accepts. Used by the per-row-heavy queries only (a trivial
+    * projection is cheaper un-shuffled).
+    */
+  private[operators] def parDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   private val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -58,7 +74,7 @@ object TextAnalysis {
   /** T1: language identification. */
   val t1LangId: Relational.Q = (s, d) => {
     val (scores, pred) = langId(col("text"))
-    documents(s, d)
+    parDocs(s, d)
       .select((col("doc_id") +: scores :+ pred.as("pred_lang")): _*)
       .orderBy("doc_id")
   }
@@ -210,7 +226,7 @@ object TextAnalysis {
     */
   val t8LangMix: Relational.Q = (s, d) => {
     val (_, pred) = langId(col("text"))
-    documents(s, d)
+    parDocs(s, d)
       .select(col("source"), pred.as("lang"))
       .groupBy("source", "lang").agg(count(lit(1)).as("n"))
       .orderBy("source", "lang")
@@ -237,7 +253,7 @@ object TextAnalysis {
     val toks = tokens(col("text"))
     val n = size(toks).cast("long")
     val nd = size(array_distinct(toks)).cast("long")
-    documents(s, d)
+    parDocs(s, d)
       .select(col("doc_id"),
         when(n < 20, "too_short")
           .when(nd * 2 <= n, "too_repetitive") // distinct ratio <= 0.5, integer-exact
