@@ -297,16 +297,19 @@ class PlanAuditSpec extends SparkSuite {
   test("hybrid retrieval: bounded heaps, 1-row broadcast stats, no doc shuffle") {
     // h1: the scoring pass is a pure map feeding a TakeOrderedAndProject
     // heap; the corpus stats re-enter as a 1-row IdentityBroadcastMode
-    // BNLJ (NOT a shuffle); the only Exchange in the whole plan is the
-    // SinglePartition gather of the stats aggregate's partials — at
-    // 100 TB no document row ever hash-partitions.
+    // BNLJ (NOT a shuffle). r21: perDoc deliberately fans the
+    // single-row-group scan out once (REPARTITION_BY_NUM on doc_id, the
+    // d2 idiom — see TextAnalysis.parDocs); beyond that explicit
+    // fan-out, no document row may hash-shuffle (ENSURE_REQUIREMENTS
+    // would mark a planner-inserted data shuffle).
     val p1 = plan(graft.operators.Hybrid.h1Bm25Topk(spark, sf0001))
     assert(p1.contains("TakeOrderedAndProject"),
       s"BM25 top-k must be a bounded heap, not a global sort:\n${p1.take(3000)}")
     assert(p1.contains("IdentityBroadcastMode"),
       s"corpus stats must broadcast as the 1-row BNLJ side:\n${p1.take(3000)}")
-    assert(!p1.contains("Exchange hashpartitioning"),
-      s"no document row may hash-shuffle in the BM25 plan:\n${p1.take(3000)}")
+    val hashEx = "Exchange hashpartitioning[^\n]*".r.findAllIn(p1).toSeq
+    assert(hashEx.forall(_.contains("REPARTITION_BY_NUM")),
+      s"only the explicit perDoc fan-out may hash-shuffle in the BM25 plan:\n$hashEx")
     // h2: BOTH legs truncate through their own heap before the rank
     // windows ever run, so the single-partition windows see ≤ RrfLegK
     // rows — the WindowExec single-partition warning is bounded by
@@ -324,9 +327,11 @@ class PlanAuditSpec extends SparkSuite {
     val p4 = plan(graft.operators.Hybrid.h4PrfExpand(spark, sf0001))
     assert(p4.contains("PushedFilters: [In(doc_id"),
       s"candidate re-scan must prune via a pushed In filter:\n${p4.take(3000)}")
+    val hashEx4 = "Exchange hashpartitioning[^\n]*".r.findAllIn(p4).toSeq
     assert(p4.contains("IdentityBroadcastMode") &&
-      !p4.contains("Exchange hashpartitioning"),
-      s"re-score must broadcast stats and never hash-shuffle:\n${p4.take(3000)}")
+      hashEx4.forall(_.contains("REPARTITION_BY_NUM")),
+      s"re-score must broadcast stats; only the stats pass's explicit " +
+        s"fan-out may hash-shuffle:\n$hashEx4")
     // h5: index SERVING never scans the corpus — the postings reads
     // prune whole bucket directories (PartitionFilters) and row groups
     // (pushed In(term)); the one data shuffle is the per-doc pivot of
