@@ -87,9 +87,28 @@ object RankSelect {
     */
   val DefaultBuckets = 1024
 
+  /** Group-size floor for the bucket search (rows). A group at or
+    * under this sorts in ONE task in milliseconds on any hardware —
+    * a few MB of (group, v) pairs — so the whole-group window
+    * formulation is strictly cheaper there (no second summary pass,
+    * no survivor machinery): the connectedComponents driver-budget
+    * discipline applied to rank selection. Groups above it take the
+    * distributed bucket search. Size-bounded algorithm choice, not a
+    * local-mode knob: the bound is a per-task memory/sort argument
+    * (`spark.graft.rankselect.smallGroupRows` to tune), and both
+    * routes are value-identical (RankSelectSpec pins them against
+    * each other).
+    */
+  val SmallGroupRows = 65536L
+
   private def buckets(df: DataFrame): Int =
     df.sparkSession.conf
       .get("spark.graft.rankselect.buckets", DefaultBuckets.toString).toInt
+
+  private def smallGroupRows(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.rankselect.smallGroupRows", SmallGroupRows.toString)
+      .toLong
 
   /** One row per group: the grouping columns, `n` (group row count,
     * long), and for each (name, rankOf) a column `name` holding the
@@ -125,6 +144,23 @@ object RankSelect {
         ranks.zipWithIndex.map { case ((nm, _), i) =>
           nm -> (if (r.isNullAt(nGrp + 3 + i)) Long.MinValue
                  else r.getLong(nGrp + 3 + i)) }.toMap)
+    }
+
+    // small-group route (see [[SmallGroupRows]]): every group sorts in
+    // one trivially-sized task → the classic whole-group window form,
+    // value-identical by RankSelectSpec's pin, one pass instead of two
+    // more
+    if (grps.nonEmpty && grps.forall(_.n <= smallGroupRows(df))) {
+      val w = Window.partitionBy(g: _*).orderBy(col(v).asc)
+      val r = df
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(g: _*)))
+      val aggs = ranks.map { case (nm, rf) =>
+        max(when(col("__rn") === rf(col("__n")), col(v))).as(nm) }
+      return r.groupBy(g: _*)
+        .agg(max(col("__n")).as("n"), aggs: _*)
+        .select((g :+ col("n")) ++
+          ranks.map { case (nm, _) => col(nm).cast(vType).as(nm) }: _*)
     }
 
     // the group's bucket expression — identical literals in the count

@@ -66,7 +66,12 @@ class PlanAuditSpec extends SparkSuite {
     // on (group, __b) — the bounded survivor histogram — and the
     // redundant global v-range conjunct reaches the parquet scan as a
     // pushed filter (row-group pruning at 100 TB).
-    val df = graft.operators.Advanced.aggPercentiles(spark, sf0001)
+    // force the bucket route: sf0.001's groups sit under the
+    // small-group floor and would legitimately take the window form
+    spark.conf.set("spark.graft.rankselect.smallGroupRows", "0")
+    val df =
+      try graft.operators.Advanced.aggPercentiles(spark, sf0001)
+      finally spark.conf.unset("spark.graft.rankselect.smallGroupRows")
     // collect() executes df's OWN QueryExecution (a write would build a
     // new one — the Util.rowsScanned trap), finalizing the AQE plan
     df.collect()

@@ -33,11 +33,19 @@ class RankSelectSpec extends SparkSuite {
   private def assertSame(df: DataFrame,
       ranks: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)])
       : Unit = {
-    val got = RankSelect.selectAtRanks(df.select("g", "v"), Seq("g"), "v", ranks)
-      .orderBy("g").collect().map(_.toSeq).toSeq
     val want = windowRef(df, ranks)
       .orderBy("g").collect().map(_.toSeq).toSeq
-    assert(got == want)
+    // both routes must agree with the reference: the bucket search
+    // (forced by a zero small-group floor) and the small-group window
+    // (every test group is far below the default floor)
+    for (floor <- Seq("0", RankSelect.SmallGroupRows.toString)) {
+      spark.conf.set("spark.graft.rankselect.smallGroupRows", floor)
+      try {
+        val got = RankSelect.selectAtRanks(df.select("g", "v"), Seq("g"), "v", ranks)
+          .orderBy("g").collect().map(_.toSeq).toSeq
+        assert(got == want, s"smallGroupRows=$floor diverged")
+      } finally spark.conf.unset("spark.graft.rankselect.smallGroupRows")
+    }
   }
 
   private val medianRanks = Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
@@ -101,15 +109,20 @@ class RankSelectSpec extends SparkSuite {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 3000).map(i => (s"g${i % 3}", rnd.nextDouble() * 100, i.toLong))
     val df = rows.toDF("g", "v", "id")
-    val base = RankSelect.selectAtRanks(df.select("g", "v"), Seq("g"), "v", bandRanks)
-      .orderBy("g").collect().map(_.toSeq).toSeq
-    for (b <- Seq("1", "7", "4096")) {
-      spark.conf.set("spark.graft.rankselect.buckets", b)
-      try {
-        val got = RankSelect.selectAtRanks(df.select("g", "v"), Seq("g"), "v", bandRanks)
-          .orderBy("g").collect().map(_.toSeq).toSeq
-        assert(got == base, s"buckets=$b diverged")
-      } finally spark.conf.unset("spark.graft.rankselect.buckets")
-    }
+    // force the bucket route (the small-group floor would route these
+    // tiny test groups to the window form and never touch B)
+    spark.conf.set("spark.graft.rankselect.smallGroupRows", "0")
+    try {
+      val base = RankSelect.selectAtRanks(df.select("g", "v"), Seq("g"), "v", bandRanks)
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      for (b <- Seq("1", "7", "4096")) {
+        spark.conf.set("spark.graft.rankselect.buckets", b)
+        try {
+          val got = RankSelect.selectAtRanks(df.select("g", "v"), Seq("g"), "v", bandRanks)
+            .orderBy("g").collect().map(_.toSeq).toSeq
+          assert(got == base, s"buckets=$b diverged")
+        } finally spark.conf.unset("spark.graft.rankselect.buckets")
+      }
+    } finally spark.conf.unset("spark.graft.rankselect.smallGroupRows")
   }
 }
